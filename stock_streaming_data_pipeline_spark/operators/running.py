@@ -1,0 +1,89 @@
+"""Per-key running-state operators (SURVEY.md §2.6 W1-W3, §2.5 A3).
+
+The reference keeps this state *outside* Spark — a producer-side dict for
+cumulative volume (FinnhubProducer.py:34-36) and a pandas FIFO for the
+100-row lookback (BtcPrediction/kafka.py:51-57). In-engine, batch form =
+window functions (one shuffle on the key, sorted within partitions);
+streaming form = transformWithState/applyInPandasWithState (streaming/state.py).
+
+Scale notes: Window.partitionBy(key) is a single hash shuffle; skewed keys
+are handled by AQE only for joins/aggs, so a genuinely hot key in a window
+function is a real hazard at 100 TB — for analytics that tolerate it, prefer
+bucketed pre-partitioning on the key, or split hot keys upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ordered_window(key: str, ts: str, *tiebreak: str):
+    return Window.partitionBy(key).orderBy(ts, *tiebreak)
+
+
+def running_sum(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    out: str = "cumulative",
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-key running cumulative sum, monotone in event time (W1/A3)."""
+    w = _ordered_window(key, ts, *tiebreak).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out, F.sum(value).over(w))
+
+
+def trailing_agg(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    rows: int,
+    out_prefix: str = "trailing",
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fixed N-row trailing frame per key (W2): avg/min/max/count over the
+    last ``rows`` rows including current."""
+    w = _ordered_window(key, ts, *tiebreak).rowsBetween(-(rows - 1), 0)
+    return (
+        df.withColumn(f"{out_prefix}_avg", F.avg(value).over(w))
+        .withColumn(f"{out_prefix}_min", F.min(value).over(w))
+        .withColumn(f"{out_prefix}_max", F.max(value).over(w))
+        .withColumn(f"{out_prefix}_n", F.count(F.lit(1)).over(w))
+    )
+
+
+def latest_per_key(df: DataFrame, *, key: str, ts: str, values: list[str]) -> DataFrame:
+    """Last row per key by event time (W3/O2) as a grouped max_by — a single
+    partial-aggregatable shuffle, cheaper than row_number over a sorted
+    window at scale."""
+    aggs = [F.max(ts).alias(ts)] + [
+        F.expr(f"max_by({v}, {ts})").alias(v) for v in values
+    ]
+    return df.groupBy(key).agg(*aggs)
+
+
+def ordered_split(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    train_fraction: float = 0.8,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic time-ordered train/test split per key (O3) — the
+    reference splits its feature export by position, not randomly
+    (train_model.ipynb cell 4)."""
+    w = _ordered_window(key, ts)
+    counts = Window.partitionBy(key)
+    return df.withColumn(
+        out,
+        F.when(
+            F.row_number().over(w) <= F.ceil(F.count(F.lit(1)).over(counts) * F.lit(train_fraction)),
+            F.lit("train"),
+        ).otherwise(F.lit("test")),
+    )

@@ -1,0 +1,410 @@
+"""General relational engine surface over the TPC-H-ish tables.
+
+The reference's Spark job has zero joins (SURVEY.md §2.4) — this module is
+the engine surface the driver's oracle harness exercises instead: equi /
+broadcast / semi / anti joins, multi-way join trees, grouped and windowed
+aggregation, rollup, pivot, set ops, sessionization.
+
+Determinism conventions (see plans/catalog.py): money sums run through
+DECIMAL(18,4) casts (exact, partitioning-independent) and surface as DOUBLE;
+averages are exact-sum / count divisions; timestamps surface as epoch ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.functions.scalars import epoch_us, money
+from stock_streaming_data_pipeline_spark.operators import profile
+from stock_streaming_data_pipeline_spark.plans.catalog import register
+from stock_streaming_data_pipeline_spark.tables import load_table
+
+
+def _dsum(col) -> F.Column:
+    """Exact decimal sum surfaced as double, bit-reproducible in both
+    engines: the sum is reduced to DECIMAL(18,4) first so the scaled
+    integer fits in 53 bits — the final double cast then rounds the same
+    rational in both engines (a high-scale decimal cast straight to double
+    rounds twice in DuckDB and once in the JVM, diverging by an ulp)."""
+    return F.sum(money(col)).cast("decimal(18,4)").cast("double")
+
+
+def _dsum_expr(expr: F.Column) -> F.Column:
+    """Same double-surfacing rule for an arbitrary exact-decimal product."""
+    return F.sum(expr).cast("decimal(18,4)").cast("double")
+
+
+# SQL fragment mirroring _dsum for the DuckDB side.
+def _sql_dsum(expr: str) -> str:
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(18,4))), 4) AS DOUBLE)"
+
+
+_REVENUE = "CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))"
+
+
+@register(
+    "q1_pricing_summary",
+    tags=("A1", "A4", "A5", "P4", "C10"),
+    bench=True,
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_dsum('l_quantity')} AS sum_qty,
+       {_sql_dsum('l_extendedprice')} AS sum_base_price,
+       CAST(round(sum({_REVENUE}), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))), 4) AS DOUBLE) AS sum_charge,
+       {_sql_dsum('l_quantity')} / count(*) AS avg_qty,
+       {_sql_dsum('l_extendedprice')} / count(*) AS avg_price,
+       {_sql_dsum('l_discount')} / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical grouped-agg scan.
+    Catalyst plans partial+final HashAggregate; the shipdate filter is
+    pushed to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = money(F.col("l_extendedprice")) * money(1 - F.col("l_discount"))
+    # (1-d)*(1+t) has <= 4 decimals exactly; one DECIMAL(18,8) cast keeps the
+    # three-factor product inside precision 38 (no silent scale truncation).
+    charge = money(F.col("l_extendedprice")) * (
+        (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,8)")
+    qty_sum = F.sum(money(F.col("l_quantity"))).cast("double")
+    price_sum = F.sum(money(F.col("l_extendedprice"))).cast("double")
+    disc_sum = F.sum(money(F.col("l_discount"))).cast("double")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        qty_sum.alias("sum_qty"),
+        price_sum.alias("sum_base_price"),
+        _dsum_expr(disc_price).alias("sum_disc_price"),
+        _dsum_expr(charge).alias("sum_charge"),
+        (qty_sum / n).alias("avg_qty"),
+        (price_sum / n).alias("avg_price"),
+        (disc_sum / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "q3_top_unshipped_orders",
+    tags=("J1", "A1", "O2"),
+    bench=True,
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(round(sum({_REVENUE}), 4) AS DOUBLE) AS revenue,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + grouped agg + deterministic top-k.
+    The customer dimension side is broadcast; lineitem⋈orders is the one
+    real shuffle."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = money(F.col("l_extendedprice")) * money(1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "inner",
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum_expr(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            epoch_us("o_orderdate").alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    tags=("J1", "J2", "A1"),
+    bench=True,
+    oracle=f"""
+SELECT n_name, CAST(round(sum({_REVENUE}), 4) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: fact-fact shuffle join on orderkey,
+    every dimension broadcast (customer/supplier/nation/region are tiny
+    relative to lineitem at any scale factor)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = money(F.col("l_extendedprice")) * money(1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum_expr(revenue).alias("revenue"))
+    )
+
+
+@register(
+    "top_parts_per_brand",
+    tags=("W3", "O1", "O2"),
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice, rn
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+)
+WHERE rn <= 3
+""",
+)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window — deterministic tie-break on the
+    key column."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+@register(
+    "null_profile_left_join",
+    tags=("A6", "J1"),
+    oracle="""
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderkey,
+       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_custkey
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+""",
+)
+def null_profile_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-count data-quality profile (clean_data.ipynb cells 1,6,10) over
+    a left join that genuinely produces nulls."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return profile.null_profile(joined, cols=["o_orderkey", "c_custkey"])
+
+
+@register(
+    "union_distinct_keys",
+    tags=("U1",),
+    oracle="""
+SELECT DISTINCT key FROM (
+  SELECT user_id AS key FROM events
+  UNION ALL
+  SELECT c_custkey AS key FROM customer
+)
+""",
+)
+def union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + distinct (the consumer's pd.concat accumulation, kafka.py:40,
+    as a set operation)."""
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("key"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    )
+    return ev.unionByName(cust).distinct()
+
+
+@register(
+    "pivot_order_status",
+    tags=("A1",),
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide counts per status) — single-pass conditional aggregation
+    after Catalyst rewrites the pivot."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+    )
+
+
+@register(
+    "rollup_returns",
+    tags=("A1", "A4"),
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       {_sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup totals (subtotal + grand-total rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"), _dsum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+@register(
+    "distinct_counts",
+    tags=("A4",),
+    oracle="""
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+""",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct aggregation (Catalyst expands to a
+    single-pass partial-distinct plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "sessionize_users",
+    tags=("W1", "W4", "A1"),
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts_us,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_num
+  FROM gaps
+)
+SELECT user_id, session_num,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_num
+""",
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap detection + running session counter +
+    per-session rollup (lead/lag W4 surface) — one shuffle on the key."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", epoch_us("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    run = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_session = (
+        F.when(gap > 3_600_000_000, 1)
+        .when(F.lag("ts_us").over(w).isNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_num", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_num")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "scalar_showcase",
+    tags=("C1", "C2", "C6", "C7", "C9", "P7"),
+    oracle="""
+SELECT event_id,
+       year(ts) AS yr, month(ts) AS mo, day(ts) AS dy, hour(ts) AS hr,
+       epoch_us(ts + INTERVAL 10 SECOND) AS ts_plus_10s_us,
+       event_type || ':' || CAST(user_id AS VARCHAR) AS tag
+FROM events
+""",
+)
+def scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface: calendar parts (the partition-column
+    derivations, ProcessStockStream.py:181-184), interval arithmetic
+    (predict_btc.py:84) and string concat."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("dy"),
+        F.hour("ts").alias("hr"),
+        epoch_us(F.col("ts") + F.expr("INTERVAL 10 SECONDS")).alias("ts_plus_10s_us"),
+        F.concat_ws(":", F.col("event_type"), F.col("user_id")).alias("tag"),
+    )

@@ -1,0 +1,469 @@
+"""Reference-parity queries, batch form, over the ``events`` table.
+
+``events(event_id, ts, user_id, event_type, value, props)`` is the batch
+stand-in for the reference's decoded trade stream (FIXTURES.md §5):
+event_type plays the symbol, ``ts`` the event time, ``value`` the price and
+``props.k`` (JSON) the trade volume — the JSON hop deliberately exercises
+the consumer-side JSON decode (C5, BtcPrediction/kafka.py:37-38).
+
+Each query covers the SURVEY.md §2 ids in its ``tags`` and has a DuckDB
+oracle with identical column names/semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.functions.scalars import (
+    epoch_us,
+    json_double,
+    round6,
+)
+from stock_streaming_data_pipeline_spark.operators import gapfill, ohlc, profile, running
+from stock_streaming_data_pipeline_spark.operators.asof import asof_join
+from stock_streaming_data_pipeline_spark.plans.catalog import register
+from stock_streaming_data_pipeline_spark.tables import load_table
+
+# DuckDB-side equivalent of the enriched trade view (volume decoded from the
+# JSON props column).
+_SQL_TRADES = """
+  SELECT event_id, ts, user_id, event_type, value,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS volume
+  FROM events
+"""
+
+
+def trades_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decoded-trade projection pipeline (P1-P5, C5, C8):
+    rename + JSON-field decode + derived usd_volume, mirroring
+    ProcessStockStream.py:102-109."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.col("value"),
+        json_double("props", "$.k").alias("volume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship: sliding OHLC bars (A2/T3 shape, ProcessStockStream.py:143-161)
+# --------------------------------------------------------------------------
+
+_OHLC_OFFSETS = ", ".join(str(o) for o in range(0, 3600, 600))
+
+
+@register(
+    "ohlc_sliding_bars",
+    tags=("A2", "A4", "A5", "T3", "P5", "C10"),
+    bench=True,
+    oracle=f"""
+WITH trades AS ({_SQL_TRADES}),
+exploded AS (
+  SELECT event_type, ts, value, volume,
+         (epoch_us(ts) // 600000000) * 600 - off AS window_start
+  FROM trades, unnest([{_OHLC_OFFSETS}]) AS u(off)
+)
+SELECT event_type,
+       window_start,
+       window_start + 3600 AS window_end,
+       round(sum(value * volume), 6) AS total_usd_volume,
+       round(sum(volume), 6) AS total_volume,
+       max(value) AS high,
+       min(value) AS low,
+       arg_min(value, ts) AS open,
+       arg_max(value, ts) AS close,
+       count(*) AS num_trades
+FROM exploded
+GROUP BY 1, 2, 3
+""",
+)
+def ohlc_sliding_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 10 minutes, per event_type: the
+    reference's centerpiece sliding aggregation with event-time-pinned
+    open/close (max_by/min_by instead of nondeterministic last())."""
+    bars = ohlc.sliding_bars(
+        trades_view(spark, sf_dir),
+        key="event_type",
+        ts="ts",
+        price="value",
+        volume="volume",
+        window="1 hour",
+        slide="10 minutes",
+    )
+    return bars.select(
+        "event_type",
+        F.unix_seconds("window_start").alias("window_start"),
+        F.unix_seconds("window_end").alias("window_end"),
+        round6(F.col("total_usd_volume")).alias("total_usd_volume"),
+        round6(F.col("total_volume")).alias("total_volume"),
+        "high",
+        "low",
+        "open",
+        "close",
+        "num_trades",
+    )
+
+
+@register(
+    "tumbling_volume_daily",
+    tags=("A1", "T2"),
+    bench=True,
+    oracle=f"""
+WITH trades AS ({_SQL_TRADES})
+SELECT event_type,
+       (epoch_us(ts) // 86400000000) * 86400 AS window_start,
+       round(sum(volume), 6) AS total_volume,
+       round(sum(value * volume), 6) AS total_usd_volume,
+       count(*) AS num_trades
+FROM trades
+GROUP BY 1, 2
+""",
+)
+def tumbling_volume_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day volume aggregation per key (the reference's 1-minute
+    tumbling agg, ProcessStockStream.py:115-123, at a day grain that suits
+    the testdata's event cadence)."""
+    t = trades_view(spark, sf_dir).withColumn(
+        "usd_volume", F.col("value") * F.col("volume")
+    )
+    out = ohlc.tumbling_volume(
+        t, key="event_type", ts="ts", volume="volume",
+        usd_volume="usd_volume", window="1 day",
+    )
+    return out.select(
+        "event_type",
+        F.unix_seconds("window_start").alias("window_start"),
+        round6(F.col("total_volume")).alias("total_volume"),
+        round6(F.col("total_usd_volume")).alias("total_usd_volume"),
+        "num_trades",
+    )
+
+
+@register(
+    "trade_ticks",
+    tags=("P1", "P3", "P4", "P5", "F1", "F2", "F3", "C5", "C8"),
+    oracle=f"""
+WITH trades AS ({_SQL_TRADES})
+SELECT event_id,
+       user_id,
+       epoch_us(ts) AS ts_us,
+       value AS price,
+       volume,
+       round(value * volume, 6) AS usd_volume
+FROM trades
+WHERE event_type = 'click'
+  AND value > 0
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+""",
+)
+def trade_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered, derived tick projection — the price_tracking feed
+    (ProcessStockStream.py:132-133) plus the dashboard's key/value/time
+    predicates (grafana/dashboard.json:114,434-475)."""
+    t = trades_view(spark, sf_dir)
+    return (
+        t.filter(
+            (F.col("event_type") == "click")
+            & (F.col("value") > 0)
+            & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            epoch_us("ts").alias("ts_us"),
+            F.col("value").alias("price"),
+            "volume",
+            round6(F.col("value") * F.col("volume")).alias("usd_volume"),
+        )
+    )
+
+
+@register(
+    "cumulative_volume",
+    tags=("W1", "A3"),
+    bench=True,
+    oracle=f"""
+WITH trades AS ({_SQL_TRADES})
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round(sum(volume) OVER (
+         PARTITION BY user_id ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumulative_volume
+FROM trades
+""",
+)
+def cumulative_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running cumulative volume — the producer-side dict state
+    (FinnhubProducer.py:34-36) as a window function."""
+    out = running.running_sum(
+        trades_view(spark, sf_dir), key="user_id", ts="ts",
+        value="volume", out="cumulative_volume",
+    )
+    return out.select(
+        "event_id", "user_id", epoch_us("ts").alias("ts_us"),
+        round6(F.col("cumulative_volume")).alias("cumulative_volume"),
+    )
+
+
+@register(
+    "latest_event_per_key",
+    tags=("W3", "O2"),
+    oracle=f"""
+WITH trades AS ({_SQL_TRADES})
+SELECT user_id, epoch_us(max(ts)) AS last_ts_us,
+       arg_max(value, ts) AS last_price
+FROM trades
+GROUP BY user_id
+""",
+)
+def latest_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per key (predict_btc.py:83,88) via max_by — a partial-
+    aggregatable form that avoids a full sort at scale."""
+    out = running.latest_per_key(
+        trades_view(spark, sf_dir), key="user_id", ts="ts", values=["value"]
+    )
+    return out.select(
+        "user_id",
+        epoch_us("ts").alias("last_ts_us"),
+        F.col("value").alias("last_price"),
+    )
+
+
+@register(
+    "trailing_window_stats",
+    tags=("W2",),
+    oracle=f"""
+WITH trades AS ({_SQL_TRADES})
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round(avg(value) OVER w, 6) AS trailing_avg,
+       min(value) OVER w AS trailing_min,
+       max(value) OVER w AS trailing_max,
+       count(*) OVER w AS trailing_n
+FROM trades
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+)
+def trailing_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-row trailing lookback per key — the predictor's 100-row FIFO
+    (BtcPrediction/kafka.py:51-57) generalized to trailing stats."""
+    out = running.trailing_agg(
+        trades_view(spark, sf_dir), key="user_id", ts="ts", value="value", rows=5
+    )
+    return out.select(
+        "event_id", "user_id", epoch_us("ts").alias("ts_us"),
+        round6(F.col("trailing_avg")).alias("trailing_avg"),
+        F.col("trailing_min").alias("trailing_min"),
+        F.col("trailing_max").alias("trailing_max"),
+        F.col("trailing_n").alias("trailing_n"),
+    )
+
+
+@register(
+    "asof_purchase_view",
+    tags=("J1",),
+    bench=True,
+    oracle="""
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value AS purchase_value,
+       epoch_us(r.ts) AS asof_ts_us, r.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase aligned with the user's most recent prior
+    view — the prediction-vs-actual alignment shape (predict_btc.py:64-91)
+    as a scalable union+carry-forward operator."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(left, right, by="user_id", on="ts", right_values=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("ts_us"),
+        F.col("value").alias("purchase_value"),
+        epoch_us("asof_ts").alias("asof_ts_us"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
+@register(
+    "gap_fill_hourly",
+    tags=("F5", "J3", "A7"),
+    bench=True,
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_num,
+         count(*) AS n_events, sum(value) AS total, arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(hour_num) AS lo, max(hour_num) AS hi FROM hourly GROUP BY 1),
+grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hour_num FROM bounds),
+j AS (
+  SELECT g.event_type, g.hour_num, h.n_events, h.total, h.close
+  FROM grid g LEFT JOIN hourly h USING (event_type, hour_num)
+),
+f AS (
+  SELECT event_type, hour_num,
+         coalesce(n_events, 0) AS n_events,
+         last_value(close IGNORE NULLS) OVER w_prev AS close_ffill,
+         total,
+         last_value(total IGNORE NULLS) OVER w_prev AS prev_v,
+         last_value(CASE WHEN total IS NOT NULL THEN hour_num END IGNORE NULLS) OVER w_prev AS prev_t,
+         first_value(total IGNORE NULLS) OVER w_next AS next_v,
+         first_value(CASE WHEN total IS NOT NULL THEN hour_num END IGNORE NULLS) OVER w_next AS next_t
+  FROM j
+  WINDOW
+    w_prev AS (PARTITION BY event_type ORDER BY hour_num
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY event_type ORDER BY hour_num
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hour_num, n_events, close_ffill,
+       round(CASE WHEN total IS NOT NULL THEN total
+                  WHEN prev_t IS NULL THEN next_v
+                  WHEN next_t IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v) * (hour_num - prev_t) / (next_t - prev_t)
+             END, 6) AS total_interp
+FROM f
+""",
+)
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per key with 0-fill (counts), forward fill (close)
+    and linear interpolation (totals) — the notebook's 10-second reindex +
+    interpolate/ffill pipeline (clean_data.ipynb cells 5,8), distributed."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour_num", (epoch_us("ts") / F.lit(3_600_000_000)).cast("long"))
+        .groupBy("event_type", "hour_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total"),
+            F.expr("max_by(value, ts)").alias("close"),
+        )
+    )
+    filled = gapfill.gap_fill(
+        hourly.withColumnRenamed("close", "close_ffill"),
+        key="event_type",
+        slot="hour_num",
+        ffill_cols=["close_ffill"],
+        interp_cols=["total"],
+        zero_cols=["n_events"],
+    )
+    return filled.select(
+        "event_type", "hour_num", "n_events", "close_ffill",
+        round6(F.col("total")).alias("total_interp"),
+    )
+
+
+@register(
+    "minmax_scaled",
+    tags=("A8", "UD3"),
+    oracle="""
+SELECT event_id, event_type,
+       round(CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.0
+                  ELSE (value - min(value) OVER w)
+                       / (max(value) OVER w - min(value) OVER w) END, 6) AS value_scaled
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+""",
+)
+def minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max feature scaling per key (train_model.ipynb cell 3 /
+    predict_btc.py:40,43) as pure column arithmetic — no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    out = profile.minmax_scale(ev, key="event_type", cols=["value"])
+    return out.select(
+        "event_id", "event_type", round6(F.col("value_scaled")).alias("value_scaled")
+    )
+
+
+@register(
+    "users_with_events_semi",
+    tags=("J2", "F4"),
+    oracle="""
+SELECT event_type, count(*) AS n_events
+FROM events e
+WHERE EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING'
+)
+GROUP BY event_type
+""",
+)
+def users_with_events_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast left-semi join against a small dimension — the producer's
+    symbol-validation lookup (common_function.py:12-17) done relationally."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "users_without_dim_anti",
+    tags=("J2",),
+    oracle="""
+SELECT event_type, count(*) AS n_events
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING'
+)
+GROUP BY event_type
+""",
+)
+def users_without_dim_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast left-anti join (the complement membership check)."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "left_anti")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "ordered_split_counts",
+    tags=("O3",),
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN rn <= ceil(n * 0.8) THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n_rows,
+       round(sum(value), 6) AS total_value
+FROM ranked
+GROUP BY 1, 2
+""",
+)
+def ordered_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 time-ordered split per key (train_model.ipynb
+    cell 4's positional split), summarized."""
+    ev = load_table(spark, sf_dir, "events")
+    out = running.ordered_split(ev, key="event_type", ts="ts", train_fraction=0.8)
+    return out.groupBy("event_type", "split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        round6(F.sum("value")).alias("total_value"),
+    )

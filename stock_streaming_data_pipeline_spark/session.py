@@ -1,0 +1,91 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference pins ``spark.sql.shuffle.partitions=2`` for its toy cluster
+(reference: scripts/StreamProcessing/ProcessStockStream.py:48). We instead
+rely on AQE (adaptive re-plan, partition coalescing, skew-join splitting) so
+the same code runs on local[32] test boxes and on a 1000-executor cluster:
+AQE coalesces the initial shuffle partitioning down at small scale and the
+initial number is sized up for large scale via SPARK_GRAFT_CPUS / explicit
+config rather than hardcoded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that matter at 100 TB and are safe at test scale. Notes:
+# - AQE subsumes hand-tuned shuffle partition counts and handles skewed
+#   join keys (salting is still applied in operators that self-join on
+#   content-derived keys, e.g. dedup shingles).
+# - Arrow makes every pandas interchange (createDataFrame, applyInPandas,
+#   pandas_udf) batched instead of row-at-a-time pickling.
+# - UTC session timezone pins timestamp semantics to the storage value so
+#   results are reproducible regardless of host TZ (and match DuckDB).
+_BASE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB splits
+    "spark.streaming.stopGracefullyOnShutdown": "true",
+    "spark.ui.enabled": "false",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def get_spark(
+    app_name: str = "stock_streaming_data_pipeline_spark",
+    *,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    When the driver hands us an existing session (``__spark_entry__.entry``),
+    we do NOT rebuild it — ``configure_session`` applies the runtime-settable
+    subset instead.
+    """
+    cpus = default_parallelism()
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    conf = dict(_BASE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    # Local mode: the driver JVM is the only process; give it most of RAM.
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+# Subset of _BASE_CONF that can be flipped on a live session.
+_RUNTIME_CONF = (
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.session.timeZone",
+    "spark.sql.execution.arrow.pyspark.enabled",
+    "spark.sql.parquet.filterPushdown",
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.shuffle.partitions",
+)
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-built session."""
+    for key in _RUNTIME_CONF:
+        try:
+            spark.conf.set(key, _BASE_CONF[key])
+        except Exception:
+            pass  # non-runtime-settable on this build; defaults are fine
+    return spark

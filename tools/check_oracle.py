@@ -1,0 +1,142 @@
+"""Local replica of the driver's t2 differential-oracle check.
+
+Runs every catalog query through Spark AND its DuckDB oracle on the same
+parquet tables, then compares row count, column names, dtypes and exact
+values (order-insensitive). Run this before committing a new query.
+
+Usage:
+    python tools/check_oracle.py                 # all queries @ sf0.01
+    python tools/check_oracle.py --sf 0.001 q1_pricing_summary ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from stock_streaming_data_pipeline_spark.tables import TABLES  # noqa: E402
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        kind = df[c].dtype.kind
+        if kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif kind == "f":
+            df[c] = df[c].astype("float64")
+        elif kind == "O":
+            # decimals / mixed → string repr via float where numeric
+            try:
+                df[c] = df[c].astype("float64")
+            except (TypeError, ValueError):
+                df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort", na_position="last").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+        )
+        return problems
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for c in s.columns:
+        if s[c].dtype != d[c].dtype:
+            problems.append(f"dtype[{c}]: spark={s[c].dtype} duck={d[c].dtype}")
+    if len(s) == len(d):
+        for c in s.columns:
+            a, b = s[c].to_numpy(), d[c].to_numpy()
+            if a.dtype.kind == "f":
+                eq = np.array_equal(a, b, equal_nan=True)
+                if not eq:
+                    both = ~(np.isnan(a) | np.isnan(b))
+                    maxdiff = (
+                        float(np.max(np.abs(a[both] - b[both]))) if both.any() else 0.0
+                    )
+                    nan_mismatch = int(np.sum(np.isnan(a) != np.isnan(b)))
+                    problems.append(
+                        f"values[{c}]: max abs diff={maxdiff:.3g}, nan mismatches={nan_mismatch}"
+                    )
+            else:
+                if not (a == b).all():
+                    bad = int(np.sum(a != b))
+                    i = int(np.argmax(a != b))
+                    problems.append(
+                        f"values[{c}]: {bad} mismatches, first at row {i}: spark={a[i]!r} duck={b[i]!r}"
+                    )
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", help="query names (default: all)")
+    ap.add_argument("--sf", default="0.01")
+    args = ap.parse_args()
+    sf_dir = f"/root/testdata/sf{args.sf}"
+
+    import __spark_entry__ as entrymod
+    from stock_streaming_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("check_oracle")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or sorted(qs)
+    con = duck_connection(sf_dir)
+
+    failed = []
+    for name in names:
+        if name not in qs:
+            print(f"?? {name}: not in queries()")
+            failed.append(name)
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"!! {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        t1 = time.time()
+        if name not in oracles:
+            print(f"-- {name}: no oracle (rows={len(spark_pdf)}) spark={t1-t0:.1f}s")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"!! {name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            print(f"XX {name}: rows spark={len(spark_pdf)} duck={len(duck_pdf)} spark={t1-t0:.1f}s")
+            for p in problems:
+                print(f"     {p}")
+            failed.append(name)
+        else:
+            print(f"ok {name}: {len(spark_pdf)} rows, spark={t1-t0:.1f}s duck={time.time()-t1:.1f}s")
+    print(f"\n{len(names)-len(failed)}/{len(names)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
