@@ -1,0 +1,287 @@
+"""Document deduplication operators (exact, n-gram Jaccard, MinHash-LSH,
+SimHash) — the LLM-training-data surface (BASELINE.json north star).
+
+All hashing uses an engine-portable primitive — the top 60 bits of
+``md5(salt || token)`` as a signed BIGINT — so every signature computed
+here is bit-reproducible in any engine that has md5 (the DuckDB oracles
+recompute them independently).
+
+Scale design (100 TB):
+- exact dedup: one hash-groupBy, fully partial-aggregatable.
+- n-gram Jaccard similarity join: explode shingles → equi-join on shingle.
+  EXACT (any pair with jaccard>0 shares a shingle) but quadratic in the
+  hottest shingle's document frequency — at scale, cap df (drop shingles
+  with df > N, a standard stopword-shingle prune) or switch to MinHash.
+- MinHash-LSH: linear signature pass + band-bucket equi-join + exact
+  verification of candidates only. The scale path; recall < 1 by design,
+  so it carries no SQL oracle (driver records rows-only).
+- SimHash: linear signature pass; pair search is pigeonhole-banded
+  (4 chunks of 15 bits → complete for hamming <= 3), so the pair set is
+  EXACT and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1, fingerprint modulus
+
+
+def portable_hash(col: Column, salt: str = "") -> Column:
+    """Top 60 bits of md5 as BIGINT — identical in Spark and DuckDB."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def sql_portable_hash(expr: str, salt: str = "") -> str:
+    return f"('0x' || substr(md5('{salt}' || {expr}), 1, 15))::BIGINT"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, lowercased, empties dropped."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+SQL_TOKENS = "list_filter(regexp_split_to_array(lower({text}), '\\s+'), t -> t <> '')"
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text (empty when < n tokens)."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def sql_shingles(text: str, n: int = 3) -> str:
+    toks = SQL_TOKENS.format(text=text)
+    return (
+        f"list_distinct(list_transform(range(1, len({toks}) - {n - 1} + 1), "
+        f"i -> array_to_string(({toks})[i : i + {n - 1}], ' ')))"
+    )
+
+
+def exact_duplicates(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content hash: one row per distinct content with the
+    keeper (min id) and the number of copies."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via the shingle-inverted-index
+    pattern: explode → equi-join on shingle → count common → Jaccard.
+
+    ``max_shingle_df`` prunes shingles hotter than the cap before the
+    self-join (the 100 TB guard; off by default to keep exact semantics).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    if max_shingle_df is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, *, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """K minhash values per document: min over shingles of K independent
+    portable hashes. One linear pass, no shuffle."""
+    sh = shingles(F.col(text_col), n)
+    sig = [
+        F.array_min(
+            F.transform(sh, lambda s, k=k: portable_hash(s, salt=f"mh{k}_"))
+        ).alias(f"mh_{k}")
+        for k in range(num_perm)
+    ]
+    return df.select(F.col(id_col).alias("doc"), sh.alias("shingles"), *sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding + exact verification of candidates.
+
+    bands=16 × rows=4 over 64 perms → P(candidate) ≈ 1-(1-s^4)^16, steep
+    around s≈0.5-0.6. Output = candidate pairs whose EXACT Jaccard clears
+    the threshold (verification happens on the shingle sets, so false
+    positives are eliminated; false negatives are the documented LSH
+    tradeoff).
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm
+    ).filter(F.size("shingles") > 0)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.hash(
+                    *[F.col(f"mh_{j * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for j in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        "doc", "shingles", F.explode(band_cols).alias("b")
+    ).select("doc", "shingles", "b.band", "b.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_bits() -> int:
+    return 60  # portable_hash yields 60 bits
+
+
+def simhash(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash over term-frequency-weighted token hashes: per bit,
+    sign of the +1/-1 vote sum; linear pass + one groupBy."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", portable_hash(F.col("t"), salt="sh_"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(simhash_bits())
+    ]
+    voted = tok.groupBy("doc").agg(*votes)
+    acc = F.lit(0).cast("long")
+    for b in range(simhash_bits()):
+        acc = acc + F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(0)
+    return voted.select("doc", acc.alias("simhash"))
+
+
+def sql_simhash(id_col: str, text_col: str, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`simhash` (independent recomputation)."""
+    toks = SQL_TOKENS.format(text=text_col)
+    bits = simhash_bits()
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    acc = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {2**b}::BIGINT ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc, {sql_portable_hash('t.t', 'sh_')} AS h
+  FROM {table}, unnest({toks}) AS t(t)
+),
+votes AS (SELECT doc, {votes} FROM tok GROUP BY doc)
+SELECT doc, {acc} AS simhash FROM votes
+"""
+
+
+def simhash_pairs(
+    df: DataFrame, *, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """All document pairs with simhash hamming distance <= max_hamming.
+
+    Candidate generation is pigeonhole-banded: 4 chunks of 15 bits —
+    a pair within distance 3 must agree on at least one chunk, so the
+    result is EXACT while the join stays linear in bucket occupancy.
+    """
+    assert max_hamming <= 3, "4-chunk pigeonhole is complete only for <= 3"
+    sh = simhash(df, id_col=id_col, text_col=text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 15)
+                .bitwiseAND(F.lit((1 << 15) - 1))
+                .alias("piece"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = sh.select("doc", "simhash", F.explode(chunks).alias("c")).select(
+        "doc", "simhash", "c.chunk", "c.piece"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

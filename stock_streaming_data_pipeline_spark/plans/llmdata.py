@@ -1,7 +1,273 @@
 """LLM-training-data operators over ``documents`` / ``embeddings``.
 
-Filled in incrementally: dedup (exact / n-gram Jaccard / MinHash-LSH /
-SimHash), similarity search, text analysis, multimodal plumbing.
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity search,
+text analysis, multimodal plumbing — each a catalog query; the
+SQL-expressible ones carry exact DuckDB oracles (the portable-hash design
+in operators/dedup.py makes even the hash-based signatures oracle-checkable).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+from stock_streaming_data_pipeline_spark.plans.catalog import register
+from stock_streaming_data_pipeline_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    tags=("LLM-dedup",),
+    oracle="""
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup: one partial-aggregatable groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs, id_col="doc_id", text_col="text")
+
+
+_SQL_SHINGLES = dedup.sql_shingles("text", 3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tags=("LLM-dedup",),
+    bench=True,
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({_SQL_SHINGLES}) AS s FROM documents
+),
+sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c / (sa.n + sb.n - c)::DOUBLE, 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE c / (sa.n + sb.n - c)::DOUBLE >= 0.6
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard near-dup pairs (threshold 0.6) via the
+    shingle-inverted-index join — finds the testdata's injected
+    near-duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.6
+    )
+
+
+@register("dedup_minhash_lsh", tags=("LLM-dedup",), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands × 4) candidates, exact-verified at 0.6 —
+    the scale path for the same near-dup query (approximate recall, so
+    rows-only check here; recall vs the exact join is pinned in
+    tests/test_llmdata.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", n=3,
+        num_perm=64, bands=16, threshold=0.6,
+    )
+
+
+@register(
+    "dedup_simhash",
+    tags=("LLM-dedup",),
+    oracle=dedup.sql_simhash("doc_id", "text"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signature per document — the whole portable-hash +
+    bit-vote pipeline is recomputed independently by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_SQL_DOT_AB = similarity.SQL_DOT.format(a="a.embedding", b="b.embedding")
+_SQL_NORM_A = similarity.SQL_NORM.format(a="a.embedding")
+_SQL_NORM_B = similarity.SQL_NORM.format(a="b.embedding")
+
+
+@register(
+    "embedding_topk",
+    tags=("LLM-sim",),
+    bench=True,
+    oracle=f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(({_SQL_DOT_AB}) / (({_SQL_NORM_A}) * ({_SQL_NORM_B})), 6) AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 query vectors — the exact
+    ANN baseline (broadcast queries, order-fixed double folds)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+@register("embedding_lsh_topk", tags=("LLM-sim",))
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (random-hyperplane signs, 12 bits) —
+    the sub-linear scale path; recall vs brute force pinned in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    # bits sizes the bucket fan-out: ~corpus/2^bits candidates per probe.
+    # 4 bits → ~1/16th of the corpus per probe at test scale; at 100 TB
+    # raise bits (and add multi-probe) to keep buckets ~10^3-10^4 rows.
+    return similarity.lsh_topk(emb, queries, k=5, dim=64, bits=4)
+
+
+@register(
+    "embedding_neardup",
+    tags=("LLM-sim", "LLM-dedup"),
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(({_SQL_DOT_AB}) / (({_SQL_NORM_A}) * ({_SQL_NORM_B})), 6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+  AND ({_SQL_DOT_AB}) / (({_SQL_NORM_A}) * ({_SQL_NORM_B})) >= 0.35
+""",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.35) over a deterministic
+    corpus slice — exact quadratic form (the LSH variant is the scale
+    path)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return similarity.neardup_pairs(emb, threshold=0.35)
+
+
+@register(
+    "embedding_centroids",
+    tags=("LLM-sim",),
+    oracle="""
+SELECT label, (u.i - 1)::INT AS pos,
+       round(avg(embedding[u.i]::DOUBLE), 6) AS centroid_val
+FROM embeddings, unnest(range(1, 65)) AS u(i)
+GROUP BY label, u.i
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in exploded (label, pos, value) form — the
+    distributed aggregation that never ships vectors to the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.centroids(emb)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_language_id",
+    tags=("LLM-text",),
+    oracle=text.sql_language_id("doc_id", "text"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language heuristic per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.language_id(docs, id_col="doc_id", text_col="text")
+
+
+@register(
+    "text_quality",
+    tags=("LLM-text",),
+    bench=True,
+    oracle=text.sql_quality_scores("doc_id", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_scores(docs, id_col="doc_id", text_col="text")
+
+
+@register(
+    "text_fingerprint",
+    tags=("LLM-text",),
+    oracle=text.sql_fingerprint("doc_id", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, id_col="doc_id", text_col="text")
+
+
+@register(
+    "text_token_stats",
+    tags=("LLM-text",),
+    oracle=f"""
+WITH per_doc AS (
+  SELECT lang AS grp, {dedup.SQL_TOKENS.format(text='text')} AS toks FROM documents
+),
+docs AS (
+  SELECT grp, count(*) AS n_docs, round(avg(len(toks)), 6) AS avg_doc_tokens
+  FROM per_doc GROUP BY grp
+),
+vocab AS (
+  SELECT grp, count(DISTINCT t) AS vocab_size, count(*) AS total_tokens
+  FROM per_doc, unnest(toks) AS u(t) GROUP BY grp
+)
+SELECT grp, n_docs, avg_doc_tokens, vocab_size, total_tokens
+FROM docs JOIN vocab USING (grp)
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_stats(docs, text_col="text", group_col="lang")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_features", tags=("LLM-multimodal",))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the real mapInPandas
+    plumbing (deterministic fake decoder; codec libs stubbed). Parity with
+    plain-python hashing is pinned in tests/test_llmdata.py (mapInPandas
+    output is not SQL-expressible → rows-only check here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "media_type", "n_bytes", "sha256",
+        F.round(F.aggregate("feat", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feat_sum"
+        ),
+    )

@@ -1,0 +1,136 @@
+"""LLM-data operator tests: LSH recall vs exact, multimodal plumbing parity.
+
+The oracle-checked queries cover exactness; these tests pin the properties
+of the *approximate* scale paths (which carry no SQL oracle) and the
+mapInPandas plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.operators import dedup, multimodal, similarity
+from stock_streaming_data_pipeline_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    """documents ∪ perturbed copies (last word dropped) of every 5th doc
+    — known high-jaccard, low-hamming pairs by construction."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    perturbed = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    F.split(F.col("text"), r"\s+"),
+                    1,
+                    F.greatest(F.size(F.split(F.col("text"), r"\s+")) - 1, F.lit(1)),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(perturbed)
+
+
+def test_minhash_lsh_recall_vs_exact(spark, near_dup_corpus):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            near_dup_corpus, id_col="doc_id", text_col="text", n=3, threshold=0.6
+        ).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(
+            near_dup_corpus, id_col="doc_id", text_col="text", n=3,
+            num_perm=64, bands=16, threshold=0.6,
+        ).collect()
+    }
+    assert exact, "constructed corpus must contain near-dup pairs"
+    # precision 1.0 (candidates are exact-verified); recall high at j>=0.6
+    assert lsh <= exact
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_simhash_pairs_find_neardups(spark, near_dup_corpus):
+    pairs = dedup.simhash_pairs(
+        near_dup_corpus, id_col="doc_id", text_col="text", max_hamming=3
+    ).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # perturbed copies are ~identical term distributions → tiny hamming
+    expected = {
+        (r["doc_id"], r["doc_id"] + 1_000_000)
+        for r in near_dup_corpus.filter(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 1_000_000)
+        ).collect()
+    }
+    hit = len(found & expected) / len(expected)
+    assert hit >= 0.8, f"simhash hit rate {hit:.2f}"
+    assert all(r["hamming"] <= 3 for r in pairs)
+
+
+def test_lsh_topk_finds_planted_neighbor(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    # plant a near-copy of vec 3 (tiny deterministic perturbation)
+    base = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(900_000).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+        F.lit(99).alias("label"),
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(base)
+    queries = emb.filter(F.col("vec_id") == 3)
+    got = similarity.lsh_topk(corpus, queries, k=1, dim=64, bits=4).collect()
+    assert got and got[0]["neighbor_id"] == 900_000
+    assert got[0]["cosine"] >= 0.999999
+
+
+def test_multimodal_plumbing_matches_python(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    media = multimodal.documents_as_media(docs)
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(media, dim=8).collect()
+    }
+    for row in docs.collect():
+        payload = row["text"].encode("utf-8")
+        got = feats[row["doc_id"]]
+        assert got["n_bytes"] == len(payload)
+        assert got["sha256"] == hashlib.sha256(payload).hexdigest()
+        want_feat = multimodal.fake_decode_features(payload, 8)
+        assert got["feat"] == pytest.approx(want_feat)
+
+
+def test_decode_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_frame_sampling(spark):
+    import pandas as pd
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "payload": [b"a", b"b"],
+                "media_type": ["video", "image"],
+                "meta": [
+                    {"width": 0, "height": 0, "sample_rate": 0, "n_frames": 25},
+                    {"width": 0, "height": 0, "sample_rate": 0, "n_frames": 25},
+                ],
+            }
+        ),
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    frames = multimodal.sample_frames(media, every_n=10).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in frames} == {
+        (1, 0), (1, 10), (1, 20)
+    }
