@@ -126,15 +126,42 @@ def minhash_signatures(
     df: DataFrame, *, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
 ) -> DataFrame:
     """K minhash values per document: min over shingles of K independent
-    portable hashes. One linear pass, no shuffle."""
-    sh = shingles(F.col(text_col), n)
+    portable hashes. One linear pass, no shuffle.
+
+    The shingle array is materialized in a separate projection FIRST and
+    the K min-hash expressions read the materialized column — otherwise
+    each of the K expressions inlines the whole tokenize+shingle subtree
+    (K-fold recomputation + codegen blowup; observed 30x slowdown).
+    Likewise the md5 of the raw shingle is hashed once per shingle and the
+    K permutations are derived by cheap integer mixing of that one digest,
+    not K independent md5 passes."""
+    base = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("shingles")
+    )
+    hashed = base.select(
+        "doc",
+        "shingles",
+        F.transform(F.col("shingles"), lambda s: portable_hash(s, salt="mh_")).alias(
+            "_h"
+        ),
+    )
+    # Universal-hash family over one base hash: mask to 31 bits, then
+    # h_k(x) = (a_k*x + b_k) mod (2^31-1) — odd multipliers, values stay
+    # far below 2^63 (ANSI overflow-safe), engine-portable arithmetic.
     sig = [
         F.array_min(
-            F.transform(sh, lambda s, k=k: portable_hash(s, salt=f"mh{k}_"))
+            F.transform(
+                F.col("_h"),
+                lambda x, k=k: F.pmod(
+                    x.bitwiseAND(F.lit(0x7FFFFFFF)) * F.lit(2 * k + 1)
+                    + F.lit(k * 2654435761),
+                    F.lit(MERSENNE31),
+                ),
+            )
         ).alias(f"mh_{k}")
         for k in range(num_perm)
     ]
-    return df.select(F.col(id_col).alias("doc"), sh.alias("shingles"), *sig)
+    return hashed.select("doc", "shingles", *sig)
 
 
 def minhash_lsh_pairs(
@@ -156,9 +183,14 @@ def minhash_lsh_pairs(
     tradeoff).
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm
-    ).filter(F.size("shingles") > 0)
+    # Persist: the signature scan feeds both the bucket join and the
+    # verification re-attach; without it the whole shingle+hash lineage
+    # runs twice (~2x the dominant cost).
+    sigs = (
+        minhash_signatures(df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm)
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
     band_cols = F.array(
         *[
             F.struct(
@@ -170,9 +202,12 @@ def minhash_lsh_pairs(
             for j in range(bands)
         ]
     )
-    buckets = sigs.select(
-        "doc", "shingles", F.explode(band_cols).alias("b")
-    ).select("doc", "shingles", "b.band", "b.bucket")
+    # Bucket join carries ONLY (doc, band, bucket) — the (potentially large)
+    # shingle arrays are re-attached after candidate-pair dedup, so the
+    # shuffle volume is O(docs*bands) ids, not O(docs*bands*shingles).
+    buckets = sigs.select("doc", F.explode(band_cols).alias("b")).select(
+        "doc", "b.band", "b.bucket"
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(
@@ -181,13 +216,14 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = sigs.select("doc", "shingles")
+    cands = (
+        cands.join(
+            sets.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a"
+        ).join(sets.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

@@ -502,3 +502,114 @@ def envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.value").alias("value"),
         )
     )
+
+
+@register(
+    "inference_scoring",
+    tags=("UD1", "UD3", "W2"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+feats AS (
+  SELECT event_id, user_id, ts,
+         avg(value) OVER w AS f_avg,
+         min(value) OVER w AS f_min,
+         max(value) OVER w AS f_max,
+         value AS f_last
+  FROM trades
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round({{score}}, 6) AS predict_price
+FROM feats
+""".format(score=__import__(
+        "stock_streaming_data_pipeline_spark.operators.inference",
+        fromlist=["sql_score"],
+    ).sql_score(["f_avg", "f_min", "f_max", "f_last"])),
+)
+def inference_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized model scoring through an Arrow pandas_udf over trailing
+    lookback features — the reference's predictor forward pass
+    (predict_btc.py:37-44) as a distributed map; the deterministic linear
+    model artifact makes the UDF path exactly oracle-checkable."""
+    from stock_streaming_data_pipeline_spark.operators import inference
+
+    feats = running.trailing_agg(
+        trades_view(spark, sf_dir), key="user_id", ts="ts", value="value", rows=5
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("trailing_avg").alias("f_avg"),
+        F.col("trailing_min").alias("f_min"),
+        F.col("trailing_max").alias("f_max"),
+        F.col("value").alias("f_last"),
+    )
+    scored = inference.score(
+        feats, feature_cols=["f_avg", "f_min", "f_max", "f_last"]
+    )
+    return scored.select(
+        "event_id", "user_id", epoch_us("ts").alias("ts_us"),
+        round6(F.col("predict_price")).alias("predict_price"),
+    )
+
+
+@register(
+    "prediction_alignment",
+    tags=("J1", "C7", "K6"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+feats AS (
+  SELECT user_id, ts,
+         avg(value) OVER w AS f_avg, min(value) OVER w AS f_min,
+         max(value) OVER w AS f_max, value AS f_last
+  FROM trades
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+),
+predictions AS (
+  SELECT user_id, epoch_us(ts + INTERVAL 10 SECOND) AS ts_us,
+         round({{score}}, 6) AS predict_price
+  FROM feats
+),
+actuals AS (SELECT user_id, epoch_us(ts) AS ts_us, value AS curr_price FROM trades)
+SELECT coalesce(p.user_id, a.user_id) AS user_id,
+       coalesce(p.ts_us, a.ts_us) AS ts_us,
+       a.curr_price, p.predict_price
+FROM predictions p
+FULL OUTER JOIN actuals a ON p.user_id = a.user_id AND p.ts_us = a.ts_us
+""".format(score=__import__(
+        "stock_streaming_data_pipeline_spark.operators.inference",
+        fromlist=["sql_score"],
+    ).sql_score(["f_avg", "f_min", "f_max", "f_last"])),
+)
+def prediction_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The btc_predict table (ddl.cql:19-25): predictions written at
+    t+10s full-outer aligned with actuals at t — the reference's two-phase
+    INSERT/UPDATE (predict_btc.py:64-91) as one join; unmatched sides keep
+    nulls exactly like the half-filled Cassandra rows."""
+    from stock_streaming_data_pipeline_spark.operators import inference
+
+    t = trades_view(spark, sf_dir)
+    feats = running.trailing_agg(
+        t, key="user_id", ts="ts", value="value", rows=5
+    ).select(
+        "user_id", "ts",
+        F.col("trailing_avg").alias("f_avg"),
+        F.col("trailing_min").alias("f_min"),
+        F.col("trailing_max").alias("f_max"),
+        F.col("value").alias("f_last"),
+    )
+    predictions = inference.score(
+        feats, feature_cols=["f_avg", "f_min", "f_max", "f_last"]
+    ).select(
+        "user_id",
+        epoch_us(F.col("ts") + F.expr("INTERVAL 10 SECONDS")).alias("ts_us"),
+        round6(F.col("predict_price")).alias("predict_price"),
+    )
+    actuals = t.select(
+        "user_id", epoch_us("ts").alias("ts_us"), F.col("value").alias("curr_price")
+    )
+    return (
+        predictions.alias("p")
+        .join(actuals.alias("a"), ["user_id", "ts_us"], "full_outer")
+        .select("user_id", "ts_us", "curr_price", "predict_price")
+    )
