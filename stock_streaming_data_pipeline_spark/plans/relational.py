@@ -408,3 +408,197 @@ def scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_us(F.col("ts") + F.expr("INTERVAL 10 SECONDS")).alias("ts_plus_10s_us"),
         F.concat_ws(":", F.col("event_type"), F.col("user_id")).alias("tag"),
     )
+
+
+@register(
+    "session_window_agg",
+    tags=("T3", "A1", "W4"),
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts_us,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS snum
+  FROM gaps
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) + 3600000000 AS session_end_us,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, snum
+""",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (1-hour gap) — Spark's session_window merges
+    chained events; must equal the lag-gap sessionization semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "1 hour").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            epoch_us(F.col("w.start")).alias("session_start_us"),
+            epoch_us(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "percentiles_by_group",
+    tags=("A1", "A5"),
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+""",
+)
+def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (both engines implement the
+    classic (1-g)*a[k] + g*a[k+1] continuous quantile)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
+@register(
+    "cube_event_day",
+    tags=("A1", "A4"),
+    oracle="""
+SELECT event_type, CAST(year(ts) AS INT) AS yr,
+       count(*) AS n, round(sum(value), 6) AS total_value
+FROM events GROUP BY CUBE(event_type, yr)
+""",
+)
+def cube_event_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, year): all grouping-set combinations."""
+    ev = load_table(spark, sf_dir, "events").withColumn("yr", F.year("ts"))
+    return ev.cube("event_type", "yr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@register(
+    "set_ops_membership",
+    tags=("U1",),
+    oracle="""
+SELECT key, 'both' AS tag FROM (
+  SELECT user_id AS key FROM events INTERSECT SELECT c_custkey FROM customer
+)
+UNION ALL
+SELECT key, 'events_only' AS tag FROM (
+  SELECT user_id AS key FROM events EXCEPT SELECT c_custkey FROM customer
+)
+""",
+)
+def set_ops_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations, tagged and unioned."""
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("key"))
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    both = ev.intersect(cust).withColumn("tag", F.lit("both"))
+    only = ev.subtract(cust).withColumn("tag", F.lit("events_only"))
+    return both.unionByName(only)
+
+
+@register(
+    "range_window_sum",
+    tags=("W1", "W2", "F3"),
+    oracle="""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6)
+         AS hour_sum
+FROM events
+""",
+)
+def range_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame: per-key trailing 1-hour sum (RANGE frame on
+    the event-time axis, not row counts)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", epoch_us("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.col("ts_us"),
+        F.round(F.sum("value").over(w), 6).alias("hour_sum"),
+    )
+
+
+@register(
+    "ntile_quartiles",
+    tags=("O3", "W3"),
+    oracle="""
+SELECT event_id, event_type,
+       ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+FROM events
+""",
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing per key (deterministic tie-break on event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@register(
+    "lead_targets",
+    tags=("W4", "O3"),
+    oracle="""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       lead(value) OVER w AS next_value,
+       round(lead(value) OVER w - value, 6) AS delta
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+""",
+)
+def lead_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-pair construction (train_model.ipynb cell 4): each row
+    with its lead target and delta."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("value").over(w)
+    return ev.select(
+        "event_id", "user_id", epoch_us("ts").alias("ts_us"), "value",
+        nxt.alias("next_value"),
+        F.round(nxt - F.col("value"), 6).alias("delta"),
+    )
+
+
+@register(
+    "timestamp_parsing",
+    tags=("C6", "C1", "P6", "UD4"),
+    oracle="""
+SELECT event_id, epoch_us(ts) AS ts_us,
+       epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
+                         '%Y-%m-%d %H:%M:%S.%f')) AS parsed_us
+FROM events
+""",
+)
+def timestamp_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-timestamp roundtrip (the notebook's ISO parsing, UD4/C6) via
+    the SQL-expression surface (selectExpr, P6): format → parse must be
+    the identity at microsecond precision."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "event_id",
+        "unix_micros(ts) AS ts_us",
+        "unix_micros(to_timestamp(date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS'),"
+        " 'yyyy-MM-dd HH:mm:ss.SSSSSS')) AS parsed_us",
+    )

@@ -51,6 +51,19 @@ class FanOut:
         for q in self.queries:
             q.processAllAvailable()
 
+    def await_any(self, timeout_s: float | None = None) -> bool:
+        """Block until any of the four queries terminates —
+        ``spark.streams.awaitAnyTermination`` (the reference blocks on four
+        sequential awaitTermination calls, ProcessStockStream.py:193-196;
+        T10)."""
+        if not self.queries:
+            return True
+        mgr = self.queries[0].sparkSession.streams
+        if timeout_s is None:
+            mgr.awaitAnyTermination()
+            return True
+        return mgr.awaitAnyTermination(int(timeout_s * 1000))
+
     def stop_all(self) -> None:
         for q in self.queries:
             q.stop()
