@@ -8,10 +8,10 @@ recompute them independently).
 
 Scale design (100 TB):
 - exact dedup: one hash-groupBy, fully partial-aggregatable.
-- n-gram Jaccard similarity join: explode shingles → equi-join on shingle.
-  EXACT (any pair with jaccard>0 shares a shingle) but quadratic in the
-  hottest shingle's document frequency — at scale, cap df (drop shingles
-  with df > N, a standard stopword-shingle prune) or switch to MinHash.
+- n-gram Jaccard similarity join: EXACT, with two physical strategies
+  (inverted-index count join for dense similarity graphs; PPJoin-style
+  prefix filtering for web-scale sparse graphs with hot shingles) — see
+  ngram_jaccard_pairs; plus an optional hot-shingle df cap.
 - MinHash-LSH: linear signature pass + band-bucket equi-join + exact
   verification of candidates only. The scale path; recall < 1 by design,
   so it carries no SQL oracle (driver records rows-only).
@@ -22,7 +22,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1, fingerprint modulus
@@ -87,43 +87,122 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool = False,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similarity join via the shingle-inverted-index
-    pattern: explode → equi-join on shingle → count common → Jaccard.
+    """EXACT n-gram Jaccard similarity join — two physical strategies with
+    identical output:
 
-    ``max_shingle_df`` prunes shingles hotter than the cap before the
-    self-join (the 100 TB guard; off by default to keep exact semantics).
+    - ``prefix_filter=False`` (default): inverted-index count join —
+      explode shingles, self-join on shingle, COUNT common per pair
+      (partial-aggregated), Jaccard from the counts. No array ops in the
+      hot path. Best when the similarity graph is dense (small vocab /
+      many low-jaccard collisions), where per-candidate verification
+      would touch ~all pairs.
+    - ``prefix_filter=True``: PPJoin-style prefix filtering — order each
+      document's shingles by global rarity; for Jaccard >= t a qualifying
+      pair must collide within the first ``|S| - ceil(t*|S|) + 1`` rarest
+      shingles, so only those prefixes enter the self-join; candidates are
+      then verified on full shingle sets. Best at web scale: large vocab,
+      sparse similarity graph, hot-shingle skew (the prefix holds only
+      RARE shingles, so the quadratic hot-key blowup disappears).
+
+    ``max_shingle_df`` additionally drops ultra-hot shingles entirely
+    (changes semantics slightly; off by default).
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    if not prefix_filter:
+        # One shingle computation total: sizes derive from the SAME
+        # exploded rows (a size()+explode() pair would inline the shingle
+        # subtree twice after projection collapse — measured 2.5x slower).
+        sh = df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles(F.col(text_col), n)).alias("sh"),
+        )
+        if max_shingle_df is not None:
+            hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
+            sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        return (
+            common.join(
+                sizes.withColumnsRenamed({"doc": "doc_a", "n_sh": "n_a"}), "doc_a"
+            )
+            .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_sh": "n_b"}), "doc_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
+    # Prefix-filtered path: persist the shingle scan — it feeds the index,
+    # the frequency ranking AND both verification sides.
+    base = (
+        df.select(
+            F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("shingles")
+        )
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    sh = base.select(
+        "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     )
     if max_shingle_df is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
         sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(freq, "sh").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("sh"))
+        ),
     )
-    return (
-        common.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_sh": "n_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_sh": "n_b"}), "doc_b")
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    joinable = ranked.filter(F.col("r") <= prefix_len).select("doc", "sh")
+    a, b = joinable.alias("a"), joinable.alias("b")
+    cands = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = (
+        cands.join(
+            base.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a"
+        ).join(base.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return verified
 
 
 def minhash_signatures(
-    df: DataFrame, *, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    portable: bool = True,
 ) -> DataFrame:
     """K minhash values per document: min over shingles of K independent
     portable hashes. One linear pass, no shuffle.
@@ -138,12 +217,18 @@ def minhash_signatures(
     base = df.select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("shingles")
     )
+    # portable=False swaps md5 for JVM-native xxhash64 (~2x faster linear
+    # pass) — fine whenever cross-engine reproducibility isn't required
+    # (the LSH pair search has no SQL oracle anyway).
+    base_hash = (
+        (lambda s: portable_hash(s, salt="mh_"))
+        if portable
+        else (lambda s: F.xxhash64(s))
+    )
     hashed = base.select(
         "doc",
         "shingles",
-        F.transform(F.col("shingles"), lambda s: portable_hash(s, salt="mh_")).alias(
-            "_h"
-        ),
+        F.transform(F.col("shingles"), base_hash).alias("_h"),
     )
     # Universal-hash family over one base hash: mask to 31 bits, then
     # h_k(x) = (a_k*x + b_k) mod (2^31-1) — odd multipliers, values stay
@@ -173,6 +258,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash + LSH banding + exact verification of candidates.
 
@@ -187,7 +273,10 @@ def minhash_lsh_pairs(
     # verification re-attach; without it the whole shingle+hash lineage
     # runs twice (~2x the dominant cost).
     sigs = (
-        minhash_signatures(df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm)
+        minhash_signatures(
+            df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm,
+            portable=portable,
+        )
         .filter(F.size("shingles") > 0)
         .persist()
     )

@@ -56,6 +56,29 @@ def read_upsert_table(spark: SparkSession, path: str, key_cols: list[str]) -> Da
     return df.groupBy(*key_cols).agg(*aggs)
 
 
+def compact_upsert_table(
+    spark: SparkSession, path: str, key_cols: list[str]
+) -> None:
+    """Compaction for the LSM-style upsert sink: rewrite the resolved
+    last-write-wins state as a single epoch and drop the history.
+
+    This is the maintenance job that bounds read amplification at scale
+    (the Delta/Iceberg analogue is OPTIMIZE / rewrite-data-files). Readers
+    before/after see identical resolved state.
+    """
+    import shutil
+    import tempfile
+
+    resolved = read_upsert_table(spark, path, key_cols).withColumn(
+        "_epoch", F.lit(-1)
+    )
+    tmp = tempfile.mkdtemp(prefix="upsert_compact_")
+    # column order: keys first, then values, as the writer produces them
+    resolved.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+
+
 def kafka_shaped(df: DataFrame, *, key: str, value_struct: list[str]) -> DataFrame:
     """Project to the Kafka message contract the reference publishes:
     ``key = symbol``, ``value = to_json(named_struct(...))``

@@ -134,3 +134,22 @@ def test_frame_sampling(spark):
     assert {(r["media_id"], r["frame_idx"]) for r in frames} == {
         (1, 0), (1, 10), (1, 20)
     }
+
+
+def test_jaccard_strategies_identical(spark, near_dup_corpus):
+    """Count-join and prefix-filtered strategies must produce the same
+    exact pair set (physical plan choice, not semantics)."""
+    kw = dict(id_col="doc_id", text_col="text", n=3, threshold=0.6)
+    count_based = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            near_dup_corpus, prefix_filter=False, **kw
+        ).collect()
+    }
+    prefixed = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            near_dup_corpus, prefix_filter=True, **kw
+        ).collect()
+    }
+    assert count_based == prefixed and count_based

@@ -1,0 +1,103 @@
+"""Property-based tests (SURVEY §5.4) over hypothesis-generated trade data.
+
+Invariants from the reference's semantics:
+- cumulative volume is monotone non-decreasing per key (A3);
+- window-sum conservation: tumbling window volumes sum to the total (A1);
+- sliding-window event coverage: every event lands in exactly
+  window/slide sliding windows (A2);
+- as-of join: the matched right row is the true most-recent one (J1);
+- OHLC bounds: low <= open/close <= high (A2/A5).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.operators.asof import asof_join
+from stock_streaming_data_pipeline_spark.operators.ohlc import sliding_bars, tumbling_volume
+from stock_streaming_data_pipeline_spark.operators.running import running_sum
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+@st.composite
+def trades(draw, max_rows=60):
+    n = draw(st.integers(min_value=1, max_value=max_rows))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                draw(st.sampled_from(["A", "B"])),
+                EPOCH + dt.timedelta(seconds=draw(st.integers(0, 600)), microseconds=i),
+                draw(st.floats(0.01, 1000.0, allow_nan=False)),
+                draw(st.floats(0.0001, 10.0, allow_nan=False)),
+            )
+        )
+    return rows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "symbol string, ts timestamp, price double, volume double"
+    )
+
+
+@given(rows=trades())
+@settings(max_examples=12, deadline=None)
+def test_cumulative_monotone_and_conserving(spark, rows):
+    df = _df(spark, rows)
+    out = running_sum(
+        df, key="symbol", ts="ts", value="volume", out="cum", tiebreak=("price",)
+    ).toPandas()
+    for _, g in out.sort_values(["ts", "price"]).groupby("symbol"):
+        assert g["cum"].is_monotonic_increasing
+        assert abs(g["cum"].iloc[-1] - g["volume"].sum()) < 1e-9
+
+
+@given(rows=trades())
+@settings(max_examples=12, deadline=None)
+def test_window_sum_conservation(spark, rows):
+    df = _df(spark, rows)
+    tv = tumbling_volume(df, key="symbol", ts="ts", volume="volume", window="1 minute")
+    total_w = tv.agg(F.sum("total_volume")).collect()[0][0]
+    total = df.agg(F.sum("volume")).collect()[0][0]
+    assert abs(total_w - total) < 1e-9
+
+
+@given(rows=trades(max_rows=40))
+@settings(max_examples=10, deadline=None)
+def test_sliding_coverage_and_bounds(spark, rows):
+    df = _df(spark, rows)
+    bars = sliding_bars(
+        df, key="symbol", ts="ts", price="price",
+        window="30 seconds", slide="10 seconds",
+    ).toPandas()
+    n_events = len(rows)
+    assert bars["num_trades"].sum() == n_events * 3  # window/slide = 3
+    assert (bars["low"] <= bars["high"]).all()
+    assert ((bars["open"] >= bars["low"]) & (bars["open"] <= bars["high"])).all()
+    assert ((bars["close"] >= bars["low"]) & (bars["close"] <= bars["high"])).all()
+
+
+@given(rows=trades(max_rows=40))
+@settings(max_examples=10, deadline=None)
+def test_asof_matches_bruteforce(spark, rows):
+    df = _df(spark, rows)
+    left = df.filter(F.col("symbol") == "A").select("ts", F.lit("A").alias("symbol"), "price")
+    right = df.filter(F.col("symbol") == "B").select(
+        F.lit("A").alias("symbol"), "ts", "price"
+    )
+    got = asof_join(
+        left, right, by="symbol", on="ts", right_values=["price"]
+    ).toPandas()
+    rp = right.toPandas().sort_values("ts")
+    for _, row in got.iterrows():
+        eligible = rp[rp["ts"] <= row["ts"]]
+        if eligible.empty:
+            assert pd.isna(row["asof_price"])
+        else:
+            assert row["asof_price"] == eligible.iloc[-1]["price"]

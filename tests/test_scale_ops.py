@@ -1,0 +1,62 @@
+"""Scale-path operators: salted joins and upsert-sink compaction."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.operators.skew import salted_join
+from stock_streaming_data_pipeline_spark.streaming import sinks
+from stock_streaming_data_pipeline_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting changes the physical key distribution, never the result —
+    exercised on a deliberately skewed fact table (90% one key)."""
+    fact = spark.range(20_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 100)
+        .cast("long").alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("dk"), F.concat(F.lit("name_"), F.col("id")).alias("name")
+    )
+    plain = fact.join(dim, fact.k == dim.dk, "inner").select("k", "payload", "name")
+    salted = salted_join(fact, dim, fact_key="k", dim_key="dk", salts=8).select(
+        "k", "payload", "name"
+    )
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_upsert_compaction_preserves_state(spark, tmp_path):
+    path = str(tmp_path / "upsert")
+    writer = sinks.upsert_writer(path, ["symbol", "timestamp"])
+    t = dt.datetime(2024, 1, 1)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "symbol string, timestamp timestamp, v double"
+    )
+    writer(mk([("A", t, 1.0), ("B", t, 2.0)]), 0)
+    writer(mk([("A", t, 10.0), ("C", t, 3.0)]), 1)
+
+    before = {
+        r["symbol"]: r["v"]
+        for r in sinks.read_upsert_table(spark, path, ["symbol", "timestamp"]).collect()
+    }
+    sinks.compact_upsert_table(spark, path, ["symbol", "timestamp"])
+    after = {
+        r["symbol"]: r["v"]
+        for r in sinks.read_upsert_table(spark, path, ["symbol", "timestamp"]).collect()
+    }
+    assert before == after == {"A": 10.0, "B": 2.0, "C": 3.0}
+
+    # writes after compaction keep winning (epochs restart above -1)
+    writer(mk([("B", t, 20.0)]), 0)
+    final = {
+        r["symbol"]: r["v"]
+        for r in sinks.read_upsert_table(spark, path, ["symbol", "timestamp"]).collect()
+    }
+    assert final == {"A": 10.0, "B": 20.0, "C": 3.0}
