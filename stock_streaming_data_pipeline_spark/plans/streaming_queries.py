@@ -143,3 +143,92 @@ def streaming_cumulative_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         round6(F.col("cumulative_volume")).alias("cumulative_volume"),
     )
+
+
+@register(
+    "streaming_upsert_fanout",
+    tags=("K1", "K2", "K4", "K5", "T4", "T7", "T8"),
+    oracle=f"""
+WITH trades AS ({_stock.SQL_TRADES})
+SELECT event_type,
+       (epoch_us(ts) // 86400000000) * 86400 AS window_start,
+       round(sum(volume), 6) AS total_volume,
+       round(sum(value * volume), 6) AS total_usd_volume
+FROM trades
+GROUP BY 1, 2
+""",
+)
+def streaming_upsert_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE four-query fan-out (streaming/jobs.py) replayed over the
+    events table: update-mode windowed aggs through the epoch-stamped
+    keyed-upsert sink, resolved last-write-wins — the final volume_tracking
+    state must equal the batch aggregation (Cassandra-parity semantics,
+    T4/T8)."""
+    import tempfile
+
+    from stock_streaming_data_pipeline_spark.streaming import sinks as s
+    from stock_streaming_data_pipeline_spark.streaming.jobs import start_fanout
+
+    trades = events_as_trades(stream_events(spark, sf_dir))
+    out_dir = tempfile.mkdtemp(prefix="fanout_")
+    fan = start_fanout(
+        trades,
+        out_dir,
+        tumbling_window="1 day",
+        tumbling_watermark="1 hour",
+        feature_window="1 hour",
+        feature_slide="10 minutes",
+        feature_watermark="10 minutes",
+        available_now=True,
+    )
+    try:
+        for q in fan.queries:
+            q.awaitTermination(600)
+    finally:
+        fan.stop_all()
+    vol = s.read_upsert_table(
+        spark, fan.path("volume_tracking"), ["symbol", "timestamp"]
+    )
+    return vol.select(
+        F.col("symbol").alias("event_type"),
+        F.unix_seconds("timestamp").alias("window_start"),
+        round6(F.col("total_volume")).alias("total_volume"),
+        round6(F.col("total_usd_volume")).alias("total_usd_volume"),
+    )
+
+
+@register(
+    "kafka_payload_shape",
+    tags=("C3", "C4", "K3"),
+    oracle="""
+SELECT event_type AS key,
+       to_json(struct_pack(
+         symbol := event_type,
+         num_trades := count(*),
+         total_value := round(sum(value), 2)
+       )) AS value
+FROM events
+GROUP BY event_type
+""",
+)
+def kafka_payload_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka message contract (key=symbol, value=to_json(named_struct))
+    the reference publishes (ProcessStockStream.py:163-172) — JSON
+    serialization parity across engines."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("num_trades"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return agg.select(
+        F.col("event_type").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("symbol"),
+                F.col("num_trades"),
+                F.col("total_value"),
+            )
+        ).alias("value"),
+    )
