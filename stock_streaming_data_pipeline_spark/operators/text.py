@@ -27,9 +27,7 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def _overlap(toks: Column, words: tuple[str, ...]) -> Column:
-    return F.size(
-        F.filter(toks, lambda t: t.isin(*words))
-    )
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
 
 def _sql_overlap(toks: str, words: tuple[str, ...]) -> str:
@@ -81,8 +79,8 @@ def quality_scores(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality features: length, token stats, type-token ratio,
     alpha ratio, English-stopword ratio, composite score."""
     toks = tokens(F.col(text_col))
-    n_tok = F.size(toks)
-    n_chars = F.length(text_col)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(text_col).cast("long")
     distinct_ratio = F.round(F.size(F.array_distinct(toks)) / n_tok, 6)
     avg_tok_len = F.round(
         F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)) / n_tok,

@@ -213,7 +213,7 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("p_retailprice"), F.asc("p_partkey")
     )
     return (
-        part.withColumn("rn", F.row_number().over(w))
+        part.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("p_brand", "p_partkey", "p_retailprice", "rn")
     )
@@ -401,10 +401,10 @@ def scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.year("ts").alias("yr"),
-        F.month("ts").alias("mo"),
-        F.dayofmonth("ts").alias("dy"),
-        F.hour("ts").alias("hr"),
+        F.year("ts").cast("long").alias("yr"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("dy"),
+        F.hour("ts").cast("long").alias("hr"),
         epoch_us(F.col("ts") + F.expr("INTERVAL 10 SECONDS")).alias("ts_plus_10s_us"),
         F.concat_ws(":", F.col("event_type"), F.col("user_id")).alias("tag"),
     )
@@ -477,17 +477,27 @@ def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_event_day",
     tags=("A1", "A4"),
     oracle="""
-SELECT event_type, CAST(year(ts) AS INT) AS yr,
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(year(ts) AS BIGINT), -1) AS yr,
        count(*) AS n, round(sum(value), 6) AS total_value
-FROM events GROUP BY CUBE(event_type, yr)
+FROM events GROUP BY CUBE(event_type, CAST(year(ts) AS BIGINT))
 """,
 )
 def cube_event_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, year): all grouping-set combinations."""
-    ev = load_table(spark, sf_dir, "events").withColumn("yr", F.year("ts"))
-    return ev.cube("event_type", "yr").agg(
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "yr", F.year("ts").cast("long")
+    )
+    out = ev.cube("event_type", "yr").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    # Null grouping markers -> explicit sentinels: nullable-int columns decay
+    # to float64 in pandas, which breaks strict dtype/schema comparison.
+    return out.select(
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.col("yr"), F.lit(-1).cast("long")).alias("yr"),
+        "n", "total_value",
     )
 
 
@@ -554,7 +564,7 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return ev.select(
-        "event_id", "event_type", F.ntile(4).over(w).alias("quartile")
+        "event_id", "event_type", F.ntile(4).over(w).cast("long").alias("quartile")
     )
 
 

@@ -275,7 +275,7 @@ def trailing_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
 SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value AS purchase_value,
-       epoch_us(r.ts) AS asof_ts_us, r.value AS view_value
+       coalesce(epoch_us(r.ts), -1) AS asof_ts_us, r.value AS view_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
@@ -296,7 +296,7 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         epoch_us("ts").alias("ts_us"),
         F.col("value").alias("purchase_value"),
-        epoch_us("asof_ts").alias("asof_ts_us"),
+        F.coalesce(epoch_us("asof_ts"), F.lit(-1).cast("long")).alias("asof_ts_us"),
         F.col("asof_value").alias("view_value"),
     )
 
