@@ -271,3 +271,40 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feat_sum"
         ),
     )
+
+
+@register(
+    "text_chunks",
+    tags=("LLM-text", "P2"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {dedup.SQL_TOKENS.format(text='text')} AS toks FROM documents
+)
+SELECT doc_id,
+       (u.i - 1)::INT AS chunk_idx,
+       array_to_string(toks[(u.i - 1) * 50 + 1 : (u.i - 1) * 50 + 50], ' ') AS chunk,
+       CAST(least(50, len(toks) - (u.i - 1) * 50) AS BIGINT) AS n_tokens
+FROM t, unnest(range(1, CAST(ceil(len(toks) / 50.0) AS BIGINT) + 1)) AS u(i)
+""",
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking via a Python UDTF (the table-function
+    surface): each document split into 50-token chunks with a lateral
+    join — the standard LLM pretraining chunker."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_tokens long")
+    class Chunker:
+        def eval(self, text: str, size: int):
+            toks = [t for t in text.lower().split() if t]
+            for i in range(0, len(toks), size):
+                piece = toks[i : i + size]
+                yield i // size, " ".join(piece), len(piece)
+
+    spark.udtf.register("chunker_udtf", Chunker)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_docs_for_chunking")
+    return spark.sql(
+        "SELECT doc_id, c.chunk_idx, c.chunk, c.n_tokens "
+        "FROM _docs_for_chunking, LATERAL chunker_udtf(text, 50) c"
+    )

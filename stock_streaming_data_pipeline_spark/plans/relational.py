@@ -612,3 +612,111 @@ def timestamp_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unix_micros(to_timestamp(date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS'),"
         " 'yyyy-MM-dd HH:mm:ss.SSSSSS')) AS parsed_us",
     )
+
+
+@register(
+    "q4_late_orders",
+    tags=("J2", "A1", "C7"),
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+""",
+)
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated range condition — orders
+    having any lineitem shipped >60 days after the order date. Spark plans
+    the semi-join with the inequality folded into the join condition."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "above_brand_avg",
+    tags=("A1", "W3", "P6"),
+    oracle="""
+SELECT p_partkey, p_brand, p_retailprice,
+       round((SELECT avg(p2.p_retailprice) FROM part p2
+              WHERE p2.p_brand = p.p_brand), 6) AS brand_avg
+FROM part p
+WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+""",
+)
+def above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface — Catalyst
+    decorrelates it into an aggregate + join; parts priced above their
+    brand's average."""
+    from stock_streaming_data_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice,
+               round((SELECT avg(p2.p_retailprice) FROM part p2
+                      WHERE p2.p_brand = p.p_brand), 6) AS brand_avg
+        FROM part p
+        WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                               WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@register(
+    "q7_nation_pairs",
+    tags=("J1", "J2", "A1"),
+    oracle=f"""
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(round(sum({_REVENUE}), 4) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_10', 'NATION_7')
+  AND n2.n_name IN ('NATION_9', 'NATION_3')
+GROUP BY 1, 2
+""",
+)
+def q7_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume — the same
+    dimension table joined twice under different roles."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_10", "NATION_7"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_9", "NATION_3"))
+    revenue = money(F.col("l_extendedprice")) * money(1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum(revenue).cast("decimal(18,4)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -232,3 +232,41 @@ def kafka_payload_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("value"),
     )
+
+
+@register(
+    "streaming_dedup",
+    tags=("T8", "T1", "U1"),
+    oracle=f"""
+WITH trades AS ({_stock.SQL_TRADES})
+SELECT event_id, epoch_us(ts) AS ts_us, round(volume, 6) AS volume
+FROM trades
+""",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the source unioned with itself (every event
+    duplicated) then dropDuplicatesWithinWatermark on the event key — the
+    settled output must be exactly the distinct input (exactly-once
+    ingestion semantics for at-least-once sources)."""
+    ev1 = stream_events(spark, sf_dir)
+    ev2 = stream_events(spark, sf_dir)
+    doubled = ev1.unionByName(ev2)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    trades = events_as_trades_cols(deduped)
+    settled = settle(trades, "append")
+    return settled.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        round6(F.col("volume")).alias("volume"),
+    )
+
+
+def events_as_trades_cols(events: DataFrame) -> DataFrame:
+    return events.select(
+        "event_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("double").alias("volume"),
+    )
