@@ -29,17 +29,29 @@ from stock_streaming_data_pipeline_spark.tables import load_table
     "dedup_exact",
     tags=("LLM-dedup",),
     oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
 SELECT md5(text) AS content_hash,
        min(doc_id) AS keeper_id,
        count(*) AS n_copies
-FROM documents
+FROM corpus
 GROUP BY md5(text)
 """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact content-hash dedup: one partial-aggregatable groupBy."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.exact_duplicates(docs, id_col="doc_id", text_col="text")
+    """Exact content-hash dedup over a corpus with genuine duplicates
+    (every 10th document re-ingested under a new id — the at-least-once
+    ingestion scenario): keeper = min id, duplicate count per content."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return dedup.exact_duplicates(
+        docs.unionByName(dups), id_col="doc_id", text_col="text"
+    )
 
 
 _SQL_SHINGLES = dedup.sql_shingles("text", 3)

@@ -506,18 +506,26 @@ def cube_event_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("U1",),
     oracle="""
 SELECT key, 'both' AS tag FROM (
-  SELECT user_id AS key FROM events INTERSECT SELECT c_custkey FROM customer
+  SELECT user_id AS key FROM events
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_custkey >= 100
 )
 UNION ALL
 SELECT key, 'events_only' AS tag FROM (
-  SELECT user_id AS key FROM events EXCEPT SELECT c_custkey FROM customer
+  SELECT user_id AS key FROM events
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_custkey >= 100
 )
 """,
 )
 def set_ops_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT set operations, tagged and unioned."""
     ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("key"))
-    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") >= 100)  # so both set branches are non-empty
+        .select(F.col("c_custkey").alias("key"))
+    )
     both = ev.intersect(cust).withColumn("tag", F.lit("both"))
     only = ev.subtract(cust).withColumn("tag", F.lit("events_only"))
     return both.unionByName(only)
@@ -718,5 +726,65 @@ def q7_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(revenue).cast("decimal(18,4)").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "unpivot_daily_metrics",
+    tags=("U1", "P5", "A1"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) AS day_num,
+         round(sum(value), 6) AS total_value,
+         CAST(count(*) AS DOUBLE) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day_num, 'total_value' AS metric, total_value AS metric_value FROM daily
+UNION ALL
+SELECT event_type, day_num, 'n_events' AS metric, n_events AS metric_value FROM daily
+""",
+)
+def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide daily metrics into long (metric, value) rows —
+    `DataFrame.unpivot` (Spark's melt)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day_num", (epoch_us("ts") / F.lit(86_400_000_000)).cast("long"))
+        .groupBy("event_type", "day_num")
+        .agg(
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+        )
+    )
+    return daily.unpivot(
+        ids=["event_type", "day_num"],
+        values=["total_value", "n_events"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
+@register(
+    "daily_active_users",
+    tags=("A4", "A1", "T2"),
+    oracle="""
+SELECT (epoch_us(ts) // 86400000000) AS day_num,
+       count(DISTINCT user_id) AS dau,
+       count(*) AS n_events
+FROM events GROUP BY 1
+""",
+)
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distinct count: distinct users per day (the canonical
+    time-bucketed COUNT DISTINCT — expensive exact form; the approximate
+    HLL form is tested separately)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day_num", (epoch_us("ts") / F.lit(86_400_000_000)).cast("long"))
+        .groupBy("day_num")
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
         )
     )
