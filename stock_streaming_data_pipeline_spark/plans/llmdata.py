@@ -320,3 +320,118 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, c.chunk_idx, c.chunk, c.n_tokens "
         "FROM _docs_for_chunking, LATERAL chunker_udtf(text, 50) c"
     )
+
+
+@register(
+    "dedup_drop_list",
+    tags=("LLM-dedup", "LLM-text"),
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({_SQL_SHINGLES}) AS s FROM documents
+),
+sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE c / (sa.n + sb.n - c)::DOUBLE >= 0.6
+),
+toks AS (
+  SELECT doc_id AS doc,
+         len({dedup.SQL_TOKENS.format(text='text')}) AS n_tokens
+  FROM documents
+)
+SELECT DISTINCT
+  CASE WHEN ta.n_tokens < tb.n_tokens
+         OR (ta.n_tokens = tb.n_tokens AND doc_a > doc_b)
+       THEN doc_a ELSE doc_b END AS drop_doc
+FROM pairs
+JOIN toks ta ON ta.doc = doc_a
+JOIN toks tb ON tb.doc = doc_b
+""",
+)
+def dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline: near-dup pairs (exact Jaccard >= 0.6) +
+    a quality criterion (token count, tie-break lower id wins) → the list
+    of documents to DROP — the actual deliverable of a training-data dedup
+    stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.6
+    )
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.size(dedup.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    joined = (
+        pairs.join(toks.withColumnsRenamed({"doc": "doc_a", "n_tokens": "n_a"}), "doc_a")
+        .join(toks.withColumnsRenamed({"doc": "doc_b", "n_tokens": "n_b"}), "doc_b")
+    )
+    loser = F.when(
+        (F.col("n_a") < F.col("n_b"))
+        | ((F.col("n_a") == F.col("n_b")) & (F.col("doc_a") > F.col("doc_b"))),
+        F.col("doc_a"),
+    ).otherwise(F.col("doc_b"))
+    return joined.select(loser.alias("drop_doc")).distinct()
+
+
+@register(
+    "embedding_quantize",
+    tags=("LLM-sim",),
+    oracle="""
+WITH stats AS (
+  SELECT (u.i)::INT AS pos,
+         min(embedding[u.i]::DOUBLE) AS lo,
+         max(embedding[u.i]::DOUBLE) AS hi
+  FROM embeddings, unnest(range(1, 65)) AS u(i)
+  GROUP BY 1
+),
+codes AS (
+  SELECT vec_id, s.pos,
+         CAST(round(CASE WHEN s.hi = s.lo THEN 0.0
+              ELSE (embedding[s.pos]::DOUBLE - s.lo) / (s.hi - s.lo) * 255.0 END, 0)
+           AS BIGINT) AS code
+  FROM embeddings, stats s
+)
+SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+       count(*) AS n_dims,
+       max(code) AS code_max
+FROM codes GROUP BY vec_id
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8-style (0..255) quantization of the embedding
+    column — the storage-compression path for vector corpora at 100 TB
+    (4 bytes -> 1 byte per dim). Per-dim min/max stats are a tiny agg
+    broadcast back over the scan; output summarizes the code matrix per
+    vector for the differential check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", F.posexplode(similarity.as_double(F.col("embedding")))
+    ).select("vec_id", (F.col("pos") + 1).cast("int").alias("pos"), "col")
+    stats = exploded.groupBy("pos").agg(
+        F.min("col").alias("lo"), F.max("col").alias("hi")
+    )
+    codes = (
+        exploded.join(F.broadcast(stats), "pos")
+        .withColumn(
+            "code",
+            F.round(
+                F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+                    (F.col("col") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255.0
+                ),
+                0,
+            ).cast("long"),
+        )
+    )
+    return codes.groupBy("vec_id").agg(
+        F.sum("code").alias("code_sum"),
+        F.count(F.lit(1)).alias("n_dims"),
+        F.max("code").alias("code_max"),
+    )

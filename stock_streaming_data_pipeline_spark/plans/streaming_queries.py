@@ -270,3 +270,41 @@ def events_as_trades_cols(events: DataFrame) -> DataFrame:
         "ts",
         F.get_json_object("props", "$.k").cast("double").alias("volume"),
     )
+
+
+@register(
+    "streaming_lookback_state",
+    tags=("T11", "W2"),
+    oracle=f"""
+WITH trades AS ({_stock.SQL_TRADES})
+SELECT event_type, epoch_us(ts) AS ts_us,
+       min(value) OVER w AS lookback_min,
+       max(value) OVER w AS lookback_max,
+       count(*) OVER w AS lookback_n
+FROM trades
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+""",
+)
+def streaming_lookback_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The predictor's 100-row FIFO (BtcPrediction/kafka.py:42-57) as a
+    stateful streaming operator — bounded per-key state in the state store,
+    checked against the batch 100-row window frame."""
+    trades = events_as_trades(stream_events(spark, sf_dir)).withColumnRenamed(
+        "price", "close"
+    )
+    out = stream_state.trailing_lookback(
+        trades, key="symbol", ts="ts", value="close", rows=100
+    )
+    settled = settle(out, "append")
+    # lookback_mean is excluded from the oracle-facing output: a pairwise
+    # (pandas) vs sequential (SQL) double summation can land exactly on a
+    # round-6 boundary (observed). The mean is pinned against the batch
+    # window form in tests/test_state.py with a numeric tolerance instead.
+    return settled.select(
+        F.col("symbol").alias("event_type"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("lookback_min").alias("lookback_min"),
+        F.col("lookback_max").alias("lookback_max"),
+        F.col("lookback_n").alias("lookback_n"),
+    )
