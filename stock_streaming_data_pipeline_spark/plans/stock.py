@@ -613,3 +613,25 @@ def prediction_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(actuals.alias("a"), ["user_id", "ts_us"], "full_outer")
         .select("user_id", "ts_us", "curr_price", "predict_price")
     )
+
+
+@register(
+    "props_map_explode",
+    tags=("C5", "P2"),
+    oracle="""
+SELECT event_id, 'k' AS prop_key,
+       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS prop_value
+FROM events
+""",
+)
+def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON properties decoded to a MAP column and exploded to (key, value)
+    rows — the map-typed side of the C5 JSON surface."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,double>").alias("m"),
+    )
+    return parsed.select(
+        "event_id", F.explode("m").alias("prop_key", "prop_value")
+    )

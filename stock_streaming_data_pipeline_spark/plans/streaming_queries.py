@@ -308,3 +308,67 @@ def streaming_lookback_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lookback_max").alias("lookback_max"),
         F.col("lookback_n").alias("lookback_n"),
     )
+
+
+@register(
+    "streaming_interval_join",
+    tags=("J1", "T1", "S1"),
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       epoch_us(v.ts) AS view_ts_us,
+       round(p.value, 6) AS purchase_value,
+       round(v.value, 6) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts
+""",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join with watermarks: every purchase joined
+    to the user's views in the preceding 6 hours — the streaming form of
+    the prediction/actual alignment (SURVEY J1: 'stream-stream join with
+    watermark'). State on both sides is bounded by the watermark + the
+    join's time range."""
+    ev1 = stream_events(spark, sf_dir)
+    ev2 = stream_events(spark, sf_dir)
+    p = (
+        ev1.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    v = (
+        ev2.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    settled = settle(joined, "append")
+    return settled.select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("v_ts").alias("view_ts_us"),
+        round6(F.col("purchase_value")).alias("purchase_value"),
+        round6(F.col("view_value")).alias("view_value"),
+    )
