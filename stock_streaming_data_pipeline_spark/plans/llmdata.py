@@ -435,3 +435,47 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_dims"),
         F.max("code").alias("code_max"),
     )
+
+
+@register(
+    "dedup_components",
+    tags=("LLM-dedup",),
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS doc, unnest({_SQL_SHINGLES}) AS s FROM documents
+),
+sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE c / (sa.n + sb.n - c)::DOUBLE >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, a AS b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc, min(b) AS component
+FROM reach GROUP BY a
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the exact
+    Jaccard pair graph (threshold 0.5) via iterative min-label propagation
+    — checked against DuckDB's recursive-CTE transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.5
+    )
+    return dedup.connected_components(pairs)

@@ -793,6 +793,7 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q10_returned_items",
     tags=("J1", "A1", "O2"),
+    bench=True,
     oracle=f"""
 SELECT c_custkey, c_name, n_name,
        CAST(round(sum({_REVENUE}), 4) AS DOUBLE) AS revenue
@@ -833,6 +834,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_profit_by_nation_year",
     tags=("J1", "A1", "C2"),
+    bench=True,
     oracle=f"""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(round(sum({_REVENUE}), 4) AS DOUBLE) AS profit,

@@ -153,3 +153,19 @@ def test_jaccard_strategies_identical(spark, near_dup_corpus):
         ).collect()
     }
     assert count_based == prefixed and count_based
+
+
+def test_connected_components_chain(spark):
+    """A-B, B-C, C-D chains must collapse into one component (pairs alone
+    under-merge transitive duplicates)."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 3, 10], "doc_b": [2, 3, 4, 11]})
+    )
+    comp = {
+        r["doc"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
