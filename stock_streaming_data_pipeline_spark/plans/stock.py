@@ -170,14 +170,20 @@ def trade_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered, derived tick projection — the price_tracking feed
     (ProcessStockStream.py:132-133) plus the dashboard's key/value/time
     predicates (grafana/dashboard.json:114,434-475)."""
-    t = trades_view(spark, sf_dir)
+    from stock_streaming_data_pipeline_spark.tables import load_events_pruned
+
+    # Time bounds via the raw-nanos pruned loader: the range predicate is
+    # pushed to the parquet scan as long comparisons (see SCALE.md on the
+    # TIMESTAMP(NANOS) limitation this works around).
+    ev = load_events_pruned(
+        spark, sf_dir, start="2024-01-10T00:00:00", end="2024-01-20T00:00:00"
+    )
+    t = ev.select(
+        "event_id", "ts", "user_id", "event_type", F.col("value"),
+        json_double("props", "$.k").alias("volume"),
+    )
     return (
-        t.filter(
-            (F.col("event_type") == "click")
-            & (F.col("value") > 0)
-            & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
-            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
-        )
+        t.filter((F.col("event_type") == "click") & (F.col("value") > 0))
         .select(
             "event_id",
             "user_id",

@@ -47,6 +47,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def load_events_pruned(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """events with a time-range predicate that actually reaches the scan.
+
+    Filters applied after the nanos→micros conversion cannot push down
+    (the stored column is a raw long). This helper translates the bounds
+    to nano-longs and filters the RAW column first — parquet row-group
+    pruning and PushedFilters both engage — then converts. ``start`` is
+    inclusive, ``end`` exclusive (UTC timestamps, e.g. '2024-01-10').
+    """
+    import datetime as dt
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+
+    def nanos(s: str) -> int:
+        t = dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc)
+        return int(t.timestamp() * 1_000_000) * 1000
+
+    from pyspark.sql import functions as F
+
+    if start is not None:
+        df = df.filter(F.col("ts") >= F.lit(nanos(start)))
+    if end is not None:
+        df = df.filter(F.col("ts") < F.lit(nanos(end)))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -58,10 +58,9 @@ def test_trade_ticks_all_filters_pushed(spark):
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "EqualTo(event_type,click)" in pushed
     assert "GreaterThan(value,0.0)" in pushed
-    # KNOWN LIMIT: the ts range predicate does NOT reach the scan — the
-    # events table stores TIMESTAMP(NANOS), read as long and converted,
-    # so time filters apply post-conversion (documented in SCALE.md).
-    assert "ts" not in pushed.replace("IsNotNull(ts)", "")
+    # The ts range predicate reaches the scan as RAW nano-long bounds
+    # (load_events_pruned works around the TIMESTAMP(NANOS) limitation).
+    assert "GreaterThanOrEqual(ts," in pushed and "LessThan(ts," in pushed
 
 
 def test_q3_topk_avoids_global_sort(spark):
