@@ -323,6 +323,23 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_band_params(threshold: float, num_perm: int = 64) -> tuple[int, int]:
+    """Derive (bands, rows) for MinHash-LSH so the S-curve midpoint
+    ``(1/b)^(1/r)`` sits closest to the target Jaccard threshold —
+    replaces hand-tuned band counts."""
+    best: tuple[float, int, int] | None = None
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        midpoint = (1.0 / b) ** (1.0 / r)
+        cand = (abs(midpoint - threshold), b, r)
+        if best is None or cand < best:
+            best = cand
+    assert best is not None
+    return best[1], best[2]
+
+
 def simhash_bits() -> int:
     return 60  # portable_hash yields 60 bits
 

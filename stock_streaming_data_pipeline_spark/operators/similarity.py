@@ -129,18 +129,35 @@ def lsh_topk(
     k: int = 5,
     dim: int = 64,
     bits: int = 12,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: exact re-rank restricted to the query's LSH
-    bucket. Build is one linear pass; probe touches ~corpus/2^bits rows."""
+    bucket(s). Build is one linear pass; probe touches ~corpus/2^bits rows
+    per probed bucket.
+
+    ``multi_probe=1`` additionally probes every bucket at hamming distance
+    1 in sign space (the standard multi-probe LSH recall lift: a near
+    neighbor that disagrees on exactly one hyperplane is still found) —
+    1+bits buckets per query instead of 1, still sub-linear."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     ).withColumn("bucket", lsh_bucket(F.col("cv"), dim=dim, bits=bits))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).withColumn("bucket", lsh_bucket(F.col("qv"), dim=dim, bits=bits))
+    if multi_probe >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b)).alias(f"p{b}")
+                for b in range(bits)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -96,9 +96,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check here; recall vs the exact join is pinned in
     tests/test_llmdata.py)."""
     docs = load_table(spark, sf_dir, "documents")
+    bands, _rows = dedup.lsh_band_params(0.6, num_perm=64)  # -> (16, 4)
     return dedup.minhash_lsh_pairs(
         docs, id_col="doc_id", text_col="text", n=3,
-        num_perm=64, bands=16, threshold=0.6,
+        num_perm=64, bands=bands, threshold=0.6,
     )
 
 

@@ -169,3 +169,35 @@ def test_connected_components_chain(spark):
     }
     assert comp[1] == comp[2] == comp[3] == comp[4] == 1
     assert comp[10] == comp[11] == 10
+
+
+def test_multi_probe_lifts_recall(spark):
+    """Multi-probe LSH recall@5 must dominate single-probe at equal bits."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    def recall(mp):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.lsh_topk(
+                emb, queries, k=5, dim=64, bits=8, multi_probe=mp
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0
+    assert r1 > 0
+
+
+def test_lsh_band_params_solver():
+    b, r = dedup.lsh_band_params(0.6, 64)
+    assert b * r == 64
+    midpoint = (1.0 / b) ** (1.0 / r)
+    assert abs(midpoint - 0.6) < 0.15
+    # high thresholds want more rows per band; low thresholds more bands
+    b_lo, _ = dedup.lsh_band_params(0.3, 64)
+    b_hi, _ = dedup.lsh_band_params(0.9, 64)
+    assert b_lo >= b and b_hi <= b

@@ -101,3 +101,28 @@ def test_asof_matches_bruteforce(spark, rows):
             assert pd.isna(row["asof_price"])
         else:
             assert row["asof_price"] == eligible.iloc[-1]["price"]
+
+
+@given(rows=trades(max_rows=40))
+@settings(max_examples=8, deadline=None)
+def test_gapfill_invariants(spark, rows):
+    """Gap fill: grid is dense per key; interpolated values lie within the
+    surrounding observations; zero-filled counts only on absent slots."""
+    from stock_streaming_data_pipeline_spark.operators.gapfill import gap_fill
+
+    df = _df(spark, rows)
+    minute = (
+        df.withColumn("slot", (F.unix_micros("ts") / 60_000_000).cast("long"))
+        .groupBy("symbol", "slot")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("price").alias("p"))
+    )
+    filled = gap_fill(
+        minute, key="symbol", slot="slot",
+        interp_cols=["p"], zero_cols=["n"],
+    ).toPandas()
+    for _, g in filled.groupby("symbol"):
+        slots = sorted(g["slot"])
+        assert slots == list(range(min(slots), max(slots) + 1))  # dense
+        assert (g["n"] >= 0).all()
+        lo, hi = g["p"].min(), g["p"].max()
+        assert g["p"].between(lo, hi).all() and g["p"].notna().all()
