@@ -280,7 +280,9 @@ WITH trades AS ({_stock.SQL_TRADES})
 SELECT event_type, epoch_us(ts) AS ts_us,
        min(value) OVER w AS lookback_min,
        max(value) OVER w AS lookback_max,
-       count(*) OVER w AS lookback_n
+       count(*) OVER w AS lookback_n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+         AS lookback_cents_sum
 FROM trades
 WINDOW w AS (PARTITION BY event_type ORDER BY ts
              ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
@@ -307,6 +309,7 @@ def streaming_lookback_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lookback_min").alias("lookback_min"),
         F.col("lookback_max").alias("lookback_max"),
         F.col("lookback_n").alias("lookback_n"),
+        F.col("lookback_cents_sum").alias("lookback_cents_sum"),
     )
 
 

@@ -93,6 +93,10 @@ def trailing_lookback(
             T.StructField("lookback_min", T.DoubleType()),
             T.StructField("lookback_max", T.DoubleType()),
             T.StructField("lookback_n", T.LongType()),
+            # exact integer-cents sum: bit-reproducible across engines
+            # (double means are summation-order-sensitive; scaled-integer
+            # sums are not) — the oracle-facing aggregate
+            T.StructField("lookback_cents_sum", T.LongType()),
         ]
     )
     state_schema = T.StructType(
@@ -123,11 +127,12 @@ def trailing_lookback(
                 if emit_ready_only and not ready:
                     continue
                 window = pd.Series(vals)
+                cents = int(sum(int(round(x * 100)) for x in vals))
                 out_rows.append(
                     (
                         group_key[0], t, v,
                         float(window.mean()), float(window.min()),
-                        float(window.max()), len(vals),
+                        float(window.max()), len(vals), cents,
                     )
                 )
             yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
