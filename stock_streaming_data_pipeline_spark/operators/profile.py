@@ -31,13 +31,44 @@ def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 
 def minmax_scale(
-    df: DataFrame, *, key: str | None, cols: list[str], suffix: str = "_scaled"
+    df: DataFrame,
+    *,
+    key: str | None,
+    cols: list[str],
+    suffix: str = "_scaled",
+    strategy: str = "window",
 ) -> DataFrame:
     """Min-max scale ``cols`` to [0,1] (per key when given, else global).
 
     Constant columns scale to 0.0 (the reference's scaler divides by zero
     there; we pin a defined value instead).
+
+    ``strategy``:
+    - "window": unordered window over the key partition — one shuffle of
+      the data. Right up to medium scale.
+    - "join": aggregate the tiny per-key stats, broadcast-join them back —
+      the rows are never shuffled (stats travel instead). The 100 TB form,
+      and the only sane global (key=None) form at scale.
+    Both produce identical results (pinned by test).
     """
+    if strategy == "join":
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        stats = df.groupBy(key).agg(*aggs) if key else df.agg(*aggs)
+        joined = (
+            df.join(F.broadcast(stats), on=key) if key
+            else df.crossJoin(F.broadcast(stats))
+        )
+        out = joined
+        for c in cols:
+            lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(hi - lo == 0, F.lit(0.0)).otherwise((F.col(c) - lo) / (hi - lo)),
+            )
+        return out.drop(*[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])
+
     w = Window.partitionBy(key) if key is not None else Window.partitionBy()
     out = df
     for c in cols:

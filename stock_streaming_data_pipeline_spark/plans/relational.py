@@ -873,3 +873,35 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "salted_skew_join",
+    tags=("J1", "J2"),
+    oracle=f"""
+SELECT n_name, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+         AS total_price,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact⋈dim join through the salting operator
+    (operators/skew.py): identical results to the plain join — the salt
+    only changes the shuffle key distribution."""
+    from stock_streaming_data_pipeline_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(load_table(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "n_name")
+    joined = salted_join(orders, cust, fact_key="o_custkey", dim_key="c_custkey", salts=8)
+    return joined.groupBy("n_name").agg(
+        F.sum(money(F.col("o_totalprice"))).cast("decimal(18,4)").cast("double")
+        .alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -375,3 +375,41 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.col("purchase_value")).alias("purchase_value"),
         round6(F.col("view_value")).alias("view_value"),
     )
+
+
+@register(
+    "streaming_static_enrich",
+    tags=("S1", "J2", "T6"),
+    oracle=f"""
+WITH trades AS ({_stock.SQL_TRADES})
+SELECT t.event_id, t.event_type, epoch_us(t.ts) AS ts_us,
+       c.c_mktsegment AS segment,
+       round(t.value, 6) AS value
+FROM trades t
+JOIN customer c ON t.user_id = c.c_custkey
+""",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension per micro-batch (the dimension is re-resolvable
+    every batch — the streaming lookup-table pattern)."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    ev = stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "inner")
+    settled = settle(
+        joined.select(
+            "event_id", "event_type", "ts",
+            F.col("c_mktsegment").alias("segment"), "value",
+        ),
+        "append",
+    )
+    return settled.select(
+        "event_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "segment",
+        round6(F.col("value")).alias("value"),
+    )

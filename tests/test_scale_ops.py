@@ -60,3 +60,26 @@ def test_upsert_compaction_preserves_state(spark, tmp_path):
         for r in sinks.read_upsert_table(spark, path, ["symbol", "timestamp"]).collect()
     }
     assert final == {"A": 10.0, "B": 20.0, "C": 3.0}
+
+
+def test_minmax_strategies_identical(spark):
+    from stock_streaming_data_pipeline_spark.operators.profile import minmax_scale
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    a = (
+        minmax_scale(ev, key="event_type", cols=["value"], strategy="window")
+        .select("event_id", "value_scaled")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        minmax_scale(ev, key="event_type", cols=["value"], strategy="join")
+        .select("event_id", "value_scaled")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    g = minmax_scale(ev, key=None, cols=["value"], strategy="join")
+    assert g.agg(F.min("value_scaled"), F.max("value_scaled")).collect()[0] == (0.0, 1.0)
