@@ -413,3 +413,28 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         round6(F.col("value")).alias("value"),
     )
+
+
+@register(
+    "streaming_session_windows",
+    tags=("T3", "T1", "A1"),
+    oracle=_REGISTRY["session_window_agg"].oracle,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (1-hour gap) in the STREAMING engine — merging
+    session state in the state store as events replay; the settled result
+    must equal the batch session_window plan (and hence the lag-gap SQL
+    semantics)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "1 hour").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    settled = settle(agg, "complete")
+    return settled.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        F.unix_micros("w.end").alias("session_end_us"),
+        "n_events",
+    )
