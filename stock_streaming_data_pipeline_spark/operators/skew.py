@@ -6,7 +6,11 @@ table) and the join is key-colocated downstream. Salting is the classic
 manual remedy: spread each hot fact key over S salt buckets and replicate
 the (small) build side S times.
 
-Semantics are identical to the plain join; the test suite pins equality.
+Semantics are identical to the plain join for the supported join types
+(inner / left / left_semi / left_anti — fact-preserving joins); the test
+suite pins equality. Outer-on-dim types (right / full) are rejected: the
+dim side is exploded S-fold, so every unmatched dim row would be emitted
+S times.
 Use when: fact⋈dim with a known/measured hot-key set, dim small enough to
 replicate S-fold (it usually is — salting only makes sense when dim is the
 small side anyway).
@@ -32,7 +36,21 @@ def salted_join(
     fact gets a deterministic per-row salt in [0, S); dim is exploded to
     all S salt values. The join key becomes (key, salt) — the hot key's
     rows now land in S different shuffle partitions.
+
+    Only fact-preserving join types are supported: with the dim side
+    replicated S-fold, a right/full outer join would emit every unmatched
+    dim row S times.
     """
+    supported = {"inner", "left", "leftouter", "left_outer",
+                 "left_semi", "leftsemi", "semi",
+                 "left_anti", "leftanti", "anti"}
+    if how.lower() not in supported:
+        raise ValueError(
+            f"salted_join: unsupported how={how!r}; the dim side is "
+            f"replicated {salts}x, so outer-on-dim join types (right/full) "
+            "would duplicate unmatched dim rows. Use one of "
+            "inner/left/left_semi/left_anti."
+        )
     salted_fact = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salts))
     )

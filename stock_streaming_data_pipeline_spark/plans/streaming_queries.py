@@ -47,7 +47,12 @@ def settle(sdf: DataFrame, mode: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(600)
+            finished = q.awaitTermination(600)
+            if not finished:
+                raise TimeoutError(
+                    f"streaming query {name} did not finish draining within "
+                    "600s — refusing to return a partial memory-sink table"
+                )
         finally:
             q.stop()
         sink = spark.table(name)
@@ -183,7 +188,10 @@ def streaming_upsert_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         for q in fan.queries:
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    f"fan-out query {q.name} did not finish draining within 600s"
+                )
     finally:
         fan.stop_all()
     vol = s.read_upsert_table(

@@ -56,27 +56,52 @@ def read_upsert_table(spark: SparkSession, path: str, key_cols: list[str]) -> Da
     return df.groupBy(*key_cols).agg(*aggs)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any Hadoop-supported URI (file://, s3a://…)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 def compact_upsert_table(
     spark: SparkSession, path: str, key_cols: list[str]
 ) -> None:
     """Compaction for the LSM-style upsert sink: rewrite the resolved
-    last-write-wins state as a single epoch and drop the history.
+    last-write-wins state as one new winning epoch, then drop the history
+    files. This is the maintenance job that bounds read amplification at
+    scale (the Delta/Iceberg analogue is OPTIMIZE / rewrite-data-files).
 
-    This is the maintenance job that bounds read amplification at scale
-    (the Delta/Iceberg analogue is OPTIMIZE / rewrite-data-files). Readers
-    before/after see identical resolved state.
+    Crash-safe by construction — there is no delete-then-move window:
+    1. list the current data files;
+    2. APPEND the resolved state stamped with epoch = -1;
+    3. delete the files listed in (1).
+    A crash after (2) leaves duplicate history, but readers resolve the
+    identical state at every point: each compacted row carries the value
+    of its key's max-epoch winner, so last-write-wins returns the same
+    values whether the original files are still present or not. Epoch -1
+    (below any real micro-batch id) keeps post-compaction queries winning
+    even when a fresh checkpoint restarts epochs at 0. Uses Hadoop
+    FileSystem APIs, so the same code runs on file://, s3a://, hdfs://.
     """
-    import shutil
-    import tempfile
-
-    resolved = read_upsert_table(spark, path, key_cols).withColumn(
-        "_epoch", F.lit(-1)
+    fs, hpath = _hadoop_fs(spark, path)
+    old_files = [
+        f.getPath()
+        for f in fs.listStatus(hpath)
+        if f.isFile() and not f.getPath().getName().startswith("_")
+    ]
+    # Pin the read to the exact pre-compaction file list: the plan's input
+    # set cannot drift while we append the compacted epoch alongside it.
+    df = spark.read.parquet(*[f.toString() for f in old_files])
+    value_cols = [c for c in df.columns if c not in key_cols and c != "_epoch"]
+    resolved = (
+        df.groupBy(*key_cols)
+        .agg(*[F.expr(f"max_by({c}, _epoch)").alias(c) for c in value_cols])
+        .withColumn("_epoch", F.lit(-1))
     )
-    tmp = tempfile.mkdtemp(prefix="upsert_compact_")
-    # column order: keys first, then values, as the writer produces them
-    resolved.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    resolved.write.mode("append").parquet(path)
+    for f in old_files:
+        fs.delete(f, False)
 
 
 def kafka_shaped(df: DataFrame, *, key: str, value_struct: list[str]) -> DataFrame:

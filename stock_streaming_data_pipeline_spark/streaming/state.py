@@ -8,19 +8,33 @@ lives in Spark's state store (checkpointed, partitioned by key, recoverable)
 instead of a process heap — which is what makes it survive restarts and
 scale horizontally.
 
-Within-batch ordering: rows are sorted by event time inside each group
-batch before folding state, so results are deterministic for a given
-micro-batch partitioning of the input.
+Ordering contract: within each micro-batch, ALL of a group's rows are
+buffered, concatenated and sorted by event time before folding state —
+Arrow chunk boundaries never affect results. ACROSS micro-batches state
+folds in batch-arrival order (inherent to incremental processing): a row
+arriving in batch N+1 with an event time before batch N's rows is folded
+late. The batch oracle therefore matches whenever each key's rows are
+event-time-ordered across batch boundaries (true for ordered replay); the
+late-data case is pinned by tests/test_state.py::test_state_chunk_order_
+independence and ..::test_late_rows_fold_in_arrival_order.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
+
+
+def _cents_half_up(x: float) -> int:
+    """value → integer cents, rounding half AWAY FROM ZERO — the SQL
+    ``round(x*100, 0)`` rule (DuckDB/ANSI). Python's ``round()`` is
+    half-to-even and diverges on exact half-cents (e.g. 0.125)."""
+    return int(math.copysign(math.floor(abs(x) * 100 + 0.5), x))
 
 
 def running_total(
@@ -48,10 +62,14 @@ def running_total(
         group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (total,) = state.get if state.exists else (0.0,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts)
+        # Buffer every Arrow chunk of this group's batch and sort ONCE —
+        # per-chunk sorting would fold chunks in arrival order and silently
+        # diverge from event-time order when a group spans chunks.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(ts)
             csum = pdf[value].cumsum() + total
-            total = float(csum.iloc[-1]) if len(csum) else total
+            total = float(csum.iloc[-1])
             yield pd.DataFrame(
                 {
                     key: pdf[key],
@@ -114,8 +132,10 @@ def trailing_lookback(
             ts_us, vals = list(ts_us), list(vals)
         else:
             ts_us, vals = [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            # one cross-chunk sort per group per batch (see module docstring)
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(ts)
             out_rows = []
             for t, v in zip(pdf[ts], pdf[value]):
                 ts_us.append(int(pd.Timestamp(t).value // 1000))
@@ -127,7 +147,7 @@ def trailing_lookback(
                 if emit_ready_only and not ready:
                     continue
                 window = pd.Series(vals)
-                cents = int(sum(int(round(x * 100)) for x in vals))
+                cents = sum(_cents_half_up(x) for x in vals)
                 out_rows.append(
                     (
                         group_key[0], t, v,

@@ -32,6 +32,40 @@ def test_salted_join_equals_plain_join(spark):
     assert salted.exceptAll(plain).count() == 0
 
 
+def test_salted_join_left_variants_match_plain(spark):
+    """left / semi / anti survive salting (dim holds every salt value, so
+    match-vs-no-match per fact row is unchanged)."""
+    fact = spark.range(5_000).select(
+        (F.col("id") % 150).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("dk"), F.concat(F.lit("n_"), F.col("id")).alias("name")
+    )
+    for how, cols in [
+        ("left", ["k", "payload", "name"]),
+        ("left_semi", ["k", "payload"]),
+        ("left_anti", ["k", "payload"]),
+    ]:
+        plain = fact.join(dim, fact.k == dim.dk, how).select(*cols)
+        salted = salted_join(
+            fact, dim, fact_key="k", dim_key="dk", salts=4, how=how
+        ).select(*cols)
+        assert plain.exceptAll(salted).count() == 0, how
+        assert salted.exceptAll(plain).count() == 0, how
+
+
+def test_salted_join_rejects_outer_on_dim(spark):
+    """right/full would emit unmatched dim rows S times — refused
+    (ADVICE r1)."""
+    import pytest
+
+    fact = spark.range(10).select(F.col("id").alias("k"))
+    dim = spark.range(10).select(F.col("id").alias("dk"))
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="unsupported how"):
+            salted_join(fact, dim, fact_key="k", dim_key="dk", how=how)
+
+
 def test_upsert_compaction_preserves_state(spark, tmp_path):
     path = str(tmp_path / "upsert")
     writer = sinks.upsert_writer(path, ["symbol", "timestamp"])

@@ -12,7 +12,10 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from stock_streaming_data_pipeline_spark.sources.streams import stream_trades
-from stock_streaming_data_pipeline_spark.sources.trades import write_trades_dir
+from stock_streaming_data_pipeline_spark.sources.trades import (
+    synthetic_trades,
+    write_trades_dir,
+)
 from stock_streaming_data_pipeline_spark.streaming import state as stream_state
 
 
@@ -101,6 +104,85 @@ def test_trailing_lookback_matches_batch(spark, trades_small, tmp_path):
     for c in ["lookback_mean", "lookback_min", "lookback_max"]:
         assert (got[c] - want[c]).abs().max() < 1e-9
     assert (got["lookback_n"] == want["lookback_n"]).all()
+
+
+def test_state_chunk_order_independence(spark, tmp_path):
+    """A group whose batch rows span multiple Arrow chunks must fold in
+    event-time order, not chunk-arrival order (ADVICE r1): shrink the Arrow
+    batch size so every group straddles chunks, feed rows in scrambled
+    order within one micro-batch, and require exact batch-window parity."""
+    path = str(tmp_path / "trades_chunks")
+    trades = synthetic_trades(spark, n_rows=600, late_fraction=0.0)
+    # one file == one micro-batch, rows deliberately out of event-time order
+    trades.orderBy(F.xxhash64("ts", "symbol")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        out = stream_state.trailing_lookback(
+            stream_trades(spark, path), key="symbol", ts="ts", value="price",
+            rows=5,
+        )
+        got = _settle_append(out, spark, tmp_path, "state_chunks").toPandas()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    w = Window.partitionBy("symbol").orderBy("ts").rowsBetween(-4, 0)
+    want = (
+        spark.read.parquet(path)
+        .select(
+            "symbol", "ts",
+            F.avg("price").over(w).alias("lookback_mean"),
+            F.count(F.lit(1)).over(w).alias("lookback_n"),
+        )
+        .toPandas()
+    )
+    key = ["symbol", "ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["lookback_mean"] - want["lookback_mean"]).abs().max() < 1e-9
+    assert (got["lookback_n"] == want["lookback_n"]).all()
+
+
+def test_late_rows_fold_in_arrival_order(spark, tmp_path):
+    """late_fraction > 0 across multiple micro-batches (ADVICE r1): the
+    documented contract is arrival-order folding across batches. Pin the
+    order-insensitive invariants — no row lost or duplicated, and the final
+    per-key running total equals the exact per-key sum."""
+    path = str(tmp_path / "trades_late")
+    batch = write_trades_dir(
+        spark, path, files=4, n_rows=2000, late_fraction=0.15, late_by_s=120
+    )
+    out = stream_state.running_total(
+        stream_trades(spark, path), key="symbol", ts="ts", value="volume",
+        out="cumulative_volume",
+    )
+    got = _settle_append(out, spark, tmp_path, "state_late").toPandas()
+    assert len(got) == batch.count()  # every row emitted exactly once
+    final = got.groupby("symbol")["cumulative_volume"].max()
+    want = batch.groupBy("symbol").agg(F.sum("volume").alias("s")).toPandas()
+    want = want.set_index("symbol")["s"]
+    for sym in want.index:
+        assert abs(final[sym] - want[sym]) < 1e-6
+
+
+def test_cents_half_up_matches_sql_round():
+    """round(x*100, 0) half-away-from-zero (the DuckDB oracle rule), not
+    Python's banker's rounding (ADVICE r1): 0.125 → 13 cents, not 12."""
+    import duckdb
+
+    cases = [0.125, 0.135, 0.005, 1.005, 2.675, -0.125, -1.005, 0.0, 99.995]
+    for x in cases:
+        # CAST to DOUBLE: the pipeline's value column is a double, and a
+        # bare literal would parse as exact DECIMAL in DuckDB
+        want = duckdb.sql(
+            f"SELECT CAST(round(CAST({x!r} AS DOUBLE)*100, 0) AS BIGINT)"
+        ).fetchone()[0]
+        assert stream_state._cents_half_up(x) == want, x
 
 
 def test_lookback_emit_ready_only(spark, trades_small, tmp_path):
