@@ -67,6 +67,7 @@ def _load_all() -> None:
         relational,
         stock,
         streaming_queries,
+        tpch_extra,
     )
 
 
