@@ -35,7 +35,13 @@ def main() -> None:
     from stock_streaming_data_pipeline_spark.session import get_spark
 
     spark = get_spark("bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    # Session warm-up, outside all measurements: JVM/codegen spin-up plus
+    # one real parquet scan so reader initialization isn't billed to
+    # whichever query happens to run first.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    load_table(spark, sf_dir, "region").count()
 
     timings: dict[str, float] = {}
     total = 0.0

