@@ -66,3 +66,75 @@ def test_trade_ticks_all_filters_pushed(spark):
 def test_q3_topk_avoids_global_sort(spark):
     plan = plan_of(spark, "q3_top_unshipped_orders")
     assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
+
+
+def test_q6_pure_scan_aggregate(spark):
+    """TPC-H Q6: every predicate reaches the scan; no join, no wide
+    shuffle — one partial+final aggregate pair."""
+    plan = plan_of(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_quantity,24.0)" in pushed
+    assert "GreaterThanOrEqual(l_discount,0.05)" in pushed
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q15_no_unpartitioned_window(spark):
+    """The scalar-MAX view must not funnel suppliers through a single
+    partition (WindowExec with an empty partition spec)."""
+    plan = plan_of(spark, "q15_top_supplier")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q17_correlated_avg_no_rescan(spark):
+    """Correlated AVG decorrelates to ONE extra aggregate over lineitem —
+    the fact table is scanned at most twice (probe + per-part agg), never
+    per-row."""
+    plan = plan_of(spark, "q17_small_quantity_revenue")
+    assert plan.count("FileScan parquet") <= 3  # lineitem x2 + part
+    assert "BroadcastHashJoin" in plan  # brand-filtered part broadcasts
+
+
+def test_q21_single_fact_aggregation_tree(spark):
+    """EXISTS + NOT EXISTS collapse into one per-order aggregate: no
+    nested-loop join, supplier dim broadcasts."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_semi_join_for_in_subquery(spark):
+    plan = plan_of(spark, "q18_large_volume_customers")
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_for_not_exists(spark):
+    plan = plan_of(spark, "q22_dormant_customers")
+    assert "LeftAnti" in plan
+    # the recent-orders filter is pushed to the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_minhash_codegen_and_partial_agg(spark):
+    """The minhash signature aggregate must stay on the codegen
+    HashAggregate path (an ObjectHashAggregate here means a
+    TypedImperativeAggregate leaked into the 64-min aggregate) with
+    map-side partial aggregation."""
+    import contextlib
+    import io
+
+    from stock_streaming_data_pipeline_spark.operators import dedup
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    sigs = dedup.minhash_signatures(
+        load_table(spark, SF_SMOKE, "documents"),
+        id_col="doc_id", text_col="text", n=3, num_perm=64,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sigs.explain("formatted")
+    plan = buf.getvalue()
+    assert "ObjectHashAggregate" not in plan
+    assert plan.count("HashAggregate") >= 2
