@@ -163,6 +163,21 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5, dim=64, bits=4)
 
 
+@register("embedding_ivf_topk", tags=("LLM-sim",))
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-5: deterministic Lloyd-trained coarse
+    quantizer (nlist=8), probe the 3 nearest inverted lists per query,
+    exact re-rank inside them — the second ANN architecture next to the
+    LSH bucketer (FAISS-style IVF as DataFrame ops; recall vs brute force
+    pinned in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    # nlist sizes the inverted lists (~corpus/nlist rows each); probe cost
+    # ≈ corpus * nprobe / nlist per query. At 10^9 vectors raise nlist to
+    # ~sqrt(corpus) and train on a sample.
+    return similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=3)
+
+
 @register(
     "embedding_neardup",
     tags=("LLM-sim", "LLM-dedup"),

@@ -92,6 +92,42 @@ def test_lsh_topk_finds_planted_neighbor(spark):
     assert got[0]["cosine"] >= 0.999999
 
 
+def test_ivf_topk_finds_planted_neighbor(spark):
+    """IVF with a planted near-copy: the copy lands in the same inverted
+    list as its query (cosine ~1 → same nearest centroid), so even
+    nprobe=1 must find it."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(900_000).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+        F.lit(99).alias("label"),
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(base)
+    queries = emb.filter(F.col("vec_id") == 3)
+    got = similarity.ivf_topk(corpus, queries, k=1, nlist=8, nprobe=1).collect()
+    assert got and got[0]["neighbor_id"] == 900_000
+    assert got[0]["cosine"] >= 0.999999
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """Probing 3 of 8 lists must recover most exact top-5 neighbors for
+    the 10 query vectors (IVF recall contract at test scale)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, nlist=8, nprobe=3
+        ).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f}"
+
+
 def test_multimodal_plumbing_matches_python(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(50)
     media = multimodal.documents_as_media(docs)
