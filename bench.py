@@ -52,6 +52,10 @@ def main() -> None:
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+        # Drop persisted intermediates (e.g. the LSH signature cache)
+        # between queries so one query's cache pressure never bills the
+        # next one's measurement.
+        spark.catalog.clearCache()
 
     print(
         json.dumps(
