@@ -386,6 +386,79 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join_louter",
+    tags=("J1", "T1", "T5", "S1"),
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT * FROM events WHERE event_type = 'view'),
+     wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM v))
+                   - INTERVAL 1 HOUR AS cut)
+SELECT p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       coalesce(epoch_us(v.ts), -1) AS view_ts_us,
+       round(p.value, 6) AS purchase_value,
+       v.value AS view_value
+FROM p LEFT JOIN v
+  ON p.user_id = v.user_id
+ AND v.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts
+WHERE v.event_id IS NOT NULL OR p.ts <= (SELECT cut FROM wm)
+""",
+)
+def streaming_interval_join_louter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: matched purchase/view rows
+    emit as they join; unmatched purchases emit null-extended ONLY once
+    the global watermark (min of both sides' max event time minus the
+    1-hour delay) passes their event time — purchases newer than the
+    final watermark are withheld, exactly Structured Streaming's bounded
+    outer-join contract. The oracle reproduces the watermark cutoff in
+    SQL, so the gate checks the real emission semantics, not just the
+    join."""
+    ev1 = stream_events(spark, sf_dir)
+    ev2 = stream_events(spark, sf_dir)
+    p = (
+        ev1.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    v = (
+        ev2.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    settled = settle(joined, "append")
+    return settled.select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.coalesce(F.unix_micros("v_ts"), F.lit(-1).cast("long")).alias(
+            "view_ts_us"
+        ),
+        round6(F.col("purchase_value")).alias("purchase_value"),
+        F.col("view_value"),
+    )
+
+
+@register(
     "streaming_static_enrich",
     tags=("S1", "J2", "T6"),
     oracle=f"""
