@@ -714,3 +714,60 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@register(
+    "linear_trend_by_key",
+    tags=("A1", "A8", "C2"),
+    oracle="""
+WITH pts AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS DECIMAL(18,0)) AS x,
+         CAST(value AS DECIMAL(18,4)) AS y
+  FROM events
+),
+sums AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(x) AS sx,
+         sum(y) AS sy,
+         sum(x * y) AS sxy,
+         sum(x * x) AS sxx
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_day
+FROM sums
+""",
+)
+def linear_trend_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key least-squares trend (slope of value over time) from the
+    closed-form normal equation — regression as EXACT-arithmetic
+    aggregates: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = epoch
+    day and decimal sums, so the result is identical at any parallelism
+    in both engines (the built-in regr_slope/covar_samp run in doubles
+    and are summation-order-sensitive — unusable for a hash-matched
+    differential gate). One partial-aggregated shuffle; the linear
+    algebra never leaves the aggregate buffers."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (epoch_us("ts") / F.lit(86_400_000_000)).cast("long").cast("decimal(18,0)")
+    y = F.col("value").cast("decimal(18,4)")
+    sums = ev.select(
+        "event_type", x.alias("x"), y.alias("y")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            6,
+        ).alias("slope_per_day"),
+    )

@@ -117,6 +117,21 @@ def test_q22_anti_join_for_not_exists(spark):
     assert "GreaterThanOrEqual(o_orderdate" in plan
 
 
+def test_global_sort_uses_range_partitioning(spark):
+    """A full orderBy must sample-and-range-partition (distributed sort),
+    never collapse to one partition; with a LIMIT it must become
+    TakeOrderedAndProject instead of a full sort."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    full = ev.orderBy("value")._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in full.lower()
+    limited = (
+        ev.orderBy("value").limit(10)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in limited
+
+
 def test_minhash_codegen_and_partial_agg(spark):
     """The minhash signature aggregate must stay on the codegen
     HashAggregate path (an ObjectHashAggregate here means a

@@ -91,13 +91,32 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="query names (default: all)")
     ap.add_argument("--sf", default="0.01")
+    ap.add_argument(
+        "--hostile",
+        action="store_true",
+        help="driver-like session: foreign timezone, stock confs — catches "
+        "any query relying on get_spark's session tuning instead of the "
+        "configure_session the driver contract applies",
+    )
     args = ap.parse_args()
     sf_dir = f"/root/testdata/sf{args.sf}"
 
     import __spark_entry__ as entrymod
-    from stock_streaming_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("check_oracle")
+    if args.hostile:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_oracle_hostile")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from stock_streaming_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("check_oracle")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.names or sorted(qs)
