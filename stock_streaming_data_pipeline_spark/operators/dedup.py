@@ -461,6 +461,87 @@ def simhash_pairs(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    evals: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    eval_id_col: str,
+    eval_text_col: str,
+    n: int = 5,
+    min_overlap: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: for every (training doc, eval doc) pair,
+    the fraction of the eval doc's distinct word n-grams that appear in
+    the training doc — the standard n-gram-overlap contamination check a
+    training pipeline runs against held-out eval suites before training.
+
+    EXACT and fully relational: shingle both sides (one native regex pass
+    each), equi-join on the n-gram, count matches per pair. The eval side
+    is small by construction (benchmark suites are ~10^4-10^5 docs vs
+    ~10^9 training docs), so its shingle index is broadcast — the training
+    corpus never shuffles, making this a map-side scan at 100 TB. Output:
+    ``(doc, eval_id, matched_ngrams, eval_ngrams, overlap_frac)`` for
+    pairs clearing ``min_overlap``.
+    """
+    t_sh = fan_out(train).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    e_sh = evals.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode(shingles(F.col(eval_text_col), n)).alias("sh"),
+    )
+    e_sizes = e_sh.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_ngrams"))
+    matched = (
+        t_sh.join(F.broadcast(e_sh), "sh")
+        .groupBy("doc", "eval_id")
+        .agg(F.count_distinct("sh").alias("matched_ngrams"))
+    )
+    return (
+        matched.join(F.broadcast(e_sizes), "eval_id")
+        .withColumn(
+            "overlap_frac", F.round(F.col("matched_ngrams") / F.col("eval_ngrams"), 6)
+        )
+        .filter(F.col("overlap_frac") >= min_overlap)
+        .select("doc", "eval_id", "matched_ngrams", "eval_ngrams", "overlap_frac")
+    )
+
+
+def sql_contamination_report(
+    *,
+    train_select: str,
+    eval_select: str,
+    n: int = 5,
+    min_overlap: float = 0.2,
+) -> str:
+    """DuckDB mirror of :func:`contamination_report` (independent
+    recomputation over the same parquet). ``train_select`` must yield
+    columns ``(doc, txt)``; ``eval_select`` must yield ``(eval_id, txt)``."""
+    sh = sql_shingles("txt", n)
+    return f"""
+WITH t_sh AS (
+  SELECT doc, sh.sh AS sh
+  FROM ({train_select}), unnest({sh}) AS sh(sh)
+),
+e_sh AS (
+  SELECT eval_id, sh.sh AS sh
+  FROM ({eval_select}), unnest({sh}) AS sh(sh)
+),
+e_sizes AS (SELECT eval_id, count(*) AS eval_ngrams FROM e_sh GROUP BY eval_id),
+matched AS (
+  SELECT t.doc, e.eval_id, count(DISTINCT t.sh) AS matched_ngrams
+  FROM t_sh t JOIN e_sh e USING (sh)
+  GROUP BY t.doc, e.eval_id
+)
+SELECT m.doc, m.eval_id, m.matched_ngrams, s.eval_ngrams,
+       round(m.matched_ngrams / s.eval_ngrams::DOUBLE, 6) AS overlap_frac
+FROM matched m JOIN e_sizes s USING (eval_id)
+WHERE round(m.matched_ngrams / s.eval_ngrams::DOUBLE, 6) >= {min_overlap}
+"""
+
+
 def connected_components(
     pairs: DataFrame,
     *,

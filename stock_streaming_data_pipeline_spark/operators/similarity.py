@@ -292,6 +292,239 @@ def ivf_topk(
     )
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Order-fixed left-fold squared L2 distance in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sub_rows(
+    df: DataFrame, *, key_col: str, vec_alias: str, num_sub: int, dsub: int
+) -> DataFrame:
+    """Explode a vector column into ``num_sub`` subspace rows
+    ``(key, m, sub)`` where ``sub`` is the m-th length-``dsub`` slice.
+    Native slice expressions — one generate pass, no lambdas in the
+    per-subvector hot path."""
+    pieces = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(F.col(vec_alias), m * dsub + 1, dsub).alias("sub"),
+            )
+            for m in range(num_sub)
+        ]
+    )
+    return df.select(key_col, F.explode(pieces).alias("_p")).select(
+        key_col, F.col("_p.m").alias("m"), F.col("_p.sub").alias("sub")
+    )
+
+
+def _argmin_code(
+    rows: DataFrame, codebook: DataFrame, *, key_col: str
+) -> DataFrame:
+    """Assign each ``(key, m, sub)`` row the code of its nearest codebook
+    entry (squared L2; deterministic tie-break on code asc). The codebook
+    is broadcast; argmin is a ``min_by``-style partial-aggregated groupBy —
+    one shuffle keyed by (key, m), never a window over the joined rows."""
+    scored = rows.join(F.broadcast(codebook), "m").select(
+        key_col,
+        "m",
+        F.struct(
+            F.round(l2sq(F.col("sub"), F.col("cbvec")), 9).alias("d"),
+            F.col("code").alias("code"),
+        ).alias("dc"),
+    )
+    return (
+        scored.groupBy(key_col, "m")
+        .agg(F.min("dc").alias("best"))
+        .select(key_col, "m", F.col("best.code").alias("code"))
+    )
+
+
+def pq_train(
+    sub_rows: DataFrame,
+    *,
+    key_col: str,
+    num_sub: int,
+    ksub: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Per-subspace product-quantization codebooks: ``ksub`` centroids per
+    subspace from a few Lloyd iterations over ``(key, m, sub)`` rows —
+    all ``num_sub`` subspaces train concurrently in the same distributed
+    passes (grouping carries ``m``), so training cost does not scale with
+    the number of subspaces.
+
+    Deterministic: seeds are the ``ksub`` lowest-key subvectors per
+    subspace; assignment tie-breaks on code; lineage cut per iteration.
+    At 10^9 vectors train on a sampled slice — the codebook only needs
+    coverage, not convergence (same contract as :func:`ivf_train`).
+    Returns ``(m, code, cbvec)``.
+    """
+    w_seed = Window.partitionBy("m").orderBy(F.asc(key_col))
+    codebook = (
+        sub_rows.withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") <= ksub)
+        .select("m", (F.col("_rn") - 1).alias("code"), F.col("sub").alias("cbvec"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        coded = _argmin_code(sub_rows, codebook, key_col=key_col)
+        codebook = (
+            sub_rows.join(coded, [key_col, "m"])
+            .select("m", "code", F.posexplode("sub"))
+            .groupBy("m", "code", "pos")
+            .agg(F.avg("col").alias("cv"))
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s.cv,
+                ).alias("cbvec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return codebook
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    num_sub: int = 8,
+    ksub: int = 16,
+    rerank: int = 32,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the compression tier for 10^9-vector
+    corpora (FAISS ``IVFx,PQy`` architecture as DataFrame ops):
+
+    1. coarse-quantize the corpus into ``nlist`` inverted lists
+       (:func:`ivf_train`), and encode each vector's RESIDUAL against its
+       coarse centroid as ``num_sub`` codes of ``log2(ksub)`` bits via
+       per-subspace codebooks (:func:`pq_train`) — the stored
+       representation shrinks from ``dim`` floats to ``num_sub`` bytes
+       (64x here), which is what lets an exabyte-scale index fit on disk;
+    2. per query, probe the ``nprobe`` nearest lists and score candidates
+       with asymmetric distance (ADC): a per-(query, list) lookup table of
+       subspace distances, summed over each candidate's codes — candidates
+       never need their full vectors;
+    3. exact-cosine re-rank of the ``rerank`` best ADC candidates only.
+
+    The ADC join carries only ``(candidate, m, code)`` rows against a
+    broadcast LUT of ``queries x nprobe x num_sub x ksub`` entries; the
+    full-vector join happens for ``rerank`` rows per query only.
+    Approximate by design -> rows-only driver check, with planted-neighbor
+    and recall tests in tests/test_llmdata.py.
+    """
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"])
+    assert dim % num_sub == 0, "num_sub must divide the embedding dim"
+    dsub = dim // num_sub
+
+    cents = ivf_train(corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, iters=iters)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    c_assigned = _nearest_centroid(c, cents, key_col="neighbor_id", vec_alias="cv")
+    # Residual against the assigned coarse centroid, exploded to subspaces.
+    c_res = (
+        c_assigned.join(
+            F.broadcast(cents.withColumnsRenamed({"_cid": "cluster_id"})), "cluster_id"
+        )
+        .select(
+            "neighbor_id",
+            "cluster_id",
+            F.zip_with("cv", "cvec", lambda x, y: x - y).alias("rv"),
+        )
+        .persist()  # feeds codebook training AND encoding
+    )
+    c_sub = _sub_rows(
+        c_res.select("neighbor_id", F.col("rv").alias("v")),
+        key_col="neighbor_id",
+        vec_alias="v",
+        num_sub=num_sub,
+        dsub=dsub,
+    )
+    codebook = pq_train(
+        c_sub, key_col="neighbor_id", num_sub=num_sub, ksub=ksub, iters=iters
+    )
+    codes = _argmin_code(c_sub, codebook, key_col="neighbor_id").join(
+        c_res.select("neighbor_id", "cluster_id"), "neighbor_id"
+    )
+
+    # Query side: probe lists, then build the per-(query, list) ADC LUT.
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", F.round(cosine(F.col("qv"), F.col("cvec")), 9)
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("_cid"))
+    q_probes = (
+        q_scored.withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select(
+            "query_id",
+            "qv",
+            F.col("_cid").alias("cluster_id"),
+            F.zip_with("qv", "cvec", lambda x, y: x - y).alias("qr"),
+        )
+    )
+    q_sub = _sub_rows(
+        q_probes.select(
+            F.concat_ws("#", "query_id", "cluster_id").alias("qc"), F.col("qr").alias("v")
+        ),
+        key_col="qc",
+        vec_alias="v",
+        num_sub=num_sub,
+        dsub=dsub,
+    )
+    lut = (
+        q_sub.join(F.broadcast(codebook), "m")
+        .select(
+            F.split_part(F.col("qc"), F.lit("#"), F.lit(1)).cast("long").alias("query_id"),
+            F.split_part(F.col("qc"), F.lit("#"), F.lit(2)).cast("long").alias("cluster_id"),
+            "m",
+            "code",
+            F.round(l2sq(F.col("sub"), F.col("cbvec")), 9).alias("pdist"),
+        )
+    )
+    # ADC: sum the LUT distances over each candidate's codes.
+    adc = (
+        codes.join(F.broadcast(lut), ["cluster_id", "m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("pdist"), 6).alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    shortlist = (
+        adc.withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact re-rank on the shortlist only.
+    rescored = (
+        shortlist.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def centroids(
     df: DataFrame, *, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -179,6 +179,78 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_decontamination",
+    tags=("LLM-dedup", "LLM-text"),
+    oracle=dedup.sql_contamination_report(
+        train_select="""
+  SELECT doc_id AS doc, text AS txt FROM documents WHERE doc_id % 41 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc, text AS txt FROM documents
+  WHERE doc_id % 41 = 0 AND doc_id % 82 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc,
+         substr(text, 1, floor(n_chars / 2)::INT) AS txt
+  FROM documents WHERE doc_id % 41 = 0 AND doc_id % 82 <> 0
+""",
+        eval_select="SELECT doc_id AS eval_id, text AS txt FROM documents WHERE doc_id % 41 = 0",
+        n=5,
+        min_overlap=0.2,
+    ),
+)
+def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 5-gram overlap of every training doc
+    against a held-out eval slice (every 41st doc), over a corpus with
+    PLANTED contamination — half the eval docs re-ingested verbatim into
+    training under new ids, the other half as half-length prefixes (the
+    leaked-benchmark scenario this check exists to catch; 5-grams have
+    zero incidental cross-doc overlap on this corpus, so the planted
+    pairs are exactly what must surface). Eval shingle index is
+    broadcast; the training corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 41 == 0)
+    full_copies = evals.filter(F.col("doc_id") % 82 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    prefix_copies = evals.filter(F.col("doc_id") % 82 != 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, F.floor(F.col("n_chars") / 2).cast("int")
+        ).alias("text"),
+    )
+    train = (
+        docs.filter(F.col("doc_id") % 41 != 0)
+        .select("doc_id", "text")
+        .unionByName(full_copies)
+        .unionByName(prefix_copies)
+    )
+    return dedup.contamination_report(
+        train,
+        evals,
+        id_col="doc_id",
+        text_col="text",
+        eval_id_col="doc_id",
+        eval_text_col="text",
+        n=5,
+        min_overlap=0.2,
+    )
+
+
+@register("embedding_pq_topk", tags=("LLM-sim",))
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5: residual product quantization (8
+    subspaces x 16 codes = 8 bytes/vector, 32x smaller than the raw
+    embedding) over the IVF coarse lists, ADC candidate scoring against a
+    broadcast lookup table, exact re-rank of the 32 best — the compression
+    tier that makes a 10^9-vector index disk-resident (FAISS IVFx,PQy as
+    DataFrame ops; recall vs brute force pinned in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_pq_topk(
+        emb, queries, k=5, nlist=8, nprobe=3, num_sub=8, ksub=16, rerank=32
+    )
+
+
+@register(
     "embedding_neardup",
     tags=("LLM-sim", "LLM-dedup"),
     oracle=f"""

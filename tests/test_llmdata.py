@@ -128,6 +128,81 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"IVF recall {recall:.2f}"
 
 
+def test_ivf_pq_topk_finds_planted_neighbor(spark):
+    """IVF-PQ with a planted near-copy: the copy shares the query's coarse
+    list AND its residual quantizes to (nearly) the same codes, so the ADC
+    shortlist must contain it and the exact re-rank must rank it first."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(900_000).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+        F.lit(99).alias("label"),
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(base)
+    queries = emb.filter(F.col("vec_id") == 3)
+    got = similarity.ivf_pq_topk(
+        corpus, queries, k=1, nlist=8, nprobe=1, num_sub=8, ksub=16, rerank=16
+    ).collect()
+    assert got and got[0]["neighbor_id"] == 900_000
+    assert got[0]["cosine"] >= 0.999999
+
+
+def test_ivf_pq_recall_vs_brute_force(spark):
+    """PQ compresses 64 floats to 8 codes, so ADC ordering is lossy — but
+    with a 32-deep exact re-rank the top-5 recall must stay useful at
+    test scale, and every returned cosine must be exact (re-rank uses the
+    raw vectors)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact_rows = similarity.cosine_topk(emb, queries, k=5).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact_rows}
+    pq_rows = similarity.ivf_pq_topk(
+        emb, queries, k=5, nlist=8, nprobe=3, num_sub=8, ksub=16, rerank=32
+    ).collect()
+    pq = {(r["query_id"], r["neighbor_id"]) for r in pq_rows}
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.5, f"IVF-PQ recall {recall:.2f}"
+    for r in pq_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key]  # re-rank is exact
+
+
+def test_contamination_report_flags_planted_leaks(spark):
+    """A verbatim eval copy in training must report overlap 1.0; a
+    half-prefix copy must report a partial overlap; an unrelated doc must
+    not appear (5-grams have no incidental cross-doc overlap here)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    evals = docs.filter(F.col("doc_id") == 7)
+    leak_full = evals.select(F.lit(900_001).cast("long").alias("doc_id"), "text")
+    leak_half = evals.select(
+        F.lit(900_002).cast("long").alias("doc_id"),
+        F.substring("text", 1, 80).alias("text"),
+    )
+    train = (
+        docs.filter(F.col("doc_id") % 2 == 0)  # excludes doc 7 itself
+        .unionByName(leak_full)
+        .unionByName(leak_half)
+    )
+    got = {
+        r["doc"]: r
+        for r in dedup.contamination_report(
+            train,
+            evals,
+            id_col="doc_id",
+            text_col="text",
+            eval_id_col="doc_id",
+            eval_text_col="text",
+            n=5,
+            min_overlap=0.1,
+        ).collect()
+    }
+    assert got[900_001]["overlap_frac"] == 1.0
+    assert 0.1 <= got[900_002]["overlap_frac"] < 1.0
+    assert set(got) == {900_001, 900_002}
+
+
 def test_multimodal_plumbing_matches_python(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(50)
     media = multimodal.documents_as_media(docs)
