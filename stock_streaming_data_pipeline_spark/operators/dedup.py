@@ -77,6 +77,23 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.regexp_extract_all(_norm_text(text), F.lit(pattern), 1))
 
 
+def all_shingles(text: Column, n: int = 3) -> Column:
+    """Every overlapping word n-gram occurrence (NOT deduplicated — the
+    repetition-analysis form of :func:`shingles`; same single-regex-pass
+    codegen shape)."""
+    gram = " ".join(["[^ ]+"] * n)
+    pattern = f"(?<![^ ])(?=({gram}))"
+    return F.regexp_extract_all(_norm_text(text), F.lit(pattern), 1)
+
+
+def sql_all_shingles(text: str, n: int = 3) -> str:
+    toks = SQL_TOKENS.format(text=text)
+    return (
+        f"list_transform(range(1, len({toks}) - {n - 1} + 1), "
+        f"i -> array_to_string(({toks})[i : i + {n - 1}], ' '))"
+    )
+
+
 def sql_shingles(text: str, n: int = 3) -> str:
     toks = SQL_TOKENS.format(text=text)
     return (

@@ -153,6 +153,126 @@ FROM {table}
 """
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, punctuation runs,
+# each optionally absorbing one leading space (the GPT-2 pre-tokenizer
+# shape, restricted to RE2-safe syntax — no lookaheads — so the DuckDB
+# oracle runs the IDENTICAL pattern).
+BPE_PRETOKEN = " ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+_BPE_WORD = " ?[a-z]+"
+_BPE_NUM = " ?[0-9]+"
+_BPE_PUNCT = " ?[^ a-z0-9]+"
+
+
+def bpe_token_counts(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """BPE-ish token counting per document: pre-tokenize (letter / digit /
+    punctuation runs with leading-space merge, the GPT-2 pre-tokenizer
+    shape) and estimate subword count as ceil(len/4) per pre-token — the
+    budget number a training pipeline tracks per document. Three native
+    regex passes plus one fold; no shuffle."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import _norm_text
+
+    norm = _norm_text(F.col(text_col))
+    pre = F.regexp_extract_all(norm, F.lit(BPE_PRETOKEN), 0)
+    est = F.aggregate(
+        pre,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(F.trim(t)) / 4.0).cast("long"),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.size(pre).cast("long").alias("n_pretokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(_BPE_WORD), 0)).cast("long").alias("n_word_runs"),
+        F.size(F.regexp_extract_all(norm, F.lit(_BPE_NUM), 0)).cast("long").alias("n_number_runs"),
+        F.size(F.regexp_extract_all(norm, F.lit(_BPE_PUNCT), 0)).cast("long").alias("n_punct_runs"),
+        est.alias("est_bpe_tokens"),
+    )
+
+
+def sql_bpe_token_counts(id_col: str, text_col: str, table: str = "documents") -> str:
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    return f"""
+WITH t AS (SELECT {id_col} AS doc, {norm} AS norm FROM {table})
+SELECT doc,
+  len(regexp_extract_all(norm, '{BPE_PRETOKEN}')) AS n_pretokens,
+  len(regexp_extract_all(norm, '{_BPE_WORD}')) AS n_word_runs,
+  len(regexp_extract_all(norm, '{_BPE_NUM}')) AS n_number_runs,
+  len(regexp_extract_all(norm, '{_BPE_PUNCT}')) AS n_punct_runs,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(regexp_extract_all(norm, '{BPE_PRETOKEN}'),
+                     t -> ceil(length(trim(t)) / 4.0)::BIGINT)),
+    (a, x) -> a + x) AS est_bpe_tokens
+FROM t
+"""
+
+
+def repetition_scores(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style intra-document repetition metrics: the fraction of all
+    2-gram occurrences taken by the single most frequent 2-gram, and the
+    fraction of 3-gram occurrences that are repeats of an already-seen
+    3-gram. High values mark boilerplate/spam for quality filtering.
+
+    Exact, one explode + grouped agg per n: n-gram occurrence rows (NOT
+    deduplicated — repetition is the signal) partial-aggregate on
+    (doc, gram), then per-doc max/sums; shuffle is keyed by doc+gram, so
+    hot documents spread across their distinct grams."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import all_shingles
+
+    out = df.select(F.col(id_col).alias("doc"))
+    for n, label in ((2, "2gram"), (3, "3gram")):
+        grams = df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(all_shingles(F.col(text_col), n)).alias("g"),
+        )
+        per_gram = grams.groupBy("doc", "g").agg(F.count(F.lit(1)).alias("c"))
+        per_doc = per_gram.groupBy("doc").agg(
+            F.sum("c").alias(f"total_{label}s"),
+            F.max("c").alias(f"top_{label}_count"),
+            F.count(F.lit(1)).alias(f"distinct_{label}s"),
+        )
+        out = out.join(per_doc, "doc", "left")
+    return out.select(
+        "doc",
+        F.coalesce("total_2grams", F.lit(0)).alias("total_2grams"),
+        F.round(
+            F.coalesce(F.col("top_2gram_count") / F.col("total_2grams"), F.lit(0.0)), 6
+        ).alias("top_2gram_frac"),
+        F.coalesce("total_3grams", F.lit(0)).alias("total_3grams"),
+        F.round(
+            F.coalesce(
+                (F.col("total_3grams") - F.col("distinct_3grams"))
+                / F.col("total_3grams"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dup_3gram_frac"),
+    )
+
+
+def sql_repetition_scores(id_col: str, text_col: str, table: str = "documents") -> str:
+    from stock_streaming_data_pipeline_spark.operators.dedup import sql_all_shingles
+
+    g2 = sql_all_shingles(text_col, 2)
+    g3 = sql_all_shingles(text_col, 3)
+    return f"""
+WITH g2 AS (
+  SELECT {id_col} AS doc, g.g AS g FROM {table}, unnest({g2}) AS g(g)
+), g3 AS (
+  SELECT {id_col} AS doc, g.g AS g FROM {table}, unnest({g3}) AS g(g)
+),
+p2 AS (SELECT doc, g, count(*) AS c FROM g2 GROUP BY doc, g),
+p3 AS (SELECT doc, g, count(*) AS c FROM g3 GROUP BY doc, g),
+d2 AS (SELECT doc, sum(c) AS total_2grams, max(c) AS top_2gram_count FROM p2 GROUP BY doc),
+d3 AS (SELECT doc, sum(c) AS total_3grams, count(*) AS distinct_3grams FROM p3 GROUP BY doc)
+SELECT t.{id_col} AS doc,
+  coalesce(d2.total_2grams, 0)::BIGINT AS total_2grams,
+  round(coalesce(d2.top_2gram_count / d2.total_2grams::DOUBLE, 0.0), 6) AS top_2gram_frac,
+  coalesce(d3.total_3grams, 0)::BIGINT AS total_3grams,
+  round(coalesce((d3.total_3grams - d3.distinct_3grams) / d3.total_3grams::DOUBLE, 0.0), 6) AS dup_3gram_frac
+FROM {table} t LEFT JOIN d2 ON t.{id_col} = d2.doc LEFT JOIN d3 ON t.{id_col} = d3.doc
+"""
+
+
 def token_stats(df: DataFrame, *, text_col: str, group_col: str) -> DataFrame:
     """Corpus-level token statistics per group (lang/source): documents,
     total/distinct tokens, avg doc length."""

@@ -351,6 +351,33 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_stats(docs, text_col="text", group_col="lang")
 
 
+@register(
+    "text_bpe_token_counts",
+    tags=("LLM-text",),
+    oracle=text.sql_bpe_token_counts("doc_id", "text"),
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting per document: GPT-2-shaped pre-tokenizer
+    (letter/digit/punctuation runs, RE2-safe so the oracle runs the
+    identical regex) + ceil(len/4) subword estimate — the per-doc token
+    budget a training pipeline tracks."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_token_counts(docs, id_col="doc_id", text_col="text")
+
+
+@register(
+    "text_repetition",
+    tags=("LLM-text",),
+    oracle=text.sql_repetition_scores("doc_id", "text"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition metrics (top-2-gram
+    occupancy, duplicate-3-gram fraction) — the boilerplate/spam signal
+    for quality filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_scores(docs, id_col="doc_id", text_col="text")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
