@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from stock_streaming_data_pipeline_spark.operators import (
     dedup,
     multimodal,
+    sampling,
     similarity,
     text,
 )
@@ -376,6 +377,50 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     for quality filtering."""
     docs = load_table(spark, sf_dir, "documents")
     return text.repetition_scores(docs, id_col="doc_id", text_col="text")
+
+
+@register(
+    "sample_balanced_exact",
+    tags=("LLM-text", "LLM-mix"),
+    oracle=sampling.sql_sample_per_group_exact(
+        id_col="doc_id",
+        group_col="lang",
+        cap=30,
+        select="doc_id, lang",
+        table="documents",
+    ),
+)
+def sample_balanced_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced sampling, exact form: exactly 30 docs per
+    language by deterministic hash order — the data-mixing stage of a
+    training pipeline, reproducible across engines/retries because the
+    randomness is a portable content hash, not an RNG."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_per_group_exact(
+        docs, id_col="doc_id", group_col="lang", cap=30
+    ).select("doc_id", "lang", "sample_rank")
+
+
+@register(
+    "sample_balanced_rate",
+    tags=("LLM-text", "LLM-mix"),
+    oracle=sampling.sql_sample_per_group_rate(
+        id_col="doc_id",
+        group_col="lang",
+        cap=30,
+        select="t.doc_id, t.lang",
+        table="documents",
+    ),
+)
+def sample_balanced_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced sampling, map-only scale form: per-group
+    keep-rate cap/|group| as an integer hash threshold — the fact table
+    never shuffles (per-group counts broadcast); group sizes binomial
+    around the cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_per_group_rate(
+        docs, id_col="doc_id", group_col="lang", cap=30
+    ).select("doc_id", "lang")
 
 
 # ---------------------------------------------------------------------------

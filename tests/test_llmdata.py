@@ -12,7 +12,12 @@ import hashlib
 import pytest
 from pyspark.sql import functions as F
 
-from stock_streaming_data_pipeline_spark.operators import dedup, multimodal, similarity
+from stock_streaming_data_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+)
 from stock_streaming_data_pipeline_spark.tables import load_table
 from tests.conftest import SF_SMOKE
 
@@ -167,6 +172,43 @@ def test_ivf_pq_recall_vs_brute_force(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_cos:
             assert r["cosine"] == exact_cos[key]  # re-rank is exact
+
+
+def test_stratified_sampling_caps_and_determinism(spark):
+    """Exact form: exactly min(cap, |group|) rows per group, and the same
+    sample on every run (hash-derived, not RNG). Rate form: a subset of
+    the population, roughly cap-sized groups."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cap = 5
+    s1 = sampling.sample_per_group_exact(
+        docs, id_col="doc_id", group_col="lang", cap=cap
+    )
+    sizes = {
+        r["lang"]: r["n"]
+        for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    pop = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {g: min(cap, n) for g, n in pop.items()}
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in sampling.sample_per_group_exact(
+            docs, id_col="doc_id", group_col="lang", cap=cap
+        ).select("doc_id").collect()
+    }
+    assert ids1 == ids2  # deterministic
+    rate_ids = {
+        r["doc_id"]
+        for r in sampling.sample_per_group_rate(
+            docs, id_col="doc_id", group_col="lang", cap=cap
+        ).select("doc_id").collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert rate_ids <= all_ids
+    assert 0 < len(rate_ids) < len(all_ids)
 
 
 def test_contamination_report_flags_planted_leaks(spark):
