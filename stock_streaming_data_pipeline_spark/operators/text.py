@@ -273,6 +273,51 @@ FROM {table} t LEFT JOIN d2 ON t.{id_col} = d2.doc LEFT JOIN d3 ON t.{id_col} = 
 """
 
 
+# PII scrubbing patterns — RE2-safe (no lookarounds/backrefs) so the
+# DuckDB oracle runs the IDENTICAL regexes.
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_LONG_DIGITS = "\\+?[0-9][0-9 -]{5,}[0-9]"
+
+
+def redact_pii(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing: replace email addresses and long digit sequences
+    (phone/card-shaped) with typed sentinels, and count what was removed —
+    the pre-training privacy pass. Pure per-row regex expressions
+    (codegen'd, no shuffle); emails are redacted before digit runs so an
+    address with digits counts once as an email."""
+    raw = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(raw, F.lit(PII_EMAIL), 0)).cast("long")
+    after_email = F.regexp_replace(raw, PII_EMAIL, "<EMAIL>")
+    n_digits = F.size(
+        F.regexp_extract_all(after_email, F.lit(PII_LONG_DIGITS), 0)
+    ).cast("long")
+    redacted = F.regexp_replace(after_email, PII_LONG_DIGITS, "<NUMBER>")
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n_emails.alias("n_emails"),
+        n_digits.alias("n_number_seqs"),
+        redacted.alias("redacted_text"),
+    )
+
+
+def sql_redact_pii(id_col: str, text_col: str, from_clause: str) -> str:
+    """DuckDB mirror of :func:`redact_pii`. ``from_clause`` must yield
+    columns ``({id_col}, {text_col})``."""
+    return f"""
+WITH t AS (SELECT {id_col}, {text_col} FROM {from_clause}),
+s1 AS (
+  SELECT {id_col},
+    len(regexp_extract_all({text_col}, '{PII_EMAIL}')) AS n_emails,
+    regexp_replace({text_col}, '{PII_EMAIL}', '<EMAIL>', 'g') AS after_email
+  FROM t
+)
+SELECT {id_col} AS doc, n_emails,
+  len(regexp_extract_all(after_email, '{PII_LONG_DIGITS}')) AS n_number_seqs,
+  regexp_replace(after_email, '{PII_LONG_DIGITS}', '<NUMBER>', 'g') AS redacted_text
+FROM s1
+"""
+
+
 def token_stats(df: DataFrame, *, text_col: str, group_col: str) -> DataFrame:
     """Corpus-level token statistics per group (lang/source): documents,
     total/distinct tokens, avg doc length."""

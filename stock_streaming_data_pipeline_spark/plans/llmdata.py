@@ -380,6 +380,46 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pii_redaction",
+    tags=("LLM-text",),
+    oracle=text.sql_redact_pii(
+        "doc_id",
+        "txt",
+        """(
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN text || ' contact user' || doc_id || '@example.com or +49 1555 '
+              || (1000000 + doc_id)
+         ELSE text END AS txt
+  FROM documents
+)""",
+    ),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a corpus with PLANTED contact strings (every 7th
+    doc gets an email + phone appended — the synthetic corpus itself is
+    PII-free, so the planted rows are exactly what must be redacted):
+    sentinel replacement + removal counts per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +49 1555 "),
+                (F.col("doc_id") + 1_000_000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("txt"),
+    )
+    return text.redact_pii(planted, id_col="doc_id", text_col="txt")
+
+
+@register(
     "sample_balanced_exact",
     tags=("LLM-text", "LLM-mix"),
     oracle=sampling.sql_sample_per_group_exact(
