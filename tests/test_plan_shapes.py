@@ -153,3 +153,34 @@ def test_minhash_codegen_and_partial_agg(spark):
     plan = buf.getvalue()
     assert "ObjectHashAggregate" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_decontamination_broadcasts_eval_index(spark):
+    """The eval shingle index must broadcast (training corpus map-side,
+    never sort-merge-joined) and match counting must partial-aggregate."""
+    plan = plan_of(spark, "text_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_rate_sampling_is_map_only_on_fact(spark):
+    """The rate-form stratified sample must broadcast the per-group counts
+    — the fact table reaches its filter without ever being
+    hash-repartitioned (one scan, no Exchange on the fact side of the
+    join)."""
+    plan = plan_of(spark, "sample_balanced_rate")
+    # Broadcast join only — a SortMergeJoin would mean the documents scan
+    # was hash-repartitioned by lang just to meet its own tiny counts.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # Exactly one shuffle exchange in the whole plan: the counts
+    # aggregation's. The fact side reaches its filter shuffle-free.
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pq_adc_joins_broadcast(spark):
+    """IVF-PQ ADC scoring must join candidates against a BROADCAST lookup
+    table (codes never shuffle on the LUT key)."""
+    plan = plan_of(spark, "embedding_pq_topk")
+    assert "BroadcastHashJoin" in plan
