@@ -463,6 +463,127 @@ def sample_balanced_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+_CURATION_CORPUS_SQL = """
+  SELECT doc_id, text, lang FROM documents WHERE doc_id % 41 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+  WHERE doc_id % 10 = 0 AND doc_id % 41 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text, lang FROM documents
+  WHERE doc_id % 41 = 0
+"""
+
+
+@register(
+    "curation_pipeline",
+    tags=("LLM-dedup", "LLM-text", "LLM-mix"),
+    oracle=f"""
+WITH corpus AS ({_CURATION_CORPUS_SQL}),
+keepers AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+kept AS (SELECT c.* FROM corpus c JOIN keepers k USING (doc_id)),
+contaminated AS (
+  SELECT DISTINCT doc FROM (
+    {dedup.sql_contamination_report(
+        train_select="SELECT doc_id AS doc, text AS txt FROM kept",
+        eval_select="SELECT doc_id AS eval_id, text AS txt FROM documents WHERE doc_id % 41 = 0",
+        n=5,
+        min_overlap=0.2,
+    )}
+  )
+),
+clean AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc FROM contaminated)
+),
+quality AS ({text.sql_quality_scores("doc_id", "text", table="clean")}),
+rep AS ({text.sql_repetition_scores("doc_id", "text", table="clean")}),
+good AS (
+  SELECT c.* FROM clean c
+  JOIN quality q ON c.doc_id = q.doc
+  JOIN rep r ON c.doc_id = r.doc
+  WHERE q.quality >= 0.40 AND r.dup_3gram_frac <= 0.01
+),
+sampled AS (
+  {sampling.sql_sample_per_group_exact(
+      id_col="doc_id", group_col="lang", cap=25,
+      select="doc_id, text, lang", table="good",
+  )}
+),
+bpe AS ({text.sql_bpe_token_counts("doc_id", "text", table="sampled")})
+SELECT s.lang, count(*)::BIGINT AS n_docs,
+       sum(b.est_bpe_tokens)::BIGINT AS total_est_bpe_tokens
+FROM sampled s JOIN bpe b ON s.doc_id = b.doc
+GROUP BY s.lang
+""",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation chain as ONE composed lazy
+    plan — exact dedup (re-ingested duplicates planted), benchmark
+    decontamination (leaked eval copies planted), quality + repetition
+    filtering, language-balanced deterministic sampling, and the final
+    per-language token budget. Every stage is the already-oracle-checked
+    operator; this query pins their COMPOSITION (the thing a real
+    pipeline actually runs) behind one differential oracle.
+
+    Scale shape: dedup is one hash-groupBy; decontamination broadcasts
+    the eval index; quality/repetition are per-row / per-(doc,gram)
+    partial aggs; sampling is one window on (lang); the budget agg is a
+    5-row result. No stage collects to the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 41 == 0)
+    base = docs.filter(F.col("doc_id") % 41 != 0).select("doc_id", "text", "lang")
+    dups = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+    )
+    leaks = evals.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", "lang"
+    )
+    corpus = base.unionByName(dups).unionByName(leaks)
+
+    keepers = dedup.exact_duplicates(
+        corpus, id_col="doc_id", text_col="text"
+    ).select(F.col("keeper_id").alias("doc_id"))
+    kept = corpus.join(keepers, "doc_id", "left_semi")
+
+    contaminated = dedup.contamination_report(
+        kept,
+        evals,
+        id_col="doc_id",
+        text_col="text",
+        eval_id_col="doc_id",
+        eval_text_col="text",
+        n=5,
+        min_overlap=0.2,
+    ).select("doc").distinct()
+    clean = kept.join(
+        contaminated, kept["doc_id"] == contaminated["doc"], "left_anti"
+    )
+
+    quality = text.quality_scores(clean, id_col="doc_id", text_col="text")
+    rep = text.repetition_scores(clean, id_col="doc_id", text_col="text")
+    good = clean.join(
+        quality.filter(F.col("quality") >= 0.40).select("doc"),
+        clean["doc_id"] == F.col("doc"),
+        "left_semi",
+    ).join(
+        rep.filter(F.col("dup_3gram_frac") <= 0.01).select("doc"),
+        F.col("doc_id") == F.col("doc"),
+        "left_semi",
+    )
+
+    sampled = sampling.sample_per_group_exact(
+        good, id_col="doc_id", group_col="lang", cap=25
+    ).select("doc_id", "text", "lang")
+    bpe = text.bpe_token_counts(sampled, id_col="doc_id", text_col="text")
+    return (
+        sampled.join(bpe, sampled["doc_id"] == bpe["doc"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("est_bpe_tokens").alias("total_est_bpe_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
