@@ -93,3 +93,157 @@ SELECT {select}
 FROM {table} t JOIN counts c USING ({group_col})
 WHERE (({h}) % {_M}) * c.grp_n < {cap}::BIGINT * {_M}
 """
+
+
+def sample_temperature(
+    df: DataFrame, *, id_col: str, group_col: str, total_target: int
+) -> DataFrame:
+    """Temperature-tempered mixture sampling (alpha = 0.5), the standard
+    multilingual rebalancing rule: group s gets a target share
+    proportional to ``|s|^alpha``, which upweights tail groups relative
+    to proportional sampling without going fully uniform.
+
+    alpha = 0.5 is realized with INTEGER square roots
+    (``floor(sqrt(n))``) so the keep decision
+    ``hash * |s| * S  <  target * isqrt(|s|) * M``  (S = sum of isqrts)
+    is exact integer arithmetic — no double summation whose order could
+    differ between engines. The comparison runs in DECIMAL(38,0) so it
+    cannot overflow even with 1e12-row groups at the 100 TB tier.
+
+    Physical shape: per-group counts are a tiny aggregate broadcast back
+    onto the fact table; the fact table itself never shuffles (map-only
+    filter), identical to :func:`sample_per_group_rate`.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_grp_n"))
+    counts = counts.withColumn(
+        "_grp_w", F.floor(F.sqrt(F.col("_grp_n").cast("double"))).cast("long")
+    )
+    tot = counts.agg(F.sum("_grp_w").alias("_w_sum"))
+    h = F.pmod(portable_hash(F.col(id_col).cast("string"), salt="tmp_"), F.lit(_M))
+    dec = "decimal(38,0)"
+    lhs = (
+        h.cast(dec) * F.col("_grp_n").cast(dec) * F.col("_w_sum").cast(dec)
+    )
+    rhs = (
+        F.lit(total_target).cast(dec) * F.col("_grp_w").cast(dec) * F.lit(_M).cast(dec)
+    )
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .join(F.broadcast(tot))
+        .filter(lhs < rhs)
+        .drop("_grp_n", "_grp_w", "_w_sum")
+    )
+
+
+def sql_sample_temperature(
+    *, id_col: str, group_col: str, total_target: int, select: str, table: str
+) -> str:
+    """DuckDB mirror: same isqrt weights, same HUGEINT-exact comparison."""
+    h = sql_portable_hash(f"t.{id_col}::VARCHAR", "tmp_")
+    return f"""
+WITH counts AS (
+  SELECT {group_col}, count(*)::BIGINT AS grp_n,
+         CAST(floor(sqrt(count(*)::DOUBLE)) AS BIGINT) AS grp_w
+  FROM {table} GROUP BY {group_col}
+), tot AS (SELECT sum(grp_w)::BIGINT AS w_sum FROM counts)
+SELECT {select}
+FROM {table} t JOIN counts c USING ({group_col}) CROSS JOIN tot
+WHERE (({h}) % {_M})::HUGEINT * c.grp_n::HUGEINT * tot.w_sum::HUGEINT
+      < {total_target}::HUGEINT * c.grp_w::HUGEINT * {_M}::HUGEINT
+"""
+
+
+def upsample_to_parity(
+    df: DataFrame, *, group_col: str, max_factor: int
+) -> DataFrame:
+    """Epoch-style upsampling for data mixing: each group is repeated
+    ``min(max_factor, ceil(max_group/|group|))`` times so tail groups
+    approach the head group's volume (the "multiple epochs over rare
+    languages" trick). Pure integer ceil division; the repeat factor is a
+    broadcast, and the explode is map-side — the fact table never
+    shuffles. Emits one row per (row, copy_idx)."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_grp_n"))
+    mx = counts.agg(F.max("_grp_n").alias("_max_n"))
+    k = F.least(
+        F.lit(max_factor).cast("long"),
+        # integer ceil-division — `div` keeps the arithmetic in longs
+        F.expr("(_max_n + _grp_n - 1) div _grp_n").cast("long"),
+    )
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .join(F.broadcast(mx))
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1).cast("long"), k)))
+        .drop("_grp_n", "_max_n")
+    )
+
+
+def sql_upsample_to_parity(
+    *, group_col: str, max_factor: int, select: str, table: str
+) -> str:
+    return f"""
+WITH counts AS (
+  SELECT {group_col}, count(*)::BIGINT AS grp_n FROM {table} GROUP BY {group_col}
+), mx AS (SELECT max(grp_n)::BIGINT AS max_n FROM counts)
+SELECT {select},
+       unnest(generate_series(
+         1, least({max_factor}::BIGINT, (mx.max_n + c.grp_n - 1) // c.grp_n)
+       )) AS copy_idx
+FROM {table} t JOIN counts c USING ({group_col}) CROSS JOIN mx
+"""
+
+
+def take_top_share(
+    df: DataFrame,
+    *,
+    id_col: str,
+    group_col: str,
+    score_col: str,
+    share_pct: int,
+) -> DataFrame:
+    """Nucleus-style (top-p) curation: within each group, rank rows by an
+    integer quality score (descending, id-tiebroken) and keep the minimal
+    prefix whose score mass reaches ``share_pct`` percent of the group
+    total — "keep the best documents covering 60% of the quality mass".
+
+    Keep rule: a row stays iff the mass strictly BEFORE it is under the
+    threshold (``(cum - score) * 100 < share_pct * total``), which keeps
+    exactly the crossing row and nothing after. Integer arithmetic
+    end-to-end. One shuffle on the group key (rank + running sum share the
+    same window ordering, so Spark evaluates both in a single sort)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    cum = F.sum(score_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum(score_col).over(
+        Window.partitionBy(group_col).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return (
+        df.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .withColumn("_before", (cum - F.col(score_col)).cast("long"))
+        .withColumn("_total", tot.cast("long"))
+        .filter(F.col("_before") * 100 < F.lit(share_pct) * F.col("_total"))
+        .drop("_before", "_total")
+    )
+
+
+def sql_take_top_share(
+    *, id_col: str, group_col: str, score_col: str, share_pct: int,
+    select: str, table: str,
+) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT *,
+    row_number() OVER w AS pick_rank,
+    (sum({score_col}) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       - {score_col})::BIGINT AS mass_before,
+    sum({score_col}) OVER (PARTITION BY {group_col})::BIGINT AS grp_total
+  FROM {table}
+  WINDOW w AS (PARTITION BY {group_col} ORDER BY {score_col} DESC, {id_col} ASC)
+)
+SELECT {select}, pick_rank
+FROM ranked WHERE mass_before * 100 < {share_pct} * grp_total
+"""

@@ -463,6 +463,74 @@ def sample_balanced_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@register(
+    "sample_temperature_mix",
+    tags=("LLM-text", "LLM-mix"),
+    oracle=sampling.sql_sample_temperature(
+        id_col="doc_id",
+        group_col="lang",
+        total_target=120,
+        select="t.doc_id, t.lang",
+        table="documents",
+    ),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-tempered (alpha = 0.5) mixture sampling over languages:
+    target shares proportional to sqrt(|lang|), the standard multilingual
+    rebalancing between proportional and uniform. Integer-sqrt weights keep
+    the keep-decision exact in both engines; map-only over the corpus
+    (counts broadcast, no fact shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_temperature(
+        docs, id_col="doc_id", group_col="lang", total_target=120
+    ).select("doc_id", "lang")
+
+
+@register(
+    "upsample_repeat",
+    tags=("LLM-text", "LLM-mix"),
+    oracle=sampling.sql_upsample_to_parity(
+        group_col="lang",
+        max_factor=4,
+        select="t.doc_id, t.lang",
+        table="documents",
+    ),
+)
+def upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-style upsampling: each language repeated
+    ceil(max_lang/|lang|) times (capped at 4) so tail languages approach
+    head volume — "more epochs over rare languages". Map-side
+    sequence+explode; the repeat factors are a broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.upsample_to_parity(
+        docs, group_col="lang", max_factor=4
+    ).select("doc_id", "lang", "copy_idx")
+
+
+@register(
+    "quality_topp_by_source",
+    tags=("LLM-text", "LLM-mix", "W1", "A2"),
+    oracle=sampling.sql_take_top_share(
+        id_col="doc_id",
+        group_col="source",
+        score_col="n_chars",
+        share_pct=60,
+        select="doc_id, source, n_chars",
+        table="documents",
+    ),
+)
+def quality_topp_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style (top-p) curation per source: keep the best-scored
+    prefix covering 60% of each source's quality mass (score = n_chars,
+    integer-exact). Rank and running sum share one window sort, so the
+    whole operator is a single shuffle on the source key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.take_top_share(
+        docs, id_col="doc_id", group_col="source",
+        score_col="n_chars", share_pct=60,
+    ).select("doc_id", "source", "n_chars", "pick_rank")
+
+
 _CURATION_CORPUS_SQL = """
   SELECT doc_id, text, lang FROM documents WHERE doc_id % 41 <> 0
   UNION ALL

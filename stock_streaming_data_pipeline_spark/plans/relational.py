@@ -905,3 +905,77 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "price_histogram",
+    tags=("A1", "A2", "C2"),
+    oracle="""
+SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+       count(*) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+GROUP BY 1
+""",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram profiling (the data-profiling pass a pipeline
+    runs before choosing partition bounds): fixed $10k buckets over
+    extended price. Bucketing is a map-side floor-division, so the whole
+    operator is one partial-aggregated shuffle on ~a dozen bucket keys;
+    the double division is IEEE-identical in both engines and the money
+    sum goes through the exact DECIMAL path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "bucket", F.floor(F.col("l_extendedprice") / F.lit(10000)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "scd2_user_state",
+    tags=("W1", "W4", "A1"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS island
+  FROM events
+)
+SELECT user_id, event_type,
+       min(ts_us) AS valid_from_us,
+       max(ts_us) AS valid_to_us,
+       count(*) AS n_events
+FROM ordered
+GROUP BY user_id, event_type, island
+""",
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-Type-2 dimension build via gaps-and-islands: collapse each
+    user's consecutive same-state runs into validity intervals
+    (rn - rn_per_state island id, then a per-island rollup). Both window
+    ranks share the user_id shuffle; ties broken by event_id so the
+    interval boundaries are deterministic."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", epoch_us("ts"))
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn(
+            "island", F.row_number().over(w_all) - F.row_number().over(w_typ)
+        )
+        .groupBy("user_id", "event_type", "island")
+        .agg(
+            F.min("ts_us").alias("valid_from_us"),
+            F.max("ts_us").alias("valid_to_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("island")
+    )

@@ -211,6 +211,87 @@ def test_stratified_sampling_caps_and_determinism(spark):
     assert 0 < len(rate_ids) < len(all_ids)
 
 
+def test_temperature_mix_upweights_tail_groups(spark):
+    """Temperature (alpha=0.5) sampling keeps a HIGHER fraction of tail
+    groups than of the head group (that's the whole point of tempering),
+    is deterministic, and never exceeds the population."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pop = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total_target = sum(pop.values()) // 2
+    s = sampling.sample_temperature(
+        docs, id_col="doc_id", group_col="lang", total_target=total_target
+    )
+    kept = {
+        r["lang"]: r["n"]
+        for r in s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    head = max(pop, key=pop.get)
+    tail = min(pop, key=pop.get)
+    head_rate = kept.get(head, 0) / pop[head]
+    tail_rate = kept.get(tail, 0) / pop[tail]
+    assert tail_rate >= head_rate  # sqrt-tempering favors the tail
+    ids2 = {
+        r["doc_id"]
+        for r in sampling.sample_temperature(
+            docs, id_col="doc_id", group_col="lang", total_target=total_target
+        ).select("doc_id").collect()
+    }
+    assert ids2 == {r["doc_id"] for r in s.select("doc_id").collect()}
+
+
+def test_upsample_reaches_parity_and_caps(spark):
+    """Upsampled group volumes land within [orig, max_factor*orig] and the
+    repeat factor never exceeds the cap; copy indexes are dense 1..k."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pop = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    up = sampling.upsample_to_parity(docs, group_col="lang", max_factor=3)
+    out = {
+        r["lang"]: (r["n"], r["mx"])
+        for r in up.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("copy_idx").alias("mx"))
+        .collect()
+    }
+    import math
+
+    mx_pop = max(pop.values())
+    for lang, n in pop.items():
+        k = min(3, math.ceil(mx_pop / n))
+        assert out[lang] == (n * k, k)
+
+
+def test_top_share_prefix_is_minimal(spark):
+    """take_top_share keeps the minimal descending-score prefix reaching
+    the share: dropping its last-ranked row falls below the threshold,
+    and every kept rank is contiguous from 1."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    kept = sampling.take_top_share(
+        docs, id_col="doc_id", group_col="source",
+        score_col="n_chars", share_pct=60,
+    ).select("source", "n_chars", "pick_rank").collect()
+    by_src: dict[str, list] = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r)
+    totals = {
+        r["source"]: r["tot"]
+        for r in docs.groupBy("source")
+        .agg(F.sum("n_chars").alias("tot"))
+        .collect()
+    }
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r["pick_rank"])
+        assert [r["pick_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        mass = sum(r["n_chars"] for r in rows)
+        assert mass * 100 >= 60 * totals[src]  # reaches the share
+        mass_wo_last = mass - rows[-1]["n_chars"]
+        assert mass_wo_last * 100 < 60 * totals[src]  # and is minimal
+
+
 def test_contamination_report_flags_planted_leaks(spark):
     """A verbatim eval copy in training must report overlap 1.0; a
     half-prefix copy must report a partial overlap; an unrelated doc must
