@@ -87,3 +87,54 @@ def ordered_split(
             F.lit("train"),
         ).otherwise(F.lit("test")),
     )
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    key: str,
+    order: tuple[str, ...],
+    value_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Exponentially weighted moving average per key:
+    ``y_1 = x_1;  y_t = alpha*x_t + (1-alpha)*y_{t-1}``.
+
+    Every row depends on the previous OUTPUT, not on a fixed frame of
+    inputs, so no built-in window function expresses it — this is the
+    canonical case for the (b)-tier custom operator: ``applyInPandas``
+    over the key (one hash shuffle; per-key state is one double, so a
+    1000-executor cluster scales by key cardinality). The fold is an
+    explicit scalar float64 loop, NOT ``pandas.ewm`` — ewm's kernel
+    normalizes through a running weight and is not bitwise the textbook
+    recursion, and bitwise reproducibility is what lets the DuckDB
+    recursive-CTE oracle replay the identical IEEE operation sequence.
+
+    ``order`` must be a deterministic total order within each key (pass a
+    unique tiebreaker); all ``order``/``value`` columns must be numeric
+    (timestamps pre-converted to epoch ints).
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cols = [key, *order, value_col]
+    src = df.select(*cols)
+    schema = StructType(
+        [src.schema[c] for c in cols] + [StructField("ewma_raw", DoubleType())]
+    )
+    a = float(alpha)
+    one_minus_a = 1.0 - a
+    order_cols = list(order)
+
+    def fold(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        out = np.empty(len(xs), dtype="float64")
+        y = 0.0
+        for i, x in enumerate(xs):
+            y = x if i == 0 else a * x + one_minus_a * y
+            out[i] = y
+        pdf["ewma_raw"] = out
+        return pdf
+
+    return src.groupBy(key).applyInPandas(fold, schema=schema)

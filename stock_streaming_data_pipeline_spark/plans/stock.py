@@ -641,3 +641,53 @@ def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "event_id", F.explode("m").alias("prop_key", "prop_value")
     )
+
+
+@register(
+    "ewma_price",
+    tags=("W1", "UD1", "T11"),
+    oracle="""
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS rn
+  FROM events WHERE value IS NOT NULL
+), rec AS (
+  SELECT user_id, event_id, ts_us, rn, value AS y
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.ts_us, o.rn, 0.5 * o.value + 0.5 * r.y
+  FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, event_id, ts_us,
+       CAST(floor(y * 1000000 + 0.5) AS BIGINT) AS ewma_micro
+FROM rec
+""",
+)
+def ewma_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key EWMA (alpha = 0.5) of the event value — the classic
+    streaming price feature whose recursion (each output feeds the next)
+    no fixed-frame window expresses. Spark side: applyInPandas sequential
+    float64 fold (operators/running.py:ewma); oracle side: a recursive
+    CTE replaying the IDENTICAL IEEE operation sequence, so the match is
+    bitwise even before the round-6 surface. The reference computes its
+    EWMA-ish features in a pandas sidecar (BtcPrediction/kafka.py:51-57);
+    in-engine this is one hash shuffle on the key."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", epoch_us("ts").alias("ts_us"), "value")
+    )
+    out = running.ewma(
+        ev, key="user_id", order=("ts_us", "event_id"), value_col="value"
+    )
+    # Micro-unit surface via floor(y*1e6 + 0.5): the SAME IEEE double
+    # sequence in both engines (F.round's exact-BigDecimal HALF_UP and
+    # DuckDB's float-space round disagree on the exact dyadic halves an
+    # alpha=0.5 recursion produces).
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.floor(F.col("ewma_raw") * 1_000_000 + 0.5).cast("long").alias("ewma_micro"),
+    )

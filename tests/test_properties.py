@@ -126,3 +126,32 @@ def test_gapfill_invariants(spark, rows):
         assert (g["n"] >= 0).all()
         lo, hi = g["p"].min(), g["p"].max()
         assert g["p"].between(lo, hi).all() and g["p"].notna().all()
+
+
+@given(trades())
+@settings(max_examples=10, deadline=None)
+def test_ewma_matches_sequential_reference(spark, rows):
+    """operators/running.ewma == the textbook per-key float64 recursion,
+    bitwise, regardless of input row order (the applyInPandas fold
+    re-sorts within each key)."""
+    from stock_streaming_data_pipeline_spark.operators.running import ewma
+
+    df = _df(spark, rows).select(
+        "symbol",
+        (F.unix_micros(F.col("ts"))).alias("ts_us"),
+        F.monotonically_increasing_id().alias("rid"),
+        F.col("price"),
+    )
+    got = {
+        (r["symbol"], r["rid"]): r["ewma_raw"]
+        for r in ewma(
+            df, key="symbol", order=("ts_us", "rid"), value_col="price"
+        ).collect()
+    }
+    pdf = df.toPandas().sort_values(["symbol", "ts_us", "rid"])
+    for sym, grp in pdf.groupby("symbol"):
+        y = None
+        for _, row in grp.iterrows():
+            x = float(row["price"])
+            y = x if y is None else 0.5 * x + 0.5 * y
+            assert got[(sym, row["rid"])] == y  # bitwise
