@@ -322,6 +322,53 @@ def streaming_lookback_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_ewma_state",
+    tags=("T11", "W1", "UD1"),
+    oracle="""
+WITH RECURSIVE ordered AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+), rec AS (
+  SELECT event_type, event_id, ts_us, rn, value AS y
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.event_id, o.ts_us, o.rn, 0.5 * o.value + 0.5 * r.y
+  FROM ordered o JOIN rec r ON o.event_type = r.event_type AND o.rn = r.rn + 1
+)
+SELECT event_type, event_id, ts_us,
+       CAST(floor(y * 1000000 + 0.5) AS BIGINT) AS ewma_micro
+FROM rec
+""",
+)
+def streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch EWMA recursion (plans/stock.py:ewma_price) running as a
+    stateful streaming operator: one double of keyed state in the state
+    store, folded in event-time order (event_id tiebreak) — the streaming
+    answer must equal the batch recursive-CTE oracle row-for-row, bitwise
+    before the micro-unit surface. The reference's pandas-sidecar feature
+    loop (BtcPrediction/kafka.py:51-57), in-engine and restartable."""
+    ev = stream_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    trades = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.col("event_id"),
+        F.col("ts"),
+        F.col("value").alias("price"),
+    )
+    out = stream_state.ewma_state(
+        trades, key="symbol", ts="ts", tiebreak="event_id", value="price"
+    )
+    settled = settle(out, "append")
+    return settled.select(
+        F.col("symbol").alias("event_type"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("ewma_raw") * 1_000_000 + 0.5).cast("long").alias("ewma_micro"),
+    )
+
+
+@register(
     "streaming_interval_join",
     tags=("J1", "T1", "S1"),
     oracle="""

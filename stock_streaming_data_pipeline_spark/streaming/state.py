@@ -327,3 +327,68 @@ def trailing_lookback_tws(
         outputMode="append",
         timeMode="none",
     )
+
+
+def ewma_state(
+    df: DataFrame,
+    *,
+    key: str = "symbol",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    value: str = "price",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Streaming per-key EWMA: ``y = alpha*x + (1-alpha)*y_prev``, the
+    batch operator ``operators/running.ewma`` with its one-double state
+    promoted to the checkpointed state store. Emits every row with its
+    EWMA; ties in event time break on ``tiebreak`` so the fold order is
+    deterministic (same total order as the batch/oracle recursion).
+    State per key is a single double — horizontal scale is purely by key
+    cardinality."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField(tiebreak, T.LongType()),
+            T.StructField(ts, T.TimestampType()),
+            T.StructField(value, T.DoubleType()),
+            T.StructField("ewma_raw", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("y", T.DoubleType())])
+    a = float(alpha)
+    one_minus_a = 1.0 - a
+
+    def fold(
+        group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        has = state.exists
+        y = state.get[0] if has else 0.0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values([ts, tiebreak])
+            xs = pdf[value].to_numpy(dtype="float64")
+            out = np.empty(len(xs), dtype="float64")
+            for i, x in enumerate(xs):
+                if has:
+                    y = a * x + one_minus_a * y
+                else:
+                    y = x
+                    has = True
+                out[i] = y
+            yield pd.DataFrame(
+                {
+                    key: pdf[key],
+                    tiebreak: pdf[tiebreak],
+                    ts: pdf[ts],
+                    value: pdf[value],
+                    "ewma_raw": out,
+                }
+            )
+        if has:
+            state.update((float(y),))
+
+    return df.groupBy(key).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

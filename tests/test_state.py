@@ -226,3 +226,28 @@ def test_lookback_emit_ready_only(spark, trades_small, tmp_path):
     # first rows-1 rows per key withheld (kafka.py:42-50 behavior)
     assert got.count() == n_src - n_sym * 4
     assert got.filter(F.col("lookback_n") < 5).count() == 0
+
+
+def test_ewma_state_matches_batch_fold(spark, trades_small, tmp_path):
+    """Streaming EWMA == batch applyInPandas EWMA bitwise, across real
+    micro-batch boundaries (multi-file replay, ordered data): the one
+    double of keyed state must carry the recursion over exactly."""
+    from stock_streaming_data_pipeline_spark.operators.running import ewma
+
+    path, batch = trades_small
+    sdf = stream_trades(spark, path).withColumn("tb", F.unix_micros("ts"))
+    out = stream_state.ewma_state(
+        sdf, key="symbol", ts="ts", tiebreak="tb", value="price"
+    )
+    got = {
+        (r["symbol"], r["tb"]): r["ewma_raw"]
+        for r in _settle_append(out, spark, tmp_path, "state_ewma").collect()
+    }
+    ref = ewma(
+        batch.withColumn("tb", F.unix_micros("ts")),
+        key="symbol",
+        order=("tb",),
+        value_col="price",
+    )
+    want = {(r["symbol"], r["tb"]): r["ewma_raw"] for r in ref.collect()}
+    assert got == want  # bitwise
