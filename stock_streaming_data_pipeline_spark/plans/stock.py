@@ -691,3 +691,59 @@ def ewma_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         F.floor(F.col("ewma_raw") * 1_000_000 + 0.5).cast("long").alias("ewma_micro"),
     )
+
+
+@register(
+    "outlier_zscore",
+    tags=("A1", "A5", "J2", "F1"),
+    oracle="""
+WITH cents AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+  FROM events WHERE value IS NOT NULL
+), stats AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(value_cents)::BIGINT AS s1,
+         sum(value_cents * value_cents)::BIGINT AS s2
+  FROM cents GROUP BY event_type
+), scored AS (
+  SELECT c.event_id, c.event_type, c.value_cents,
+         (c.value_cents::DOUBLE - s.s1::DOUBLE / s.n::DOUBLE)
+           / sqrt((s.s2::DOUBLE - s.s1::DOUBLE * s.s1::DOUBLE / s.n::DOUBLE)
+                  / (s.n::DOUBLE - 1)) AS z
+  FROM cents c JOIN stats s USING (event_type)
+)
+SELECT event_id, event_type, value_cents, round(z, 6) AS z
+FROM scored WHERE abs(round(z, 6)) > 2.5
+""",
+)
+def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key z-score anomaly detection (the price-spike filter of a
+    market feed, equally the numeric-outlier pass of a curation pipeline).
+    Moments are accumulated as EXACT integer cents (half-away rounding,
+    the SQL rule), so mean/variance derive from identical integers in both
+    engines and the double expression tree is replayed verbatim — no
+    summation-order sensitivity. Physical shape: tiny per-key stats agg
+    broadcast back onto the fact scan; the facts never shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    c = ev.select("event_id", "event_type", cents.alias("value_cents"))
+    stats = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_cents").alias("s1"),
+        F.sum(F.col("value_cents") * F.col("value_cents")).alias("s2"),
+    )
+    j = c.join(F.broadcast(stats), "event_type")
+    n_d = F.col("n").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    z = (F.col("value_cents").cast("double") - s1_d / n_d) / F.sqrt(
+        (s2_d - s1_d * s1_d / n_d) / (n_d - F.lit(1.0))
+    )
+    return (
+        j.withColumn("z", round6(z))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "event_type", "value_cents", "z")
+    )
