@@ -979,3 +979,70 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("island")
     )
+
+
+@register(
+    "interval_join_order_periods",
+    tags=("J1", "J3", "W4"),
+    oracle="""
+WITH periods AS (
+  SELECT o_custkey, o_orderkey,
+         o_orderdate AS period_start,
+         coalesce(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                  TIMESTAMP '2002-01-01 00:00:00') AS period_end
+  FROM orders
+), lines AS (
+  SELECT o.o_custkey, l.l_shipdate, l.l_extendedprice
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT p.o_custkey,
+       p.o_orderkey AS period_order,
+       count(*) AS n_lines,
+       CAST(round(sum(CAST(ln.l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+         AS shipped_value
+FROM lines ln JOIN periods p
+  ON ln.o_custkey = p.o_custkey
+ AND ln.l_shipdate >= p.period_start
+ AND ln.l_shipdate < p.period_end
+GROUP BY p.o_custkey, p.o_orderkey
+""",
+)
+def interval_join_order_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interval join: each customer's order history becomes
+    validity periods [order_date, next_order_date) via lead(), and line
+    shipments are matched to the period ACTIVE at ship time (not the
+    order they belong to — shipping lag crosses periods). Catalyst plans
+    the equi-key + range predicate as a hash/sort-merge join on the
+    customer key with the interval filter as the join residual (broadcast
+    at this scale, SMJ when the period side outgrows the threshold) — no
+    nested-loop blowup; at 100 TB both sides hash-partition on the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    periods = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("period_start"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit("2002-01-01 00:00:00").cast("timestamp"),
+        ).alias("period_end"),
+    )
+    lines = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("o_custkey", "l_shipdate", "l_extendedprice")
+    joined = lines.alias("ln").join(
+        periods.alias("p"),
+        (F.col("ln.o_custkey") == F.col("p.o_custkey"))
+        & (F.col("ln.l_shipdate") >= F.col("p.period_start"))
+        & (F.col("ln.l_shipdate") < F.col("p.period_end")),
+    )
+    return joined.groupBy(
+        F.col("p.o_custkey").alias("o_custkey"),
+        F.col("p.o_orderkey").alias("period_order"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _dsum(F.col("ln.l_extendedprice")).alias("shipped_value"),
+    )

@@ -747,3 +747,50 @@ def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 2.5)
         .select("event_id", "event_type", "value_cents", "z")
     )
+
+
+@register(
+    "winsorize_values",
+    tags=("A5", "F1", "C2", "J2"),
+    oracle="""
+WITH bounds AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.05), 6) AS lo,
+         round(quantile_cont(value, 0.95), 6) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(CASE WHEN e.value < b.lo THEN b.lo
+                  WHEN e.value > b.hi THEN b.hi
+                  ELSE e.value END, 6) AS winsorized,
+       CAST(e.value < b.lo OR e.value > b.hi AS BOOLEAN) AS clipped
+FROM events e JOIN bounds b USING (event_type)
+WHERE e.value IS NOT NULL
+""",
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping) per key — the numeric
+    data-cleaning pass before feature scaling: clamp to the [p05, p95]
+    band. Bounds are exact interpolated percentiles rounded to the
+    engine-neutral 6 decimals BEFORE clamping (so the clamp compares
+    identical doubles in both engines), computed in a tiny per-key agg
+    and broadcast back onto the fact scan — facts never shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    clipped = F.col("value") < F.col("lo")
+    clipped_hi = F.col("value") > F.col("hi")
+    wins = (
+        F.when(clipped, F.col("lo"))
+        .when(clipped_hi, F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return j.select(
+        "event_id",
+        "event_type",
+        round6(wins).alias("winsorized"),
+        (clipped | clipped_hi).alias("clipped"),
+    )
