@@ -94,6 +94,77 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def fake_resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for the pixel-resample kernel: a
+    digest-seeded byte string whose length scales with the target area
+    (same contract: bytes → bytes, output size a function of target
+    dims). The real kernel (PIL/opencv) raises until codecs exist."""
+    seed = hashlib.sha256(payload + width.to_bytes(4, "big") + height.to_bytes(4, "big"))
+    out_len = max(1, (width * height) // 64)
+    block = seed.digest()
+    return (block * (out_len // len(block) + 1))[:out_len]
+
+
+def resize_images(
+    media: DataFrame,
+    *,
+    width: int,
+    height: int,
+    kernel=fake_resize_payload,
+) -> DataFrame:
+    """Batch image resize over opaque binary payloads: mapInPandas keeps
+    payloads in executor-side Arrow batches (never driver-collected); the
+    metadata struct is rewritten to the target dims so downstream
+    operators see consistent typed metadata. ``kernel`` is the pluggable
+    bytes→bytes pixel step (stubbed deterministically here — the Spark
+    plumbing, schema contract and batch shape are the real part)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = pdf[pdf["media_type"] == "image"]
+            if not len(keep):
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": keep["media_id"],
+                    "payload": keep["payload"].map(
+                        lambda b: kernel(b or b"", width, height)
+                    ),
+                    "media_type": keep["media_type"],
+                    "meta": keep["meta"].map(
+                        lambda m: {
+                            "width": width,
+                            "height": height,
+                            "sample_rate": (m or {}).get("sample_rate", 0),
+                            "n_frames": (m or {}).get("n_frames", 0),
+                        }
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, *, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits one row per kept
     frame index based on metadata (the decode of the frame itself is the

@@ -657,12 +657,34 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("multimodal_features", tags=("LLM-multimodal",))
+_SHA_BYTE_SUM = "".join(
+    # explicit left fold — same IEEE add order as F.aggregate's fold
+    f"\n    + ('0x' || substr(sha, {2 * i + 1}, 2))::BIGINT / 255.0"
+    for i in range(8)
+)
+
+
+@register(
+    "multimodal_features",
+    tags=("LLM-multimodal",),
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id, 'image' AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS sha
+  FROM documents
+)
+SELECT media_id, media_type, n_bytes, sha AS sha256,
+       round((0.0{_SHA_BYTE_SUM}), 6) AS feat_sum
+FROM m
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through the real mapInPandas
-    plumbing (deterministic fake decoder; codec libs stubbed). Parity with
-    plain-python hashing is pinned in tests/test_llmdata.py (mapInPandas
-    output is not SQL-expressible → rows-only check here)."""
+    plumbing (deterministic fake decoder; codec libs stubbed). The fake
+    decoder is digest-derived, so even this non-SQL operator carries a
+    full oracle: DuckDB recomputes sha256 over the same UTF-8 bytes and
+    replays the feature fold with the identical IEEE add order."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(docs)
     feats = multimodal.extract_features(media, dim=8)

@@ -370,6 +370,37 @@ def test_frame_sampling(spark):
     }
 
 
+def test_resize_plumbing(spark):
+    """resize_images keeps only images, rewrites metadata to the target
+    dims, and its payload matches the kernel applied driver-side; output
+    size scales with the target area."""
+    import pandas as pd
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "payload": [b"imgdata1", b"vid", b"imgdata3"],
+                "media_type": ["image", "video", "image"],
+                "meta": [
+                    {"width": 640, "height": 480, "sample_rate": 0, "n_frames": 0},
+                    {"width": 0, "height": 0, "sample_rate": 0, "n_frames": 25},
+                    {"width": 1920, "height": 1080, "sample_rate": 0, "n_frames": 0},
+                ],
+            }
+        ),
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in multimodal.resize_images(
+        media, width=224, height=224).collect()}
+    assert set(out) == {1, 3}  # video dropped
+    for mid, src in ((1, b"imgdata1"), (3, b"imgdata3")):
+        r = out[mid]
+        assert r["meta"]["width"] == 224 and r["meta"]["height"] == 224
+        assert bytes(r["payload"]) == multimodal.fake_resize_payload(src, 224, 224)
+        assert len(r["payload"]) == (224 * 224) // 64
+
+
 def test_jaccard_strategies_identical(spark, near_dup_corpus):
     """Count-join and prefix-filtered strategies must produce the same
     exact pair set (physical plan choice, not semantics)."""
