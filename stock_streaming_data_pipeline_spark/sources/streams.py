@@ -14,19 +14,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from stock_streaming_data_pipeline_spark.tables import table_path
-
-# events.parquet physical schema with ts as raw nanos (see tables.load_table).
-EVENTS_NANOS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
+from stock_streaming_data_pipeline_spark.tables import (
+    _timestamp_read_confs,
+    table_path,
 )
+
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# events.parquet physical schema with ts as raw nanos (round-1 testdata
+# generation; see tables.load_table).
+EVENTS_NANOS_SCHEMA = _events_schema(T.LongType())
 
 TRADES_SCHEMA = T.StructType(
     [
@@ -41,15 +50,24 @@ TRADES_SCHEMA = T.StructType(
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming view of the events table (file source), normalized to the
     same schema as the batch loader (ts → TIMESTAMP in micros)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _timestamp_read_confs(spark)
+    # Streaming reads need an explicit schema; probe the batch reader for
+    # the testdata generation's physical ts type (raw nano-long vs micros).
+    stored = spark.read.parquet(table_path(sf_dir, "events")).schema["ts"].dataType
     # The file stream source requires a directory; events.parquet is a
     # single file inside the sf dir, so scope the listing with a glob.
-    raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+    if isinstance(stored, T.LongType):
+        raw = (
+            spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(_events_schema(T.TimestampType()))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def stream_trades(spark: SparkSession, trades_dir: str) -> DataFrame:

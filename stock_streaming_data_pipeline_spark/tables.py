@@ -32,19 +32,36 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _timestamp_read_confs(spark: SparkSession) -> None:
+    """Pin timestamp semantics across testdata generations.
+
+    The driver has shipped events.ts as parquet TIMESTAMP(NANOS) (round 1;
+    Spark's vectorized reader only accepts it as a raw long) and as
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 2+, which Spark would
+    otherwise infer as TIMESTAMP_NTZ). Both confs together normalize every
+    generation to the same contract: a TimestampType instant whose
+    ``unix_micros`` equals the stored value — exactly DuckDB's ``epoch_us``
+    on the same file — so epoch arithmetic in the catalog is engine- and
+    session-timezone-independent.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _timestamp_read_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read it as a long and truncate to micros — the
-        # same truncation DuckDB applies when it coerces NS to TIMESTAMP.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(table_path(sf_dir, name))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # TIMESTAMP(NANOS) generation: truncate to micros, the same
+            # truncation DuckDB applies when it coerces NS to TIMESTAMP.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
@@ -74,28 +91,39 @@ def load_events_pruned(
 ) -> DataFrame:
     """events with a time-range predicate that actually reaches the scan.
 
-    Filters applied after the nanos→micros conversion cannot push down
-    (the stored column is a raw long). This helper translates the bounds
-    to nano-longs and filters the RAW column first — parquet row-group
-    pruning and PushedFilters both engage — then converts. ``start`` is
-    inclusive, ``end`` exclusive (UTC timestamps, e.g. '2024-01-10').
+    Filters applied after a driver-side type conversion cannot push down.
+    This helper filters the column in its STORED type first — parquet
+    row-group pruning and PushedFilters both engage — then normalizes.
+    For the TIMESTAMP(NANOS) generation that means raw nano-long bounds;
+    for TIMESTAMP(MICROS) data the bounds are timezone-pinned epoch-micros
+    literals. ``start`` is inclusive, ``end`` exclusive (UTC timestamps,
+    e.g. '2024-01-10').
     """
     import datetime as dt
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    _timestamp_read_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, "events"))
 
-    def nanos(s: str) -> int:
+    def micros(s: str) -> int:
         t = dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc)
-        return int(t.timestamp() * 1_000_000) * 1000
+        return int(t.timestamp() * 1_000_000)
 
-    from pyspark.sql import functions as F
-
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        if start is not None:
+            df = df.filter(F.col("ts") >= F.lit(micros(start) * 1000))
+        if end is not None:
+            df = df.filter(F.col("ts") < F.lit(micros(end) * 1000))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # timestamp_micros(lit) builds the bound from an epoch integer, so the
+    # predicate is the same instant regardless of session timezone.
     if start is not None:
-        df = df.filter(F.col("ts") >= F.lit(nanos(start)))
+        df = df.filter(F.col("ts") >= F.timestamp_micros(F.lit(micros(start))))
     if end is not None:
-        df = df.filter(F.col("ts") < F.lit(nanos(end)))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.filter(F.col("ts") < F.timestamp_micros(F.lit(micros(end))))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
