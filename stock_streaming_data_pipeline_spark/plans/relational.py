@@ -331,6 +331,82 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_returns",
+    tags=("A1", "A4"),
+    oracle=f"""
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n_items,
+       {_sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def grouping_sets_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube): the
+    two single-column marginals plus the grand total in ONE pass over the
+    fact table — at 100 TB this replaces three separate scans+aggs with
+    one scan feeding an expand+partial-agg pipeline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+    return out.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("l_linestatus"),
+        "n_items",
+        "sum_qty",
+    )
+
+
+@register(
+    "approx_distinct_profile",
+    tags=("A4",),
+    # No oracle: HyperLogLog++ estimates are engine-specific by design.
+    # tests/test_sketches.py bounds the relative error against the exact
+    # distinct counts instead (rsd 0.01 -> observed error well under 5%).
+)
+def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier distinct counts: HyperLogLog++ per group. The 100 TB
+    path for cardinality profiling — exact COUNT(DISTINCT) shuffles every
+    distinct value; the sketch is a fixed-size register array that merges
+    map-side, so the shuffle carries kilobytes per group regardless of
+    input size. The exact twin is ``distinct_counts``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("nd_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("nd_suppliers"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("nd_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "approx_quantile_sketch",
+    tags=("A1", "A5"),
+    # No oracle: approx_percentile's accuracy parameter trades memory for
+    # rank error; tests/test_sketches.py bounds the rank error against the
+    # exact interpolated percentiles (``percentiles_by_group``).
+)
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier percentiles per key (Greenwald-Khanna style summary).
+    Exact percentiles need a full sort (or percentile()'s value buffer) per
+    group; the sketch keeps a bounded summary that merges map-side — the
+    form that holds up on a 100 TB column. Exact twin:
+    ``percentiles_by_group``."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.25, 10000)").alias("p25"),
+        F.expr("approx_percentile(value, 0.50, 10000)").alias("p50"),
+        F.expr("approx_percentile(value, 0.75, 10000)").alias("p75"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("p95"),
+    )
+
+
+@register(
     "sessionize_users",
     tags=("W1", "W4", "A1"),
     oracle="""

@@ -21,7 +21,10 @@ from stock_streaming_data_pipeline_spark.functions.scalars import (
     round6,
 )
 from stock_streaming_data_pipeline_spark.operators import gapfill, ohlc, profile, running
-from stock_streaming_data_pipeline_spark.operators.asof import asof_join
+from stock_streaming_data_pipeline_spark.operators.asof import (
+    asof_join,
+    asof_join_nearest,
+)
 from stock_streaming_data_pipeline_spark.plans.catalog import register
 from stock_streaming_data_pipeline_spark.tables import load_table
 
@@ -304,6 +307,61 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("purchase_value"),
         F.coalesce(epoch_us("asof_ts"), F.lit(-1).cast("long")).alias("asof_ts_us"),
         F.col("asof_value").alias("view_value"),
+    )
+
+
+@register(
+    "asof_nearest_view",
+    tags=("J1",),
+    oracle="""
+WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+cand AS (
+  SELECT l.event_id, epoch_us(r.ts) AS rts, r.value AS vv,
+         abs(epoch_us(l.ts) - epoch_us(r.ts)) AS dist
+  FROM l JOIN r USING (user_id)
+  WHERE abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 3600000000
+),
+best AS (
+  SELECT event_id, rts, vv,
+         row_number() OVER (PARTITION BY event_id ORDER BY dist, rts) AS rn
+  FROM cand
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       l.value AS purchase_value,
+       coalesce(b.rts, -1) AS nearest_ts_us, b.vv AS nearest_value
+FROM l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id)
+""",
+)
+def asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join with tolerance: each purchase aligned
+    with the user's closest view event within +/-1h, ties to the earlier
+    side — pandas merge_asof(direction='nearest') semantics, distributed.
+    The oracle is the O(n*m)-per-user candidate join; the Spark plan is
+    the linear two-pass window form (operators/asof.py), which is the one
+    that survives hot keys at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join_nearest(
+        left,
+        right,
+        by="user_id",
+        on="ts",
+        right_values=["value"],
+        tolerance_micros=3_600_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("ts_us"),
+        F.col("value").alias("purchase_value"),
+        F.coalesce(epoch_us("nearest_ts"), F.lit(-1).cast("long")).alias(
+            "nearest_ts_us"
+        ),
+        F.col("nearest_value").alias("nearest_value"),
     )
 
 

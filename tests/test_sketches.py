@@ -1,0 +1,79 @@
+"""Accuracy bounds for the sketch-tier aggregates.
+
+These queries have no DuckDB oracle (HLL++ / approx_percentile estimates
+are engine-specific by design), so correctness is pinned here instead:
+the estimate must sit within the sketch's configured error bound of the
+exact answer computed by the matching exact-twin query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from stock_streaming_data_pipeline_spark.plans import catalog
+
+    return catalog.queries()
+
+
+def test_approx_distinct_within_bound(spark, queries):
+    est = {
+        r["l_returnflag"]: r
+        for r in queries["approx_distinct_profile"](spark, SF_CORRECT).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_parts"),
+            F.countDistinct("l_suppkey").alias("nd_suppliers"),
+            F.countDistinct("l_orderkey").alias("nd_orders"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for flag, e in est.items():
+        x = exact[flag]
+        for col in ("nd_parts", "nd_suppliers", "nd_orders"):
+            rel = abs(e[col] - x[col]) / max(x[col], 1)
+            # rsd=0.01 -> ~1% standard error; 5% is a hard 5-sigma bound.
+            assert rel < 0.05, f"{flag}.{col}: est={e[col]} exact={x[col]}"
+
+
+def test_approx_quantiles_within_rank_bound(spark, queries):
+    est_rows = queries["approx_quantile_sketch"](spark, SF_CORRECT).collect()
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    vals = {
+        t: sorted(
+            r["value"]
+            for r in ev.filter(f"event_type = '{t}'").select("value").collect()
+            if r["value"] is not None
+        )
+        for t in {r["event_type"] for r in est_rows}
+    }
+    for r in est_rows:
+        xs = vals[r["event_type"]]
+        n = len(xs)
+        for col, q in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95)):
+            # Rank-error bound: with accuracy=10000 the estimate's rank must
+            # be within ~n/10000 of the target rank (plus slack of 2).
+            import bisect
+
+            lo = bisect.bisect_left(xs, r[col])
+            hi = bisect.bisect_right(xs, r[col])
+            target = q * n
+            tol = n / 10000 + 2
+            assert lo - tol <= target <= hi + tol, (
+                f"{r['event_type']}.{col}: rank [{lo},{hi}] vs target {target}"
+            )
