@@ -311,6 +311,85 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hierarchical_bars",
+    tags=("A1", "A2", "T2"),
+    oracle="""
+WITH minute AS (
+  SELECT event_type, epoch_us(ts) // 60000000 AS slot,
+         count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
+         max(value) AS high, min(value) AS low
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+hour AS (
+  SELECT event_type, slot // 60 AS slot,
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST(sum(total_cents) AS BIGINT) AS total_cents,
+         max(high) AS high, min(low) AS low
+  FROM minute GROUP BY 1, 2
+),
+day AS (
+  SELECT event_type, slot // 24 AS slot,
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST(sum(total_cents) AS BIGINT) AS total_cents,
+         max(high) AS high, min(low) AS low
+  FROM hour GROUP BY 1, 2
+)
+SELECT 'minute' AS grain, * FROM minute
+UNION ALL SELECT 'hour' AS grain, * FROM hour
+UNION ALL SELECT 'day' AS grain, * FROM day
+""",
+)
+def hierarchical_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical continuous aggregates (hypertable-rollup shape):
+    minute bars from the facts, hour bars RE-AGGREGATED from the minute
+    tier, day bars from the hour tier. At 100 TB this is the difference
+    between three full fact scans and one scan + two tiny re-aggs (each
+    tier is ~1/60 the rows of the one below); the same lineage is how a
+    streaming job maintains coarse tiers from a fine-grained store
+    without touching raw history. Sums ride exact integer cents so every
+    tier's totals merge associatively and match the SQL oracle bit-for-bit.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    minute = (
+        ev.withColumn("slot", (epoch_us("ts") / F.lit(60_000_000)).cast("long"))
+        .withColumn("cents", cents)
+        .groupBy("event_type", "slot")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+        )
+    )
+
+    def _up(df: DataFrame, factor: int) -> DataFrame:
+        return (
+            df.withColumn("slot", (F.col("slot") / F.lit(factor)).cast("long"))
+            .groupBy("event_type", "slot")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("total_cents").alias("total_cents"),
+                F.max("high").alias("high"),
+                F.min("low").alias("low"),
+            )
+        )
+
+    hour = _up(minute, 60)
+    day = _up(hour, 24)
+    cols = ["grain", "event_type", "slot", "n_events", "total_cents", "high", "low"]
+    return (
+        minute.withColumn("grain", F.lit("minute")).select(cols)
+        .unionByName(hour.withColumn("grain", F.lit("hour")).select(cols))
+        .unionByName(day.withColumn("grain", F.lit("day")).select(cols))
+    )
+
+
+@register(
     "asof_nearest_view",
     tags=("J1",),
     oracle="""

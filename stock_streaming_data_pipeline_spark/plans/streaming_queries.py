@@ -544,6 +544,53 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_zscore",
+    tags=("S1", "J2", "F1", "T6"),
+    oracle=_REGISTRY["outlier_zscore"].oracle,
+)
+def streaming_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly flagging against trained statistics: per-key
+    mean/stddev are fit ONCE on the batch table (exact integer-cents
+    moments, the `outlier_zscore` recipe), broadcast as a static dimension,
+    and every streamed event is z-scored against them per micro-batch —
+    the online-scoring half of a train/serve split. The settled stream
+    must reproduce the batch outlier query row-for-row."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    batch = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = (
+        batch.select("event_type", cents.alias("value_cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_cents").alias("s1"),
+            F.sum(F.col("value_cents") * F.col("value_cents")).alias("s2"),
+        )
+    )
+    ev = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .withColumn("value_cents", cents)
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    n_d = F.col("n").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    z = (F.col("value_cents").cast("double") - s1_d / n_d) / F.sqrt(
+        (s2_d - s1_d * s1_d / n_d) / (n_d - F.lit(1.0))
+    )
+    scored = (
+        j.withColumn("z", round6(z))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "event_type", "value_cents", "z")
+    )
+    return settle(scored, "append")
+
+
+@register(
     "streaming_session_windows",
     tags=("T3", "T1", "A1"),
     oracle=_REGISTRY["session_window_agg"].oracle,
