@@ -240,6 +240,42 @@ def ivf_train(
     return cents
 
 
+def kmeans_profile(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 4,
+) -> DataFrame:
+    """Distributed Lloyd k-means (the :func:`ivf_train` loop) surfaced as
+    a clustering operator: train ``k`` centroids with ``iters`` iterations,
+    assign every vector, and return per-cluster profiles
+    ``(cluster_id, size, inertia, avg_cosine)``.
+
+    Everything stays distributed: per iteration one broadcast assignment
+    pass over the corpus plus one posexplode mean — vectors never reach
+    the driver, so the same plan runs at 10^9 vectors (train on a sample
+    there; the profile pass is a single scan either way)."""
+    cents = ivf_train(df, id_col=id_col, vec_col=vec_col, nlist=k, iters=iters)
+    vecs = df.select(
+        F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = _nearest_centroid(vecs, cents, key_col="_vid", vec_alias="v")
+    j = assigned.join(
+        F.broadcast(cents), assigned["cluster_id"] == cents["_cid"]
+    )
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.round(F.sum(l2sq(F.col("v"), F.col("cvec"))), 4).alias("inertia"),
+            F.round(F.avg(cosine(F.col("v"), F.col("cvec"))), 6).alias("avg_cosine"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

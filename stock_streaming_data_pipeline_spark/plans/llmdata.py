@@ -179,6 +179,17 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=3)
 
 
+@register("embedding_kmeans", tags=("LLM-sim",))  # no oracle: iterative
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus (k=8, 4
+    iterations, deterministic seeds/tie-breaks) with per-cluster size,
+    inertia and cohesion — the genuinely iterative algorithm class the
+    SQL oracle can't express; convergence and determinism are pinned in
+    tests/test_llmdata.py instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_profile(emb, k=8, iters=4)
+
+
 @register(
     "text_decontamination",
     tags=("LLM-dedup", "LLM-text"),
@@ -364,6 +375,78 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget a training pipeline tracks."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_token_counts(docs, id_col="doc_id", text_col="text")
+
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "text_pack_sequences",
+    tags=("LLM-text", "LLM-mix"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, source,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(regexp_extract_all(norm, '{text.BPE_PRETOKEN}'),
+                            t -> ceil(length(trim(t)) / 4.0)::BIGINT)),
+           (a, x) -> a + x) AS n_tokens
+  FROM t
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM tok
+)
+SELECT doc_id, source, n_tokens,
+       CAST(prefix // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(prefix % {_PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM packed
+""",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget training
+    sequences (2048 tokens) per source corpus, in deterministic
+    doc_id order — the step that turns a curated corpus into dense
+    pretraining rows. Contiguous-fill semantics: a document that crosses
+    a boundary starts inside the current sequence at ``seq_offset`` and
+    spills into the next (the standard streaming-packer contract; exact
+    first-fit would be a sequential state machine, not a window). One
+    per-source sort; at 100 TB packing runs per shard with exactly this
+    plan, sorted within range partitions."""
+    from pyspark.sql import Window
+
+    from stock_streaming_data_pipeline_spark.operators.dedup import _norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = _norm_text(F.col("text"))
+    pre = F.regexp_extract_all(norm, F.lit(text.BPE_PRETOKEN), 0)
+    est = F.aggregate(
+        pre,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(F.trim(t)) / 4.0).cast("long"),
+    )
+    tok = docs.select("doc_id", "source", est.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return tok.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(prefix / F.lit(_PACK_BUDGET)).cast("long").alias("seq_id"),
+        (prefix % F.lit(_PACK_BUDGET)).cast("long").alias("seq_offset"),
+    )
 
 
 @register(

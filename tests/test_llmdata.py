@@ -466,3 +466,23 @@ def test_lsh_band_params_solver():
     b_lo, _ = dedup.lsh_band_params(0.3, 64)
     b_hi, _ = dedup.lsh_band_params(0.9, 64)
     assert b_lo >= b and b_hi <= b
+
+
+def test_kmeans_converges_and_is_deterministic(spark):
+    from stock_streaming_data_pipeline_spark.operators import similarity
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    prof = similarity.kmeans_profile(emb, k=4, iters=3).collect()
+    assert sum(r["size"] for r in prof) == n
+    assert len(prof) == 4 and all(r["size"] > 0 for r in prof)
+    # deterministic: same seeds, same tie-breaks, same result
+    again = similarity.kmeans_profile(emb, k=4, iters=3).collect()
+    assert prof == again
+    # Lloyd refinement: total inertia after 3 iterations is no worse than
+    # after the first assignment against the raw seeds
+    seed_inertia = sum(
+        r["inertia"] for r in similarity.kmeans_profile(emb, k=4, iters=0).collect()
+    )
+    assert sum(r["inertia"] for r in prof) <= seed_inertia + 1e-6

@@ -178,3 +178,41 @@ def test_ohlc_invariants(spark):
     total_windows = tv.agg(F.sum("total_volume")).collect()[0][0]
     total_src = trades.agg(F.sum("volume")).collect()[0][0]
     assert abs(total_windows - total_src) < 1e-6
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """T8: a restarted query resumes from its checkpoint and processes
+    ONLY files that arrived since the last run; the file sink's commit
+    manifest keeps the output exactly-once across the restart."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    synthetic_trades(spark, n_rows=2000, late_fraction=0.0).repartition(
+        2
+    ).write.mode("append").parquet(src)
+
+    def run_once() -> None:
+        s = stream_trades(spark, src)
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "drain timed out"
+        q.stop()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 2000
+
+    # New files land between runs; restart with the SAME checkpoint.
+    synthetic_trades(
+        spark, n_rows=1500, start="2024-02-01 00:00:00", late_fraction=0.0
+    ).repartition(2).write.mode("append").parquet(src)
+    run_once()
+
+    sink = spark.read.parquet(out)
+    assert sink.count() == 3500  # old files not reprocessed
+    # every generated row has a distinct ts -> any replay would dedupe here
+    assert sink.select("ts").distinct().count() == 3500
