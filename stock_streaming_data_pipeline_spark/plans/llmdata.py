@@ -152,6 +152,67 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+@register(
+    "embedding_hard_negatives",
+    tags=("LLM-sim",),
+    oracle=f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, a.label AS query_label,
+         b.vec_id AS neighbor_id, b.label AS neighbor_label,
+         round(({_SQL_DOT_AB}) / (({_SQL_NORM_A}) * ({_SQL_NORM_B})), 6) AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id AND b.label <> a.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the 3 most similar corpus vectors carrying a DIFFERENT label
+    (the near-misses a trainer wants in the batch). Same broadcast/no
+    corpus-shuffle shape as the exact top-k; the label predicate rides the
+    scoring join, so at scale it composes with the IVF/LSH candidate
+    tiers unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        similarity.as_double(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        similarity.as_double(F.col("embedding")).alias("cv"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("query_label"))
+        )
+        .withColumn(
+            "cosine", F.round(similarity.cosine(F.col("qv"), F.col("cv")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "cosine", "rank",
+        )
+    )
+
+
 @register("embedding_lsh_topk", tags=("LLM-sim",))
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (random-hyperplane signs, 12 bits) —
@@ -777,6 +838,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feat_sum"
         ),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    tags=("LLM-multimodal",),
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, greatest((n_chars % 100) - 1, 0) + 1, 7)) AS BIGINT)
+         AS frame_idx
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling over video payload metadata (every 7th
+    frame index from the typed ``meta.n_frames``): pure array-expansion
+    built-ins, one generate pass, no UDF — the decode of each kept frame
+    is the (stubbed) downstream step. Every third document plays a video
+    here so the media-type filter is exercised too."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs).withColumn(
+        "media_type",
+        F.when(F.col("media_id") % 3 == 0, F.lit("video")).otherwise(
+            F.lit("image")
+        ),
+    )
+    out = multimodal.sample_frames(media, every_n=7)
+    return out.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
 @register(
