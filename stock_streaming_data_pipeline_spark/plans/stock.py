@@ -365,6 +365,12 @@ def hierarchical_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("high"),
             F.min("value").alias("low"),
         )
+        # Materialize the fine tier once: without this the three union
+        # branches each re-derive `minute` from the fact scan (3 full
+        # scans observed in the physical plan). With it, the facts are
+        # read once and the coarser tiers re-aggregate the materialized
+        # tier — the continuous-aggregate shape this query exists to show.
+        .localCheckpoint(eager=False)
     )
 
     def _up(df: DataFrame, factor: int) -> DataFrame:

@@ -184,3 +184,27 @@ def test_pq_adc_joins_broadcast(spark):
     table (codes never shuffle on the LUT key)."""
     plan = plan_of(spark, "embedding_pq_topk")
     assert "BroadcastHashJoin" in plan
+
+
+def test_hierarchical_bars_single_fact_scan(spark):
+    """The three rollup tiers must share ONE materialized fine tier, not
+    re-derive it from three separate fact scans (the regression the
+    localCheckpoint in the plan guards against)."""
+    plan = plan_of(spark, "hierarchical_bars")
+    n_scans = plan.count("Scan parquet") + plan.count("FileScan parquet")
+    assert n_scans <= 1, f"fact table scanned {n_scans}x across union branches"
+
+
+def test_asof_nearest_no_join_explosion(spark):
+    """Nearest as-of is the linear union+window plan: no Join operator at
+    all, one hash exchange on the key."""
+    plan = plan_of(spark, "asof_nearest_view")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Sequence packing: one per-source window sort; the token estimate
+    must not force extra exchanges."""
+    plan = plan_of(spark, "text_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
