@@ -173,7 +173,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), n1.c_rkey == region.r_regionkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), supp.s_nationkey == n2.s_nkey)
-        .select(F.year("o_orderdate").alias("o_year"), F.col("nation"), rev.alias("rev"))
+        .select(
+            # year() is int32 in Spark, int64 (BIGINT) in DuckDB — cast so
+            # the driver's strict schema compare sees identical dtypes.
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.col("nation"),
+            rev.alias("rev"),
+        )
     )
     zero = F.lit(0).cast("decimal(18,8)")
     return sales.groupBy("o_year").agg(
