@@ -17,6 +17,7 @@ candidates, which is exactly how it is composed here.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (resolves pandas_udf type hints)
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -551,6 +552,224 @@ def ivf_pq_topk(
     rescored = (
         shortlist.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _rotate_vecs(df: DataFrame, R, *, id_col: str, vec_col: str, out: str = "v") -> DataFrame:
+    """Apply a d×d rotation to every vector via an Arrow-batched pandas
+    UDF (one numpy matmul per batch). Built-ins would need d interpreted
+    lambda folds per row — the codegen anti-pattern SCALE.md documents —
+    so this is the legitimate vectorized-UDF case. R rides the closure
+    (d² doubles, KBs)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    Rt = np.ascontiguousarray(R.T)
+
+    @pandas_udf("array<double>")
+    def rot(col: pd.Series) -> pd.Series:
+        M = np.vstack(col.to_numpy())
+        return pd.Series(list(M @ Rt))
+
+    return df.select(F.col(id_col), rot(as_double(F.col(vec_col))).alias(out))
+
+
+def _pq_reconstruct(sub_rows: DataFrame, codebook: DataFrame, *, key_col: str) -> DataFrame:
+    """Decode each vector from its nearest-code assignment: codes joined
+    back to the broadcast codebook, subvectors reassembled in subspace
+    order. Returns ``(key, vhat)``."""
+    coded = _argmin_code(sub_rows, codebook, key_col=key_col)
+    return (
+        coded.join(F.broadcast(codebook), ["m", "code"])
+        .groupBy(key_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "cbvec"))),
+                    lambda s: s.cbvec,
+                )
+            ).alias("vhat")
+        )
+    )
+
+
+def _cross_products(joined: DataFrame, d: int):
+    """Σ ŷ·xᵀ over all rows — the d×d Procrustes matrix, accumulated as
+    per-partition numpy partial sums (one d² row per Arrow partition) and
+    folded on the driver. Never materializes more than d² doubles
+    anywhere, so it is the same plan at 10^9 vectors."""
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        acc = np.zeros((d, d))
+        n = 0
+        for pdf in batches:
+            X = np.vstack(pdf["x"].to_numpy())
+            Y = np.vstack(pdf["vhat"].to_numpy())
+            acc += Y.T @ X
+            n += len(pdf)
+        if n:
+            yield pd.DataFrame({"mm": [acc.flatten().tolist()]})
+
+    rows = joined.select("x", "vhat").mapInPandas(part, "mm array<double>").collect()
+    M = np.zeros((d, d))
+    for r in rows:
+        M += np.asarray(r["mm"]).reshape(d, d)
+    # Round before the SVD: partition-order float drift must not leak into
+    # the rotation (determinism under AQE/replays).
+    return np.round(M, 6)
+
+
+def opq_train(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_sub: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    pq_iters: int = 2,
+):
+    """Optimized Product Quantization (OPQ, non-parametric alternation):
+    learn an orthogonal rotation R that aligns the vector distribution
+    with the PQ subspace grid before encoding, shrinking quantization
+    error vs plain PQ at the same bit budget.
+
+    Alternation per iteration: (1) rotate the corpus, (2) train PQ
+    codebooks on the rotated vectors (:func:`pq_train`), (3) decode the
+    reconstructions, (4) solve the orthogonal Procrustes problem
+    ``min_R Σ||R·x − ŷ||²`` — SVD of the d×d matrix Σ ŷ·xᵀ on the driver
+    (d=64: trivial), with the matrix itself reduced distributed
+    (:func:`_cross_products`). Vectors never reach the driver.
+
+    Deterministic end to end: pq_train's seeded Lloyd, rounded Procrustes
+    input, and SVD sign ambiguity cancels inside U·Vᵀ. Returns
+    ``(R, codebook)`` with the codebook trained against the final R.
+    """
+    import numpy as np
+
+    d = int(df.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    assert d % num_sub == 0, "num_sub must divide the embedding dim"
+    dsub = d // num_sub
+    x = df.select(
+        F.col(id_col).alias("_k"), as_double(F.col(vec_col)).alias("x")
+    ).localCheckpoint(eager=True)
+
+    R = np.eye(d)
+    for _ in range(iters):
+        y = _rotate_vecs(x, R, id_col="_k", vec_col="x", out="v")
+        sub = _sub_rows(y, key_col="_k", vec_alias="v", num_sub=num_sub, dsub=dsub)
+        cb = pq_train(sub, key_col="_k", num_sub=num_sub, ksub=ksub, iters=pq_iters)
+        vhat = _pq_reconstruct(sub, cb, key_col="_k")
+        M = _cross_products(x.join(vhat, "_k"), d)
+        U, _, Vt = np.linalg.svd(M)
+        R = U @ Vt
+    # Final codebook against the final rotation.
+    y = _rotate_vecs(x, R, id_col="_k", vec_col="x", out="v")
+    sub = _sub_rows(y, key_col="_k", vec_alias="v", num_sub=num_sub, dsub=dsub)
+    cb = pq_train(sub, key_col="_k", num_sub=num_sub, ksub=ksub, iters=pq_iters)
+    return R, cb
+
+
+def pq_reconstruction_error(
+    df: DataFrame,
+    R,
+    codebook: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_sub: int = 8,
+) -> float:
+    """Mean squared quantization error ``avg ||R·x − decode(encode(R·x))||²``
+    — the objective OPQ minimizes; used by tests to prove the rotation
+    beats identity."""
+    d = int(df.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    dsub = d // num_sub
+    y = _rotate_vecs(df, R, id_col=id_col, vec_col=vec_col, out="v").select(
+        F.col(id_col).alias("_k"), "v"
+    )
+    sub = _sub_rows(y, key_col="_k", vec_alias="v", num_sub=num_sub, dsub=dsub)
+    vhat = _pq_reconstruct(sub, codebook, key_col="_k")
+    row = (
+        y.join(vhat, "_k")
+        .select(l2sq(F.col("v"), F.col("vhat")).alias("e"))
+        .agg(F.avg("e").alias("mse"))
+        .first()
+    )
+    return float(row["mse"])
+
+
+def opq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_sub: int = 8,
+    ksub: int = 16,
+    rerank: int = 32,
+    iters: int = 3,
+) -> DataFrame:
+    """OPQ-rotated flat-PQ top-k: rotate corpus and queries with the
+    learned R, score by asymmetric distance over the 8-byte codes
+    (per-query LUT broadcast), exact-cosine re-rank of the shortlist on
+    the RAW vectors. Same ADC shape as :func:`ivf_pq_topk`; the rotation
+    costs one Arrow matmul pass on each side."""
+    R, cb = opq_train(
+        corpus, id_col=id_col, vec_col=vec_col, num_sub=num_sub, ksub=ksub,
+        iters=iters,
+    )
+    d = int(corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    dsub = d // num_sub
+
+    c_rot = _rotate_vecs(corpus, R, id_col=id_col, vec_col=vec_col, out="v").select(
+        F.col(id_col).alias("neighbor_id"), "v"
+    )
+    c_sub = _sub_rows(c_rot, key_col="neighbor_id", vec_alias="v",
+                      num_sub=num_sub, dsub=dsub)
+    codes = _argmin_code(c_sub, cb, key_col="neighbor_id")
+
+    q_rot = _rotate_vecs(queries, R, id_col=id_col, vec_col=vec_col, out="v").select(
+        F.col(id_col).alias("query_id"), "v"
+    )
+    q_sub = _sub_rows(q_rot, key_col="query_id", vec_alias="v",
+                      num_sub=num_sub, dsub=dsub)
+    lut = q_sub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "code",
+        F.round(l2sq(F.col("sub"), F.col("cbvec")), 9).alias("pdist"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("pdist"), 6).alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    c_raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    q_raw = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    rescored = (
+        shortlist.join(c_raw, "neighbor_id")
+        .join(F.broadcast(q_raw), "query_id")
         .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

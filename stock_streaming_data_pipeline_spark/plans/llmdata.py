@@ -251,6 +251,21 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_profile(emb, k=8, iters=4)
 
 
+@register("embedding_opq_topk", tags=("LLM-sim",))
+def embedding_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated PQ approximate top-5: an orthogonal rotation learned by
+    alternating PQ training with driver-side 64x64 Procrustes solves
+    (corpus-side reductions stay distributed) aligns the distribution
+    with the subspace grid before 8-byte encoding — measurably lower
+    quantization error than plain PQ at the same bit budget (pinned in
+    tests with the recall floor)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.opq_topk(
+        emb, queries, k=5, num_sub=8, ksub=16, rerank=32, iters=2
+    )
+
+
 @register(
     "text_decontamination",
     tags=("LLM-dedup", "LLM-text"),

@@ -486,3 +486,43 @@ def test_kmeans_converges_and_is_deterministic(spark):
         r["inertia"] for r in similarity.kmeans_profile(emb, k=4, iters=0).collect()
     )
     assert sum(r["inertia"] for r in prof) <= seed_inertia + 1e-6
+
+
+def test_opq_rotation_reduces_quantization_error(spark):
+    """The learned rotation must be orthogonal and must cut the mean
+    squared quantization error vs identity-rotation PQ at the same
+    (num_sub, ksub) budget — the OPQ objective itself."""
+    import numpy as np
+
+    from stock_streaming_data_pipeline_spark.operators import similarity
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    R, cb = similarity.opq_train(emb, num_sub=8, ksub=16, iters=2, pq_iters=2)
+    d = R.shape[0]
+    assert float(np.abs(R @ R.T - np.eye(d)).max()) < 1e-9
+    _, cb_id = similarity.opq_train(emb, num_sub=8, ksub=16, iters=0, pq_iters=2)
+    mse_id = similarity.pq_reconstruction_error(emb, np.eye(d), cb_id, num_sub=8)
+    mse_opq = similarity.pq_reconstruction_error(emb, R, cb, num_sub=8)
+    assert mse_opq < mse_id, f"opq {mse_opq} !< identity {mse_id}"
+
+
+def test_opq_recall_vs_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from stock_streaming_data_pipeline_spark.operators import similarity
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    opq_rows = similarity.opq_topk(emb, queries, k=5, rerank=32, iters=2).collect()
+    opq = {(r["query_id"], r["neighbor_id"]) for r in opq_rows}
+    recall = len(exact & opq) / len(exact)
+    assert recall >= 0.55, f"OPQ recall {recall:.2f}"
+    # re-rank cosines are exact (raw vectors), ranks well-formed
+    for r in opq_rows:
+        assert 1 <= r["rank"] <= 5
