@@ -318,6 +318,76 @@ FROM s1
 """
 
 
+def lm_perplexity(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Bigram-LM perplexity per document (the CCNet-style quality
+    filter): train add-one-smoothed bigram statistics on the corpus and
+    score every document by its average log-probability,
+    ``p(w2|w1) = (C(w1,w2)+1) / (C(w1)+V)``. High perplexity flags
+    gibberish/boilerplate for curation.
+
+    All native expressions: bigrams come from posexplode + lead() over
+    the per-document token order (one shuffle keyed by doc, bounded by
+    document length — no interpreted array lambdas in the hot path);
+    count tables partial-aggregate on their keys; the vocabulary size is
+    a 1-row aggregate cross-joined back (never a driver collect)."""
+    from pyspark.sql import Window
+
+    from stock_streaming_data_pipeline_spark.operators.dedup import tokens
+
+    t = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
+    tt = t.filter(F.size("toks") >= 2)
+    ex = tt.select("doc", F.posexplode("toks").alias("pos", "w1"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    bi = (
+        ex.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc", "w1", "w2")
+    )
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = ex.agg(F.countDistinct("w1").alias("v"))
+    logp = F.log(
+        (F.col("cb") + F.lit(1.0))
+        / (F.col("cu").cast("double") + F.col("v").cast("double"))
+    )
+    scored = (
+        bi.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc", logp.alias("logp"))
+    )
+    avg6 = F.round(F.avg("logp"), 6)
+    return scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        avg6.alias("avg_logp"),
+        F.round(F.exp(-avg6), 4).alias("ppl"),
+    )
+
+
+def sql_lm_perplexity(id_col: str, text_col: str, table: str = "documents") -> str:
+    toks = f"list_filter(regexp_split_to_array(lower({text_col}), '\\s+'), t -> t <> '')"
+    return f"""
+WITH t AS (SELECT {id_col} AS doc, {toks} AS toks FROM {table}),
+tt AS (SELECT doc, toks FROM t WHERE len(toks) >= 2),
+b AS (
+  SELECT doc, toks[i] AS w1, toks[i + 1] AS w2
+  FROM tt, unnest(range(1, len(toks))) AS u(i)
+),
+cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+cu AS (SELECT w1, count(*) AS cu FROM b GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(toks) AS tok FROM tt)),
+scored AS (
+  SELECT b.doc, ln((cb.cb + 1.0) / (cu.cu + v.v)) AS logp
+  FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+)
+SELECT doc, count(*) AS n_bigrams,
+       round(avg(logp), 6) AS avg_logp,
+       round(exp(-round(avg(logp), 6)), 4) AS ppl
+FROM scored GROUP BY doc
+"""
+
+
 def token_stats(df: DataFrame, *, text_col: str, group_col: str) -> DataFrame:
     """Corpus-level token statistics per group (lang/source): documents,
     total/distinct tokens, avg doc length."""

@@ -526,6 +526,20 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_lm_perplexity",
+    tags=("LLM-text",),
+    oracle=text.sql_lm_perplexity("doc_id", "text"),
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM perplexity per document (add-one smoothing)
+    — the CCNet-style perplexity quality filter, fully distributed and
+    oracle-checked (log-prob averaging rounded identically in both
+    engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lm_perplexity(docs, id_col="doc_id", text_col="text")
+
+
+@register(
     "text_repetition",
     tags=("LLM-text",),
     oracle=text.sql_repetition_scores("doc_id", "text"),
