@@ -540,6 +540,61 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pack_payloads",
+    tags=("LLM-text", "LLM-mix"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, source, text,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(regexp_extract_all(norm, '{text.BPE_PRETOKEN}'),
+                            t -> ceil(length(trim(t)) / 4.0)::BIGINT)),
+           (a, x) -> a + x) AS n_tokens
+  FROM t
+),
+packed AS (
+  SELECT doc_id, source, text, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_PACK_BUDGET} AS BIGINT) AS seq_id
+  FROM tok
+)
+SELECT source, seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       string_agg(text, ' <|eod|> ' ORDER BY doc_id) AS payload
+FROM packed GROUP BY source, seq_id
+""",
+)
+def text_pack_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of sequence packing: concatenate each packed
+    sequence's documents (doc_id order, ``<|eod|>`` separators) into the
+    training payload row, with per-sequence doc and token totals. One
+    extra shuffle on (source, seq_id) after the packing window — payload
+    bytes ride exactly one exchange."""
+    assign = text_pack_sequences(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    j = assign.join(docs, "doc_id")
+    return j.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s.text,
+            ),
+            " <|eod|> ",
+        ).alias("payload"),
+    )
+
+
+@register(
     "text_repetition",
     tags=("LLM-text",),
     oracle=text.sql_repetition_scores("doc_id", "text"),
