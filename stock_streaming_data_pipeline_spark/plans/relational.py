@@ -114,8 +114,12 @@ LIMIT 10
 )
 def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped 3-way join + grouped agg + deterministic top-k.
-    The customer dimension side is broadcast; lineitem⋈orders is the one
-    real shuffle."""
+    lineitem⋈orders is the one real shuffle. customer carries NO broadcast
+    hint: it is SF-scaled (150k×SF rows), and an explicit hint is honored
+    by Catalyst regardless of size — at cluster scale it would OOM the
+    driver. Stats-driven auto-broadcast (AQE +
+    autoBroadcastJoinThreshold) picks broadcast when the filtered side is
+    actually small and degrades to shuffle join when it is not."""
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -126,7 +130,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(
             orders.join(
-                F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+                cust, orders.o_custkey == cust.c_custkey, "inner"
             ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
             li.l_orderkey == F.col("o_orderkey"),
             "inner",
@@ -163,9 +167,12 @@ GROUP BY n_name
 """,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped 6-way join: fact-fact shuffle join on orderkey,
-    every dimension broadcast (customer/supplier/nation/region are tiny
-    relative to lineitem at any scale factor)."""
+    """TPC-H Q5-shaped 6-way join: fact-fact shuffle join on orderkey.
+    Only the genuinely bounded dimensions (nation: 25 rows, region: 5)
+    carry broadcast hints. customer/supplier are SF-scaled, so their join
+    strategy is left to stats-driven auto-broadcast/AQE — an explicit
+    hint would be honored unconditionally and OOM the driver at cluster
+    scale."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -178,9 +185,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = money(F.col("l_extendedprice")) * money(1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -794,8 +801,8 @@ def q7_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = money(F.col("l_extendedprice")) * money(1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
         .groupBy("cust_nation", "supp_nation")
@@ -898,7 +905,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = money(F.col("l_extendedprice")) * money(1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(revenue).cast("decimal(18,4)").cast("double").alias("revenue"))
@@ -937,7 +944,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = money(F.col("l_extendedprice")) * money(1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(

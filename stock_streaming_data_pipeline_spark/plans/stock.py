@@ -555,14 +555,16 @@ GROUP BY event_type
 """,
 )
 def users_with_events_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast left-semi join against a small dimension — the producer's
-    symbol-validation lookup (common_function.py:12-17) done relationally."""
+    """Left-semi join against a dimension — the producer's symbol-validation
+    lookup (common_function.py:12-17) done relationally. No hard broadcast
+    hint: customer is SF-scaled, so stats-driven auto-broadcast handles the
+    small-SF case and degrades to a shuffle semi-join at cluster scale."""
     ev = load_table(spark, sf_dir, "events")
     dim = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
     return (
-        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "left_semi")
+        ev.join(dim, ev.user_id == dim.c_custkey, "left_semi")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -582,13 +584,14 @@ GROUP BY event_type
 """,
 )
 def users_without_dim_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast left-anti join (the complement membership check)."""
+    """Left-anti join (the complement membership check); join strategy
+    left to stats/AQE for the same SF-scaling reason as the semi form."""
     ev = load_table(spark, sf_dir, "events")
     dim = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
     return (
-        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "left_anti")
+        ev.join(dim, ev.user_id == dim.c_custkey, "left_anti")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )

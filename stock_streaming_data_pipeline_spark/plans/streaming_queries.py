@@ -520,14 +520,17 @@ JOIN customer c ON t.user_id = c.c_custkey
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the static
     customer dimension per micro-batch (the dimension is re-resolvable
-    every batch — the streaming lookup-table pattern)."""
+    every batch — the streaming lookup-table pattern). The static side
+    carries no hard broadcast hint: it is SF-scaled, and Spark already
+    auto-broadcasts a batch relation under the size threshold inside a
+    streaming plan; beyond it, the per-batch join degrades to shuffle."""
     from stock_streaming_data_pipeline_spark.tables import load_table
 
     ev = stream_events(spark, sf_dir)
     dim = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "inner")
+    joined = ev.join(dim, ev.user_id == dim.c_custkey, "inner")
     settled = settle(
         joined.select(
             "event_id", "event_type", "ts",

@@ -75,7 +75,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(supp, best.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             "p_partkey",
@@ -148,7 +148,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape (national market share): supplier-nation share of
     revenue by order year, restricted to ASIA customers buying ECONOMY
     parts. 8-way join tree: the two fact tables shuffle-join on orderkey;
-    every dimension (customer/supplier/nation x2/region/part) broadcasts.
+    the bounded dimensions (nation x2, region, filtered part) broadcast;
+    SF-scaled customer/supplier are left to stats-driven auto-broadcast.
     Conditional aggregation over exact decimals; the share division runs
     in doubles identically in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -168,10 +169,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sales = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == n1.c_nkey)
         .join(F.broadcast(region), n1.c_rkey == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), supp.s_nationkey == n2.s_nkey)
         .select(
             # year() is int32 in Spark, int64 (BIGINT) in DuckDB — cast so
@@ -319,7 +320,8 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
 )
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promo revenue percentage): one month of lineitem joined
-    to the broadcast part dimension; conditional decimal sums, double
+    to the part dimension (strategy left to stats/AQE — part is
+    SF-scaled and unfiltered here); conditional decimal sums, double
     division at the end."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
@@ -328,7 +330,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = _rev_col().cast("decimal(18,8)")
     zero = F.lit(0).cast("decimal(18,8)")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
         F.col("p_type"), rev.alias("rev")
     )
     return joined.agg(
@@ -380,7 +382,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     return best.join(
-        F.broadcast(supp), best.supplier_no == supp.s_suppkey
+        supp, best.supplier_no == supp.s_suppkey
     ).select(
         "s_suppkey",
         "s_name",
@@ -404,7 +406,8 @@ GROUP BY p_brand, p_type, p_size
 def q16_supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (COUNT DISTINCT + NOT IN anti-subquery): supplier
     diversity per part attribute bucket, excluding suppliers in bad
-    standing. The NOT IN becomes a broadcast left_anti join (safe here:
+    standing. The NOT IN becomes a left_anti join (strategy left to
+    stats/AQE — supplier is SF-scaled; safe here:
     s_suppkey is non-null by construction — NOT IN's null trap doesn't
     apply). lineitem stands in for partsupp as the part↔supplier bridge."""
     part = load_table(spark, sf_dir, "part").filter(
@@ -415,7 +418,7 @@ def q16_supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
@@ -502,7 +505,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big, li.l_orderkey == big.big_okey, "left_semi")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(money(F.col("l_quantity"))).cast("double").alias("total_qty"))
         .select(
@@ -535,10 +538,11 @@ def q19_bracketed_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 (disjunctive bracketed predicates across the join): three
     OR'd brand/size/quantity brackets evaluated over lineitem⋈part.
     Catalyst pushes the common-column residuals below the join where
-    possible; the join itself broadcasts part."""
+    possible; part is unfiltered and SF-scaled, so its join strategy is
+    left to stats-driven auto-broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     bracket = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -662,7 +666,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (order_stats.n_supp >= 2)
             & (order_stats.n_late_supp == 1),
         )
-        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .join(supp, l1.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
