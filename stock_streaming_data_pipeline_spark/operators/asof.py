@@ -10,20 +10,37 @@ union + ordered-window carry-forward:
 
     union(left tagged 1, right tagged 0)
       -> window partitionBy(key) orderBy(ts, tag)
-      -> last(right_value, ignorenulls=True) over rows unbounded..current
-      -> filter tag == 1
+      -> last(right_row_struct, ignorenulls=True) over rows unbounded..current
+      -> filter tag == 1 -> unpack struct fields
 
 One hash shuffle on the key, linear work, no join explosion — this survives
 a 100x scale-up where a per-group ``pd.merge_asof`` (applyInPandas) would
 bottleneck on the hottest key's single task and an inequality join would
 explode. Right-before-left ordering at equal ts gives inclusive (<=)
 semantics.
+
+The carried right columns travel as ONE struct per right row, not as
+independent columns: ``last(col, ignorenulls=True)`` per column would
+stitch values from *different* right rows whenever a carried column is
+NULL on the nearest right row (and conflate NULL values with "no match").
+The struct's nullness tracks the row, so a matched row's NULL values
+surface as NULLs and every output column comes from the same right row.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _right_row_struct(right: DataFrame, carried: list[str]) -> tuple[F.Column, T.StructType]:
+    """The carried right row as one struct column + its type (for the
+    typed NULL placeholder on the left arm of the union)."""
+    struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in carried]
+    )
+    return F.struct(*[F.col(c) for c in carried]), struct_type
 
 
 def asof_join(
@@ -39,18 +56,17 @@ def asof_join(
     left.on) within the same ``by`` key. Unmatched rows keep nulls.
 
     Output = all left columns + ``{right_prefix}{on}`` (the matched right
-    event time) + ``{right_prefix}{col}`` for each right value column.
+    event time) + ``{right_prefix}{col}`` for each right value column —
+    all taken from the SAME matched right row.
     """
     carried = [on, *right_values]
     l_cols = left.columns
-    l = left.withColumn("_tag", F.lit(1))
-    for c in carried:
-        l = l.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    row_struct, struct_type = _right_row_struct(right, carried)
+    l = left.withColumn("_tag", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(struct_type)
+    )
     r = right.select(
-        F.col(by),
-        F.col(on),
-        F.lit(0).alias("_tag"),
-        *[F.col(c).alias(f"_r_{c}") for c in carried],
+        F.col(by), F.col(on), F.lit(0).alias("_tag"), row_struct.alias("_r")
     )
     # Align schemas: right rows carry nulls for left-only columns.
     for c in l_cols:
@@ -63,12 +79,14 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in carried:
-        unioned = unioned.withColumn(
-            f"{right_prefix}{c}", F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
+    matched = F.last(F.col("_r"), ignorenulls=True).over(w).alias("_m")
+    return (
+        unioned.withColumn("_m", matched)
+        .filter(F.col("_tag") == 1)
+        .select(
+            *l_cols,
+            *[F.col("_m")[c].alias(f"{right_prefix}{c}") for c in carried],
         )
-    return unioned.filter(F.col("_tag") == 1).select(
-        *l_cols, *[f"{right_prefix}{c}" for c in carried]
     )
 
 
@@ -90,20 +108,19 @@ def asof_join_nearest(
     Same scalable shape as :func:`asof_join`: one union, one hash shuffle
     on the key, two linear window passes (backward carry-forward for the
     most recent right row, forward carry-backward for the next one), then
-    a per-row arm pick. No inequality-join explosion — a candidate join
-    bounded by tolerance would be O(left x right-in-window) per key and
-    die on hot keys at 100 TB; this stays O(n log n) in the sort.
+    a per-row arm pick OVER WHOLE ROW STRUCTS (never mixing columns from
+    different right rows). No inequality-join explosion — a candidate
+    join bounded by tolerance would be O(left x right-in-window) per key
+    and die on hot keys at 100 TB; this stays O(n log n) in the sort.
     """
     carried = [on, *right_values]
     l_cols = left.columns
-    l = left.withColumn("_tag", F.lit(1))
-    for c in carried:
-        l = l.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    row_struct, struct_type = _right_row_struct(right, carried)
+    l = left.withColumn("_tag", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(struct_type)
+    )
     r = right.select(
-        F.col(by),
-        F.col(on),
-        F.lit(0).alias("_tag"),
-        *[F.col(c).alias(f"_r_{c}") for c in carried],
+        F.col(by), F.col(on), F.lit(0).alias("_tag"), row_struct.alias("_r")
     )
     for c in l_cols:
         if c not in (by, on):
@@ -123,25 +140,21 @@ def asof_join_nearest(
         .orderBy(*order)
         .rowsBetween(0, Window.unboundedFollowing)
     )
-    for c in carried:
-        unioned = unioned.withColumn(
-            f"_prev_{c}", F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w_prev)
-        ).withColumn(
-            f"_next_{c}", F.first(F.col(f"_r_{c}"), ignorenulls=True).over(w_next)
-        )
+    unioned = unioned.withColumn(
+        "_prev", F.last(F.col("_r"), ignorenulls=True).over(w_prev)
+    ).withColumn("_next", F.first(F.col("_r"), ignorenulls=True).over(w_next))
 
-    us = lambda col: F.unix_micros(F.col(col))  # noqa: E731
-    dist_prev = us(on) - us(f"_prev_{on}")
-    dist_next = us(f"_next_{on}") - us(on)
-    ok_prev = F.col(f"_prev_{on}").isNotNull() & (dist_prev <= tolerance_micros)
-    ok_next = F.col(f"_next_{on}").isNotNull() & (dist_next <= tolerance_micros)
+    dist_prev = F.unix_micros(F.col(on)) - F.unix_micros(F.col("_prev")[on])
+    dist_next = F.unix_micros(F.col("_next")[on]) - F.unix_micros(F.col(on))
+    ok_prev = F.col("_prev").isNotNull() & (dist_prev <= tolerance_micros)
+    ok_next = F.col("_next").isNotNull() & (dist_next <= tolerance_micros)
     take_prev = ok_prev & (~ok_next | (dist_prev <= dist_next))
-    out = unioned.filter(F.col("_tag") == 1)
-    for c in carried:
-        out = out.withColumn(
-            f"{right_prefix}{c}",
-            F.when(take_prev, F.col(f"_prev_{c}")).when(
-                ok_next, F.col(f"_next_{c}")
-            ),
+    picked = F.when(take_prev, F.col("_prev")).when(ok_next, F.col("_next"))
+    return (
+        unioned.filter(F.col("_tag") == 1)
+        .withColumn("_m", picked)
+        .select(
+            *l_cols,
+            *[F.col("_m")[c].alias(f"{right_prefix}{c}") for c in carried],
         )
-    return out.select(*l_cols, *[f"{right_prefix}{c}" for c in carried])
+    )

@@ -168,12 +168,16 @@ def resize_images(
 def sample_frames(media: DataFrame, *, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits one row per kept
     frame index based on metadata (the decode of the frame itself is the
-    stubbed step). Pure built-ins — array expansion, no UDF."""
+    stubbed step). Pure built-ins — array expansion, no UDF. Frameless
+    media (n_frames == 0 or NULL) emit no rows — there is no frame 0 to
+    sample from an empty video."""
     frames = F.sequence(
-        F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_n)
+        F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
     )
     return (
-        media.filter(F.col("media_type") == "video")
+        media.filter(
+            (F.col("media_type") == "video") & (F.col("meta.n_frames") > 0)
+        )
         .select("media_id", F.explode(frames).alias("frame_idx"))
     )
 

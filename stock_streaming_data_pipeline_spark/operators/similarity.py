@@ -206,6 +206,9 @@ def ivf_train(
     Each iteration = one broadcast assignment pass + one posexplode
     groupBy mean — no vectors ever reach the driver; lineage is cut per
     iteration with localCheckpoint so the loop's plan stays bounded.
+    Clusters that go empty during an update RETAIN their previous
+    centroid (left-join + coalesce), so the trainer always returns
+    exactly ``nlist`` centroids regardless of the data distribution.
     At 10^9 vectors, train on a sampled slice and keep iters small —
     the quantizer only needs to be roughly balanced, not converged.
     """
@@ -224,7 +227,7 @@ def ivf_train(
     )
     for _ in range(iters):
         assigned = _nearest_centroid(vecs, cents, key_col="_vid", vec_alias="v")
-        cents = (
+        new_means = (
             assigned.select("cluster_id", F.posexplode("v"))
             .groupBy("cluster_id", "pos")
             .agg(F.avg("col").alias("cv"))
@@ -233,9 +236,19 @@ def ivf_train(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "cv"))),
                     lambda s: s.cv,
-                ).alias("cvec")
+                ).alias("new_cvec")
             )
-            .select(F.col("cluster_id").alias("_cid"), "cvec")
+            .select(F.col("cluster_id").alias("_cid"), "new_cvec")
+        )
+        # A cluster that captured no vectors this round keeps its previous
+        # centroid (left-join + coalesce) instead of silently vanishing —
+        # the update step must always return exactly nlist centroids.
+        cents = (
+            cents.select("_cid", F.col("cvec").alias("old_cvec"))
+            .join(new_means, "_cid", "left")
+            .select(
+                "_cid", F.coalesce("new_cvec", "old_cvec").alias("cvec")
+            )
             .localCheckpoint(eager=True)
         )
     return cents

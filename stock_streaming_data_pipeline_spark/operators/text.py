@@ -329,7 +329,14 @@ def lm_perplexity(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     the per-document token order (one shuffle keyed by doc, bounded by
     document length — no interpreted array lambdas in the hot path);
     count tables partial-aggregate on their keys; the vocabulary size is
-    a 1-row aggregate cross-joined back (never a driver collect)."""
+    a 1-row aggregate cross-joined back (never a driver collect).
+
+    ``bi`` feeds three consumers (the two count tables and the scoring
+    join), so it is materialized once with localCheckpoint — otherwise
+    the posexplode + per-doc window shuffle re-executes up to three
+    times whenever Spark's exchange reuse doesn't kick in. The vocab
+    branch deliberately hangs off ``tt`` (a plain explode scan), not the
+    windowed lineage."""
     from pyspark.sql import Window
 
     from stock_streaming_data_pipeline_spark.operators.dedup import tokens
@@ -342,10 +349,13 @@ def lm_perplexity(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
         ex.withColumn("w2", F.lead("w1").over(w))
         .filter(F.col("w2").isNotNull())
         .select("doc", "w1", "w2")
+        .localCheckpoint(eager=False)
     )
     cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     cu = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
-    vocab = ex.agg(F.countDistinct("w1").alias("v"))
+    vocab = tt.select(F.explode("toks").alias("w1")).agg(
+        F.countDistinct("w1").alias("v")
+    )
     logp = F.log(
         (F.col("cb") + F.lit(1.0))
         / (F.col("cu").cast("double") + F.col("v").cast("double"))

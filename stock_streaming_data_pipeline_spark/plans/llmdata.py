@@ -929,9 +929,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("LLM-multimodal",),
     oracle="""
 SELECT doc_id AS media_id,
-       CAST(unnest(range(0, greatest((n_chars % 100) - 1, 0) + 1, 7)) AS BIGINT)
+       CAST(unnest(range(0, (n_chars % 100) - 1 + 1, 7)) AS BIGINT)
          AS frame_idx
-FROM documents WHERE doc_id % 3 = 0
+FROM documents WHERE doc_id % 3 = 0 AND (n_chars % 100) > 0
 """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,7 +939,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame index from the typed ``meta.n_frames``): pure array-expansion
     built-ins, one generate pass, no UDF — the decode of each kept frame
     is the (stubbed) downstream step. Every third document plays a video
-    here so the media-type filter is exercised too."""
+    here so the media-type filter is exercised too; frameless videos
+    (n_frames == 0) emit no rows."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(docs).withColumn(
         "media_type",

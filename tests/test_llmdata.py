@@ -488,6 +488,23 @@ def test_kmeans_converges_and_is_deterministic(spark):
     assert sum(r["inertia"] for r in prof) <= seed_inertia + 1e-6
 
 
+def test_kmeans_retains_empty_clusters(spark):
+    """A degenerate corpus (2 distinct points, k=4) forces clusters to go
+    empty during the Lloyd update; the trainer must still return exactly
+    k centroids (empty ones retain their previous position) rather than
+    silently shrinking — the round-2 ADVICE regression."""
+    from stock_streaming_data_pipeline_spark.operators import similarity
+
+    rows = [(i, ([1.0, 1.0] if i % 2 else [9.0, 9.0])) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_train(emb, nlist=4, iters=3).collect()
+    assert len(cents) == 4
+    assert sorted(r["_cid"] for r in cents) == [0, 1, 2, 3]
+    prof = similarity.kmeans_profile(emb, k=4, iters=3).collect()
+    # every vector is still accounted for even with empty clusters around
+    assert sum(r["size"] for r in prof) == 40
+
+
 def test_opq_rotation_reduces_quantization_error(spark):
     """The learned rotation must be orthogonal and must cut the mean
     squared quantization error vs identity-rotation PQ at the same
