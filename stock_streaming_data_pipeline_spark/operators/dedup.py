@@ -295,6 +295,23 @@ def _minhash_aggs(num_perm: int) -> list[Column]:
     ]
 
 
+_BUCKET_P = 1_000_003  # chained-fold multiplier for band compaction
+
+
+def _band_bucket(mh_cols: list[Column]) -> Column:
+    """Compact a band's minhash row values into one BIGINT join key with a
+    chained modular fold ``acc = (acc * P + mh) mod M31`` — plain integer
+    arithmetic (portable to any engine; never overflows: acc < 2^31,
+    acc*P < 2^51) instead of Spark's murmur ``F.hash``, so the DuckDB
+    oracle reproduces the bucket assignment bit-for-bit. Collisions merge
+    buckets identically in both engines and are removed by the exact
+    verification step either way."""
+    acc: Column = F.lit(0).cast("long")
+    for c in mh_cols:
+        acc = F.pmod(acc * F.lit(_BUCKET_P) + c, F.lit(MERSENNE31))
+    return acc
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -330,8 +347,8 @@ def minhash_lsh_pairs(
         *[
             F.struct(
                 F.lit(j).alias("band"),
-                F.hash(
-                    *[F.col(f"mh_{j * rows_per_band + r}") for r in range(rows_per_band)]
+                _band_bucket(
+                    [F.col(f"mh_{j * rows_per_band + r}") for r in range(rows_per_band)]
                 ).alias("bucket"),
             )
             for j in range(bands)
@@ -369,6 +386,83 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def sql_minhash_lsh_pairs(
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of :func:`minhash_lsh_pairs` with ``portable=True``:
+    replays the md5 base hash, the (a_k*x+b_k) mod M31 permutation family,
+    the chained-modular band buckets, candidate generation, and the exact
+    hashed-set Jaccard verification — the full LSH pipeline, independently
+    recomputed, so the 'approximate' operator still gets a hash-exact
+    differential check (both engines make identical banding decisions)."""
+    rows_per_band = num_perm // bands
+    sh = sql_shingles(text_col, n)
+    base = sql_portable_hash("s", salt="mh_")
+    mh_exprs = ",\n    ".join(
+        f"min((h31 * {2 * k + 1} + {k * 2654435761}) % {MERSENNE31}) AS mh_{k}"
+        for k in range(num_perm)
+    )
+
+    def bucket_expr(j: int) -> str:
+        acc = "0"
+        for r in range(rows_per_band):
+            acc = f"(({acc}) * {_BUCKET_P} + mh_{j * rows_per_band + r}) % {MERSENNE31}"
+        return acc
+
+    band_structs = ",\n      ".join(
+        f"struct_pack(band := {j}, bucket := {bucket_expr(j)})"
+        for j in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS doc, unnest({sh}) AS s FROM {table}
+),
+h AS (
+  SELECT doc, {base} & 2147483647 AS h31, {base} AS h FROM sh
+),
+sig AS (
+  SELECT doc,
+    {mh_exprs}
+  FROM h GROUP BY doc
+),
+bk AS (
+  SELECT doc, b.band AS band, b.bucket AS bucket
+  FROM (
+    SELECT doc, unnest([
+      {band_structs}
+    ]) AS b
+    FROM sig
+  )
+),
+cands AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+hset AS (
+  SELECT doc, list(DISTINCT h) AS hs FROM h GROUP BY doc
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+             / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))),
+             6) AS jaccard
+FROM cands
+JOIN hset ha ON ha.doc = doc_a
+JOIN hset hb ON hb.doc = doc_b
+WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+      / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+      >= {threshold}
+"""
 
 
 def lsh_band_params(threshold: float, num_perm: int = 64) -> tuple[int, int]:

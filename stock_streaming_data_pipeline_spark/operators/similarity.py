@@ -121,6 +121,59 @@ def lsh_bucket(vec: Column, *, dim: int, bits: int = 12) -> Column:
     return acc
 
 
+def sql_lsh_topk(
+    *,
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 10",
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 4,
+) -> str:
+    """DuckDB mirror of single-probe :func:`lsh_topk`: the hyperplane
+    weights are the SAME Python-generated double literals the Spark plan
+    embeds via ``F.lit`` (no trig evaluated in either engine), and both
+    sides use the identical left-fold dot product — bucket assignment and
+    re-rank scores reproduce bit-for-bit, giving the 'approximate' ANN
+    path a hash-exact differential oracle."""
+
+    def plane_lit(b: int) -> str:
+        return "[" + ", ".join(repr(w) for w in _hyperplane(dim, b)) + "]"
+
+    def bucket_expr(col: str) -> str:
+        terms = [
+            f"(CASE WHEN ({SQL_DOT.format(a=col, b=plane_lit(b))}) > 0 "
+            f"THEN {2 ** b} ELSE 0 END)"
+            for b in range(bits)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    cos = (
+        f"round(({SQL_DOT.format(a='c.embedding', b='q.qv')}) / "
+        f"(({SQL_NORM.format(a='c.embedding')}) * ({SQL_NORM.format(a='q.qv')})), 6)"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding, {bucket_expr('embedding')} AS bucket
+  FROM {table}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket
+  FROM c WHERE {query_pred}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM c JOIN q USING (bucket)
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+       ) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -179,9 +232,13 @@ def _nearest_centroid(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (broadcast
     centroids; deterministic tie-break on cluster id). One window shuffle
-    on the unique vector id."""
+    on the unique vector id. The similarity is rounded to 6 decimals
+    BEFORE the argmin so the decision is insensitive to last-ulp noise in
+    the centroid means (double aggregation order differs across engines
+    and across partition layouts); ties resolve by cluster id — the same
+    rule the DuckDB kmeans oracle replays."""
     scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", F.round(cosine(F.col(vec_alias), F.col("cvec")), 9)
+        "_sim", F.round(cosine(F.col(vec_alias), F.col("cvec")), 6)
     )
     w = Window.partitionBy(key_col).orderBy(F.desc("_sim"), F.asc("_cid"))
     return (
@@ -254,6 +311,168 @@ def ivf_train(
     return cents
 
 
+SQL_L2SQ = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(1, len({a}) + 1), "
+    "i -> (({a})[i]::DOUBLE - ({b})[i]::DOUBLE) * "
+    "(({a})[i]::DOUBLE - ({b})[i]::DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+def _sql_cos(a: str, b: str, digits: int | None) -> str:
+    raw = (
+        f"({SQL_DOT.format(a=a, b=b)}) / "
+        f"(({SQL_NORM.format(a=a)}) * ({SQL_NORM.format(a=b)}))"
+    )
+    return raw if digits is None else f"round({raw}, {digits})"
+
+
+def _sql_lloyd_ctes(table: str, k: int, iters: int) -> list[str]:
+    """Chained CTEs for the seeded Lloyd loop (the :func:`ivf_train`
+    semantics in SQL): seeds = k lowest ids, round-6 cosine argmin with
+    id tie-breaks, per-position double means, empty-cluster retention.
+    Final centroids land in CTE ``c{iters}``."""
+    parts = [
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         list_transform(embedding, x -> x::DOUBLE) AS cvec
+  FROM (SELECT vec_id, embedding FROM {table} ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, cid,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, cid
+         ) AS rn
+  FROM (
+    SELECT e.vec_id, c.cid, {_sql_cos('e.embedding', 'c.cvec', 6)} AS sim
+    FROM {table} e CROSS JOIN c{i} c
+  )
+)""")
+        parts.append(
+            f"""m{i} AS (
+  SELECT g.cid, u.i AS pos, avg((e.embedding)[u.i]::DOUBLE) AS mv
+  FROM (SELECT vec_id, cid FROM a{i} WHERE rn = 1) g
+  JOIN {table} e USING (vec_id),
+       unnest(range(1, len(e.embedding) + 1)) AS u(i)
+  GROUP BY g.cid, u.i
+)""")
+        parts.append(
+            f"""c{i + 1} AS (
+  SELECT c.cid, coalesce(n.new_cvec, c.cvec) AS cvec
+  FROM c{i} c LEFT JOIN (
+    SELECT cid, list(mv ORDER BY pos) AS new_cvec FROM m{i} GROUP BY cid
+  ) n USING (cid)
+)""")
+    return parts
+
+
+def sql_kmeans_profile(
+    *, table: str = "embeddings", k: int = 8, iters: int = 4
+) -> str:
+    """DuckDB mirror of :func:`kmeans_profile`: the seeded Lloyd loop
+    unrolled into chained CTEs, then the per-cluster profile. Both
+    engines make identical assignment decisions (the round-6 argmin
+    absorbs double-sum ordering noise in the means), turning the
+    'iterative, not SQL-expressible' query into a full differential
+    check."""
+    parts = _sql_lloyd_ctes(table, k, iters)
+    parts.append(
+        f"""fin AS (
+  SELECT vec_id, cid, cvec,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, cid
+         ) AS rn
+  FROM (
+    SELECT e.vec_id, c.cid, c.cvec,
+           {_sql_cos('e.embedding', 'c.cvec', 6)} AS sim
+    FROM {table} e CROSS JOIN c{iters} c
+  )
+)"""
+    )
+    body = ",\n".join(parts)
+    l2 = SQL_L2SQ.format(a="e.embedding", b="f.cvec")
+    cos_raw = _sql_cos("e.embedding", "f.cvec", None)
+    return f"""
+WITH {body}
+SELECT f.cid AS cluster_id, count(*) AS size,
+       round(sum({l2}), 4) AS inertia,
+       round(avg({cos_raw}), 6) AS avg_cosine
+FROM (SELECT vec_id, cid, cvec FROM fin WHERE rn = 1) f
+JOIN {table} e USING (vec_id)
+GROUP BY f.cid
+ORDER BY f.cid
+"""
+
+
+def sql_ivf_topk(
+    *,
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 10",
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 3,
+    iters: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`ivf_topk`: replays the Lloyd-trained
+    coarse quantizer (shared CTE builder), corpus list assignment, the
+    nprobe nearest-list selection per query, and the exact re-rank inside
+    the probed lists — the full IVF-Flat pipeline as one differential
+    check (approximate vs brute force by design, deterministic in
+    execution)."""
+    parts = _sql_lloyd_ctes(table, k=nlist, iters=iters)
+    parts.append(
+        f"""asg AS (
+  SELECT vec_id, cid
+  FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.cvec', 6)} DESC, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)"""
+    )
+    parts.append(
+        f"""probes AS (
+  SELECT query_id, cid
+  FROM (
+    SELECT e.vec_id AS query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.cvec', 6)} DESC, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN c{iters} c
+    WHERE {query_pred}
+  ) WHERE rn <= {nprobe}
+)"""
+    )
+    cos = _sql_cos("n.embedding", "q.embedding", 6)
+    parts.append(
+        f"""scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {cos} AS cosine
+  FROM probes p
+  JOIN {table} q ON q.vec_id = p.query_id
+  JOIN asg a ON a.cid = p.cid
+  JOIN {table} n ON n.vec_id = a.vec_id
+  WHERE n.vec_id != q.vec_id
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+       ) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def kmeans_profile(
     df: DataFrame,
     *,
@@ -320,8 +539,10 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
+    # round-6 before the probe argsort (same ulp-robustness rule as
+    # _nearest_centroid; mirrored by the SQL oracles).
     q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", F.round(cosine(F.col("qv"), F.col("cvec")), 9)
+        "_sim", F.round(cosine(F.col("qv"), F.col("cvec")), 6)
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("_cid"))
     q_probes = (
@@ -515,8 +736,10 @@ def ivf_pq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
+    # round-6 before the probe argsort (same ulp-robustness rule as
+    # _nearest_centroid; mirrored by the SQL oracles).
     q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", F.round(cosine(F.col("qv"), F.col("cvec")), 9)
+        "_sim", F.round(cosine(F.col("qv"), F.col("cvec")), 6)
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("_cid"))
     q_probes = (

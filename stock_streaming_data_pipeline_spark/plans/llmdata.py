@@ -90,17 +90,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", tags=("LLM-dedup",), bench=True)
+_MH_BANDS, _MH_ROWS = dedup.lsh_band_params(0.6, num_perm=64)  # -> (16, 4)
+
+
+@register(
+    "dedup_minhash_lsh",
+    tags=("LLM-dedup",),
+    bench=True,
+    oracle=dedup.sql_minhash_lsh_pairs(
+        "doc_id", "text", n=3, num_perm=64, bands=_MH_BANDS, threshold=0.6
+    ),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands × 4) candidates, exact-verified at 0.6 —
-    the scale path for the same near-dup query (approximate recall, so
-    rows-only check here; recall vs the exact join is pinned in
-    tests/test_llmdata.py)."""
+    the scale path for the same near-dup query. Though approximate by
+    DESIGN (recall < 1 vs the exact join — pinned in tests), the pipeline
+    itself is deterministic and engine-portable (md5 base hash, modular
+    permutation family, chained-modular band buckets), so the DuckDB
+    oracle replays banding + verification bit-for-bit: a full
+    differential check of the LSH machinery."""
     docs = load_table(spark, sf_dir, "documents")
-    bands, _rows = dedup.lsh_band_params(0.6, num_perm=64)  # -> (16, 4)
     return dedup.minhash_lsh_pairs(
         docs, id_col="doc_id", text_col="text", n=3,
-        num_perm=64, bands=bands, threshold=0.6,
+        num_perm=64, bands=_MH_BANDS, threshold=0.6, portable=True,
     )
 
 
@@ -213,10 +225,18 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_lsh_topk", tags=("LLM-sim",))
+@register(
+    "embedding_lsh_topk",
+    tags=("LLM-sim",),
+    oracle=similarity.sql_lsh_topk(query_pred="vec_id < 10", k=5, dim=64, bits=4),
+)
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (random-hyperplane signs, 12 bits) —
-    the sub-linear scale path; recall vs brute force pinned in tests."""
+    """LSH-bucketed approximate top-5 (random-hyperplane signs) — the
+    sub-linear scale path; recall vs brute force pinned in tests.
+    Approximate by DESIGN, deterministic in EXECUTION: the hyperplanes
+    are fixed double literals and both engines run the same left-fold
+    dot product, so the DuckDB oracle replays bucketing + re-rank
+    bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     # bits sizes the bucket fan-out: ~corpus/2^bits candidates per probe.
@@ -225,13 +245,21 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5, dim=64, bits=4)
 
 
-@register("embedding_ivf_topk", tags=("LLM-sim",))
+@register(
+    "embedding_ivf_topk",
+    tags=("LLM-sim",),
+    oracle=similarity.sql_ivf_topk(
+        query_pred="vec_id < 10", k=5, nlist=8, nprobe=3, iters=2
+    ),
+)
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-5: deterministic Lloyd-trained coarse
     quantizer (nlist=8), probe the 3 nearest inverted lists per query,
     exact re-rank inside them — the second ANN architecture next to the
     LSH bucketer (FAISS-style IVF as DataFrame ops; recall vs brute force
-    pinned in tests)."""
+    pinned in tests). The DuckDB oracle replays training, list
+    assignment, probe selection and re-rank — a full differential check
+    of the IVF pipeline."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     # nlist sizes the inverted lists (~corpus/nlist rows each); probe cost
@@ -240,13 +268,19 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=3)
 
 
-@register("embedding_kmeans", tags=("LLM-sim",))  # no oracle: iterative
+@register(
+    "embedding_kmeans",
+    tags=("LLM-sim",),
+    oracle=similarity.sql_kmeans_profile(k=8, iters=4),
+)
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding corpus (k=8, 4
     iterations, deterministic seeds/tie-breaks) with per-cluster size,
-    inertia and cohesion — the genuinely iterative algorithm class the
-    SQL oracle can't express; convergence and determinism are pinned in
-    tests/test_llmdata.py instead."""
+    inertia and cohesion. The DuckDB oracle unrolls the same seeded
+    Lloyd loop into chained CTEs (round-6 argmin absorbs double-sum
+    ordering noise in the means), so even this iterative algorithm
+    carries a full differential check; convergence and determinism are
+    additionally pinned in tests/test_llmdata.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.kmeans_profile(emb, k=8, iters=4)
 
