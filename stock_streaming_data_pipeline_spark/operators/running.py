@@ -8,8 +8,10 @@ streaming form = transformWithState/applyInPandasWithState (streaming/state.py).
 
 Scale notes: Window.partitionBy(key) is a single hash shuffle; skewed keys
 are handled by AQE only for joins/aggs, so a genuinely hot key in a window
-function is a real hazard at 100 TB — for analytics that tolerate it, prefer
-bucketed pre-partitioning on the key, or split hot keys upstream.
+function is a real hazard at 100 TB. :func:`running_sum_salted` implements
+the two-phase mitigation (contiguous time segments + offset join) for the
+W1 shape; for other window ops, bucketed pre-partitioning on the key or
+upstream hot-key splitting remain the fallbacks.
 """
 
 from __future__ import annotations
@@ -34,6 +36,72 @@ def running_sum(
     """Per-key running cumulative sum, monotone in event time (W1/A3)."""
     w = _ordered_window(key, ts, *tiebreak).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(out, F.sum(value).over(w))
+
+
+def running_sum_salted(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    out: str = "cumulative",
+    tiebreak: tuple[str, ...] = (),
+    segment=None,
+) -> DataFrame:
+    """Hot-key-safe running cumulative sum: the two-phase distributed
+    prefix sum. :func:`running_sum` funnels ALL of a key's rows through
+    one task (Window.partitionBy(key) has no AQE skew splitting), so a
+    90 %-skew key serializes the whole stage at 100 TB. This variant:
+
+    1. splits each key's timeline into contiguous segments via
+       ``segment`` — any monotone non-decreasing function of ``ts``
+       (default: calendar day) — and cumsums locally per (key, segment):
+       the hot key's rows now spread across as many tasks as it has
+       segments;
+    2. aggregates per-segment totals (one row per (key, segment) — a
+       relation ~|keys|x|segments|, tiny next to the fact) and computes
+       each segment's starting offset with an ordered window over that
+       SMALL relation;
+    3. joins the offsets back (broadcast/AQE-sized — no hard hint) and
+       adds them to the local prefix.
+
+    Result rows equal :func:`running_sum` exactly for exact-typed values
+    (DECIMAL/ints); for floats the offset+local reassociation can differ
+    from the straight fold in the last ulp — cast to DECIMAL first when
+    bit-parity matters (the catalog query does).
+
+    Equivalence with the plain form and the partition spread are pinned
+    in tests/test_scale_ops.py.
+    """
+    seg_col = F.to_date(F.col(ts)) if segment is None else segment
+    b = df.withColumn("_seg", seg_col)
+    w_local = (
+        Window.partitionBy(key, "_seg")
+        .orderBy(ts, *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("_local", F.sum(value).over(w_local))
+    seg_totals = b.groupBy(key, "_seg").agg(F.sum(value).alias("_seg_total"))
+    w_seg = (
+        Window.partitionBy(key)
+        .orderBy("_seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = seg_totals.select(
+        key,
+        "_seg",
+        F.sum("_seg_total").over(w_seg).alias("_offset"),
+    )
+    return (
+        local.join(offsets, [key, "_seg"])
+        .withColumn(
+            out,
+            F.when(F.col("_offset").isNull(), F.col("_local")).otherwise(
+                F.col("_local") + F.col("_offset")
+            ),
+        )
+        .drop("_seg", "_local", "_offset")
+    )
 
 
 def trailing_agg(

@@ -225,6 +225,38 @@ def cumulative_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cumulative_volume_salted",
+    tags=("W1", "A3"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES})
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round(CAST(sum(CAST(volume AS DECIMAL(18,6))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS cumulative_volume
+FROM trades
+""",
+)
+def cumulative_volume_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-key running volume through the hot-key-safe two-phase
+    prefix sum (running_sum_salted: contiguous day segments + offset
+    join). DECIMAL accumulation makes the reassociated sum exact, so the
+    plain-window DuckDB oracle must match hash-for-hash — proving the
+    salted physical strategy preserves the logical result."""
+    tv = trades_view(spark, sf_dir).withColumn(
+        "vol_dec", F.col("volume").cast("decimal(18,6)")
+    )
+    out = running.running_sum_salted(
+        tv, key="user_id", ts="ts", value="vol_dec",
+        out="cum", tiebreak=("event_id",),
+    )
+    return out.select(
+        "event_id", "user_id", epoch_us("ts").alias("ts_us"),
+        F.round(F.col("cum").cast("double"), 6).alias("cumulative_volume"),
+    )
+
+
+@register(
     "latest_event_per_key",
     tags=("W3", "O2"),
     oracle=f"""

@@ -117,3 +117,73 @@ def test_minmax_strategies_identical(spark):
     assert a.equals(b)
     g = minmax_scale(ev, key=None, cols=["value"], strategy="join")
     assert g.agg(F.min("value_scaled"), F.max("value_scaled")).collect()[0] == (0.0, 1.0)
+
+
+def test_running_sum_salted_equals_plain(spark):
+    """The two-phase (segmented) prefix sum must equal the single-window
+    form row-for-row — compared on DECIMAL values so both association
+    orders are exact."""
+    from stock_streaming_data_pipeline_spark.operators import running
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_id", "user_id", "ts",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+    )
+    plain = running.running_sum(
+        ev, key="user_id", ts="ts", value="v", out="cum",
+        tiebreak=("event_id",),
+    )
+    salted = running.running_sum_salted(
+        ev, key="user_id", ts="ts", value="v", out="cum",
+        tiebreak=("event_id",),
+    )
+    cols = ["event_id", "user_id", "cum"]
+    assert plain.select(cols).exceptAll(salted.select(cols)).count() == 0
+    assert salted.select(cols).exceptAll(plain.select(cols)).count() == 0
+    assert plain.count() == salted.count()
+
+
+def test_running_sum_salted_spreads_hot_key(spark):
+    """Planted 90%-skew key over 20 days: the local cumsum window must
+    partition by (key, segment) — no single task sees the whole hot key —
+    and the plan must show the composite partitioning."""
+    from stock_streaming_data_pipeline_spark.operators import running
+
+    base_epoch = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    n = 10_000
+    rows = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7))
+        .otherwise(F.col("id") % 100).cast("long").alias("k"),
+        F.timestamp_seconds(
+            F.lit(base_epoch) + F.col("id") * 173 % (86400 * 20)
+        ).alias("ts"),
+        F.lit(1).cast("long").alias("v"),
+        F.col("id").alias("rid"),
+    )
+    out = running.running_sum_salted(
+        rows, key="k", ts="ts", value="v", out="cum", tiebreak=("rid",)
+    )
+    # plan: the big-side window partitions on (k, _seg), not k alone
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(k" in plan and "_seg" in plan.split("hashpartitioning(k", 1)[1][:80]
+    # data: the largest (key, segment) group is far below the hot key's total
+    seg_sizes = (
+        rows.withColumn("_seg", F.to_date("ts"))
+        .groupBy("k", "_seg").count().agg(F.max("count")).collect()[0][0]
+    )
+    hot_total = rows.filter(F.col("k") == 7).count()
+    assert hot_total >= 0.89 * n
+    assert seg_sizes <= hot_total / 10
+    # and the result is still the true prefix sum for the hot key
+    got = (
+        out.filter(F.col("k") == 7)
+        .orderBy("ts", "rid")
+        .select("cum")
+        .limit(5)
+        .collect()
+    )
+    assert [r["cum"] for r in got] == [1, 2, 3, 4, 5]
+    assert out.filter(F.col("k") == 7).agg(F.max("cum")).collect()[0][0] == hot_total
