@@ -65,7 +65,11 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def compact_upsert_table(
-    spark: SparkSession, path: str, key_cols: list[str]
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    *,
+    _crash_after_publish: bool = False,
 ) -> None:
     """Compaction for the LSM-style upsert sink: rewrite the resolved
     last-write-wins state as one new winning epoch, then drop the history
@@ -100,6 +104,10 @@ def compact_upsert_table(
         .withColumn("_epoch", F.lit(-1))
     )
     resolved.write.mode("append").parquet(path)
+    if _crash_after_publish:
+        # failpoint for the crash-injection test: die between publishing
+        # the compacted epoch and tombstoning the history files
+        return
     for f in old_files:
         fs.delete(f, False)
 

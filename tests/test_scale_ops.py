@@ -187,3 +187,49 @@ def test_running_sum_salted_spreads_hot_key(spark):
     )
     assert [r["cum"] for r in got] == [1, 2, 3, 4, 5]
     assert out.filter(F.col("k") == 7).agg(F.max("cum")).collect()[0][0] == hot_total
+
+
+def test_upsert_compaction_crash_between_publish_and_tombstone(spark, tmp_path):
+    """Crash injection for the atomic-publish design: a compaction that
+    dies AFTER appending the compacted epoch but BEFORE deleting the
+    history files must leave readers resolving the identical state (the
+    compacted rows carry each key's max-epoch winner, so last-write-wins
+    is unchanged), and a recovery compaction must converge to the clean
+    layout."""
+    import glob
+
+    path = str(tmp_path / "upsert")
+    keys = ["symbol", "timestamp"]
+    writer = sinks.upsert_writer(path, keys)
+    t = dt.datetime(2024, 1, 1)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "symbol string, timestamp timestamp, v double"
+    )
+    writer(mk([("A", t, 1.0), ("B", t, 2.0)]), 0)
+    writer(mk([("A", t, 10.0), ("C", t, 3.0)]), 1)
+    want = {"A": 10.0, "B": 2.0, "C": 3.0}
+
+    n_files_before = len(glob.glob(f"{path}/*.parquet"))
+    sinks.compact_upsert_table(spark, path, keys, _crash_after_publish=True)
+    # crashed state: history + compacted epoch coexist
+    assert len(glob.glob(f"{path}/*.parquet")) > n_files_before
+    crashed = {
+        r["symbol"]: r["v"]
+        for r in sinks.read_upsert_table(spark, path, keys).collect()
+    }
+    assert crashed == want
+
+    # recovery: a normal compaction over the crashed layout converges
+    sinks.compact_upsert_table(spark, path, keys)
+    recovered = {
+        r["symbol"]: r["v"]
+        for r in sinks.read_upsert_table(spark, path, keys).collect()
+    }
+    assert recovered == want
+    # post-recovery writes still win
+    writer(mk([("C", t, 30.0)]), 0)
+    final = {
+        r["symbol"]: r["v"]
+        for r in sinks.read_upsert_table(spark, path, keys).collect()
+    }
+    assert final == {"A": 10.0, "B": 2.0, "C": 30.0}
