@@ -335,7 +335,6 @@ def minhash_lsh_pairs(
     approximate-recall contract anyway. False positives are eliminated;
     false negatives are the LSH tradeoff.
     """
-    rows_per_band = num_perm // bands
     # Persist the hashed shingle rows: they feed the signature aggregate
     # (banding side) AND the hashed-set aggregate (verification side);
     # without it the whole shingle+hash lineage runs twice.
@@ -343,23 +342,10 @@ def minhash_lsh_pairs(
         df, id_col=id_col, text_col=text_col, n=n, portable=portable
     ).persist()
     sigs = hashed.groupBy("doc").agg(*_minhash_aggs(num_perm))
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                _band_bucket(
-                    [F.col(f"mh_{j * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for j in range(bands)
-        ]
-    )
     # Bucket join carries ONLY (doc, band, bucket) — the (potentially large)
     # shingle arrays are re-attached after candidate-pair dedup, so the
     # shuffle volume is O(docs*bands) ids, not O(docs*bands*shingles).
-    buckets = sigs.select("doc", F.explode(band_cols).alias("b")).select(
-        "doc", "b.band", "b.bucket"
-    )
+    buckets = _band_buckets(sigs, num_perm=num_perm, bands=bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(
@@ -379,6 +365,93 @@ def minhash_lsh_pairs(
             sets.withColumnsRenamed({"doc": "doc_a", "hset": "hs_a"}), "doc_a"
         ).join(sets.withColumnsRenamed({"doc": "doc_b", "hset": "hs_b"}), "doc_b")
     )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cands.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _band_buckets(sigs: DataFrame, *, num_perm: int, bands: int) -> DataFrame:
+    """(doc, band, bucket) rows from a minhash-signature relation — the
+    shared banding step of the single- and cross-corpus LSH variants."""
+    rows_per_band = num_perm // bands
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                _band_bucket(
+                    [F.col(f"mh_{j * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for j in range(bands)
+        ]
+    )
+    return sigs.select("doc", F.explode(band_cols).alias("b")).select(
+        "doc", "b.band", "b.bucket"
+    )
+
+
+def minhash_lsh_pairs_cross(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH near-dup pairs ``(doc_a from left, doc_b
+    from right, jaccard)`` — the incremental-ingest / train-vs-eval form
+    of :func:`minhash_lsh_pairs`: a new batch (left) is checked against
+    an existing corpus (right) without ever comparing right-vs-right.
+
+    Same scale shape as the single-corpus form: linear signature passes
+    per side (identical salt → comparable signatures), band buckets carry
+    only (doc, band, bucket) ids into the cross equi-join, and only
+    bucket-colliding cross pairs are exact-verified on their hashed
+    shingle sets. At 100 TB the right corpus's signatures/buckets are
+    computed once and reused across ingest batches."""
+    hashed_l = _hashed_shingle_rows(
+        left, id_col=id_col, text_col=text_col, n=n, portable=portable
+    ).persist()
+    hashed_r = _hashed_shingle_rows(
+        right, id_col=id_col, text_col=text_col, n=n, portable=portable
+    ).persist()
+    bk_l = _band_buckets(
+        hashed_l.groupBy("doc").agg(*_minhash_aggs(num_perm)),
+        num_perm=num_perm,
+        bands=bands,
+    )
+    bk_r = _band_buckets(
+        hashed_r.groupBy("doc").agg(*_minhash_aggs(num_perm)),
+        num_perm=num_perm,
+        bands=bands,
+    )
+    a, b = bk_l.alias("a"), bk_r.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets_l = hashed_l.groupBy("doc").agg(
+        F.sort_array(F.collect_set("h")).alias("hs_a")
+    )
+    sets_r = hashed_r.groupBy("doc").agg(
+        F.sort_array(F.collect_set("h")).alias("hs_b")
+    )
+    cands = cands.join(
+        sets_l.withColumnRenamed("doc", "doc_a"), "doc_a"
+    ).join(sets_r.withColumnRenamed("doc", "doc_b"), "doc_b")
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size("hs_a") + F.size("hs_b") - inter
     return (
@@ -459,6 +532,83 @@ SELECT doc_a, doc_b,
 FROM cands
 JOIN hset ha ON ha.doc = doc_a
 JOIN hset hb ON hb.doc = doc_b
+WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+      / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+      >= {threshold}
+"""
+
+
+def sql_minhash_lsh_pairs_cross(
+    left_select: str,
+    right_select: str,
+    *,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB mirror of :func:`minhash_lsh_pairs_cross`. ``left_select`` /
+    ``right_select`` must yield columns ``(doc, txt)``."""
+    rows_per_band = num_perm // bands
+    sh = sql_shingles("txt", n)
+    base = sql_portable_hash("s", salt="mh_")
+    mh_exprs = ",\n    ".join(
+        f"min((h31 * {2 * k + 1} + {k * 2654435761}) % {MERSENNE31}) AS mh_{k}"
+        for k in range(num_perm)
+    )
+
+    def bucket_expr(j: int) -> str:
+        acc = "0"
+        for r in range(rows_per_band):
+            acc = f"(({acc}) * {_BUCKET_P} + mh_{j * rows_per_band + r}) % {MERSENNE31}"
+        return acc
+
+    band_structs = ",\n      ".join(
+        f"struct_pack(band := {j}, bucket := {bucket_expr(j)})"
+        for j in range(bands)
+    )
+
+    def side(tag: str, select: str) -> str:
+        return f"""sh_{tag} AS (
+  SELECT doc, unnest({sh}) AS s FROM ({select})
+),
+h_{tag} AS (
+  SELECT doc, {base} & 2147483647 AS h31, {base} AS h FROM sh_{tag}
+),
+sig_{tag} AS (
+  SELECT doc,
+    {mh_exprs}
+  FROM h_{tag} GROUP BY doc
+),
+bk_{tag} AS (
+  SELECT doc, b.band AS band, b.bucket AS bucket
+  FROM (
+    SELECT doc, unnest([
+      {band_structs}
+    ]) AS b
+    FROM sig_{tag}
+  )
+),
+hset_{tag} AS (
+  SELECT doc, list(DISTINCT h) AS hs FROM h_{tag} GROUP BY doc
+)"""
+
+    return f"""
+WITH {side('l', left_select)},
+{side('r', right_select)},
+cands AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b
+  FROM bk_l a JOIN bk_r b
+    ON a.band = b.band AND a.bucket = b.bucket
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+             / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))),
+             6) AS jaccard
+FROM cands
+JOIN hset_l ha ON ha.doc = doc_a
+JOIN hset_r hb ON hb.doc = doc_b
 WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
       / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
       >= {threshold}

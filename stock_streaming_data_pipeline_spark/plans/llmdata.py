@@ -117,6 +117,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_cross",
+    tags=("LLM-dedup",),
+    oracle=dedup.sql_minhash_lsh_pairs_cross(
+        left_select="""
+  SELECT doc_id AS doc, text AS txt FROM documents WHERE doc_id % 41 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc, text AS txt FROM documents
+  WHERE doc_id % 41 = 0 AND doc_id % 82 = 0
+""",
+        right_select="SELECT doc_id AS doc, text AS txt FROM documents WHERE doc_id % 41 = 0",
+        n=3,
+        num_perm=64,
+        bands=_MH_BANDS,
+        threshold=0.6,
+    ),
+)
+def dedup_minhash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus MinHash-LSH (train-vs-eval / incremental-ingest
+    form): the training side — with half the eval docs PLANTED back in
+    verbatim under new ids — banded against the held-out eval slice;
+    only bucket-colliding cross pairs are exact-verified at 0.6. The
+    planted copies must surface as jaccard-1.0 hits. Same engine-portable
+    arithmetic as dedup_minhash_lsh, so the DuckDB oracle replays the
+    whole cross pipeline hash-exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text")
+    planted = docs.filter(
+        (F.col("doc_id") % 41 == 0) & (F.col("doc_id") % 82 == 0)
+    ).select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    train = (
+        docs.filter(F.col("doc_id") % 41 != 0)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    return dedup.minhash_lsh_pairs_cross(
+        train, evals, id_col="doc_id", text_col="text", n=3,
+        num_perm=64, bands=_MH_BANDS, threshold=0.6,
+    )
+
+
+@register(
     "dedup_simhash",
     tags=("LLM-dedup",),
     oracle=dedup.sql_simhash("doc_id", "text"),

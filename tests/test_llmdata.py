@@ -488,6 +488,38 @@ def test_kmeans_converges_and_is_deterministic(spark):
     assert sum(r["inertia"] for r in prof) <= seed_inertia + 1e-6
 
 
+def test_minhash_cross_finds_planted_overlap(spark):
+    """Every verbatim eval doc planted into training must surface as a
+    jaccard-1.0 cross pair pointing back at its eval source."""
+    from pyspark.sql import functions as F
+
+    from stock_streaming_data_pipeline_spark.operators import dedup
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    evals = docs.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text")
+    planted = evals.filter(F.col("doc_id") % 82 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    train = (
+        docs.filter(F.col("doc_id") % 41 != 0)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    pairs = dedup.minhash_lsh_pairs_cross(
+        train, evals, id_col="doc_id", text_col="text",
+        n=3, num_perm=64, bands=16, threshold=0.6,
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    expected = {
+        (r["doc_id"] + 2_000_000, r["doc_id"])
+        for r in evals.filter(F.col("doc_id") % 82 == 0).collect()
+    }
+    assert expected, "fixture must plant at least one copy"
+    for pair in expected:
+        assert got.get(pair) == 1.0, pair
+
+
 def test_kmeans_retains_empty_clusters(spark):
     """A degenerate corpus (2 distinct points, k=4) forces clusters to go
     empty during the Lloyd update; the trainer must still return exactly
