@@ -1,0 +1,248 @@
+"""Distributed BPE tokenizer training — the tokenizer-learning step of an
+LLM training-data pipeline, as pure DataFrame ops.
+
+Classic word-level BPE (the GPT-2 recipe): represent every distinct word
+as a symbol sequence (characters + a terminal ``</w>`` marker), then
+repeatedly (1) count adjacent symbol pairs weighted by word frequency,
+(2) pick the most frequent pair (ties broken lexicographically), and
+(3) merge every greedy left-to-right occurrence of that pair. The output
+is the ordered merge table — the tokenizer artifact.
+
+Scale design (100 TB corpus): the ONLY corpus-scale pass is the initial
+word-frequency aggregation (hash groupBy, partial-aggregated). Every
+iteration after that runs on the DISTINCT-word symbol relation, whose
+size is vocabulary-bounded (|vocab| x avg word length rows) and
+independent of corpus row count — exactly how production BPE trainers
+shard. Per round: one window pass keyed by word (partitions bounded by
+word length), one tiny pair-count aggregate, a 1-row argmax broadcast,
+and a map-side merge; lineage is cut per round with localCheckpoint.
+
+The greedy merge is RELATIONAL, not a per-word fold: greedy
+left-to-right application of pair (a,b) conflicts only where match
+positions are adjacent (possible only when a == b, e.g. ``aaaa``), and
+within such a run the kept merges are exactly the even offsets — a
+gaps-and-islands computation. Because the algorithm is expressed in
+window functions + integer arithmetic only, the DuckDB oracle replays
+every round bit-for-bit (see :func:`sql_bpe_train`) — an iterative
+training algorithm with a full differential check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.operators.dedup import SQL_TOKENS, tokens
+
+EOW = "</w>"
+
+
+def _word_symbols(df: DataFrame, *, text_col: str) -> DataFrame:
+    """(w, wc, pos, sym): every distinct word of the corpus split into
+    single-character symbols plus the terminal marker."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    chars = words.select(
+        "w",
+        "wc",
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("pos"),
+    ).withColumn("sym", F.expr("substring(w, pos, 1)"))
+    eow = words.select(
+        "w", "wc", (F.length("w") + 1).alias("pos"), F.lit(EOW).alias("sym")
+    )
+    return chars.unionByName(eow)
+
+
+def _merge_round(p: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply one merge rule to the indexed symbol relation ``p``
+    (columns w, wc, pos, sym, nxt, idx) — greedy left-to-right."""
+    wn = Window.partitionBy("w").orderBy("idx")
+    s2 = p.crossJoin(F.broadcast(best.select("a", "b")))
+    s2 = s2.withColumn(
+        "mt", (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))
+    )
+    w_isl = Window.partitionBy("w", "mt").orderBy("idx")
+    s2 = s2.withColumn("isl", F.col("idx") - F.row_number().over(w_isl))
+    w_min = Window.partitionBy("w", "mt", "isl")
+    s2 = s2.withColumn(
+        "keep",
+        F.col("mt") & ((F.col("idx") - F.min("idx").over(w_min)) % 2 == 0),
+    )
+    s2 = s2.withColumn(
+        "dropped", F.coalesce(F.lag("keep").over(wn), F.lit(False))
+    )
+    return s2.filter(~F.col("dropped")).select(
+        "w",
+        "wc",
+        "pos",
+        F.when(F.col("keep"), F.concat(F.col("sym"), F.col("nxt")))
+        .otherwise(F.col("sym"))
+        .alias("sym"),
+    )
+
+
+def bpe_train(df: DataFrame, *, text_col: str, k: int = 8) -> DataFrame:
+    """Learn ``k`` BPE merge rules from the corpus. Returns the ordered
+    merge table ``(merge_round, left_sym, right_sym, pair_count,
+    merged)`` — fewer than k rows only if the symbol space exhausts."""
+    syms = _word_symbols(df, text_col=text_col).localCheckpoint(eager=True)
+    wn = Window.partitionBy("w").orderBy("pos")
+    bests: list[DataFrame] = []
+    for r in range(k):
+        p = (
+            syms.withColumn("nxt", F.lead("sym").over(wn))
+            .withColumn("idx", F.row_number().over(wn))
+            .localCheckpoint(eager=True)
+        )
+        best = (
+            p.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        bests.append(
+            best.select(
+                F.lit(r).alias("merge_round"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+                F.concat("a", "b").alias("merged"),
+            )
+        )
+        syms = _merge_round(p, best).localCheckpoint(eager=True)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def bpe_segment(
+    df: DataFrame, merges: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """Apply a learned merge table to a corpus: re-run the merge rules in
+    order over each distinct word, then count resulting tokens per doc —
+    the inference side of the tokenizer. Merge rules are collected to the
+    driver (k rows — the tokenizer artifact is intentionally tiny) and
+    applied as k relational rounds over the distinct-word relation."""
+    rules = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges.orderBy("merge_round").collect()
+    ]
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("w")).distinct()
+    syms = (
+        words.withColumn("wc", F.lit(1).cast("long"))
+        .select(
+            "w",
+            "wc",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("pos"),
+        )
+        .withColumn("sym", F.expr("substring(w, pos, 1)"))
+        .unionByName(
+            words.select(
+                "w",
+                F.lit(1).cast("long").alias("wc"),
+                (F.length("w") + 1).alias("pos"),
+                F.lit(EOW).alias("sym"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    wn = Window.partitionBy("w").orderBy("pos")
+    spark = df.sparkSession
+    for a, b in rules:
+        p = syms.withColumn("nxt", F.lead("sym").over(wn)).withColumn(
+            "idx", F.row_number().over(wn)
+        )
+        rule = spark.createDataFrame([(a, b)], "a string, b string")
+        syms = _merge_round(p, rule).localCheckpoint(eager=True)
+    per_word = syms.groupBy("w").agg(F.count(F.lit(1)).alias("n_tokens"))
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    return (
+        toks.join(per_word, "w")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def sql_bpe_train(
+    *, text_col: str = "text", table: str = "documents", k: int = 8
+) -> str:
+    """DuckDB mirror of :func:`bpe_train`: the k merge rounds unrolled
+    into chained MATERIALIZED CTEs (materialization prevents the
+    exponential re-inlining a chained CTE tree would otherwise suffer),
+    replaying pair counting, the (count desc, pair asc) argmax, and the
+    gaps-and-islands greedy merge with identical integer/string
+    comparisons."""
+    toks = SQL_TOKENS.format(text=text_col)
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT t AS w, count(*) AS wc
+  FROM (SELECT unnest({toks}) AS t FROM {table})
+  GROUP BY t
+)""",
+        f"""s0 AS MATERIALIZED (
+  SELECT w, wc, u.i AS pos, substr(w, CAST(u.i AS INT), 1) AS sym
+  FROM w0, unnest(range(1, len(w) + 1)) AS u(i)
+  UNION ALL
+  SELECT w, wc, len(w) + 1 AS pos, '{EOW}' AS sym FROM w0
+)""",
+    ]
+    for r in range(k):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT w, wc, pos, sym,
+         lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+         row_number() OVER (PARTITION BY w ORDER BY pos) AS idx
+  FROM s{r}
+)""")
+        parts.append(
+            f"""b{r} AS MATERIALIZED (
+  SELECT sym AS a, nxt AS b, sum(wc) AS cnt
+  FROM p{r} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt
+  ORDER BY cnt DESC, a, b LIMIT 1
+)""")
+        parts.append(
+            f"""s{r + 1} AS MATERIALIZED (
+  SELECT w, wc, pos,
+         CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+  FROM (
+    SELECT *,
+           coalesce(lag(keep) OVER (PARTITION BY w ORDER BY idx), false)
+             AS dropped
+    FROM (
+      SELECT *,
+             mt AND ((idx - min(idx) OVER (PARTITION BY w, mt, isl)) % 2 = 0)
+               AS keep
+      FROM (
+        SELECT *,
+               idx - row_number() OVER (PARTITION BY w, mt ORDER BY idx)
+                 AS isl
+        FROM (
+          SELECT p.*, (p.sym = b.a AND p.nxt = b.b) AS mt
+          FROM p{r} p CROSS JOIN b{r} b
+        )
+      )
+    )
+  ) WHERE NOT dropped
+)""")
+    body = ",\n".join(parts)
+    rounds = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_round, a AS left_sym, b AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS pair_count, a || b AS merged FROM b{r}"
+        for r in range(k)
+    )
+    return f"""
+WITH {body}
+{rounds}
+"""

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stock_streaming_data_pipeline_spark.operators import (
+    bpe,
     dedup,
     multimodal,
     sampling,
@@ -997,6 +998,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feat_sum"
         ),
     )
+
+
+@register(
+    "text_bpe_train",
+    tags=("LLM-text",),
+    oracle=bpe.sql_bpe_train(text_col="text", table="documents", k=8),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: 8 merge rules learned from the
+    corpus (word-frequency weighting, lexicographic tie-breaks, greedy
+    left-to-right merge as a gaps-and-islands computation). The only
+    corpus-scale pass is the word-count aggregate; every round runs on
+    the vocabulary-bounded symbol relation. The DuckDB oracle unrolls
+    all 8 rounds into materialized CTEs — an iterative training
+    algorithm with a full differential check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_train(docs, text_col="text", k=8)
 
 
 @register(
