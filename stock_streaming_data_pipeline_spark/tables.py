@@ -66,7 +66,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Round-robin repartition up to the session's default parallelism —
-    ONLY when the upstream plan has fewer partitions.
+    ONLY when the upstream scan has fewer splits.
 
     Why: a single parquet file with one row group is one scan task; every
     CPU-heavy expression downstream (shingling, hashing, vector math) then
@@ -74,12 +74,43 @@ def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     round-robin exchange of the (small) source rows unlocks full-width
     execution. At 100 TB the input has thousands of splits, so the guard
     makes this a no-op there — the exchange only ever pays for itself.
+
+    The split count is estimated from the scan's file list + sizes
+    (driver-side metadata only) rather than ``df.rdd.getNumPartitions()``
+    — touching ``.rdd`` forces full physical planning of the upstream
+    plan just to read a partition count. File-count short-circuit first,
+    so at scale no per-file status calls happen either.
     """
-    sc = df.sparkSession.sparkContext
-    target = parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    import math
+
+    spark = df.sparkSession
+    target = parts or spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if len(files) >= target:
+        return df  # already at least one task per core
+    if files:
+        raw = str(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        ).strip().lower()
+        mult = 1
+        for suf, m in (
+            ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+            ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+        ):
+            if raw.endswith(suf):
+                raw, mult = raw[: -len(suf)], m
+                break
+        max_bytes = int(float(raw) * mult) if raw else 128 << 20
+        jconf = spark._jsc.hadoopConfiguration()
+        jvm = spark._jvm
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(jconf).getFileStatus(p).getLen()
+        splits = max(len(files), math.ceil(total / max_bytes))
+        if splits >= target:
+            return df  # big files split into enough tasks on their own
+    return df.repartition(target)
 
 
 def load_events_pruned(
