@@ -174,15 +174,8 @@ def bpe_segment(
     )
 
 
-def sql_bpe_train(
-    *, text_col: str = "text", table: str = "documents", k: int = 8
-) -> str:
-    """DuckDB mirror of :func:`bpe_train`: the k merge rounds unrolled
-    into chained MATERIALIZED CTEs (materialization prevents the
-    exponential re-inlining a chained CTE tree would otherwise suffer),
-    replaying pair counting, the (count desc, pair asc) argmax, and the
-    gaps-and-islands greedy merge with identical integer/string
-    comparisons."""
+def _sql_bpe_ctes(text_col: str, table: str, k: int) -> list[str]:
+    """Shared CTE chain for the k BPE rounds (see :func:`sql_bpe_train`)."""
     toks = SQL_TOKENS.format(text=text_col)
     parts = [
         f"""w0 AS MATERIALIZED (
@@ -236,7 +229,19 @@ def sql_bpe_train(
     )
   ) WHERE NOT dropped
 )""")
-    body = ",\n".join(parts)
+    return parts
+
+
+def sql_bpe_train(
+    *, text_col: str = "text", table: str = "documents", k: int = 8
+) -> str:
+    """DuckDB mirror of :func:`bpe_train`: the k merge rounds unrolled
+    into chained MATERIALIZED CTEs (materialization prevents the
+    exponential re-inlining a chained CTE tree would otherwise suffer),
+    replaying pair counting, the (count desc, pair asc) argmax, and the
+    gaps-and-islands greedy merge with identical integer/string
+    comparisons."""
+    body = ",\n".join(_sql_bpe_ctes(text_col, table, k))
     rounds = "\nUNION ALL\n".join(
         f"SELECT {r} AS merge_round, a AS left_sym, b AS right_sym, "
         f"CAST(cnt AS BIGINT) AS pair_count, a || b AS merged FROM b{r}"
@@ -245,4 +250,32 @@ def sql_bpe_train(
     return f"""
 WITH {body}
 {rounds}
+"""
+
+
+def sql_bpe_segment(
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    k: int = 8,
+) -> str:
+    """DuckDB mirror of train-then-apply on the SAME corpus: the final
+    symbol relation s{k} of the training replay IS the segmentation the
+    learned rules produce (identical greedy application to identical
+    words), so per-document BPE token counts fall straight out of it."""
+    toks = SQL_TOKENS.format(text=text_col)
+    body = ",\n".join(_sql_bpe_ctes(text_col, table, k))
+    return f"""
+WITH {body},
+per_word AS (
+  SELECT w, count(*) AS n_tokens FROM s{k} GROUP BY w
+),
+tk AS (
+  SELECT {id_col} AS doc, unnest({toks}) AS w FROM {table}
+)
+SELECT doc, count(*) AS n_words,
+       CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens
+FROM tk JOIN per_word USING (w)
+GROUP BY doc
 """

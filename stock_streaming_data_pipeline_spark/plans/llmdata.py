@@ -1018,6 +1018,24 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_segment",
+    tags=("LLM-text",),
+    oracle=bpe.sql_bpe_segment(id_col="doc_id", text_col="text", k=8),
+)
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer apply: train 8 BPE merges on the corpus, then segment
+    the corpus with them — per-document word and BPE-token counts (the
+    budget-planning query of a tokenization pipeline). The merge table
+    collected to the driver is the 8-row tokenizer artifact, applied as
+    relational rounds over the distinct-word relation; the oracle reuses
+    the unrolled training CTEs, whose final symbol state IS the learned
+    segmentation."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, text_col="text", k=8)
+    return bpe.bpe_segment(docs, merges, id_col="doc_id", text_col="text")
+
+
+@register(
     "multimodal_png_decode",
     tags=("LLM-multimodal",),
     oracle="""

@@ -98,6 +98,13 @@ def main() -> int:
         "any query relying on get_spark's session tuning instead of the "
         "configure_session the driver contract applies",
     )
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="write a driver-format correctness artifact (rows/schema/hash "
+        "match booleans per query) to this path — the self-reported "
+        "full-catalog record the driver's 50-query sample doesn't cover",
+    )
     args = ap.parse_args()
     sf_dir = f"/root/testdata/sf{args.sf}"
 
@@ -123,29 +130,49 @@ def main() -> int:
     con = duck_connection(sf_dir)
 
     failed = []
+    report: dict[str, dict] = {}
     for name in names:
         if name not in qs:
             print(f"?? {name}: not in queries()")
             failed.append(name)
             continue
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        report[name] = rec
         t0 = time.time()
         try:
             spark_pdf = qs[name](spark, sf_dir).toPandas()
         except Exception as e:
             print(f"!! {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            rec["err"] = f"spark: {type(e).__name__}"
             failed.append(name)
             continue
         t1 = time.time()
+        rec["spark_rows"] = len(spark_pdf)
         if name not in oracles:
             print(f"-- {name}: no oracle (rows={len(spark_pdf)}) spark={t1-t0:.1f}s")
+            rec["err"] = "no_oracle"
             continue
         try:
             duck_pdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"!! {name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
+            rec["err"] = f"duckdb: {type(e).__name__}"
             failed.append(name)
             continue
+        rec["oracle_rows"] = len(duck_pdf)
         problems = compare(name, spark_pdf, duck_pdf)
+        rec["rows_match"] = len(spark_pdf) == len(duck_pdf)
+        rec["schema_match"] = not any(
+            p.startswith(("columns differ", "dtype[")) for p in problems
+        )
+        rec["hash_match"] = not problems
         if problems:
             print(f"XX {name}: rows spark={len(spark_pdf)} duck={len(duck_pdf)} spark={t1-t0:.1f}s")
             for p in problems:
@@ -154,6 +181,12 @@ def main() -> int:
         else:
             print(f"ok {name}: {len(spark_pdf)} rows, spark={t1-t0:.1f}s duck={time.time()-t1:.1f}s")
     print(f"\n{len(names)-len(failed)}/{len(names)} passed")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {args.json}")
     return 1 if failed else 0
 
 
