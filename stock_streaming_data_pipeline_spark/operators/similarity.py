@@ -563,6 +563,177 @@ def ivf_topk(
     )
 
 
+def sql_ivf_pq_topk(
+    *,
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 10",
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 3,
+    num_sub: int = 8,
+    ksub: int = 16,
+    rerank: int = 32,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`ivf_pq_topk` — the ENTIRE IVF-PQ pipeline
+    replayed: coarse Lloyd training (shared CTE builder), residual
+    computation, per-subspace codebook training with empty-code
+    retention, code assignment (round-6 squared-L2 argmin, code
+    tie-break via struct min — the same lexicographic struct comparison
+    Spark's ``F.min(struct(d, code))`` performs), ADC LUT scoring,
+    shortlist selection and the exact re-rank. Every ranking decision is
+    made on round-6 values, so last-ulp noise in double-aggregated
+    means/residuals cannot flip a decision in one engine only."""
+    dsub = dim // num_sub
+    cos6 = _sql_cos("e.embedding", "c.cvec", 6)
+    parts = _sql_lloyd_ctes(table, k=nlist, iters=iters)
+    parts.append(
+        f"""asg AS MATERIALIZED (
+  SELECT vec_id, cid, cvec
+  FROM (
+    SELECT e.vec_id, c.cid, c.cvec,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {cos6} DESC, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)"""
+    )
+    parts.append(
+        f"""res AS MATERIALIZED (
+  SELECT a.vec_id, a.cid,
+         list_transform(range(1, {dim} + 1),
+                        i -> (e.embedding)[i]::DOUBLE - (a.cvec)[i]) AS rv
+  FROM asg a JOIN {table} e USING (vec_id)
+)"""
+    )
+    parts.append(
+        f"""sub AS MATERIALIZED (
+  SELECT vec_id, CAST(u.m AS INT) AS m,
+         list_transform(range(u.m * {dsub} + 1, u.m * {dsub} + {dsub} + 1),
+                        i -> rv[i]) AS sub
+  FROM res, unnest(range(0, {num_sub})) AS u(m)
+)"""
+    )
+    parts.append(
+        f"""cb0 AS MATERIALIZED (
+  SELECT m, CAST(rn - 1 AS INT) AS code, sub AS cbvec
+  FROM (
+    SELECT m, sub,
+           row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+    FROM sub
+  ) WHERE rn <= {ksub}
+)"""
+    )
+    l2_sub_cb = SQL_L2SQ.format(a="s.sub", b="cb.cbvec")
+    for r in range(iters + 1):  # iters training rounds + final encode
+        parts.append(
+            f"""as{r} AS MATERIALIZED (
+  SELECT vec_id, m,
+         (min(struct_pack(d := d6, code := code))).code AS code
+  FROM (
+    SELECT s.vec_id, s.m, cb.code,
+           round({l2_sub_cb}, 6) AS d6
+    FROM sub s JOIN cb{r} cb USING (m)
+  ) GROUP BY vec_id, m
+)"""
+        )
+        if r == iters:
+            break
+        parts.append(
+            f"""cb{r + 1} AS MATERIALIZED (
+  SELECT cb.m, cb.code, coalesce(n.new_cbvec, cb.cbvec) AS cbvec
+  FROM cb{r} cb LEFT JOIN (
+    SELECT m, code, list(cv ORDER BY pos) AS new_cbvec
+    FROM (
+      SELECT a.m, a.code, u.i AS pos, avg((s.sub)[u.i]) AS cv
+      FROM as{r} a
+      JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+           unnest(range(1, {dsub} + 1)) AS u(i)
+      GROUP BY a.m, a.code, u.i
+    ) GROUP BY m, code
+  ) n ON n.m = cb.m AND n.code = cb.code
+)"""
+        )
+    parts.append(
+        f"""codes AS MATERIALIZED (
+  SELECT a.vec_id AS neighbor_id, r.cid AS cluster_id, a.m, a.code
+  FROM as{iters} a JOIN res r ON r.vec_id = a.vec_id
+)"""
+    )
+    parts.append(
+        f"""probes AS MATERIALIZED (
+  SELECT query_id, cid, cvec
+  FROM (
+    SELECT e.vec_id AS query_id, c.cid, c.cvec,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {cos6} DESC, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN c{iters} c
+    WHERE {query_pred}
+  ) WHERE rn <= {nprobe}
+)"""
+    )
+    parts.append(
+        f"""qsub AS MATERIALIZED (
+  SELECT p.query_id, p.cid, CAST(u.m AS INT) AS m,
+         list_transform(range(u.m * {dsub} + 1, u.m * {dsub} + {dsub} + 1),
+                        i -> (e.embedding)[i]::DOUBLE - (p.cvec)[i]) AS qs
+  FROM probes p JOIN {table} e ON e.vec_id = p.query_id,
+       unnest(range(0, {num_sub})) AS u(m)
+)"""
+    )
+    l2_q_cb = SQL_L2SQ.format(a="q.qs", b="cb.cbvec")
+    parts.append(
+        f"""lut AS MATERIALIZED (
+  SELECT q.query_id, q.cid AS cluster_id, q.m, cb.code,
+         round({l2_q_cb}, 6) AS pdist
+  FROM qsub q JOIN cb{iters} cb USING (m)
+)"""
+    )
+    parts.append(
+        f"""adc AS MATERIALIZED (
+  SELECT l.query_id, c.neighbor_id, round(sum(l.pdist), 6) AS adc_dist
+  FROM codes c
+  JOIN lut l ON l.cluster_id = c.cluster_id AND l.m = c.m AND l.code = c.code
+  WHERE c.neighbor_id != l.query_id
+  GROUP BY 1, 2
+)"""
+    )
+    parts.append(
+        f"""short AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+           ) AS rn
+    FROM adc
+  ) WHERE rn <= {rerank}
+)"""
+    )
+    cos_final = _sql_cos("n.embedding", "q.embedding", 6)
+    parts.append(
+        f"""scored AS (
+  SELECT s.query_id, s.neighbor_id, {cos_final} AS cosine
+  FROM short s
+  JOIN {table} n ON n.vec_id = s.neighbor_id
+  JOIN {table} q ON q.vec_id = s.query_id
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+       ) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def l2sq(a: Column, b: Column) -> Column:
     """Order-fixed left-fold squared L2 distance in double."""
     return F.aggregate(
@@ -600,11 +771,15 @@ def _argmin_code(
     entry (squared L2; deterministic tie-break on code asc). The codebook
     is broadcast; argmin is a ``min_by``-style partial-aggregated groupBy —
     one shuffle keyed by (key, m), never a window over the joined rows."""
+    # round-6 before the argmin (the _nearest_centroid ulp-robustness
+    # rule: codebook means are double aggregates whose summation order
+    # differs across engines/partitionings; ties resolve on code asc —
+    # mirrored by the SQL oracle).
     scored = rows.join(F.broadcast(codebook), "m").select(
         key_col,
         "m",
         F.struct(
-            F.round(l2sq(F.col("sub"), F.col("cbvec")), 9).alias("d"),
+            F.round(l2sq(F.col("sub"), F.col("cbvec")), 6).alias("d"),
             F.col("code").alias("code"),
         ).alias("dc"),
     )
@@ -644,7 +819,7 @@ def pq_train(
     )
     for _ in range(iters):
         coded = _argmin_code(sub_rows, codebook, key_col=key_col)
-        codebook = (
+        new_means = (
             sub_rows.join(coded, [key_col, "m"])
             .select("m", "code", F.posexplode("sub"))
             .groupBy("m", "code", "pos")
@@ -654,7 +829,17 @@ def pq_train(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "cv"))),
                     lambda s: s.cv,
-                ).alias("cbvec")
+                ).alias("new_cbvec")
+            )
+        )
+        # codes that captured no subvectors retain their previous entry —
+        # the update always returns exactly num_sub x ksub codebook rows
+        # (same retention rule as ivf_train).
+        codebook = (
+            codebook.select("m", "code", F.col("cbvec").alias("old_cbvec"))
+            .join(new_means, ["m", "code"], "left")
+            .select(
+                "m", "code", F.coalesce("new_cbvec", "old_cbvec").alias("cbvec")
             )
             .localCheckpoint(eager=True)
         )
@@ -768,7 +953,7 @@ def ivf_pq_topk(
             F.split_part(F.col("qc"), F.lit("#"), F.lit(2)).cast("long").alias("cluster_id"),
             "m",
             "code",
-            F.round(l2sq(F.col("sub"), F.col("cbvec")), 9).alias("pdist"),
+            F.round(l2sq(F.col("sub"), F.col("cbvec")), 6).alias("pdist"),
         )
     )
     # ADC: sum the LUT distances over each candidate's codes.

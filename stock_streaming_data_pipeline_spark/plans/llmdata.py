@@ -399,14 +399,25 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_pq_topk", tags=("LLM-sim",))
+@register(
+    "embedding_pq_topk",
+    tags=("LLM-sim",),
+    oracle=similarity.sql_ivf_pq_topk(
+        query_pred="vec_id < 10", k=5, nlist=8, nprobe=3,
+        num_sub=8, ksub=16, rerank=32, iters=2, dim=64,
+    ),
+)
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate top-5: residual product quantization (8
     subspaces x 16 codes = 8 bytes/vector, 32x smaller than the raw
     embedding) over the IVF coarse lists, ADC candidate scoring against a
     broadcast lookup table, exact re-rank of the 32 best — the compression
     tier that makes a 10^9-vector index disk-resident (FAISS IVFx,PQy as
-    DataFrame ops; recall vs brute force pinned in tests)."""
+    DataFrame ops; recall vs brute force pinned in tests). The DuckDB
+    oracle replays the ENTIRE pipeline — coarse training, residual
+    codebooks with empty-code retention, code assignment, ADC, shortlist,
+    re-rank — on round-6 decision values, a full differential check of
+    the compression tier."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_pq_topk(
