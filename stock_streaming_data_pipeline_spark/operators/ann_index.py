@@ -1,0 +1,118 @@
+"""Persisted IVF index: inverted lists as Hive partitions.
+
+The in-memory ANN operators (similarity.py) retrain their coarse
+quantizer per query — right for tests, wrong for a production corpus
+that is indexed once and probed millions of times. This module persists
+the index the way a 100 TB deployment would:
+
+- ``build_ivf_index`` trains the coarse quantizer once, assigns every
+  vector, and writes the corpus **partitioned by cluster_id** (one
+  directory per inverted list) plus a tiny centroids table.
+- ``ivf_index_topk`` reads the centroids (KBs), picks each query's
+  ``nprobe`` lists, and scans ONLY those partitions — the
+  ``cluster_id IN (...)`` predicate prunes at the directory level
+  (PartitionFilters, no file of an unprobed list is even opened), which
+  is exactly FAISS's on-disk inverted-list layout expressed as Hive
+  partitioning. Probe I/O is corpus x nprobe / nlist instead of a full
+  scan.
+
+Equivalence with the retrain-per-query operator and the plan-level
+pruning are pinned in tests/test_ann_index.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.operators.similarity import (
+    _nearest_centroid,
+    as_double,
+    cosine,
+    ivf_train,
+)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    iters: int = 2,
+) -> None:
+    """Train + assign + persist: ``{path}/lists`` holds the vectors
+    partitioned by cluster_id; ``{path}/centroids`` the nlist centroid
+    vectors. Both parquet — readable by any engine."""
+    cents = ivf_train(
+        corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, iters=iters
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = _nearest_centroid(c, cents, key_col="vec_id", vec_alias="v")
+    (
+        assigned.select("vec_id", "v", "cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{path}/lists")
+    )
+    cents.select(F.col("_cid").alias("cluster_id"), "cvec").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Probe a persisted IVF index: centroid scoring happens on the tiny
+    centroids table; the big ``lists`` scan carries a partition-column
+    semi-join on the probed cluster_ids, so unprobed list directories
+    are pruned before any file I/O."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", F.round(cosine(F.col("qv"), F.col("cvec")), 6)
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("cluster_id")
+    )
+    q_probes = (
+        q_scored.withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "cluster_id")
+    )
+    lists = spark.read.parquet(f"{path}/lists")
+    # Partition pruning: the probed cluster_ids are a tiny driver-side
+    # set (<= queries x nprobe values, and the index's nlist bounds it);
+    # an IN-list literal predicate prunes list directories at planning
+    # time. This is metadata-sized by construction — never corpus data.
+    probed = [
+        r["cluster_id"]
+        for r in q_probes.select("cluster_id").distinct().collect()
+    ]
+    pruned = lists.filter(F.col("cluster_id").isin(probed))
+    scored = (
+        pruned.join(F.broadcast(q_probes), "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

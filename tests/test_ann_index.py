@@ -1,0 +1,58 @@
+"""Persisted IVF index: result parity with the in-memory operator and
+partition pruning at the plan level."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.operators import ann_index, similarity
+from stock_streaming_data_pipeline_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_index_topk_matches_inmemory_ivf(spark, tmp_path):
+    """Same trainer, same probes, same re-rank — the persisted path must
+    return exactly what the retrain-per-query operator returns."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    ann_index.build_ivf_index(emb, path, nlist=8, iters=2)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in ann_index.ivf_index_topk(
+            spark, path, queries, k=5, nprobe=3
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, nlist=8, nprobe=3, iters=2
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_index_scan_prunes_unprobed_lists(spark, tmp_path):
+    """The lists scan must carry cluster_id as a PartitionFilter (pruned
+    before file I/O), and the number of list directories actually read
+    must equal the probed set, not nlist."""
+    import glob
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 3)
+    path = str(tmp_path / "ivf")
+    ann_index.build_ivf_index(emb, path, nlist=8, iters=2)
+    assert len(glob.glob(f"{path}/lists/cluster_id=*")) == 8
+
+    out = ann_index.ivf_index_topk(spark, path, queries, k=5, nprobe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2, "lists scan lost its partition filter"
+    # one query, nprobe=3 → a static 3-value IN-list prunes 5 of 8
+    # list directories before any file I/O (inputFiles() reflects the
+    # pre-pruning index, so assert on the pushed filter itself)
+    import re
+
+    m = re.search(r"cluster_id#\d+ IN \(([-0-9,]+)\)", seg[1])
+    assert m, seg[1][:300]
+    assert len(m.group(1).split(",")) == 3
