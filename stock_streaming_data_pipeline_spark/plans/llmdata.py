@@ -311,6 +311,32 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_ivf_index_topk",
+    tags=("LLM-sim",),
+    oracle=similarity.sql_ivf_topk(
+        query_pred="vec_id < 10", k=5, nlist=8, nprobe=3, iters=2
+    ),
+)
+def embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index probe path: build the IVF index on disk
+    (inverted lists as Hive partitions + a centroids table), then answer
+    the same top-5 query by scanning ONLY the probed list partitions
+    (PartitionFilters prune the rest before file I/O). Must be
+    bit-identical to the retrain-per-query embedding_ivf_topk, so it
+    shares that query's full-replay oracle — the differential check
+    covers the index build/probe lifecycle too."""
+    import tempfile
+
+    from stock_streaming_data_pipeline_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = tempfile.mkdtemp(prefix="ivf_index_") + "/ivf"
+    ann_index.build_ivf_index(emb, path, nlist=8, iters=2)
+    return ann_index.ivf_index_topk(spark, path, queries, k=5, nprobe=3)
+
+
+@register(
     "embedding_kmeans",
     tags=("LLM-sim",),
     oracle=similarity.sql_kmeans_profile(k=8, iters=4),
