@@ -63,6 +63,7 @@ def register(
 def _load_all() -> None:
     """Import every plan module so registrations run."""
     from stock_streaming_data_pipeline_spark.plans import (  # noqa: F401
+        finance,
         llmdata,
         relational,
         stock,

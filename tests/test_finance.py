@@ -1,0 +1,148 @@
+"""Behavioral tests for the market-analytics tier (operators/finance.py).
+
+The catalog queries carry exact DuckDB oracles; these tests pin the
+operator-level invariants on hand-built frames where the right answer is
+computable by inspection: VWAP weighting, correlation sign/magnitude on
+planted linear series, drawdown on a scripted peak/trough path, MAD
+robustness to a planted spike, and the pair-partitioned rolling window.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.operators import finance
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _trades(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, volume double"
+    )
+
+
+def test_vwap_weights_by_quantity(spark):
+    rows = [
+        ("aaa", T0, 10.0, 1.0),
+        ("aaa", T0 + dt.timedelta(minutes=5), 20.0, 3.0),
+        ("aaa", T0 + dt.timedelta(hours=2), 5.0, 2.0),
+    ]
+    out = {
+        (r["key"], r["bucket_s"]): r["vwap"]
+        for r in finance.vwap_bars(_trades(spark, rows)).collect()
+    }
+    t0s = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    # (10*1 + 20*3) / 4 = 17.5 in hour 0; lone trade in hour 2.
+    assert out[("aaa", t0s)] == 17.5
+    assert out[("aaa", t0s + 7200)] == 5.0
+
+
+def test_vwap_skips_zero_quantity_buckets(spark):
+    rows = [("aaa", T0, 10.0, 0.0)]
+    assert finance.vwap_bars(_trades(spark, rows)).count() == 0
+
+
+def test_rolling_corr_planted_linear_series(spark):
+    # y = 2x + 1 exactly -> corr == 1; y = -x -> corr == -1.
+    pos = [(T0 + dt.timedelta(hours=i), i * 1000, 2 * i * 1000 + 1000) for i in range(30)]
+    aligned = spark.createDataFrame(
+        pos, "bucket_ts timestamp, x_milli long, y_milli long"
+    )
+    out = finance.rolling_corr(aligned, frame=24).collect()
+    assert len(out) == 30 - 23
+    assert all(r["corr"] == 1.0 for r in out)
+
+    neg = [(T0 + dt.timedelta(hours=i), i * 1000, -i * 1000) for i in range(24)]
+    aligned = spark.createDataFrame(
+        neg, "bucket_ts timestamp, x_milli long, y_milli long"
+    )
+    out = finance.rolling_corr(aligned, frame=24).collect()
+    assert [r["corr"] for r in out] == [-1.0]
+
+
+def test_rolling_corr_partitions_by_pair(spark):
+    rows = []
+    for pair, slope in (("p1", 1), ("p2", -1)):
+        rows += [
+            (pair, T0 + dt.timedelta(hours=i), i * 10, slope * i * 10)
+            for i in range(5)
+        ]
+    aligned = spark.createDataFrame(
+        rows, "pair string, bucket_ts timestamp, x_milli long, y_milli long"
+    )
+    out = finance.rolling_corr(aligned, frame=3, pair_col="pair").collect()
+    got = {(r["pair"], r["corr"]) for r in out}
+    assert got == {("p1", 1.0), ("p2", -1.0)}
+    # frames never straddle pairs: 3 full frames per 5-row series
+    assert len(out) == 6
+
+
+def test_max_drawdown_scripted_path(spark):
+    # path 100 -> 120 (peak) -> 90 (trough: 25% dd) -> 110
+    rows = [
+        ("aaa", T0 + dt.timedelta(minutes=i), v, 1.0)
+        for i, v in enumerate([100.0, 120.0, 90.0, 110.0])
+    ]
+    out = finance.max_drawdown(_trades(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["key"] == "aaa"
+    assert r["max_drawdown"] == 0.25
+    trough = T0 + dt.timedelta(minutes=2)
+    assert r["trough_us"] == int(
+        trough.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+
+
+def test_max_drawdown_monotone_series_is_zero(spark):
+    rows = [
+        ("up", T0 + dt.timedelta(minutes=i), 100.0 + i, 1.0) for i in range(5)
+    ]
+    out = finance.max_drawdown(_trades(spark, rows)).collect()
+    assert out[0]["max_drawdown"] == 0.0
+
+
+def test_mad_flags_planted_spike_where_zscore_would_drown(spark):
+    # 40 quiet points + one huge spike: MAD ignores the spike's pull on
+    # the center/scale, so the spike itself is flagged and nothing else.
+    rows = [
+        ("k", None, 100.0 + (i % 5) * 0.5, 1.0) for i in range(40)
+    ] + [("k", None, 10_000.0, 1.0)]
+    df = spark.createDataFrame(
+        [(i, t, v) for i, (t, _, v, _) in enumerate(rows)],
+        "event_id long, event_type string, value double",
+    )
+    out = finance.mad_outliers(
+        df, key_col="event_type", id_col="event_id", price_col="value"
+    ).collect()
+    assert [r["id"] for r in out] == [40]
+    assert out[0]["robust_z"] > 1000
+
+
+def test_mad_handles_mad_zero_key_without_rows(spark):
+    # constant series: MAD == 0 -> robust_z is NULL/inf-free: no rows out.
+    df = spark.createDataFrame(
+        [(i, "c", 5.0) for i in range(10)],
+        "event_id long, event_type string, value double",
+    )
+    out = finance.mad_outliers(df).collect()
+    assert out == []
+
+
+def test_scaled_long_half_away_rounding(spark):
+    df = spark.createDataFrame(
+        [(0.125,), (-0.125,), (2.675,), (0.005,)], "v double"
+    )
+    got = [
+        r[0]
+        for r in df.select(finance.to_scaled_long("v", 2)).collect()
+    ]
+    # the contract is half-away on the DOUBLE product (2.675*100 rounds
+    # up to the representable 267.5, hence 268) — exactly what DuckDB's
+    # round(v*100, 0) computes on the identical double, which is the
+    # portability contract (NOT decimal-string rounding).
+    assert got == [13, -13, 268, 1]
