@@ -1,0 +1,254 @@
+"""Keyword-retrieval operators: BM25 ranking and TF-IDF term profiles.
+
+The lexical-search counterpart of the embedding ANN tier in
+operators/similarity.py — a training-data pipeline uses these for
+corpus search, hard-negative text mining, and keyword-based filtering,
+and a reference user gets the classic "search my documents" query the
+embedding tier can't answer lexically.
+
+Portability discipline (same rules as operators/finance.py): tf / df /
+dl / N are exact integers from one tokenize-explode-aggregate pass;
+idf — the only transcendental — is rounded to 6 decimals immediately;
+every per-term partial score is snapped to an exact micro-unit BIGINT
+before any cross-term summation, so aggregation order (Spark partial
+aggs vs DuckDB) cannot perturb the final ranking, and ties break on
+term/doc ids. No UDFs — tokenization is the same codegen-native
+split/lower the dedup tier uses.
+
+Scale shape: one shuffle keyed by term to build the (term, df) postings
+stats, one keyed by (doc, term) for tf. Query-term lists are tiny and
+broadcast; the corpus never joins itself. At 100 TB the posting stats
+table is vocabulary-sized (millions of rows, not corpus-sized) and the
+scoring join is a broadcast of |query| rows against the tf table with
+the term filter pushed into the scan of the posting projection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.functions.scalars import round6
+from stock_streaming_data_pipeline_spark.operators.dedup import tokens
+
+# DuckDB-side tokenizer — identical contract to operators/dedup.tokens.
+SQL_TOKENS = "list_filter(regexp_split_to_array(lower({col}), '\\s+'), t -> t <> '')"
+
+
+def term_frequencies(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(tf, dl): per-(doc, term) counts and per-doc lengths, one
+    tokenize-explode pass each — both exact integers."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
+    )
+    dl = toks.select("doc", F.size("toks").alias("dl")).filter(F.col("dl") > 0)
+    tf = (
+        toks.select("doc", F.explode("toks").alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf, dl
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k documents for a bag of query terms.
+
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), rounded to 6 before use;
+    per-term partial = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    snapped to micro-units; doc score = exact BIGINT sum of partials.
+    Top-k orders by (score desc, doc asc) — fully deterministic.
+    """
+    tf, dl = term_frequencies(df, id_col=id_col, text_col=text_col)
+    n_docs = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+    )
+    q = df.sparkSession.createDataFrame(
+        [(t,) for t in sorted(set(query_terms))], "term string"
+    )
+    # postings stats only for the query terms: the term filter is a tiny
+    # broadcast semi-join, so df/tf never materialize for the rest of the
+    # vocabulary.
+    tfq = tf.join(F.broadcast(q), "term")
+    dfreq = tfq.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    n_d = F.col("n").cast("double")
+    idf = round6(
+        F.log(
+            F.lit(1.0)
+            + (n_d - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+    )
+    avgdl = F.col("sdl").cast("double") / n_d
+    tf_d = F.col("tf").cast("double")
+    partial = (
+        F.col("idf")
+        * tf_d
+        * F.lit(k1 + 1.0)
+        / (tf_d + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+    )
+    stats = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", idf)
+        .select("term", "idf")
+    )
+    scored = (
+        tfq.join(F.broadcast(stats), "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            (F.signum(partial) * F.floor(F.abs(partial) * 1e6 + F.lit(0.5)))
+            .cast("long")
+            .alias("part_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(F.sum("part_micro").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc"))
+        .limit(k)
+        .select(
+            "doc",
+            round6(F.col("score_micro").cast("double") / F.lit(1e6)).alias(
+                "bm25"
+            ),
+        )
+    )
+
+
+def sql_bm25_topk(
+    query_terms: Sequence[str],
+    *,
+    id_col: str,
+    text_col: str,
+    table: str = "documents",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB replay of bm25_topk — identical expression tree."""
+    toks = SQL_TOKENS.format(col=text_col)
+    terms = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
+    return f"""
+WITH t AS (SELECT {id_col} AS doc, {toks} AS toks FROM {table}),
+dl AS (SELECT doc, len(toks) AS dl FROM t WHERE len(toks) > 0),
+tf AS (
+  SELECT doc, unnest(toks) AS term FROM t
+),
+tfc AS (SELECT doc, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+q(term) AS (VALUES {terms}),
+tfq AS (SELECT tfc.* FROM tfc JOIN q USING (term)),
+nd AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+dfreq AS (
+  SELECT term,
+         round(ln(1.0 + ((SELECT n FROM nd)::DOUBLE
+                         - count(DISTINCT doc) + 0.5)
+                   / (count(DISTINCT doc) + 0.5)), 6) AS idf
+  FROM tfq GROUP BY term
+),
+scored AS (
+  SELECT tfq.doc,
+         CAST(round(d.idf * tfq.tf::DOUBLE * {k1 + 1.0}
+                    / (tfq.tf::DOUBLE + {k1} * ({1.0 - b} + {b} * dl.dl
+                       / (nd.sdl::DOUBLE / nd.n::DOUBLE))) * 1000000.0, 0)
+              AS BIGINT) AS part_micro
+  FROM tfq JOIN dfreq d USING (term) JOIN dl USING (doc) CROSS JOIN nd
+)
+SELECT doc, round(sum(part_micro)::DOUBLE / 1000000.0, 6) AS bm25
+FROM scored GROUP BY doc
+ORDER BY sum(part_micro) DESC, doc ASC
+LIMIT {k}
+"""
+
+
+def tfidf_top_terms(
+    df: DataFrame, *, id_col: str, text_col: str, top: int = 3
+) -> DataFrame:
+    """Top-``top`` TF-IDF terms per document — the per-doc keyword
+    profile used for topic tagging and near-duplicate explanation.
+
+    score(t, d) = (tf/dl) · idf, idf = ln(N/df) rounded to 6; snapped to
+    micro-units so ranking is integer-exact; ties break on the term.
+    The per-doc window partitions on doc — W3-shaped, never hot.
+    """
+    tf, dl = term_frequencies(df, id_col=id_col, text_col=text_col)
+    n_docs = dl.agg(F.count(F.lit(1)).alias("n"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    idf = round6(F.log(F.col("n").cast("double") / F.col("df")))
+    scored = (
+        tf.join(dl, "doc")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", idf)
+    )
+    raw = (
+        F.col("tf").cast("double")
+        / F.col("dl").cast("double")
+        * F.col("idf")
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.select(
+            "doc",
+            "term",
+            (F.signum(raw) * F.floor(F.abs(raw) * 1e6 + F.lit(0.5)))
+            .cast("long")
+            .alias("score_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(
+            "doc",
+            "term",
+            "rank",
+            round6(F.col("score_micro").cast("double") / F.lit(1e6)).alias(
+                "tfidf"
+            ),
+        )
+    )
+
+
+def sql_tfidf_top_terms(
+    *, id_col: str, text_col: str, table: str = "documents", top: int = 3
+) -> str:
+    toks = SQL_TOKENS.format(col=text_col)
+    return f"""
+WITH t AS (SELECT {id_col} AS doc, {toks} AS toks FROM {table}),
+dl AS (SELECT doc, len(toks) AS dl FROM t WHERE len(toks) > 0),
+tfc AS (
+  SELECT doc, term, count(*) AS tf
+  FROM (SELECT doc, unnest(toks) AS term FROM t) GROUP BY 1, 2
+),
+nd AS (SELECT count(*) AS n FROM dl),
+dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM tfc GROUP BY term),
+scored AS (
+  SELECT tfc.doc, tfc.term,
+         CAST(round(tfc.tf::DOUBLE / dl.dl::DOUBLE
+                    * round(ln(nd.n::DOUBLE / dfreq.df), 6)
+                    * 1000000.0, 0) AS BIGINT) AS score_micro
+  FROM tfc JOIN dl USING (doc) JOIN dfreq USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc, term, score_micro,
+         row_number() OVER (PARTITION BY doc
+                            ORDER BY score_micro DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc, term, rank,
+       round(score_micro::DOUBLE / 1000000.0, 6) AS tfidf
+FROM ranked WHERE rank <= {top}
+"""

@@ -15,6 +15,7 @@ from stock_streaming_data_pipeline_spark.operators import (
     bpe,
     dedup,
     multimodal,
+    retrieval,
     sampling,
     similarity,
     text,
@@ -1363,3 +1364,41 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text", n=3, threshold=0.5
     )
     return dedup.connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval (BM25 / TF-IDF) — the keyword-search counterpart of the
+# embedding ANN tier.
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ("vector", "hash", "join")
+
+
+@register(
+    "retrieval_bm25_topk",
+    tags=("LLM-retrieval",),
+    oracle=retrieval.sql_bm25_topk(
+        _BM25_QUERY, id_col="doc_id", text_col="text", k=10
+    ),
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a 3-term keyword query: exact
+    integer tf/df/dl stats, idf rounded-then-reused, per-term partials
+    snapped to micro-units so the cross-term sum is order-insensitive.
+    Postings stats materialize only for the broadcast query terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(
+        docs, _BM25_QUERY, id_col="doc_id", text_col="text", k=10
+    )
+
+
+@register(
+    "retrieval_tfidf_terms",
+    tags=("LLM-retrieval", "W3"),
+    oracle=retrieval.sql_tfidf_top_terms(id_col="doc_id", text_col="text", top=3),
+)
+def retrieval_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keyword profile per document (topic tagging): integer
+    micro-unit ranking, term-id tie-breaks, per-doc row_number window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.tfidf_top_terms(docs, id_col="doc_id", text_col="text", top=3)
