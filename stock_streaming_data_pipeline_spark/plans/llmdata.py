@@ -17,6 +17,7 @@ from stock_streaming_data_pipeline_spark.operators import (
     multimodal,
     retrieval,
     sampling,
+    semdedup,
     similarity,
     text,
 )
@@ -1402,3 +1403,28 @@ def retrieval_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-unit ranking, term-id tie-breaks, per-doc row_number window."""
     docs = load_table(spark, sf_dir, "documents")
     return retrieval.tfidf_top_terms(docs, id_col="doc_id", text_col="text", top=3)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (embedding-space near-identicals, cluster-bounded)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_semantic_dedup",
+    tags=("LLM-dedup", "LLM-similarity"),
+    oracle=semdedup.sql_semantic_drop_list(
+        table="embeddings", k=8, iters=2, threshold=0.35
+    ),
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style drop list: Lloyd-clustered corpus, within-cluster
+    cosine >= 0.35 collisions, keeper = lowest id. The cluster structure
+    bounds the pair search the way LSH bands do for MinHash (by DESIGN a
+    subset of the exact global pair graph — that recall trade-off is the
+    operator's scale contract). Deterministic end-to-end, so the DuckDB
+    oracle replays training + assignment + pairing exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup.semantic_drop_list(
+        emb, id_col="vec_id", vec_col="embedding", k=8, iters=2, threshold=0.35
+    )
