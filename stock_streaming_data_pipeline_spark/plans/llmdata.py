@@ -19,6 +19,7 @@ from stock_streaming_data_pipeline_spark.operators import (
     sampling,
     semdedup,
     similarity,
+    sq_quant,
     text,
 )
 from stock_streaming_data_pipeline_spark.plans.catalog import register
@@ -1428,3 +1429,20 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup.semantic_drop_list(
         emb, id_col="vec_id", vec_col="embedding", k=8, iters=2, threshold=0.35
     )
+
+
+@register(
+    "embedding_sq_topk",
+    tags=("LLM-sim",),
+    oracle=sq_quant.sql_sq_topk(query_pred="vec_id < 10", k=5, shortlist=20),
+)
+def embedding_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 approximate top-5: per-dimension 8-bit scalar quantization
+    (4x compression, the middle fidelity rung between IVF-Flat and PQ),
+    asymmetric scoring against reconstructed vectors, shortlist-20, exact
+    re-rank. The DuckDB oracle replays grid training, encoding, ADC
+    scoring, shortlist and re-rank — a full differential check of the
+    SQ pipeline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sq_quant.sq_topk(emb, queries, k=5, shortlist=20)
