@@ -1016,3 +1016,61 @@ def events_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _zorder.zorder_codes(
         ev, col_x="user_id", col_y="ts_us", bits=_Z_BITS
     ).select("event_id", "zcode")
+
+
+# --------------------------------------------------------------------------
+# Change-data feed over the keyed upsert sink (K1/K2 read side)
+# --------------------------------------------------------------------------
+
+_CDC_CUT = 20
+
+
+@register(
+    "cdc_changes_since",
+    tags=("K1", "K2", "K6"),
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, day(ts) AS ep, max(value) AS day_value
+  FROM events GROUP BY 1, 2
+),
+res AS (
+  SELECT user_id,
+         max_by(day_value, ep) AS day_value,
+         max(ep) AS _commit_epoch,
+         max(CASE WHEN ep <= {_CDC_CUT} THEN 1 ELSE 0 END) AS existed
+  FROM daily GROUP BY user_id
+)
+SELECT user_id, day_value, CAST(_commit_epoch AS BIGINT) AS _commit_epoch,
+       CASE WHEN existed = 1 THEN 'update' ELSE 'insert' END AS _change_type
+FROM res WHERE _commit_epoch > {_CDC_CUT}
+""",
+)
+def cdc_changes_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read of the LSM upsert sink (Delta CDF's
+    changed-rows-since-version, on the epoch stamps the writer already
+    lays down): materialize a daily-upsert table from events (epoch =
+    day-of-month, one LWW row per user/day), then resolve which keys
+    changed after the cut epoch, with insert/update classification. The
+    oracle replays the epoch algebra relationally — the parquet sink
+    round-trip is exactly LWW-over-epochs, which is what's being
+    checked."""
+    import tempfile
+
+    from stock_streaming_data_pipeline_spark.streaming import sinks
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.dayofmonth("ts").alias("_epoch")
+    ).agg(F.max("value").alias("day_value"))
+    path = tempfile.mkdtemp(prefix="cdc_sink_") + "/t"
+    # one append per the writer's layout contract: epoch-stamped rows
+    daily.write.mode("append").parquet(path)
+    out = sinks.read_changes(
+        spark, path, ["user_id"], since_epoch=_CDC_CUT
+    )
+    return out.select(
+        "user_id",
+        "day_value",
+        F.col("_commit_epoch").cast("long").alias("_commit_epoch"),
+        "_change_type",
+    )

@@ -112,6 +112,47 @@ def compact_upsert_table(
         fs.delete(f, False)
 
 
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    *,
+    since_epoch: int,
+) -> DataFrame:
+    """Change-data feed over the LSM upsert sink: the keys whose
+    last-write-wins state changed AFTER ``since_epoch``, with the winning
+    value, the commit epoch, and whether the key existed at the cut
+    (``update``) or is new (``insert``) — the Delta/Iceberg
+    changed-rows-since-version read, resolved from the same epoch stamps
+    the writer already lays down. One partial-aggregated groupBy on the
+    key; no extra state is ever written.
+
+    Retention contract (same as Delta CDF after VACUUM): compaction
+    collapses history into epoch −1, so a CDC cut only resolves against
+    epochs still present in the table — take changes feeds BEFORE
+    compacting past the cut.
+    """
+    df = spark.read.parquet(path)
+    value_cols = [c for c in df.columns if c not in key_cols and c != "_epoch"]
+    resolved = df.groupBy(*key_cols).agg(
+        *[F.expr(f"max_by({c}, _epoch)").alias(c) for c in value_cols],
+        F.max("_epoch").alias("_commit_epoch"),
+        F.max(
+            F.when(F.col("_epoch") <= F.lit(since_epoch), 1).otherwise(0)
+        ).alias("_existed"),
+    )
+    return (
+        resolved.filter(F.col("_commit_epoch") > F.lit(since_epoch))
+        .withColumn(
+            "_change_type",
+            F.when(F.col("_existed") == 1, F.lit("update")).otherwise(
+                F.lit("insert")
+            ),
+        )
+        .drop("_existed")
+    )
+
+
 def kafka_shaped(df: DataFrame, *, key: str, value_struct: list[str]) -> DataFrame:
     """Project to the Kafka message contract the reference publishes:
     ``key = symbol``, ``value = to_json(named_struct(...))``

@@ -233,3 +233,46 @@ def test_upsert_compaction_crash_between_publish_and_tombstone(spark, tmp_path):
         for r in sinks.read_upsert_table(spark, path, keys).collect()
     }
     assert final == {"A": 10.0, "B": 2.0, "C": 30.0}
+
+
+def test_read_changes_classifies_inserts_and_updates(spark, tmp_path):
+    path = str(tmp_path / "cdc")
+    writer = sinks.upsert_writer(path, ["k"])
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v long")
+    writer(mk([("a", 1), ("b", 10)]), 1)          # epoch 1: a, b born
+    writer(mk([("a", 2)]), 2)                     # epoch 2: a updated
+    writer(mk([("c", 30)]), 3)                    # epoch 3: c born
+    writer(mk([("b", 11), ("d", 40)]), 4)         # epoch 4: b updated, d born
+
+    out = {
+        r["k"]: r
+        for r in sinks.read_changes(spark, path, ["k"], since_epoch=2).collect()
+    }
+    assert set(out) == {"b", "c", "d"}
+    assert (out["b"]["_change_type"], out["b"]["v"], out["b"]["_commit_epoch"]) == (
+        "update", 11, 4,
+    )
+    assert out["c"]["_change_type"] == "insert"
+    assert out["d"]["_change_type"] == "insert"
+    # a last changed at epoch 2 -> not in the feed
+    full = sinks.read_changes(spark, path, ["k"], since_epoch=0).collect()
+    assert {r["k"] for r in full} == {"a", "b", "c", "d"}
+    assert all(r["_change_type"] == "insert" for r in full)
+
+
+def test_read_changes_after_compaction_respects_retention(spark, tmp_path):
+    """Compaction collapses history to epoch -1: a cut at 0 then sees NO
+    changes (history truncated) while the resolved state is unchanged —
+    the documented Delta-CDF-after-VACUUM retention contract."""
+    path = str(tmp_path / "cdc2")
+    writer = sinks.upsert_writer(path, ["k"])
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v long")
+    writer(mk([("a", 1)]), 1)
+    writer(mk([("a", 2), ("b", 5)]), 2)
+    sinks.compact_upsert_table(spark, path, ["k"])
+    assert sinks.read_changes(spark, path, ["k"], since_epoch=0).count() == 0
+    state = {
+        r["k"]: r["v"]
+        for r in sinks.read_upsert_table(spark, path, ["k"]).collect()
+    }
+    assert state == {"a": 2, "b": 5}
