@@ -1074,3 +1074,55 @@ def cdc_changes_since(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_commit_epoch").cast("long").alias("_commit_epoch"),
         "_change_type",
     )
+
+
+# --------------------------------------------------------------------------
+# KMV distinct sketch (the differential-testable approximate-distinct tier)
+# --------------------------------------------------------------------------
+
+from stock_streaming_data_pipeline_spark.operators import kmv as _kmv  # noqa: E402
+
+_KMV_K = 64
+_KMV_ORACLE = f"""
+WITH {_kmv.sql_kmv_sketch(table="events", group_expr="event_type",
+                          key_expr="user_id", k=_KMV_K)},
+exact AS (
+  SELECT event_type AS grp, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT s.grp AS event_type,
+       round({_kmv.sql_kmv_estimate('s.sketch', k=_KMV_K)}, 6) AS kmv_estimate,
+       e.exact_distinct
+FROM kmv_sk s JOIN exact e USING (grp)
+"""
+
+
+@register(
+    "kmv_distinct_users",
+    tags=("A4", "LLM-profile"),
+    oracle=_KMV_ORACLE,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user sketch per event_type, next
+    to the exact count. Unlike HLL++ (whose internals differ per engine,
+    so approx_distinct_profile is rows-only), the KMV sketch is built on
+    the portable md5 hash -- deterministic, mergeable, and replayed
+    bit-for-bit by the DuckDB oracle: a fully differential-checked
+    APPROXIMATE operator. Error vs exact is bounded ~1/sqrt(k-2)."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = _kmv.kmv_sketch(
+        ev, group_col="event_type", key_col="user_id", k=_KMV_K
+    )
+    exact = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        sk.join(exact, "grp")
+        .select(
+            F.col("grp").alias("event_type"),
+            F.round(_kmv.kmv_estimate(F.col("sketch"), k=_KMV_K), 6).alias(
+                "kmv_estimate"
+            ),
+            "exact_distinct",
+        )
+    )

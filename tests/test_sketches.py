@@ -9,6 +9,7 @@ exact answer computed by the matching exact-twin query.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_CORRECT
 
@@ -77,3 +78,63 @@ def test_approx_quantiles_within_rank_bound(spark, queries):
             assert lo - tol <= target <= hi + tol, (
                 f"{r['event_type']}.{col}: rank [{lo},{hi}] vs target {target}"
             )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    from stock_streaming_data_pipeline_spark.operators import kmv
+
+    df = spark.createDataFrame(
+        [("g", i % 10) for i in range(100)], "grp string, key long"
+    )
+    sk = kmv.kmv_sketch(df, group_col="grp", key_col="key", k=64)
+    row = sk.collect()[0]
+    assert len(row["sketch"]) == 10  # below k: sketch IS the key set
+    est = sk.select(
+        kmv.kmv_estimate(F.col("sketch"), k=64).alias("e")
+    ).collect()[0]["e"]
+    assert est == 10.0
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    from stock_streaming_data_pipeline_spark.operators import kmv
+
+    n, k = 5000, 64
+    df = spark.createDataFrame(
+        [("g", i) for i in range(n)], "grp string, key long"
+    )
+    sk = kmv.kmv_sketch(df, group_col="grp", key_col="key", k=k)
+    est = sk.select(
+        kmv.kmv_estimate(F.col("sketch"), k=k).alias("e")
+    ).collect()[0]["e"]
+    # 4-sigma of the ~1/sqrt(k-2) relative error
+    assert abs(est - n) / n < 4.0 / (k - 2) ** 0.5
+
+
+def test_kmv_merge_equals_whole_corpus_sketch(spark):
+    """Shard-parallel correctness: sketch(A) merge sketch(B) == sketch(A∪B)."""
+    from stock_streaming_data_pipeline_spark.operators import kmv
+
+    rows = [("g", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    whole = kmv.kmv_sketch(df, group_col="grp", key_col="key", k=32).collect()[0][
+        "sketch"
+    ]
+    a = kmv.kmv_sketch(
+        df.filter(F.col("key") % 2 == 0), group_col="grp", key_col="key", k=32
+    )
+    b = kmv.kmv_sketch(
+        df.filter(F.col("key") % 2 == 1), group_col="grp", key_col="key", k=32
+    ).withColumnRenamed("sketch", "sketch_b")
+    merged = (
+        a.join(b, "grp")
+        .select(
+            kmv.kmv_merge(F.col("sketch"), F.col("sketch_b"), k=32).alias("m")
+        )
+        .collect()[0]["m"]
+    )
+    assert merged == whole
