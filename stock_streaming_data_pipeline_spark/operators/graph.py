@@ -1,0 +1,145 @@
+"""Distributed graph operators: PageRank over document-similarity graphs.
+
+A curation pipeline ranks documents by centrality in the near-duplicate /
+similarity graph (e.g. to pick cluster representatives, or to weight
+crawl frontiers); connected components (operators/dedup.py) already
+labels the clusters — PageRank scores the nodes.
+
+Portability discipline: ranks live as exact micro-unit BIGINTs between
+iterations. Each step is
+    r'(v) = round(0.15·10⁶/N) + round(0.85 · Σ_{u→v} (r(u) div deg(u)))
+— integer div for contributions, exact BIGINT sums, one double multiply
++ half-away round per term. Every engine computes identical integers at
+every iteration, so the DuckDB oracle can unroll the loop into chained
+CTEs (the Lloyd-loop trick from the kmeans oracle) and match bit-for-bit.
+The integer truncation (mass lost to ``div``) is part of the operator's
+defined semantics — deterministic, bounded by deg·1 micro-unit per node.
+
+Scale shape per iteration: one join ranks⋈edges (shuffle on src — edges
+pre-partitioned by src stay co-located across iterations) + one groupBy
+dst (partial-aggregated). localCheckpoint per round bounds lineage.
+Degrees are computed once. No driver-side data, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def _half_away(col):
+    return (F.signum(col) * F.floor(F.abs(col) + F.lit(0.5))).cast("long")
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank on a directed edge list (feed each undirected edge in
+    both directions). Returns (node, rank_micro, rank) — rank_micro is
+    the exact integer state, rank its double rendering.
+
+    Nodes are the union of endpoints; every node in the graph has
+    out-degree ≥ 1 when edges are symmetrized, so no dangling-mass
+    redistribution is needed (asymmetric graphs should add self-loops
+    first)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = _half_away(
+        F.lit((1.0 - damping) * SCALE) / F.col("n").cast("double")
+    )
+    init = _half_away(F.lit(float(SCALE)) / F.col("n").cast("double"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", init.alias("r")
+    ).localCheckpoint(eager=False)
+    for _ in range(iters):
+        contrib = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("r div deg").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .na.fill({"s": 0})
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    base
+                    + _half_away(
+                        F.lit(damping) * F.col("s").cast("double")
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_micro"),
+        F.round(F.col("r").cast("double") / F.lit(float(SCALE)), 6).alias(
+            "rank"
+        ),
+    )
+
+
+def sql_pagerank(
+    edges_cte: str,
+    *,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB replay of :func:`pagerank`. ``edges_cte`` must be the body
+    of a CTE named ``edges`` yielding (src, dst), already symmetrized and
+    deduplicated. Returns the full SELECT."""
+    base = f"CAST(round({(1.0 - damping) * SCALE} / nn.n::DOUBLE, 0) AS BIGINT)"
+    parts = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        f"""r0 AS (
+  SELECT node, CAST(round({SCALE}.0 / nn.n::DOUBLE, 0) AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn
+)""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""s{i} AS (
+  SELECT e.dst AS node, sum(r.r // d.deg) AS s
+  FROM r{i} r JOIN edges e ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{i + 1} AS (
+  SELECT n.node,
+         {base} + CAST(round({damping} * coalesce(s.s, 0)::DOUBLE, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN s{i} s USING (node) CROSS JOIN nn
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT node, r AS rank_micro,
+       round(r::DOUBLE / {SCALE}.0, 6) AS rank
+FROM r{iters}
+"""

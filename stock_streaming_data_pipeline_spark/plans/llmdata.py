@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from stock_streaming_data_pipeline_spark.operators import (
     bpe,
     dedup,
+    graph,
     multimodal,
     retrieval,
     sampling,
@@ -1446,3 +1447,53 @@ def embedding_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return sq_quant.sq_topk(emb, queries, k=5, shortlist=20)
+
+
+# ---------------------------------------------------------------------------
+# Graph centrality over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_PR_EDGES_SQL = f"""
+  WITH sh AS (
+    SELECT doc_id AS doc, unnest({_SQL_SHINGLES}) AS s FROM documents
+  ),
+  sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+  common AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+    GROUP BY 1, 2
+  ),
+  prs AS (
+    SELECT doc_a, doc_b FROM common
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE c / (sa.n + sb.n - c)::DOUBLE >= 0.5
+  )
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM prs
+"""
+
+
+@register(
+    "pagerank_dup_graph",
+    tags=("LLM-dedup", "LLM-graph"),
+    oracle=graph.sql_pagerank(_PR_EDGES_SQL, iters=3, damping=0.85),
+)
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the exact 3-gram-Jaccard near-dup graph
+    (threshold 0.5, symmetrized) — scores cluster representatives the
+    way connected_components labels them. Ranks are exact micro-unit
+    integers at every iteration (integer-div contributions, BIGINT sums,
+    one rounded double multiply per term), so the DuckDB oracle unrolls
+    the 3 iterations into CTEs and matches bit-for-bit — a fully
+    differential-checked iterative graph algorithm."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.5
+    )
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return graph.pagerank(edges, iters=3, damping=0.85)
