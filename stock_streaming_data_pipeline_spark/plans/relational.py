@@ -1129,3 +1129,44 @@ def interval_join_order_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         _dsum(F.col("ln.l_extendedprice")).alias("shipped_value"),
     )
+
+
+@register(
+    "quantile_hash_sampled",
+    tags=("A1", "A5"),
+    oracle=f"""
+WITH s AS (
+  SELECT event_type, value
+  FROM events
+  WHERE value IS NOT NULL
+    AND ('0x' || substr(md5('qsample' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        % 100 < 25
+)
+SELECT event_type,
+       count(*) AS n_sampled,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM s GROUP BY event_type
+""",
+)
+def quantile_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The differential-testable approximate-quantile path: a DETERMINISTIC
+    25% hash sample (portable md5 on the row id — the same rows in any
+    engine, any partitioning, any run), then exact interpolated
+    percentiles of the sample. Complements approx_quantile_sketch (whose
+    GK summary is engine-specific, hence rows-only): here the
+    approximation error comes from sampling alone, and the entire
+    computation replays bit-for-bit in DuckDB. At 100 TB the sample
+    predicate is map-side (no shuffle until the tiny per-key percentile
+    agg) and the sampled fraction bounds the percentile buffer."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import portable_hash
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    sampled = ev.filter(
+        portable_hash(F.col("event_id").cast("string"), salt="qsample") % 100 < 25
+    )
+    return sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )

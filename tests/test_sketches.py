@@ -138,3 +138,33 @@ def test_kmv_merge_equals_whole_corpus_sketch(spark):
         .collect()[0]["m"]
     )
     assert merged == whole
+
+
+def test_hash_sampled_quantiles_close_to_exact(spark):
+    """The 25% deterministic-sample percentiles track the full-data
+    percentiles (sampling error only; the computation itself is exact)."""
+    from stock_streaming_data_pipeline_spark.plans.catalog import queries
+    from tests.conftest import SF_CORRECT
+
+    q = queries()
+    sampled = {
+        r["event_type"]: r
+        for r in q["quantile_hash_sampled"](spark, SF_CORRECT).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for et, row in sampled.items():
+        # ~25% of rows sampled (binomial, 4-sigma slack)
+        n = exact[et]["n"]
+        assert abs(row["n_sampled"] - 0.25 * n) < 4 * (n * 0.25 * 0.75) ** 0.5
+        # medians within 10% relative (value dist is heavy-tailed-ish)
+        assert abs(row["p50"] - exact[et]["p50"]) / exact[et]["p50"] < 0.10
