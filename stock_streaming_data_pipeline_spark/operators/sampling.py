@@ -247,3 +247,41 @@ WITH ranked AS (
 SELECT {select}, pick_rank
 FROM ranked WHERE mass_before * 100 < {share_pct} * grp_total
 """
+
+
+def split_train_eval(
+    df: DataFrame,
+    *,
+    id_col: str,
+    holdout_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/eval split: assign each row by its portable
+    id hash (mod 100 < holdout_pct → 'eval'). Map-only — no shuffle, no
+    RNG state; the SAME rows land in the same split on any engine, any
+    partitioning, any rerun, and new data arriving later cannot move an
+    existing row across the boundary (the property random splits lose).
+    Integer-only threshold arithmetic, same rule as sample_per_group_rate."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import portable_hash
+
+    bucket = portable_hash(F.col(id_col).cast("string"), salt=salt) % 100
+    return df.withColumn(
+        "split",
+        F.when(bucket < F.lit(holdout_pct), F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def sql_split_train_eval(
+    *, id_col: str, holdout_pct: int = 10, salt: str = "split"
+) -> str:
+    """DuckDB twin of the split predicate (bucket expression only)."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import (
+        sql_portable_hash,
+    )
+
+    h = sql_portable_hash(f"CAST({id_col} AS VARCHAR)", salt=salt)
+    return (
+        f"CASE WHEN {h} % 100 < {holdout_pct} THEN 'eval' ELSE 'train' END"
+    )

@@ -165,3 +165,60 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative to the z-score pass; two tiny per-key percentile aggs
     broadcast back, facts never shuffle."""
     return finance.mad_outliers(trades_view(spark, sf_dir))
+
+
+@register(
+    "rolling_corr_all_pairs",
+    tags=("A1", "W2"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+means AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
+         CAST(round(sum({_CENTS})::DOUBLE / count(*)::DOUBLE * 10, 0)
+              AS BIGINT) AS mean_milli
+  FROM trades WHERE value IS NOT NULL GROUP BY 1, 2
+),
+aligned AS (
+  SELECT a.key || '|' || b.key AS pair, a.bucket_ts,
+         a.mean_milli AS x, b.mean_milli AS y
+  FROM means a JOIN means b USING (bucket_ts)
+  WHERE a.key < b.key
+),
+moments AS (
+  SELECT pair, bucket_ts,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * y) OVER w AS sxy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+  FROM aligned
+  WINDOW w AS (PARTITION BY pair ORDER BY bucket_ts
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT pair, epoch(bucket_ts)::BIGINT AS bucket_s,
+       round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+             / sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+                    * (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)),
+             6) AS corr
+FROM moments WHERE n = 24
+""",
+)
+def rolling_corr_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of rolling correlation: ALL symbol pairs at once,
+    windows partitioned by pair id — the operator distributes across
+    however many pairs exist (the pair count, not the grid length, is
+    the scale dimension). Same exact-integer moment discipline as the
+    single-pair query."""
+    means = finance.hourly_means_milli(trades_view(spark, sf_dir))
+    a = means.select(
+        F.col("key").alias("key_a"), "bucket_ts", F.col("mean_milli").alias("x_milli")
+    )
+    b = means.select(
+        F.col("key").alias("key_b"), "bucket_ts", F.col("mean_milli").alias("y_milli")
+    )
+    aligned = (
+        a.join(b, "bucket_ts")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("pair", F.concat_ws("|", "key_a", "key_b"))
+        .select("pair", "bucket_ts", "x_milli", "y_milli")
+    )
+    return finance.rolling_corr(aligned, frame=24, pair_col="pair")

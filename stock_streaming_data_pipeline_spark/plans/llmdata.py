@@ -1497,3 +1497,32 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     return graph.pagerank(edges, iters=3, damping=0.85)
+
+
+@register(
+    "split_train_eval",
+    tags=("LLM-mixing",),
+    oracle=f"""
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM (
+  SELECT doc_id, n_chars,
+         {sampling.sql_split_train_eval(id_col="doc_id", holdout_pct=10)} AS split
+  FROM documents
+)
+GROUP BY split
+""",
+)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/eval split on the portable id hash —
+    map-only, rerun-stable, append-stable (new rows never move old rows
+    across the boundary). Profiled per split; the assignment itself is
+    the oracle-checked surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.split_train_eval(docs, id_col="doc_id", holdout_pct=10)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

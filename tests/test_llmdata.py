@@ -575,3 +575,30 @@ def test_opq_recall_vs_brute_force(spark):
     # re-rank cosines are exact (raw vectors), ranks well-formed
     for r in opq_rows:
         assert 1 <= r["rank"] <= 5
+
+
+def test_split_train_eval_stability_properties(spark):
+    """Deterministic split: rerun-identical, append-stable (old rows keep
+    their split when new rows arrive), and close to the target rate."""
+    from stock_streaming_data_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_train_eval(df, id_col="doc_id").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_train_eval(
+            df.repartition(13), id_col="doc_id"
+        ).collect()
+    }
+    assert a == b
+    bigger = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    c = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_train_eval(bigger, id_col="doc_id").collect()
+    }
+    assert all(c[k] == v for k, v in a.items())  # append-stable
+    n_eval = sum(1 for v in a.values() if v == "eval")
+    assert abs(n_eval - 200) < 4 * (2000 * 0.1 * 0.9) ** 0.5
