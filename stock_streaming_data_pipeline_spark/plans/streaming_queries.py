@@ -616,3 +616,46 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("w.end").alias("session_end_us"),
         "n_events",
     )
+
+
+@register(
+    "streaming_windowed_distinct",
+    tags=("T1", "T2", "T5", "A4", "S1"),
+    oracle="""
+WITH cutoff AS (
+  SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events
+),
+g AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         count(DISTINCT user_id) AS distinct_users
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, epoch(d)::BIGINT AS window_start, distinct_users
+FROM g CROSS JOIN cutoff
+WHERE d + INTERVAL 1 DAY <= wm
+""",
+)
+def streaming_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed COUNT DISTINCT on a stream — the aggregation streaming
+    engines cannot do directly (distinct aggs are unsupported in
+    streaming): the standard rewrite chains TWO stateful operators,
+    watermark-bounded dropDuplicates on (key, window-day, user) followed
+    by the windowed count, in append mode. State = one row per distinct
+    (key, day, user) inside the watermark horizon, evicted as windows
+    finalize. The oracle replays the watermark cutoff (windows whose end
+    exceeds max(ts) − 1h are withheld by append mode — the T5 contract)."""
+    ev = stream_events(spark, sf_dir).select(
+        "event_type", "ts", "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(
+        ["event_type", "day", "user_id"]
+    )
+    agg = deduped.groupBy(
+        F.window("ts", "1 day").alias("w"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("distinct_users"))
+    settled = settle(agg, "append")
+    return settled.select(
+        "event_type",
+        F.unix_seconds("w.start").alias("window_start"),
+        "distinct_users",
+    )

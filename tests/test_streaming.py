@@ -216,3 +216,32 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     assert sink.count() == 3500  # old files not reprocessed
     # every generated row has a distinct ts -> any replay would dedupe here
     assert sink.select("ts").distinct().count() == 3500
+
+
+def test_windowed_distinct_chains_two_stateful_operators(spark):
+    """streaming_windowed_distinct = watermarked dropDuplicates feeding a
+    windowed agg (the chained-stateful rewrite for streaming COUNT
+    DISTINCT); every window it emits must equal the batch distinct count
+    (the oracle also pins the watermark cutoff at sf0.01)."""
+    from stock_streaming_data_pipeline_spark.plans.catalog import queries
+    from stock_streaming_data_pipeline_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = queries()["streaming_windowed_distinct"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .selectExpr(
+            "event_type",
+            "unix_seconds(date_trunc('day', ts)) AS window_start",
+            "user_id",
+        )
+        .groupBy("event_type", "window_start")
+        .agg(F.countDistinct("user_id").alias("distinct_users"))
+    )
+    got = {(r["event_type"], r["window_start"]): r["distinct_users"] for r in rows}
+    want = {
+        (r["event_type"], r["window_start"]): r["distinct_users"]
+        for r in batch.collect()
+    }
+    assert got and all(want[k] == v for k, v in got.items())
