@@ -1170,3 +1170,33 @@ def quantile_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
     )
+
+
+from stock_streaming_data_pipeline_spark.operators import fuzzy as _fuzzy  # noqa: E402
+
+
+@register(
+    "fuzzy_part_match",
+    tags=("J2", "LLM-dedup"),
+    oracle=_fuzzy.sql_fuzzy_pairs(
+        table="part",
+        id_col="p_partkey",
+        text_col="p_name",
+        block_cols=("p_type", "p_brand"),
+        max_dist=2,
+    ),
+)
+def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part catalog: within-(type, brand)
+    blocks, name pairs at Levenshtein <= 2 — exact-duplicate and typo'd
+    listings. The length-difference bound prunes candidates inside the
+    join condition before the edit-distance kernel runs; edit distance
+    is an exact integer, so the operator is fully oracle-checked."""
+    part = load_table(spark, sf_dir, "part")
+    return _fuzzy.fuzzy_pairs(
+        part,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_cols=("p_type", "p_brand"),
+        max_dist=2,
+    )

@@ -602,3 +602,24 @@ def test_split_train_eval_stability_properties(spark):
     assert all(c[k] == v for k, v in a.items())  # append-stable
     n_eval = sum(1 for v in a.values() if v == "eval")
     assert abs(n_eval - 200) < 4 * (2000 * 0.1 * 0.9) ** 0.5
+
+
+def test_fuzzy_pairs_blocking_and_distance(spark):
+    from stock_streaming_data_pipeline_spark.operators import fuzzy
+
+    df = spark.createDataFrame(
+        [
+            (1, "red widget", "A"),
+            (2, "red widgot", "A"),   # dist 1, same block
+            (3, "red widget", "B"),   # identical text, DIFFERENT block
+            (4, "blue cable", "A"),   # too far from everything
+            (5, "red widget", "A"),   # exact dup of 1
+        ],
+        "id long, name string, grp string",
+    )
+    out = fuzzy.fuzzy_pairs(
+        df, id_col="id", text_col="name", block_cols=("grp",), max_dist=2
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in out}
+    assert pairs == {(1, 2): 1, (1, 5): 0, (2, 5): 1}
+    # cross-block pair (1,3) absent by design; (4,*) beyond max_dist
