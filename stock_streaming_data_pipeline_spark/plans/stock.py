@@ -12,7 +12,7 @@ oracle with identical column names/semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_streaming_data_pipeline_spark.functions.scalars import (
@@ -1124,5 +1124,41 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "kmv_estimate"
             ),
             "exact_distinct",
+        )
+    )
+
+
+@register(
+    "price_histogram_equidepth",
+    tags=("A1", "A5", "O3"),
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS bucket
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bucket,
+       count(*) AS n,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi
+FROM ranked GROUP BY event_type, bucket
+""",
+)
+def price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (decile buckets) per key — the profiling twin
+    of the equi-width price_histogram: every bucket holds ~n/10 rows and
+    the bucket edges trace the distribution. One window shuffle on the
+    key; the (value, id) tie-break makes bucket assignment deterministic
+    in any engine. Bucket edges double as a quantile summary."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
         )
     )
