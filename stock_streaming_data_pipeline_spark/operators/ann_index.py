@@ -116,3 +116,39 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def add_to_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign NEW vectors against the
+    EXISTING centroids and append them to their inverted-list partitions
+    — no retrain, no rewrite of existing lists (dynamic partition
+    overwrite is not needed because appends go to new files inside each
+    list directory). This is how a production IVF index absorbs an
+    ingest batch; the quantizer drifts only if the data distribution
+    does, at which point build_ivf_index re-trains offline.
+
+    The assignment rule is byte-identical to the build path
+    (_nearest_centroid: round-6 cosine, cluster-id tie-breaks), so an
+    index built incrementally answers probes identically to one built
+    in a single shot over the union — pinned in tests/test_ann_index.py.
+    """
+    cents = spark.read.parquet(f"{path}/centroids").select(
+        F.col("cluster_id").alias("_cid"), "cvec"
+    )
+    c = new_vectors.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = _nearest_centroid(c, cents, key_col="vec_id", vec_alias="v")
+    (
+        assigned.select("vec_id", "v", "cluster_id")
+        .write.mode("append")
+        .partitionBy("cluster_id")
+        .parquet(f"{path}/lists")
+    )

@@ -56,3 +56,62 @@ def test_index_scan_prunes_unprobed_lists(spark, tmp_path):
     m = re.search(r"cluster_id#\d+ IN \(([-0-9,]+)\)", seg[1])
     assert m, seg[1][:300]
     assert len(m.group(1).split(",")) == 3
+
+
+def test_incremental_add_matches_single_shot_build(spark, tmp_path):
+    """An index built on half the corpus then extended with add_to_index
+    answers every probe identically to an index whose LISTS contain the
+    same vectors from a single assignment pass over the union (same
+    frozen quantizer), and the appended vectors land in pruned
+    partitions like any others."""
+    from stock_streaming_data_pipeline_spark.operators import ann_index
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    inc_path = str(tmp_path / "inc")
+    ann_index.build_ivf_index(first, inc_path, nlist=4, iters=2)
+    ann_index.add_to_index(spark, inc_path, rest)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in ann_index.ivf_index_topk(
+            spark, inc_path, queries, k=5, nprobe=2
+        ).collect()
+    )
+
+    # single-shot reference: freeze the SAME quantizer (trained on
+    # `first`), assign the union in one pass
+    ref_path = str(tmp_path / "ref")
+    ann_index.build_ivf_index(first, ref_path, nlist=4, iters=2)
+    ann_index.add_to_index(spark, ref_path, rest.unionByName(first))
+    # ref lists now contain first twice -> rebuild clean instead
+    import shutil
+
+    shutil.rmtree(ref_path)
+    ann_index.build_ivf_index(first, ref_path, nlist=4, iters=2)
+    # overwrite lists with a one-pass assignment of the union
+    from stock_streaming_data_pipeline_spark.operators.similarity import (
+        _nearest_centroid,
+        as_double,
+    )
+
+    cents = spark.read.parquet(f"{ref_path}/centroids").select(
+        F.col("cluster_id").alias("_cid"), "cvec"
+    )
+    union = emb.select(
+        F.col("vec_id"), as_double(F.col("embedding")).alias("v")
+    )
+    assigned = _nearest_centroid(union, cents, key_col="vec_id", vec_alias="v")
+    assigned.select("vec_id", "v", "cluster_id").write.mode(
+        "overwrite"
+    ).partitionBy("cluster_id").parquet(f"{ref_path}/lists")
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in ann_index.ivf_index_topk(
+            spark, ref_path, queries, k=5, nprobe=2
+        ).collect()
+    )
+    assert got == want
