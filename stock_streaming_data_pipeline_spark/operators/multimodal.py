@@ -314,3 +314,84 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             (F.col("n_chars") % 100).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
+
+
+def documents_as_wav_media(docs: DataFrame, *, n_samples: int = 64) -> DataFrame:
+    """REAL-WAV media table derived from document text: the first
+    ``n_samples`` UTF-8 bytes (space-padded) map to PCM16 samples via
+    (byte − 100)·128, encoded executor-side with the stdlib RIFF encoder
+    (operators/wav_codec.py). Sample values are a deterministic function
+    of the text, so decoded-audio statistics carry full DuckDB oracles —
+    the audio twin of documents_as_png_media."""
+    from stock_streaming_data_pipeline_spark.operators import wav_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")[:n_samples].ljust(n_samples, b" ")
+                samples = [(b - 100) * 128 for b in raw]
+                payloads.append(wav_codec.encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "audio",
+                    "meta": [
+                        {
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 8000,
+                            "n_frames": n_samples,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, MEDIA_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_ms double, "
+    "sum_s long, min_s int, max_s int, rms double, zero_crossings long"
+)
+
+
+def wav_audio_stats(media: DataFrame) -> DataFrame:
+    """Per-clip audio statistics via REAL WAV decode (mapInPandas):
+    RIFF chunk walk + PCM16 unpack, reduced to duration, amplitude
+    bounds, RMS energy and zero-crossing count (integer sums → the
+    stats replay exactly from the source bytes in any engine)."""
+    from stock_streaming_data_pipeline_spark.operators import wav_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = wav_codec.decode_wav(bytes(payload))
+                n = len(s)
+                sq = sum(v * v for v in s)
+                import math
+                zc = sum(
+                    1
+                    for i in range(1, n)
+                    if (s[i - 1] < 0) != (s[i] < 0)
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "duration_ms": round(n / rate * 1000.0, 6),
+                        "sum_s": sum(s),
+                        "min_s": min(s) if n else 0,
+                        "max_s": max(s) if n else 0,
+                        "rms": round(math.sqrt(sq / n), 6) if n else 0.0,
+                        "zero_crossings": zc,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, AUDIO_STATS_SCHEMA)

@@ -1526,3 +1526,55 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "multimodal_wav_decode",
+    tags=("LLM-multimodal",),
+    oracle="""
+WITH t AS (
+  SELECT doc_id AS media_id,
+         substr(text || repeat(' ', 64), 1, 64) AS s
+  FROM documents
+),
+sm AS (
+  SELECT media_id, u.i AS pos,
+         (ascii(substr(s, CAST(u.i AS INT), 1)) - 100) * 128 AS v
+  FROM t, unnest(range(1, 65)) AS u(i)
+),
+lagd AS (
+  SELECT media_id, v,
+         lag(v) OVER (PARTITION BY media_id ORDER BY pos) AS pv
+  FROM sm
+),
+zc AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN pv IS NOT NULL AND (pv < 0) != (v < 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+  FROM lagd GROUP BY media_id
+),
+st AS (
+  SELECT media_id,
+         CAST(sum(v) AS BIGINT) AS sum_s,
+         min(v)::INT AS min_s, max(v)::INT AS max_s,
+         round(sqrt(CAST(sum(v * v) AS DOUBLE) / 64), 6) AS rms
+  FROM sm GROUP BY media_id
+)
+SELECT st.media_id, 8000 AS sample_rate, CAST(64 AS BIGINT) AS n_samples,
+       8.0 AS duration_ms, st.sum_s, st.min_s, st.max_s, st.rms,
+       zc.zero_crossings
+FROM st JOIN zc USING (media_id)
+""",
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV round-trip through the pure-stdlib RIFF/PCM16 codec: each
+    document's first 64 bytes become an 8 kHz mono clip (real encoder),
+    which the real decoder (chunk walk + fmt validation + PCM16 unpack)
+    turns back into samples reduced to duration / amplitude / RMS /
+    zero-crossings. The DuckDB oracle recomputes identical statistics
+    straight from the text bytes — the audio twin of
+    multimodal_png_decode, completing real decode for two of the three
+    modalities (video stays metadata-level frame sampling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_wav_media(docs, n_samples=64)
+    return multimodal.wav_audio_stats(media)

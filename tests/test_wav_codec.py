@@ -1,0 +1,67 @@
+"""Pure-stdlib WAV codec: round-trip, malformed-input rejection, and the
+chunk-walking tolerance the RIFF spec requires."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from stock_streaming_data_pipeline_spark.operators import wav_codec
+
+
+def test_roundtrip_preserves_samples_and_rate():
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    payload = wav_codec.encode_wav(samples, sample_rate=44100)
+    rate, out = wav_codec.decode_wav(payload)
+    assert rate == 44100
+    assert out == samples
+
+
+def test_empty_clip_roundtrip():
+    payload = wav_codec.encode_wav([], sample_rate=8000)
+    rate, out = wav_codec.decode_wav(payload)
+    assert (rate, out) == (8000, [])
+
+
+def test_out_of_range_sample_rejected():
+    with pytest.raises(ValueError, match="int16"):
+        wav_codec.encode_wav([40000])
+
+
+def test_decoder_tolerates_extra_chunks():
+    # insert a LIST chunk between fmt and data — decoders must skip it
+    payload = wav_codec.encode_wav([5, -5], sample_rate=8000)
+    fmt_end = payload.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = payload[:fmt_end] + extra + payload[fmt_end:]
+    patched = (
+        patched[:4]
+        + struct.pack("<I", len(patched) - 8)
+        + patched[8:]
+    )
+    rate, out = wav_codec.decode_wav(patched)
+    assert out == [5, -5]
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda p: b"JUNK" + p[4:], "RIFF"),
+        (lambda p: p[:-2], "length mismatch"),
+        (lambda p: p[:4] + struct.pack("<I", len(p) - 9) + p[8:-1], "truncated|odd|missing"),
+    ],
+)
+def test_decoder_rejects_malformed(mutate, msg):
+    payload = wav_codec.encode_wav([1, 2, 3])
+    with pytest.raises(ValueError, match=msg):
+        wav_codec.decode_wav(mutate(payload))
+
+
+def test_decoder_rejects_stereo():
+    payload = bytearray(wav_codec.encode_wav([1, 2]))
+    # channels field lives at offset fmt_body+2; find fmt chunk
+    i = payload.index(b"fmt ") + 8
+    struct.pack_into("<H", payload, i + 2, 2)  # channels = 2
+    with pytest.raises(ValueError, match="mono"):
+        wav_codec.decode_wav(bytes(payload))
