@@ -395,3 +395,123 @@ def wav_audio_stats(media: DataFrame) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Video tier: PNG-sequence container (real container walk + frame decode)
+# --------------------------------------------------------------------------
+
+PSEQ_MAGIC = b"PSEQ"
+
+
+def encode_pngseq(frames: list[bytes]) -> bytes:
+    """Length-prefixed PNG frame container: magic + u32 frame count +
+    per-frame (u32 length + payload). A deliberately minimal stand-in
+    for a real video container (MP4 demuxing needs codec libs this
+    sandbox lacks) — but the PIPELINE is the real thing: container walk,
+    frame select, per-frame image decode."""
+    import struct as _struct
+
+    out = [PSEQ_MAGIC, _struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(_struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_pngseq_frame(payload: bytes, idx: int) -> bytes:
+    """Seek to frame ``idx`` by walking the length prefixes (no decode
+    of skipped frames — the point of a container walk) and return its
+    PNG bytes."""
+    import struct as _struct
+
+    if payload[:4] != PSEQ_MAGIC:
+        raise ValueError("not a PSEQ container")
+    (n,) = _struct.unpack_from("<I", payload, 4)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} out of range 0..{n - 1}")
+    pos = 8
+    for i in range(n):
+        (flen,) = _struct.unpack_from("<I", payload, pos)
+        pos += 4
+        if i == idx:
+            frame = payload[pos : pos + flen]
+            if len(frame) != flen:
+                raise ValueError("truncated frame")
+            return frame
+        pos += flen
+    raise ValueError("container walk overran")  # pragma: no cover
+
+
+def documents_as_pngseq_media(
+    docs: DataFrame, *, n_frames: int = 4, width: int = 8, height: int = 8
+) -> DataFrame:
+    """REAL-container video table: document text split into ``n_frames``
+    consecutive width*height byte tiles, each a real PNG frame inside
+    the PSEQ container. Deterministic from the text, so frame-level
+    decode results carry full DuckDB oracles."""
+    from stock_streaming_data_pipeline_spark.operators import png_codec
+
+    fsize = width * height
+    total = fsize * n_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")[:total].ljust(total, b" ")
+                frames = [
+                    png_codec.encode_png(
+                        raw[i * fsize : (i + 1) * fsize], width, height
+                    )
+                    for i in range(n_frames)
+                ]
+                payloads.append(encode_pngseq(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "video",
+                    "meta": [
+                        {
+                            "width": width,
+                            "height": height,
+                            "sample_rate": 0,
+                            "n_frames": n_frames,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def pngseq_frame_stats(media: DataFrame, *, frame_idx: int) -> DataFrame:
+    """Decode ONE selected frame per clip (container walk skips the
+    rest) and reduce it to pixel statistics — the keyframe-extraction
+    shape of a video featurization pass."""
+    from stock_streaming_data_pipeline_spark.operators import png_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frame = decode_pngseq_frame(bytes(payload), frame_idx)
+                w, h, ch, px = png_codec.decode_png(frame)
+                n = len(px)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "sum_px": sum(px),
+                        "min_px": min(px) if n else 0,
+                        "max_px": max(px) if n else 0,
+                        "mean_px": round(sum(px) / n, 6) if n else 0.0,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, PIXEL_STATS_SCHEMA)

@@ -1578,3 +1578,38 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.documents_as_wav_media(docs, n_samples=64)
     return multimodal.wav_audio_stats(media)
+
+
+@register(
+    "multimodal_video_keyframe",
+    tags=("LLM-multimodal",),
+    oracle="""
+WITH t AS (
+  SELECT doc_id AS media_id,
+         substr(text || repeat(' ', 256), 129, 64) AS s
+  FROM documents
+),
+px AS (
+  SELECT media_id, ascii(substr(s, CAST(u.i AS INT), 1)) AS v
+  FROM t, unnest(range(1, 65)) AS u(i)
+)
+SELECT media_id, 8 AS width, 8 AS height,
+       CAST(sum(v) AS BIGINT) AS sum_px,
+       min(v) AS min_px, max(v) AS max_px,
+       round(CAST(sum(v) AS DOUBLE) / 64, 6) AS mean_px
+FROM px GROUP BY media_id
+""",
+)
+def multimodal_video_keyframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-pipeline shape: documents become 4-frame PSEQ
+    containers of real PNGs; the operator walks the container to frame 2
+    (skipping frames without decoding them — the keyframe-seek pattern),
+    REALLY decodes that frame, and reduces it to pixel stats. The DuckDB
+    oracle recomputes the stats from the frame's source byte range
+    (bytes 129..192 of the padded text) — container walk, frame select
+    and image decode all sit under the differential check."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_pngseq_media(
+        docs, n_frames=4, width=8, height=8
+    )
+    return multimodal.pngseq_frame_stats(media, frame_idx=2)

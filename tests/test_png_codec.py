@@ -195,3 +195,36 @@ def test_png_feature_extraction_real_path(spark):
         assert f[0] == 8.0 and f[1] == 8.0 and f[2] == 1.0 and f[3] == 64.0
         assert abs(f[4] - sum(b) / 64 / 255.0) < 1e-12
         assert f[5] == min(b) / 255.0 and f[6] == max(b) / 255.0
+
+
+# ---------------------------------------------------------------------------
+# PSEQ video container
+# ---------------------------------------------------------------------------
+
+
+def test_pngseq_container_walk_selects_correct_frame():
+    from stock_streaming_data_pipeline_spark.operators import multimodal, png_codec
+
+    frames = [
+        png_codec.encode_png(bytes([i] * 4), 2, 2) for i in (10, 20, 30)
+    ]
+    seq = multimodal.encode_pngseq(frames)
+    for i, want in enumerate((10, 20, 30)):
+        got = multimodal.decode_pngseq_frame(seq, i)
+        assert got == frames[i]
+        _, _, _, px = png_codec.decode_png(got)
+        assert list(px) == [want] * 4
+
+
+def test_pngseq_rejects_bad_magic_and_range():
+    import pytest
+
+    from stock_streaming_data_pipeline_spark.operators import multimodal, png_codec
+
+    seq = multimodal.encode_pngseq(
+        [png_codec.encode_png(b"\x00" * 4, 2, 2)]
+    )
+    with pytest.raises(ValueError, match="PSEQ"):
+        multimodal.decode_pngseq_frame(b"JUNK" + seq[4:], 0)
+    with pytest.raises(IndexError):
+        multimodal.decode_pngseq_frame(seq, 1)
