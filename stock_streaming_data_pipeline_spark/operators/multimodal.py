@@ -515,3 +515,40 @@ def pngseq_frame_stats(media: DataFrame, *, frame_idx: int) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
+def resample_audio(media: DataFrame, *, factor: int) -> DataFrame:
+    """Integer decimation of WAV clips: keep every ``factor``-th sample,
+    divide the sample rate, re-encode — REAL decode→transform→encode
+    through the stdlib codec (the audio twin of resize_images' nearest-
+    neighbor kernel). Deterministic: sample selection is pure indexing,
+    so downstream stats replay from the source bytes."""
+    from stock_streaming_data_pipeline_spark.operators import wav_codec
+
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            metas = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                rate, s = wav_codec.decode_wav(bytes(payload))
+                dec = s[::factor]
+                out_payloads.append(
+                    wav_codec.encode_wav(dec, sample_rate=max(1, rate // factor))
+                )
+                m = dict(meta)
+                m["sample_rate"] = max(1, rate // factor)
+                m["n_frames"] = len(dec)
+                metas.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payloads,
+                    "media_type": pdf["media_type"],
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)

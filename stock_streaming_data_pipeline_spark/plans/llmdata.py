@@ -1613,3 +1613,43 @@ def multimodal_video_keyframe(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n_frames=4, width=8, height=8
     )
     return multimodal.pngseq_frame_stats(media, frame_idx=2)
+
+
+@register(
+    "multimodal_wav_resample",
+    tags=("LLM-multimodal",),
+    oracle="""
+WITH t AS (
+  SELECT doc_id AS media_id,
+         substr(text || repeat(' ', 64), 1, 64) AS s
+  FROM documents
+),
+sm AS (
+  SELECT media_id, u.i AS pos,
+         (ascii(substr(s, CAST(u.i AS INT), 1)) - 100) * 128 AS v
+  FROM t, unnest(range(1, 65)) AS u(i)
+  WHERE (u.i - 1) % 4 = 0
+)
+SELECT media_id, 2000 AS sample_rate, CAST(16 AS BIGINT) AS n_samples,
+       8.0 AS duration_ms,
+       CAST(sum(v) AS BIGINT) AS sum_s,
+       min(v)::INT AS min_s, max(v)::INT AS max_s,
+       round(sqrt(CAST(sum(v * v) AS DOUBLE) / 16), 6) AS rms,
+       (SELECT CAST(sum(CASE WHEN pv IS NOT NULL AND (pv < 0) != (z.v < 0)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT v, lag(v) OVER (ORDER BY pos) AS pv
+              FROM sm s2 WHERE s2.media_id = sm.media_id) z
+       ) AS zero_crossings
+FROM sm GROUP BY media_id
+""",
+)
+def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decimation: 8 kHz clips downsampled 4x through
+    decode→take-every-4th→re-encode, then decoded AGAIN for statistics —
+    two full codec round-trips under the oracle, which recomputes the
+    stats from every 4th source byte (duration is preserved, the rate
+    drops to 2 kHz)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_wav_media(docs, n_samples=64)
+    resampled = multimodal.resample_audio(media, factor=4)
+    return multimodal.wav_audio_stats(resampled)

@@ -65,3 +65,21 @@ def test_decoder_rejects_stereo():
     struct.pack_into("<H", payload, i + 2, 2)  # channels = 2
     with pytest.raises(ValueError, match="mono"):
         wav_codec.decode_wav(bytes(payload))
+
+
+def test_resample_audio_decimates(spark):
+    import pandas as pd
+
+    from stock_streaming_data_pipeline_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh" * 8)], "doc_id long, text string"
+    )
+    media = multimodal.documents_as_wav_media(docs, n_samples=64)
+    out = multimodal.resample_audio(media, factor=4).collect()[0]
+    rate, samples = wav_codec.decode_wav(bytes(out["payload"]))
+    assert rate == 2000
+    raw = ("abcdefgh" * 8).encode()
+    want = [(b - 100) * 128 for b in raw[:64]][::4]
+    assert samples == want
+    assert out["meta"]["n_frames"] == 16
