@@ -272,3 +272,43 @@ def test_no_broadcast_hint_on_sf_scaled_relations(spark):
         assert not bad, f"{name}: broadcast hint over SF-scaled relation: {bad}"
         checked += 1
     assert checked >= 40  # the guard actually swept the relational surface
+
+
+def test_vwap_partial_aggregation_no_join(spark):
+    """vwap is one partial+final aggregation over the fact scan — no join
+    anywhere, decimal sums map-side combined before the shuffle."""
+    plan = plan_of(spark, "vwap_hourly")
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_mad_stats_broadcast_back(spark):
+    """Both per-key stats (median, MAD) must come back as broadcast
+    joins — the fact table never shuffles for a join."""
+    plan = plan_of(spark, "mad_robust_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_codes_map_only_over_scan(spark):
+    """The Morton code is a map-side expression: one broadcast of the
+    1-row bounds, no shuffle of the fact, no sort."""
+    plan = plan_of(spark, "events_zorder_codes")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sq_encode_broadcasts_grid(spark):
+    """SQ8 scoring never shuffles the corpus: grid and queries ride
+    broadcasts; the only exchanges serve the shortlist/rerank windows."""
+    plan = plan_of(spark, "embedding_sq_topk")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_pairs_join_on_cluster(spark):
+    """The pair search must be an equi-join on cluster_id (hash or
+    broadcast) — never a cartesian over the corpus."""
+    plan = plan_of(spark, "embedding_semantic_dedup")
+    assert "CartesianProduct" not in plan

@@ -155,3 +155,72 @@ def test_ewma_matches_sequential_reference(spark, rows):
             x = float(row["price"])
             y = x if y is None else 0.5 * x + 0.5 * y
             assert got[(sym, row["rid"])] == y  # bitwise
+
+
+@st.composite
+def priced_trades(draw, max_rows=50):
+    n = draw(st.integers(min_value=2, max_value=max_rows))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                draw(st.sampled_from(["aa", "bb"])),
+                EPOCH + dt.timedelta(minutes=i),
+                float(draw(st.integers(min_value=1, max_value=10_000))) / 10.0,
+                float(draw(st.integers(min_value=0, max_value=100))),
+            )
+        )
+    return rows
+
+
+@settings(max_examples=15, deadline=None)
+@given(priced_trades())
+def test_max_drawdown_matches_brute_force(spark, rows):
+    from stock_streaming_data_pipeline_spark.operators import finance
+
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, volume double"
+    )
+    got = {
+        r["key"]: r["max_drawdown"]
+        for r in finance.max_drawdown(df).collect()
+    }
+    by_key: dict[str, list[float]] = {}
+    for k, ts, v, _ in sorted(rows, key=lambda r: (r[0], r[1], round(r[2] * 100))):
+        by_key.setdefault(k, []).append(round(v * 100))
+    for k, cents in by_key.items():
+        peak, best = cents[0], 0.0
+        for c in cents:
+            peak = max(peak, c)
+            best = max(best, round((peak - c) / peak, 6))
+        assert got[k] == best
+
+
+@settings(max_examples=15, deadline=None)
+@given(priced_trades())
+def test_vwap_mass_conservation(spark, rows):
+    """sum(vwap_bucket * qty_bucket) == sum(price*qty) within rounding:
+    the weighted mean must conserve notional per bucket."""
+    from stock_streaming_data_pipeline_spark.operators import finance
+
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, volume double"
+    )
+    out = finance.vwap_bars(df).collect()
+    # recompute notional from returned vwap and trade count weights
+    total_notional = sum(
+        round(v * 100) * round(q * 1e6) for _, _, v, q in rows
+    ) / (100 * 1e6)
+    got_notional = 0.0
+    qty_per = {}
+    for k, ts, v, q in rows:
+        b = (k, ts.replace(minute=0, second=0, microsecond=0))
+        qty_per[b] = qty_per.get(b, 0) + round(q * 1e6) / 1e6
+    for r in out:
+        key = [b for b in qty_per if b[0] == r["key"]]
+        # bucket_s identifies the hour
+        import datetime as _dt
+
+        bts = _dt.datetime.utcfromtimestamp(r["bucket_s"])
+        got_notional += r["vwap"] * qty_per[(r["key"], bts)]
+    assert abs(got_notional - total_notional) < 1e-2
