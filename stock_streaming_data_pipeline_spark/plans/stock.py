@@ -1162,3 +1162,59 @@ def price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Custom Python DataSource (Spark 4): the trade feed as a real source
+# --------------------------------------------------------------------------
+
+from stock_streaming_data_pipeline_spark.sources import trade_source as _tsrc  # noqa: E402
+
+_TSRC_N = 2000
+
+
+@register(
+    "custom_source_vwap",
+    tags=("S3", "S1", "A1"),
+    oracle=f"""
+WITH {_tsrc.sql_trade_gen(_TSRC_N)},
+scaled AS (
+  SELECT symbol, date_trunc('hour', ts) AS bucket_ts,
+         CAST(round(price * 100, 0) AS BIGINT) AS p,
+         CAST(round(qty * 1000000, 0) AS BIGINT) AS q
+  FROM trade_gen
+),
+agg AS (
+  SELECT symbol AS key, bucket_ts,
+         sum(CAST(p * q AS DECIMAL(38,0))) AS s_pq,
+         sum(CAST(q AS DECIMAL(38,0))) AS s_q,
+         count(*) AS n_trades
+  FROM scaled GROUP BY 1, 2
+)
+SELECT key, epoch(bucket_ts)::BIGINT AS bucket_s,
+       round(s_pq::DOUBLE / s_q::DOUBLE / 100.0, 6) AS vwap,
+       n_trades
+FROM agg WHERE s_q > 0
+""",
+)
+def custom_source_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end through the CUSTOM Spark-4 Python DataSource: read the
+    deterministic trade feed via spark.read.format('trade_gen') (the
+    reference's websocket producer as a first-class source — partitions
+    generate executor-side, the stream variant runs under checkpointed
+    micro-batches), then hourly VWAP via the finance operator. The
+    oracle regenerates the feed with the same portable-md5 arithmetic in
+    DuckDB — the SOURCE itself is differential-checked, not just the
+    aggregation."""
+    from stock_streaming_data_pipeline_spark.operators import finance
+
+    _tsrc.register(spark)
+    feed = (
+        spark.read.format("trade_gen")
+        .option("n_rows", _TSRC_N)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return finance.vwap_bars(
+        feed, key_col="symbol", ts_col="ts", price_col="price", qty_col="qty"
+    )
