@@ -1218,3 +1218,90 @@ def custom_source_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.vwap_bars(
         feed, key_col="symbol", ts_col="ts", price_col="price", qty_col="qty"
     )
+
+
+@register(
+    "variant_props_profile",
+    tags=("C5", "P6"),
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+GROUP BY event_type
+""",
+)
+def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via Spark 4's VARIANT type: props parses
+    once into the binary variant encoding (parse_json), fields extract
+    with variant_get — the schema-on-read path for heterogeneous JSON at
+    scale (a variant column scans ~an order of magnitude faster than
+    re-parsing JSON strings per access, and upgrades to shredded storage
+    on parquet writers that support it). The oracle reads the same
+    fields with DuckDB's JSON extraction — value parity across two
+    completely different JSON representations."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type", F.variant_get("v", "$.k", "bigint").alias("k")
+    )
+    return (
+        v.filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "snapshot_as_of_epoch",
+    tags=("K1", "K2", "K6"),
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, day(ts) AS ep, max(value) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       max_by(day_value, ep) AS day_value,
+       CAST(max(ep) AS BIGINT) AS as_of_epoch
+FROM daily WHERE ep <= {_CDC_CUT}
+GROUP BY user_id
+""",
+)
+def snapshot_as_of_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the keyed upsert sink (Delta's VERSION AS OF, for
+    free from the epoch stamps): materialize the daily-upsert table,
+    then read the state AS OF the cut epoch — resolution sees only rows
+    stamped at or before it. Pairs with cdc_changes_since: snapshot(T) +
+    changes-since(T) reconstructs the present."""
+    import tempfile
+
+    from stock_streaming_data_pipeline_spark.streaming import sinks
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.dayofmonth("ts").alias("_epoch")
+    ).agg(F.max("value").alias("day_value"))
+    path = tempfile.mkdtemp(prefix="snap_sink_") + "/t"
+    daily.write.mode("append").parquet(path)
+    snap = sinks.read_upsert_table_as_of(
+        spark, path, ["user_id"], as_of_epoch=_CDC_CUT
+    )
+    winning_epoch = (
+        spark.read.parquet(path)
+        .filter(F.col("_epoch") <= _CDC_CUT)
+        .groupBy("user_id")
+        .agg(F.max("_epoch").cast("long").alias("as_of_epoch"))
+    )
+    return snap.join(winning_epoch, "user_id").select(
+        "user_id", "day_value", "as_of_epoch"
+    )

@@ -112,6 +112,25 @@ def compact_upsert_table(
         fs.delete(f, False)
 
 
+def read_upsert_table_as_of(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    *,
+    as_of_epoch: int,
+) -> DataFrame:
+    """Time travel on the LSM upsert sink: the last-write-wins state AS
+    OF a past epoch — resolve only over rows stamped ≤ the cut (the
+    Delta ``VERSION AS OF`` read, for free from the epoch stamps; same
+    retention contract as read_changes: compaction collapses history, so
+    snapshots only resolve against epochs still present)."""
+    df = spark.read.parquet(path).filter(F.col("_epoch") <= F.lit(as_of_epoch))
+    value_cols = [c for c in df.columns if c not in key_cols and c != "_epoch"]
+    return df.groupBy(*key_cols).agg(
+        *[F.expr(f"max_by({c}, _epoch)").alias(c) for c in value_cols]
+    )
+
+
 def read_changes(
     spark: SparkSession,
     path: str,

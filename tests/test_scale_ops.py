@@ -276,3 +276,32 @@ def test_read_changes_after_compaction_respects_retention(spark, tmp_path):
         for r in sinks.read_upsert_table(spark, path, ["k"]).collect()
     }
     assert state == {"a": 2, "b": 5}
+
+
+def test_snapshot_as_of_plus_changes_reconstructs_present(spark, tmp_path):
+    """snapshot(T) overlaid with changes-since(T) == current state —
+    the algebra that makes the CDC/time-travel pair useful."""
+    path = str(tmp_path / "tt")
+    writer = sinks.upsert_writer(path, ["k"])
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v long")
+    writer(mk([("a", 1), ("b", 10)]), 1)
+    writer(mk([("a", 2)]), 2)
+    writer(mk([("c", 30), ("b", 11)]), 3)
+
+    snap = {
+        r["k"]: r["v"]
+        for r in sinks.read_upsert_table_as_of(
+            spark, path, ["k"], as_of_epoch=2
+        ).collect()
+    }
+    assert snap == {"a": 2, "b": 10}
+    changes = {
+        r["k"]: r["v"]
+        for r in sinks.read_changes(spark, path, ["k"], since_epoch=2).collect()
+    }
+    snap.update(changes)
+    now = {
+        r["k"]: r["v"]
+        for r in sinks.read_upsert_table(spark, path, ["k"]).collect()
+    }
+    assert snap == now == {"a": 2, "b": 11, "c": 30}
