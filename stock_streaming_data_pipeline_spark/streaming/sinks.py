@@ -190,3 +190,85 @@ def with_date_partitions(df: DataFrame, ts: str = "timestamp") -> DataFrame:
         .withColumn("day", F.dayofmonth(ts))
         .withColumn("hour", F.hour(ts))
     )
+
+
+def tombstone_writer(path: str, key_cols: list[str]):
+    """foreachBatch DELETE writer for the LSM upsert sink: append
+    keys-only rows flagged ``_deleted`` at the batch epoch. Blind append
+    like the upsert writer (no read-modify-write) — deletion is resolved
+    at read, exactly Cassandra's tombstone model."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(*key_cols)
+            .withColumn("_epoch", F.lit(int(epoch_id)))
+            .withColumn("_deleted", F.lit(True))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    return write
+
+
+def _winner_struct_expr(value_cols: list[str], has_deleted: bool) -> str:
+    fields = []
+    for c in value_cols:
+        fields.append(f"'{c}', {c}")
+    fields.append(
+        "'_deleted', coalesce(_deleted, false)"
+        if has_deleted
+        else "'_deleted', false"
+    )
+    return f"max_by(named_struct({', '.join(fields)}), _epoch)"
+
+
+def read_upsert_table_with_deletes(
+    spark: SparkSession, path: str, key_cols: list[str]
+) -> DataFrame:
+    """Last-write-wins WITH tombstones: the winning row per key is picked
+    as one struct (never column-by-column — per-column max_by would
+    stitch values across rows when tombstones hold NULL value columns),
+    and keys whose winner is a tombstone disappear from the view."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    value_cols = [
+        c for c in df.columns if c not in key_cols and c not in ("_epoch", "_deleted")
+    ]
+    has_del = "_deleted" in df.columns
+    resolved = df.groupBy(*key_cols).agg(
+        F.expr(_winner_struct_expr(value_cols, has_del)).alias("_w")
+    )
+    return resolved.filter(~F.col("_w._deleted")).select(
+        *key_cols, *[F.col(f"_w.{c}").alias(c) for c in value_cols]
+    )
+
+
+def compact_upsert_table_with_deletes(
+    spark: SparkSession, path: str, key_cols: list[str]
+) -> None:
+    """Delete-aware compaction: rewrite the resolved live state as epoch
+    −1 and physically drop tombstoned keys (tombstones past compaction
+    need no grave markers — the whole history collapses with them).
+    Same crash-safe publish/tombstone ordering as compact_upsert_table."""
+    fs, hpath = _hadoop_fs(spark, path)
+    old_files = [
+        f.getPath()
+        for f in fs.listStatus(hpath)
+        if f.isFile() and not f.getPath().getName().startswith("_")
+    ]
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[f.toString() for f in old_files]
+    )
+    value_cols = [
+        c for c in df.columns if c not in key_cols and c not in ("_epoch", "_deleted")
+    ]
+    has_del = "_deleted" in df.columns
+    resolved = (
+        df.groupBy(*key_cols)
+        .agg(F.expr(_winner_struct_expr(value_cols, has_del)).alias("_w"))
+        .filter(~F.col("_w._deleted"))
+        .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in value_cols])
+        .withColumn("_epoch", F.lit(-1))
+    )
+    resolved.write.mode("append").parquet(path)
+    for f in old_files:
+        fs.delete(f, False)

@@ -305,3 +305,49 @@ def test_snapshot_as_of_plus_changes_reconstructs_present(spark, tmp_path):
         for r in sinks.read_upsert_table(spark, path, ["k"]).collect()
     }
     assert snap == now == {"a": 2, "b": 11, "c": 30}
+
+
+def test_tombstone_delete_resolution_and_compaction(spark, tmp_path):
+    path = str(tmp_path / "del")
+    up = sinks.upsert_writer(path, ["k"])
+    rm = sinks.tombstone_writer(path, ["k"])
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v long")
+    up(mk([("a", 1), ("b", 10), ("c", 5)]), 1)
+    rm(mk([("b", 0)]), 2)            # delete b
+    up(mk([("b", 12)]), 3)           # b resurrected
+    rm(mk([("c", 0)]), 4)            # delete c, stays dead
+
+    state = {
+        r["k"]: r["v"]
+        for r in sinks.read_upsert_table_with_deletes(spark, path, ["k"]).collect()
+    }
+    assert state == {"a": 1, "b": 12}
+
+    # tombstones must never leak value columns from older epochs
+    sinks.compact_upsert_table_with_deletes(spark, path, ["k"])
+    after = {
+        r["k"]: r["v"]
+        for r in sinks.read_upsert_table_with_deletes(spark, path, ["k"]).collect()
+    }
+    assert after == state
+    # compaction physically dropped c: one epoch, two rows
+    raw = spark.read.option("mergeSchema", "true").parquet(path)
+    assert raw.count() == 2
+    assert [r["_epoch"] for r in raw.select("_epoch").distinct().collect()] == [-1]
+
+
+def test_delete_aware_reader_matches_plain_when_no_deletes(spark, tmp_path):
+    path = str(tmp_path / "nodel")
+    up = sinks.upsert_writer(path, ["k"])
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v long")
+    up(mk([("a", 1)]), 1)
+    up(mk([("a", 2), ("b", 3)]), 2)
+    a = sorted(
+        (r["k"], r["v"])
+        for r in sinks.read_upsert_table(spark, path, ["k"]).collect()
+    )
+    b = sorted(
+        (r["k"], r["v"])
+        for r in sinks.read_upsert_table_with_deletes(spark, path, ["k"]).collect()
+    )
+    assert a == b
