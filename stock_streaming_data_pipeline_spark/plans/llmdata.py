@@ -1190,10 +1190,12 @@ FROM t, unnest(range(1, CAST(ceil(len(toks) / 50.0) AS BIGINT) + 1)) AS u(i)
 def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking via a Python UDTF (the table-function
     surface): each document split into 50-token chunks with a lateral
-    join — the standard LLM pretraining chunker."""
+    join — the standard LLM pretraining chunker. Arrow-optimized
+    (useArrow) so the lateral evaluation runs on Arrow batches, not
+    row-at-a-time pickling (tools/plan_lint.py flags BatchEvalPython)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_idx int, chunk string, n_tokens long")
+    @udtf(returnType="chunk_idx int, chunk string, n_tokens long", useArrow=True)
     class Chunker:
         def eval(self, text: str, size: int):
             toks = [t for t in text.lower().split() if t]
