@@ -38,3 +38,48 @@ def test_avro_roundtrip_if_available(spark):
     )
     enc = df.select(avro_codec.encode_trades(F.col("t")).alias("b"))
     assert enc.collect()[0]["b"] is not None
+
+
+def test_json_malformed_record_modes(spark, tmp_path):
+    """Bad-record handling contract for JSON ingestion (the reference's
+    consumer assumes clean feeds; a real pipeline must pick a policy):
+    PERMISSIVE captures the raw line in _corrupt_record, DROPMALFORMED
+    silently drops, FAILFAST raises."""
+    import pytest
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"symbol": "BTC", "price": 1.5}\n'
+        "THIS IS NOT JSON\n"
+        '{"symbol": "ETH", "price": 2.5}\n'
+        '{"symbol": "SOL", "price": "not_a_number"}\n'
+    )
+    schema = "symbol string, price double, _corrupt_record string"
+
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = perm.collect()
+    assert len(rows) == 4
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 2  # the non-JSON line and the bad-typed price
+    good = {r["symbol"]: r["price"] for r in rows if r["_corrupt_record"] is None}
+    assert good == {"BTC": 1.5, "ETH": 2.5}
+
+    dropped = (
+        spark.read.schema("symbol string, price double")
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert {r["symbol"] for r in dropped.collect() if r["symbol"]} >= {"BTC", "ETH"}
+
+    with pytest.raises(Exception):
+        (
+            spark.read.schema("symbol string, price double")
+            .option("mode", "FAILFAST")
+            .json(str(p))
+            .collect()
+        )
