@@ -1655,3 +1655,27 @@ def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_wav_media(docs, n_samples=64)
     resampled = multimodal.resample_audio(media, factor=4)
     return multimodal.wav_audio_stats(resampled)
+
+
+@register(
+    "dedup_minhash_lsh_xxh64",
+    tags=("LLM-dedup",),
+    bench=True,
+    # No SQL oracle: xxhash64 is JVM-native (that's the point — ~2x
+    # faster linear signature pass than the portable-md5 build the
+    # differential oracle needs). Correctness rides the SAME banding +
+    # exact-verification code path as dedup_minhash_lsh (oracle-checked)
+    # plus the precision/recall pins in tests/test_llmdata.py.
+)
+def dedup_minhash_lsh_xxh64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-speed MinHash-LSH variant: identical pipeline to
+    dedup_minhash_lsh but hashing shingles with JVM-native xxhash64
+    instead of portable md5 (the md5 build exists to make the pipeline
+    DuckDB-replayable; this one exists to be fast). Same bands/rows,
+    same exact verification at 0.6 — benched so the fast path's
+    regression budget stays visible next to the differential build."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", n=3,
+        num_perm=64, bands=_MH_BANDS, threshold=0.6, portable=False,
+    )

@@ -623,3 +623,27 @@ def test_fuzzy_pairs_blocking_and_distance(spark):
     pairs = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in out}
     assert pairs == {(1, 2): 1, (1, 5): 0, (2, 5): 1}
     # cross-block pair (1,3) absent by design; (4,*) beyond max_dist
+
+
+def test_minhash_xxh64_variant_precision_and_recall(spark, near_dup_corpus):
+    """The fast-hash variant must keep precision 1.0 (verification is
+    exact regardless of the hash family) and high recall vs the exact
+    pair set — the same contract the portable build pins."""
+    from stock_streaming_data_pipeline_spark.operators import dedup as dd
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.ngram_jaccard_pairs(
+            near_dup_corpus, id_col="doc_id", text_col="text", n=3, threshold=0.6
+        ).collect()
+    }
+    bands, _ = dd.lsh_band_params(0.6, num_perm=64)
+    fast = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_pairs(
+            near_dup_corpus, id_col="doc_id", text_col="text", n=3,
+            num_perm=64, bands=bands, threshold=0.6, portable=False,
+        ).collect()
+    }
+    assert fast <= exact  # precision 1.0
+    assert len(fast & exact) / max(1, len(exact)) >= 0.9
