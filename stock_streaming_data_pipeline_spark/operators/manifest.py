@@ -143,3 +143,43 @@ def small_files_report(
             ).cast("long"),
         )
     )
+
+
+def compact_directory(
+    spark: SparkSession,
+    dir_path: str,
+    *,
+    target_bytes: int = 128 << 20,
+) -> int:
+    """Bin-pack a partition directory's small files into ~target-sized
+    ones (the OPTIMIZE half of the manifest workflow; small_files_report
+    picks the directories worth visiting). Publish-then-delete ordering
+    (same as the upsert compactor): new files land before old ones go,
+    so a crash never loses rows — but a concurrent reader inside the
+    window can double-read, so run it in the maintenance window of
+    non-LWW tables (the LWW upsert sink tolerates it at any time).
+    Returns the number of files removed."""
+    import math
+    import os
+
+    from stock_streaming_data_pipeline_spark.streaming.sinks import _hadoop_fs
+
+    fs, hpath = _hadoop_fs(spark, dir_path)
+    statuses = [
+        f
+        for f in fs.listStatus(hpath)
+        if f.isFile()
+        and not f.getPath().getName().startswith("_")
+        and f.getPath().getName().endswith(".parquet")
+    ]
+    small = [f for f in statuses if f.getLen() < target_bytes / 2]
+    if len(small) < 2:
+        return 0
+    total = sum(f.getLen() for f in small)
+    n_out = max(1, math.ceil(total / target_bytes))
+    paths = [f.getPath().toString() for f in small]
+    df = spark.read.parquet(*paths)
+    df.repartition(n_out).write.mode("append").parquet(dir_path)
+    for f in small:
+        fs.delete(f.getPath(), False)
+    return len(small)

@@ -68,3 +68,17 @@ def test_small_files_report_targets_merges(spark, tmp_path):
     r = rep[0]
     assert r["n_small_files"] >= 8
     assert r["files_after"] == 1  # tiny test files bin-pack into one
+
+
+def test_compact_directory_preserves_data_and_reduces_files(spark, tmp_path):
+    import glob
+
+    ev, path = _write_sliced(spark, tmp_path, n_slices=12)
+    before = sorted(r["event_id"] for r in spark.read.parquet(path).collect())
+    n_before = len(glob.glob(f"{path}/*.parquet"))
+    removed = manifest.compact_directory(spark, path, target_bytes=128 << 20)
+    assert removed == n_before >= 8
+    after_files = glob.glob(f"{path}/*.parquet")
+    assert len(after_files) == 1  # tiny test data bin-packs into one
+    after = sorted(r["event_id"] for r in spark.read.parquet(path).collect())
+    assert after == before
