@@ -1200,3 +1200,73 @@ def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=("p_type", "p_brand"),
         max_dist=2,
     )
+
+
+@register(
+    "window_function_showcase",
+    tags=("W1", "W2", "W3", "W4", "O3"),
+    oracle="""
+WITH base AS (
+  SELECT event_id, event_type, value,
+         epoch_us(ts) AS ts_us
+  FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+),
+w AS (
+  SELECT event_id, event_type, ts_us,
+         round(value, 6) AS value,
+         round(percent_rank() OVER o, 6) AS pr,
+         round(cume_dist() OVER o, 6) AS cd,
+         round(first_value(value) OVER t, 6) AS first_in_frame,
+         round(last_value(value) OVER t, 6) AS last_in_frame,
+         round(nth_value(value, 3) OVER t, 6) AS third_in_frame,
+         lead(event_id, 2) OVER t AS lead2_id,
+         lag(event_id) OVER t AS lag_id
+  FROM base
+  WINDOW o AS (PARTITION BY event_type ORDER BY value, event_id),
+         t AS (PARTITION BY event_type ORDER BY ts_us, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT * FROM w WHERE event_id % 7 = 0
+""",
+)
+def window_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window function surface in one query: rank-family
+    (percent_rank, cume_dist) over the value order and frame-family
+    (first/last/nth_value, lead/lag) over a 5-row trailing time frame,
+    with (value|ts, id) tie-breaks making every output deterministic.
+    One shuffle per distinct partitioning (here both partition on the
+    same key, so Catalyst plans a single exchange + two sorts)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("event_type") == "purchase"))
+        .select(
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("value"),
+        )
+    )
+    o = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    out = ev.select(
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.round("value", 6).alias("value"),
+        F.round(F.percent_rank().over(o), 6).alias("pr"),
+        F.round(F.cume_dist().over(o), 6).alias("cd"),
+        F.round(F.first("value").over(t), 6).alias("first_in_frame"),
+        F.round(F.last("value").over(t), 6).alias("last_in_frame"),
+        F.round(F.nth_value("value", 3).over(t), 6).alias("third_in_frame"),
+        F.lead("event_id", 2).over(
+            Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+        ).alias("lead2_id"),
+        F.lag("event_id").over(
+            Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+        ).alias("lag_id"),
+    )
+    return out.filter(F.col("event_id") % 7 == 0)
