@@ -721,3 +721,50 @@ def streaming_custom_source_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vwap"),
         "n_trades",
     )
+
+
+@register(
+    "streaming_custom_sessions",
+    tags=("T11", "T5", "W1", "W4"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+g AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 3600000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid
+  FROM g
+),
+sess AS (
+  SELECT user_id, sid,
+         min(us) AS session_start_us, max(us) AS session_end_us,
+         count(*) AS n_events
+  FROM s GROUP BY 1, 2
+),
+m AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id)
+SELECT sess.user_id, session_start_us, session_end_us,
+       CAST(n_events AS BIGINT) AS n_events
+FROM sess JOIN m USING (user_id)
+WHERE sid < last_sid
+""",
+)
+def streaming_custom_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM gap sessionization in keyed state (applyInPandasWithState,
+    three integers of state per key) running as a real streaming query:
+    sessions close when the next event breaks the 1-hour gap; each key's
+    final open session stays in state — the exact analogue of the
+    append-mode watermark tail, which the gaps-and-islands oracle
+    excludes per key. Complements the built-in session_window query
+    (session_window_agg) with the hand-rolled state path the reference's
+    producer-dict pattern would actually need."""
+    ev = stream_events(spark, sf_dir).select("user_id", "ts")
+    sessions = stream_state.session_fold(
+        ev, key="user_id", ts="ts", gap_seconds=3600
+    )
+    return settle(sessions, "append")

@@ -392,3 +392,71 @@ def ewma_state(
     return df.groupBy(key).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def session_fold(
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_seconds: int = 3600,
+) -> DataFrame:
+    """Custom gap-based sessionization in keyed state (the operator
+    ``F.session_window`` can't express when the gap rule needs custom
+    logic): state = the open session's (start_us, last_us, n). A session
+    CLOSES — and emits — when a later event for the key arrives more
+    than ``gap_seconds`` after the previous one; the final open session
+    per key stays in state unemitted, exactly the watermark-withheld
+    tail of append-mode windows (the oracle excludes each key's last
+    session the same way).
+
+    State is three integers per key; each batch folds the key's rows
+    once in event-time order (the module's ordering contract)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def fold(
+        group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int]] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(ts)
+            for t in pdf[ts]:
+                us = int(t.value // 1000) if hasattr(t, "value") else int(t)
+                if start is None:
+                    start, last, n = us, us, 1
+                elif us - last > gap_us:
+                    closed.append((start, last, n))
+                    start, last, n = us, us, 1
+                else:
+                    last, n = us, n + 1
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        key: [group_key[0]] * len(closed),
+                        "session_start_us": [c[0] for c in closed],
+                        "session_end_us": [c[1] for c in closed],
+                        "n_events": [c[2] for c in closed],
+                    }
+                )
+        state.update((start, last, n))
+
+    return df.groupBy(key).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -251,3 +251,36 @@ def test_ewma_state_matches_batch_fold(spark, trades_small, tmp_path):
     )
     want = {(r["symbol"], r["tb"]): r["ewma_raw"] for r in ref.collect()}
     assert got == want  # bitwise
+
+
+def test_session_fold_closes_on_gap_and_keeps_tail_open(spark, tmp_path):
+    import datetime as dt
+
+    from stock_streaming_data_pipeline_spark.streaming import state as st
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=10)),          # same session
+        (1, t0 + dt.timedelta(hours=2)),             # gap -> closes s1
+        (1, t0 + dt.timedelta(hours=2, minutes=5)),  # open tail
+        (2, t0),                                     # lone open session
+    ]
+    path = str(tmp_path / "sess_rows")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    sdf = spark.readStream.schema("user_id long, ts timestamp").parquet(path)
+    out = _settle_append(
+        st.session_fold(sdf, key="user_id", ts="ts"),
+        spark,
+        tmp_path,
+        "state_sessions",
+    )
+    got = [
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in out.collect()
+    ]
+    t0us = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    # only key 1's first session closed; both tails stay in state
+    assert got == [(1, t0us, t0us + 600_000_000, 2)]
