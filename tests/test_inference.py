@@ -119,3 +119,62 @@ def test_scorer_vectorized_matches_python(spark):
     )
     want = model.predict(pdf)
     assert got.tolist() == pytest.approx(want.tolist())
+
+
+def test_apply_in_pandas_per_key_fit_matches_expression_ols(spark):
+    """Per-key model training via applyInPandas (the UD path for models
+    that genuinely need Python) must agree with the expression-tier
+    closed-form OLS (trend_slope_by_key's moments) on the same data —
+    the two 'train per key' routes are interchangeable."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            ((F.unix_micros("ts") / 1_000_000).cast("long") - F.lit(1_704_067_200)).alias("x"),
+            (F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x, y = pdf["x"].to_numpy(float), pdf["y"].to_numpy(float)
+        n = len(x)
+        slope = (n * (x * y).sum() - x.sum() * y.sum()) / (
+            n * (x * x).sum() - x.sum() ** 2
+        )
+        return pd.DataFrame(
+            {"event_type": [pdf["event_type"].iloc[0]], "slope": [slope]}
+        )
+
+    pandas_fit = {
+        r["event_type"]: r["slope"]
+        for r in ev.groupBy("event_type")
+        .applyInPandas(fit, "event_type string, slope double")
+        .collect()
+    }
+    m = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .collect()
+    )
+    for r in m:
+        expr_slope = (r["n"] * r["sxy"] - r["sx"] * r["sy"]) / (
+            r["n"] * r["sxx"] - r["sx"] ** 2
+        )
+        assert abs(pandas_fit[r["event_type"]] - expr_slope) < 1e-6 * max(
+            1.0, abs(expr_slope)
+        )
