@@ -1270,3 +1270,54 @@ def window_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lag_id"),
     )
     return out.filter(F.col("event_id") % 7 == 0)
+
+
+@register(
+    "incremental_agg_refresh",
+    tags=("A1", "A4", "A5", "K6"),
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS f_sum_cents,
+       count(value) AS f_count_cents,
+       min(CAST(round(value * 100, 0) AS BIGINT)) AS f_min_cents,
+       max(CAST(round(value * 100, 0) AS BIGINT)) AS f_max_cents,
+       round(sum(CAST(round(value * 100, 0) AS BIGINT))::DOUBLE
+             / count(value), 6) AS avg_cents
+FROM (SELECT event_type, value, CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL)
+GROUP BY event_type
+""",
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the per-key rollup is built as
+    BASE (days <= 20) merged with DELTA (days > 20) through the partial-
+    state algebra (operators/incremental.py) — and the oracle recomputes
+    the rollup from ALL facts in one pass. merged == recomputed is the
+    correctness contract of incremental refresh; the merge join is
+    aggregate-sized (groups, not facts), so refresh cost is independent
+    of history length. Derived measures (avg) come off the merged state."""
+    from stock_streaming_data_pipeline_spark.operators import incremental
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    facts = ev.select("event_type", F.dayofmonth("ts").alias("d"), cents.alias("cents"))
+    measures = {"cents": ["sum", "count", "min", "max"]}
+    base = incremental.aggregate_state(
+        facts.filter(F.col("d") <= 20), keys=["event_type"], measures=measures
+    )
+    delta = incremental.aggregate_state(
+        facts.filter(F.col("d") > 20), keys=["event_type"], measures=measures
+    )
+    merged = incremental.merge_states(base, delta, keys=["event_type"])
+    return merged.select(
+        "event_type",
+        F.col("f_sum_cents").cast("long").alias("f_sum_cents"),
+        "f_count_cents",
+        "f_min_cents",
+        "f_max_cents",
+        F.round(
+            F.col("f_sum_cents").cast("double") / F.col("f_count_cents"), 6
+        ).alias("avg_cents"),
+    )

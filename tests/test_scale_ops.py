@@ -351,3 +351,39 @@ def test_delete_aware_reader_matches_plain_when_no_deletes(spark, tmp_path):
         for r in sinks.read_upsert_table_with_deletes(spark, path, ["k"]).collect()
     )
     assert a == b
+
+
+def test_merge_states_equals_full_recompute_and_handles_one_sided_groups(spark):
+    from stock_streaming_data_pipeline_spark.operators import incremental
+
+    facts = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 10), ("c", 7), ("c", -3), ("d", 2)],
+        "k string, v long",
+    )
+    # split so 'b' is base-only and 'd' delta-only
+    base_f = facts.filter(F.col("v") >= 5)
+    delta_f = facts.filter(F.col("v") < 5)
+    measures = {"v": ["sum", "count", "min", "max"]}
+    merged = incremental.merge_states(
+        incremental.aggregate_state(base_f, keys=["k"], measures=measures),
+        incremental.aggregate_state(delta_f, keys=["k"], measures=measures),
+        keys=["k"],
+    )
+    full = incremental.aggregate_state(facts, keys=["k"], measures=measures)
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want
+
+
+def test_merge_states_rejects_schema_mismatch(spark):
+    import pytest
+
+    from stock_streaming_data_pipeline_spark.operators import incremental
+
+    facts = spark.createDataFrame([("a", 1)], "k string, v long")
+    a = incremental.aggregate_state(facts, keys=["k"], measures={"v": ["sum"]})
+    b = incremental.aggregate_state(facts, keys=["k"], measures={"v": ["min"]})
+    with pytest.raises(ValueError, match="schemas differ"):
+        incremental.merge_states(a, b, keys=["k"])
+    with pytest.raises(ValueError, match="not mergeable"):
+        incremental.aggregate_state(facts, keys=["k"], measures={"v": ["avg"]})
