@@ -768,3 +768,46 @@ def streaming_custom_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key="user_id", ts="ts", gap_seconds=3600
     )
     return settle(sessions, "append")
+
+
+from stock_streaming_data_pipeline_spark.operators import kmv as _kmv  # noqa: E402
+
+
+@register(
+    "streaming_kmv_distinct",
+    tags=("T11", "A4", "LLM-profile"),
+    oracle=f"""
+WITH {_kmv.sql_kmv_sketch(table="events", group_expr="event_type",
+                          key_expr="user_id", k=64)}
+SELECT grp AS event_type,
+       round({_kmv.sql_kmv_estimate('sketch', k=64)}, 6) AS kmv_estimate,
+       CAST(len(sketch) AS BIGINT) AS sketch_size
+FROM kmv_sk
+""",
+)
+def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING approximate distinct with a full differential oracle:
+    the per-key KMV sketch folds in keyed state (k smallest portable
+    hashes — a commutative/associative combine, so batch boundaries and
+    arrival order cannot change the result), and the settled stream's
+    final sketch must equal the BATCH sketch bit-for-bit, which the
+    DuckDB oracle replays. The sketch property no engine-specific HLL
+    stream can offer."""
+    ev = stream_events(spark, sf_dir).select("event_type", "user_id")
+    sk = stream_state.kmv_state_fold(
+        ev, key="event_type", member="user_id", k=64
+    )
+    settled = settle(sk, "update")
+    from pyspark.sql import Window as W
+
+    # update-mode memory sink keeps every batch's row; last batch wins
+    w = W.partitionBy("event_type").orderBy(F.desc("n_seen_batches"))
+    return (
+        settled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            "kmv_estimate",
+            F.size("sketch").cast("long").alias("sketch_size"),
+        )
+    )

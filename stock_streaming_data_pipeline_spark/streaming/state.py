@@ -460,3 +460,74 @@ def session_fold(
     return df.groupBy(key).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def kmv_state_fold(
+    df: DataFrame,
+    *,
+    key: str = "event_type",
+    member: str = "user_id",
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Streaming KMV distinct sketch per key: state = the k smallest
+    portable-md5 member hashes seen so far. Because the KMV combine
+    (set-union then k-smallest) is commutative and associative, the
+    streamed sketch is BIT-IDENTICAL to the batch sketch over the same
+    rows regardless of batch boundaries or arrival order — the streaming
+    sketch carries the batch query's full DuckDB oracle, which no
+    HLL-based streaming sketch can. Emits one row per key per batch with
+    the refreshed sketch and estimate; update semantics (latest wins)."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField("sketch", T.ArrayType(T.LongType())),
+            T.StructField("kmv_estimate", T.DoubleType()),
+            T.StructField("n_seen_batches", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("sketch", T.ArrayType(T.LongType())),
+            T.StructField("batches", T.LongType()),
+        ]
+    )
+    domain = float(1 << 60)
+
+    def _h(v) -> int:
+        return int(
+            hashlib.md5(f"{salt}{v}".encode()).hexdigest()[:15], 16
+        )
+
+    def fold(
+        group_key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        sketch, batches = (
+            (list(state.get[0]), state.get[1]) if state.exists else ([], 0)
+        )
+        seen = set(sketch)
+        for pdf in pdfs:
+            for v in pdf[member]:
+                seen.add(_h(v))
+        sketch = sorted(seen)[:k]
+        batches += 1
+        est = (
+            float(len(sketch))
+            if len(sketch) < k
+            else (k - 1) / (sketch[k - 1] / domain)
+        )
+        state.update((sketch, batches))
+        yield pd.DataFrame(
+            {
+                key: [group_key[0]],
+                "sketch": [sketch],
+                "kmv_estimate": [round(est, 6)],
+                "n_seen_batches": [batches],
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

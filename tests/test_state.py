@@ -284,3 +284,56 @@ def test_session_fold_closes_on_gap_and_keeps_tail_open(spark, tmp_path):
     t0us = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
     # only key 1's first session closed; both tails stay in state
     assert got == [(1, t0us, t0us + 600_000_000, 2)]
+
+
+def test_kmv_state_fold_batch_boundary_invariance(spark, tmp_path):
+    """The streamed sketch must be bit-identical whether the rows arrive
+    as one micro-batch or many (the commutative-combine property that
+    gives the streaming sketch its batch oracle)."""
+    import datetime as dt
+
+    from stock_streaming_data_pipeline_spark.operators import kmv
+    from stock_streaming_data_pipeline_spark.streaming import state as st
+
+    rows = [("g", i % 37) for i in range(300)]
+    batch_df = spark.createDataFrame(rows, "event_type string, user_id long")
+    want = kmv.kmv_sketch(
+        batch_df, group_col="event_type", key_col="user_id", k=16
+    ).collect()[0]["sketch"]
+
+    # stream the same rows split across several files (one file per batch
+    # under maxFilesPerTrigger=1)
+    path = str(tmp_path / "kmv_rows")
+    batch_df.repartition(4).write.mode("overwrite").parquet(path)
+    sdf = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = _settle_append_update(
+        st.kmv_state_fold(sdf, key="event_type", member="user_id", k=16),
+        spark,
+        tmp_path,
+        "kmv_state",
+    )
+    rows_out = sorted(out.collect(), key=lambda r: r["n_seen_batches"])
+    assert list(rows_out[-1]["sketch"]) == list(want)
+    # estimates monotonically approach the final value's sketch size path
+    assert rows_out[-1]["n_seen_batches"] >= 2
+
+
+def _settle_append_update(sdf, spark, tmp_path, name):
+    chk = str(tmp_path / f"chk_{name}")
+    q = (
+        sdf.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table(name)
