@@ -1321,3 +1321,80 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f_sum_cents").cast("double") / F.col("f_count_cents"), 6
         ).alias("avg_cents"),
     )
+
+
+@register(
+    "array_functions_showcase",
+    tags=("C5", "C9", "P2", "A1"),
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         list(CAST(round(value * 100, 0) AS BIGINT) ORDER BY epoch_us(ts), event_id)
+           AS cents
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id,
+       len(cents) AS n,
+       list_sort(cents)[1:3] AS smallest3,
+       list_reduce(list_prepend(0::BIGINT, cents), (a, x) -> a + x) AS total_cents,
+       len(list_filter(cents, x -> x > 10000)) AS n_over_100,
+       list_transform(list_sort(cents)[1:3], x -> x * 2) AS doubled_smallest3,
+       CAST(list_reduce(list_prepend(0::BIGINT,
+              list_transform(range(1, len(cents)),
+                i -> CASE WHEN cents[i + 1] > cents[i] THEN 1 ELSE 0 END)),
+            (a, x) -> a + x) AS BIGINT) AS n_increases
+FROM per_user
+""",
+)
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order-function surface over per-user value arrays
+    (collected in deterministic event order): sort/slice, order-fixed
+    fold (sum), filter-count, transform, and a zip-with-next increase
+    counter. Lambdas evaluate interpreted per element (documented in
+    SCALE.md 'Codegen discipline'), so this is the ARRAY-ANALYTICS
+    surface, not a hot-path recommendation — hot paths use the
+    explode+aggregate forms the dedup tier demonstrates. Exact integers
+    throughout; full oracle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    per_user = (
+        ev.select("user_id", F.unix_micros("ts").alias("us"), "event_id", cents.alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("us", "event_id", "c"))),
+                lambda s: s.c,
+            ).alias("cents")
+        )
+    )
+    arr = F.col("cents")
+    smallest3 = F.slice(F.array_sort(arr), 1, 3)
+    total = F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+    # sequence(1, 0) is DESCENDING in Spark ([1, 0]) — guard the n == 1
+    # case so single-event users count zero increases like DuckDB's
+    # empty range(1, 1)
+    increases = F.aggregate(
+        F.transform(
+            F.when(F.size(arr) > 1, F.sequence(F.lit(1), F.size(arr) - 1))
+            .otherwise(F.array().cast("array<int>")),
+            lambda i: F.when(
+                F.element_at(arr, (i + 1).cast("int"))
+                > F.element_at(arr, i.cast("int")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return per_user.select(
+        "user_id",
+        F.size(arr).cast("long").alias("n"),
+        smallest3.alias("smallest3"),
+        total.alias("total_cents"),
+        F.size(F.filter(arr, lambda x: x > 10000)).cast("long").alias("n_over_100"),
+        F.transform(smallest3, lambda x: x * 2).alias("doubled_smallest3"),
+        increases.alias("n_increases"),
+    )
