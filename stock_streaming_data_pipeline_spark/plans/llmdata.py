@@ -1679,3 +1679,56 @@ def dedup_minhash_lsh_xxh64(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text", n=3,
         num_perm=64, bands=_MH_BANDS, threshold=0.6, portable=False,
     )
+
+
+@register(
+    "curation_pipeline_v2",
+    tags=("LLM-dedup", "LLM-sim", "LLM-text", "LLM-mixing"),
+    oracle=f"""
+WITH drop_list AS ({semdedup.sql_semantic_drop_list(
+        table="embeddings", k=8, iters=2, threshold=0.35)}),
+kept AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id NOT IN (SELECT vec_id FROM drop_list)
+),
+quality AS ({text.sql_quality_scores("doc_id", "text", table="kept")}),
+good AS (
+  SELECT k.* FROM kept k JOIN quality q ON k.doc_id = q.doc
+  WHERE q.quality >= 0.40
+),
+sp AS (
+  SELECT doc_id, lang, n_chars,
+         {sampling.sql_split_train_eval(id_col="doc_id", holdout_pct=10)} AS split
+  FROM good
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM sp GROUP BY 1, 2
+""",
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 curation chain as ONE composed plan, crossing tiers:
+    SEMANTIC dedup over the embedding column (cluster-bounded cosine
+    drop list, joined back to documents by id), heuristic quality
+    filtering, and the deterministic train/eval split, rolled up per
+    (split, lang). Every stage is an already-oracle-checked operator;
+    this query pins the cross-modal composition — embeddings deciding
+    which TEXT survives — behind one differential oracle (Lloyd CTEs
+    and all). Complements curation_pipeline (exact-dedup/decontam path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    drops = semdedup.semantic_drop_list(
+        emb, id_col="vec_id", vec_col="embedding", k=8, iters=2, threshold=0.35
+    ).select(F.col("vec_id").alias("doc_id"))
+    kept = docs.join(drops, "doc_id", "left_anti")
+    quality = text.quality_scores(kept, id_col="doc_id", text_col="text")
+    good = kept.join(
+        quality.filter(F.col("quality") >= 0.40).select(F.col("doc").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    sp = sampling.split_train_eval(good, id_col="doc_id", holdout_pct=10)
+    return sp.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
