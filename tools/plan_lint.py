@@ -54,6 +54,7 @@ UNPARTITIONED_WINDOW_ALLOW = {
     "embedding_opq_topk",
     "embedding_sq_topk",            # per-query shortlist windows are fine; seed window bounded
     "embedding_semantic_dedup",
+    "curation_pipeline_v2",         # embeds the semdedup seed window (nlist rows)
     "embedding_lsh_topk",
     "embedding_topk",
     "embedding_neardup",
