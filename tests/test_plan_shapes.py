@@ -312,3 +312,29 @@ def test_semantic_dedup_pairs_join_on_cluster(spark):
     broadcast) — never a cartesian over the corpus."""
     plan = plan_of(spark, "embedding_semantic_dedup")
     assert "CartesianProduct" not in plan
+
+
+def test_joins_degrade_to_sort_merge_without_auto_broadcast(spark):
+    """With stats-driven auto-broadcast disabled, the TPC-H join trees
+    must fall back to shuffle joins — proving the broadcasts seen at
+    small SF come from STATS (which degrade at scale), not from hidden
+    hard hints (which would OOM the driver at scale). Only genuinely
+    bounded relations (nation/region via explicit hints) may stay
+    broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("q3_top_unshipped_orders", "q9_profit_by_nation_year",
+                     "q10_returned_items"):
+            plan = plan_of(spark, name)
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+            # customer/supplier scans must not feed a broadcast exchange
+            import re
+
+            for m in re.finditer(
+                r"BroadcastExchange[^\n]*\n(?:.*\n){0,6}?.*Scan parquet[^\n]*"
+                r"(customer|supplier)", plan
+            ):
+                raise AssertionError(f"{name}: {m.group(1)} still broadcast")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

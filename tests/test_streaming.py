@@ -245,3 +245,58 @@ def test_windowed_distinct_chains_two_stateful_operators(spark):
         for r in batch.collect()
     }
     assert got and all(want[k] == v for k, v in got.items())
+
+
+def test_progress_collector_captures_batches_and_watermark(spark, tmp_path):
+    import datetime as dt
+
+    from stock_streaming_data_pipeline_spark.streaming.monitor import (
+        ProgressCollector,
+    )
+
+    col = ProgressCollector(capacity=50)
+    spark.streams.addListener(col)
+    try:
+        rows = [
+            (i % 3, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), float(i))
+            for i in range(200)
+        ]
+        src = str(tmp_path / "mon_rows")
+        spark.createDataFrame(
+            rows, "k long, ts timestamp, v double"
+        ).repartition(3).write.mode("overwrite").parquet(src)
+        sdf = (
+            spark.readStream.schema("k long, ts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            sdf.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "1 minute"), "k")
+            .count()
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("mon_q")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "mon_chk"))
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            snap = col.snapshot(spark).collect()
+            if len(snap) >= 3 and any(r["watermark"] for r in snap):
+                break
+            time.sleep(0.5)
+        assert len(snap) >= 3  # one progress event per file-trigger batch
+        assert sum(r["num_input_rows"] for r in snap) == 200
+        assert any(r["state_rows"] > 0 for r in snap)
+        lag = col.watermark_lag_seconds()
+        assert lag is not None and lag > 0  # 2024 data is far behind now
+    finally:
+        spark.streams.removeListener(col)
