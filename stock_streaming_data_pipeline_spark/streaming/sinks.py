@@ -272,3 +272,42 @@ def compact_upsert_table_with_deletes(
     resolved.write.mode("append").parquet(path)
     for f in old_files:
         fs.delete(f, False)
+
+
+def missing_date_partitions(
+    spark: SparkSession,
+    path: str,
+    *,
+    start: str,
+    end: str,
+    grain: str = "day",
+) -> list[dict]:
+    """Backfill planning for the date-partitioned feature store: which
+    year/month/day(/hour) directories in [start, end] hold no data?
+    Driver-side directory listing only (partition dirs are metadata);
+    returns the partition-spec dicts a backfill job should recompute —
+    the gap detector that turns 'rerun the whole month' into 'rerun the
+    two missing days'."""
+    import datetime as dt
+
+    fs, hpath = _hadoop_fs(spark, path)
+    t0 = dt.date.fromisoformat(start)
+    t1 = dt.date.fromisoformat(end)
+    if grain != "day":
+        raise ValueError("only day grain implemented; hour follows the same walk")
+    missing = []
+    cur = t0
+    while cur <= t1:
+        part = (
+            f"{path}/year={cur.year}/month={cur.month}/day={cur.day}"
+        )
+        ppath = spark._jvm.org.apache.hadoop.fs.Path(part)
+        exists = fs.exists(ppath)
+        has_data = exists and any(
+            f.isFile() and f.getLen() > 0 and not f.getPath().getName().startswith("_")
+            for f in fs.listStatus(ppath)
+        )
+        if not has_data:
+            missing.append({"year": cur.year, "month": cur.month, "day": cur.day})
+        cur += dt.timedelta(days=1)
+    return missing
