@@ -152,3 +152,80 @@ def add_to_index(
         .partitionBy("cluster_id")
         .parquet(f"{path}/lists")
     )
+
+
+def rebalance_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_list_rows: int,
+    iters: int = 2,
+) -> int:
+    """Index maintenance part 2: SPLIT oversized inverted lists. After
+    many add_to_index batches a hot list can grow past the probe budget;
+    this re-trains 2 sub-centroids WITHIN each oversized list (local
+    Lloyd on that list's vectors only — never a global retrain), rewrites
+    its members under fresh cluster ids, swaps the centroid rows, and
+    drops the old partition directory. Probes see a finer quantizer with
+    the same corpus; with exhaustive nprobe the answers are unchanged
+    (pinned in tests). Returns how many lists were split.
+
+    The per-split work is one tiny Spark job per hot list (lists over
+    budget are few by construction); everything else stays on disk
+    untouched."""
+    from pyspark.sql import functions as F
+
+    from stock_streaming_data_pipeline_spark.operators.similarity import (
+        _nearest_centroid,
+        ivf_train,
+    )
+    from stock_streaming_data_pipeline_spark.streaming.sinks import _hadoop_fs
+
+    lists = spark.read.parquet(f"{path}/lists")
+    counts = {
+        r["cluster_id"]: r["n"]
+        for r in lists.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cents = spark.read.parquet(f"{path}/centroids")
+    next_cid = max(counts) + 1 if counts else 0
+    split = 0
+    for cid, n in sorted(counts.items()):
+        if n <= max_list_rows:
+            continue
+        members = lists.filter(F.col("cluster_id") == cid).select("vec_id", "v")
+        sub_cents = ivf_train(
+            members, id_col="vec_id", vec_col="v", nlist=2, iters=iters
+        )
+        assigned = _nearest_centroid(
+            members.select(F.col("vec_id").alias("_vid"), F.col("v")),
+            sub_cents,
+            key_col="_vid",
+            vec_alias="v",
+        )
+        out = assigned.select(
+            F.col("_vid").alias("vec_id"),
+            "v",
+            (F.col("cluster_id") + F.lit(next_cid)).alias("cluster_id"),
+        )
+        out.write.mode("append").partitionBy("cluster_id").parquet(f"{path}/lists")
+        # swap centroid rows: drop cid, add the two sub-centroids
+        cents = cents.filter(F.col("cluster_id") != cid).unionByName(
+            sub_cents.select(
+                (F.col("_cid") + F.lit(next_cid)).alias("cluster_id"), "cvec"
+            )
+        )
+        fs, _ = _hadoop_fs(spark, path)
+        fs.delete(
+            spark._jvm.org.apache.hadoop.fs.Path(
+                f"{path}/lists/cluster_id={cid}"
+            ),
+            True,
+        )
+        next_cid += 2
+        split += 1
+    if split:
+        # publish the new centroid table (tiny; overwrite via temp swap)
+        cents.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{path}/centroids"
+        )
+    return split

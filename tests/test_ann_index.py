@@ -115,3 +115,41 @@ def test_incremental_add_matches_single_shot_build(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_rebalance_splits_hot_lists_and_preserves_answers(spark, tmp_path):
+    from pyspark.sql import functions as FF
+
+    from stock_streaming_data_pipeline_spark.operators import ann_index
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "idx")
+    # deliberately coarse index -> hot lists guaranteed
+    ann_index.build_ivf_index(emb, path, nlist=2, iters=1)
+    queries = emb.filter(FF.col("vec_id") < 5)
+    before = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in ann_index.ivf_index_topk(
+            spark, path, queries, k=5, nprobe=2  # exhaustive: 2 lists
+        ).collect()
+    )
+    n_total = emb.count()
+    split = ann_index.rebalance_index(spark, path, max_list_rows=n_total // 3)
+    assert split >= 1
+    lists = spark.read.parquet(f"{path}/lists")
+    counts = [
+        r["n"]
+        for r in lists.groupBy("cluster_id").agg(FF.count(FF.lit(1)).alias("n")).collect()
+    ]
+    assert sum(counts) == n_total  # nothing lost
+    assert max(counts) <= n_total // 3 or len(counts) > 2  # finer lists
+    cents = spark.read.parquet(f"{path}/centroids")
+    assert cents.count() == len(counts)
+    after = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in ann_index.ivf_index_topk(
+            spark, path, queries, k=5, nprobe=cents.count()  # exhaustive again
+        ).collect()
+    )
+    assert after == before  # exhaustive probe: identical answers
