@@ -252,3 +252,108 @@ SELECT doc, term, rank,
        round(score_micro::DOUBLE / 1000000.0, 6) AS tfidf
 FROM ranked WHERE rank <= {top}
 """
+
+
+def hash_embed(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    dim: int = 16,
+    salt: str = "hemb",
+) -> DataFrame:
+    """Feature-hashing document embeddings (the hashing trick): each
+    token maps to a bucket via the portable hash, with a sign bit from a
+    second hash (the classic collision-debiasing trick); the vector is
+    the signed token-count per bucket, L2-normalized. Deterministic and
+    model-free — the bridge that lets the ANN/semantic-dedup tier run
+    over a TEXT corpus with no external embedding model, and fully
+    oracle-able (counts are integers; the one sqrt is IEEE-exact).
+
+    One tokenize-explode-aggregate pass; output (id, embedding
+    array<double>). Rows whose text has no tokens are dropped (no
+    zero-vector to normalize)."""
+    from pyspark.sql import functions as F
+
+    from stock_streaming_data_pipeline_spark.operators.dedup import (
+        portable_hash,
+        tokens,
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    bucket = (portable_hash(F.col("t"), salt=salt) % dim).cast("int")
+    sign = F.when(
+        portable_hash(F.col("t"), salt=salt + "s") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    counts = (
+        toks.select("_id", bucket.alias("b"), sign.alias("s"))
+        .groupBy("_id", "b")
+        .agg(F.sum("s").alias("c"))
+    )
+    m = counts.groupBy("_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m")
+    )
+    dense = m.select(
+        "_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("m"), i.cast("int")), F.lit(0)
+            ).cast("double"),
+        ).alias("raw"),
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("raw"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return dense.filter(norm > 0).select(
+        F.col("_id").alias(id_col),
+        F.transform(F.col("raw"), lambda x: x / norm).alias("embedding"),
+    )
+
+
+def sql_hash_embed(
+    *,
+    id_col: str,
+    text_col: str,
+    table: str = "documents",
+    dim: int = 16,
+    salt: str = "hemb",
+) -> str:
+    """DuckDB CTE (named ``hemb``) replaying :func:`hash_embed`."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import (
+        sql_portable_hash,
+    )
+
+    toks = SQL_TOKENS.format(col=text_col)
+    hb = sql_portable_hash("t", salt=salt)
+    hs = sql_portable_hash("t", salt=salt + "s")
+    return f"""hemb AS (
+  WITH tk AS (
+    SELECT {id_col} AS _id, unnest({toks}) AS t FROM {table}
+  ),
+  cnt AS (
+    SELECT _id, CAST({hb} % {dim} AS INT) AS b,
+           sum(CASE WHEN {hs} % 2 = 0 THEN 1 ELSE -1 END) AS c
+    FROM tk GROUP BY 1, 2
+  ),
+  grid AS (
+    SELECT d._id, CAST(u.i AS INT) AS b
+    FROM (SELECT DISTINCT _id FROM cnt) d, unnest(range(0, {dim})) AS u(i)
+  ),
+  dense AS (
+    SELECT g._id, list(coalesce(c.c, 0)::DOUBLE ORDER BY g.b) AS raw
+    FROM grid g LEFT JOIN cnt c ON c._id = g._id AND c.b = g.b
+    GROUP BY g._id
+  ),
+  nrm AS (
+    SELECT _id, raw,
+           sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(raw, x -> x * x)), (a, x) -> a + x)) AS n
+    FROM dense
+  )
+  SELECT _id AS {id_col},
+         list_transform(raw, x -> x / n) AS embedding
+  FROM nrm WHERE n > 0
+)"""

@@ -1732,3 +1732,39 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "text_hash_embeddings",
+    tags=("LLM-text", "LLM-sim"),
+    oracle=f"""
+WITH {retrieval.sql_hash_embed(id_col="doc_id", text_col="text", dim=16)}
+SELECT doc_id,
+       list_transform(embedding, x -> round(x, 6)) AS embedding6,
+       round(list_reduce(list_prepend(0.0::DOUBLE,
+         list_transform(embedding, x -> x * x)), (a, b) -> a + b), 6) AS sq_norm
+FROM hemb
+""",
+)
+def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free document embeddings via the hashing trick: signed
+    token counts in 16 hash buckets, L2-normalized — the deterministic
+    bridge that makes a TEXT corpus searchable by the ANN/semantic-dedup
+    tier without any external model. Counts are exact integers and the
+    normalization is one sqrt + divisions on identical operands, so the
+    whole featurizer replays in DuckDB (vectors surfaced at round-6,
+    norm pinned to 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = retrieval.hash_embed(docs, id_col="doc_id", text_col="text", dim=16)
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x * x),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return emb.select(
+        "doc_id",
+        F.transform(F.col("embedding"), lambda x: F.round(x, 6)).alias(
+            "embedding6"
+        ),
+        F.round(sq, 6).alias("sq_norm"),
+    )

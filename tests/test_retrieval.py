@@ -92,3 +92,30 @@ def test_bm25_plan_broadcasts_query_and_stats(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # top-k is a TakeOrdered, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hash_embed_feeds_ann_tier(spark):
+    """The hashing-trick embeddings must slot straight into the
+    similarity tier: near-duplicate TEXTS land near each other in the
+    hashed space, and cosine_topk runs unchanged over the output."""
+    from stock_streaming_data_pipeline_spark.operators import similarity
+
+    texts = [
+        "spark window join table scan",
+        "spark window join table scan extra",   # near-dup of 0
+        "completely different words entirely here",
+        "another unrelated set of tokens now",
+    ]
+    docs = _docs(spark, texts)
+    emb = retrieval.hash_embed(docs, id_col="doc_id", text_col="text", dim=32)
+    emb = emb.withColumnRenamed("doc_id", "vec_id")
+    out = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=1
+    ).collect()
+    assert out[0]["neighbor_id"] == 1  # the near-dup text wins
+    # unit norm
+    rows = emb.collect()
+    import math
+
+    for r in rows:
+        assert abs(math.sqrt(sum(x * x for x in r["embedding"])) - 1) < 1e-9
