@@ -1768,3 +1768,43 @@ def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(sq, 6).alias("sq_norm"),
     )
+
+
+@register(
+    "heavy_hitter_tokens",
+    tags=("LLM-text", "A4"),
+    oracle=f"""
+WITH tk AS (
+  SELECT unnest({dedup.SQL_TOKENS.format(text='text')}) AS term FROM documents
+),
+tot AS (SELECT count(*) AS n FROM tk),
+cnt AS (SELECT term, count(*) AS occurrences FROM tk GROUP BY term)
+SELECT c.term, c.occurrences
+FROM cnt c CROSS JOIN tot
+WHERE c.occurrences * 50 >= tot.n
+""",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token mining via Spark 4's approx_top_k sketch — run in
+    its EXACT regime (maxItemsTracked far above the vocabulary size, so
+    the sketch degenerates to true counts; the regime where a
+    differential oracle is possible) and thresholded RELATIVELY
+    (>= 2% of token mass) so no tie can straddle the cut. At true
+    web-scale vocabularies the same query runs with a bounded tracker
+    and becomes the classic approximate heavy-hitters pass — the exact
+    twin here is what its error would be measured against."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    total = tk.count()
+    sk = tk.agg(
+        F.expr("approx_top_k(term, 64, 100000)").alias("top")
+    ).select(F.explode("top").alias("e"))
+    return (
+        sk.select(
+            F.col("e.item").alias("term"),
+            F.col("e.count").alias("occurrences"),
+        )
+        .filter(F.col("occurrences") * 50 >= F.lit(total))
+    )
