@@ -285,3 +285,62 @@ def sql_split_train_eval(
     return (
         f"CASE WHEN {h} % 100 < {holdout_pct} THEN 'eval' ELSE 'train' END"
     )
+
+
+def sample_weighted_es(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "es",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis): each
+    row draws u from its portable id hash (deterministic — the same
+    'random' draw on any engine, partitioning or rerun) and scores
+    key = u^(1/w); the k largest keys win, with inclusion probability
+    proportional to weight. The standard weighted reservoir/priority
+    sample, made rerun-stable the same way split_train_eval is.
+
+    Rows with non-positive weight never win (key -> 0). The ranking key
+    is rounded to 9 decimals with an id tie-break, so the cross-engine
+    pow() ulp cannot reorder winners. TakeOrderedAndProject shape — no
+    global sort."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import portable_hash
+
+    u = (portable_hash(F.col(id_col).cast("string"), salt=salt).cast("double")
+         + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("_es_key", F.round(key, 9))
+        .orderBy(F.desc("_es_key"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sql_sample_weighted_es(
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    select: str,
+    table: str,
+    salt: str = "es",
+) -> str:
+    from stock_streaming_data_pipeline_spark.operators.dedup import (
+        sql_portable_hash,
+    )
+
+    h = sql_portable_hash(f"CAST({id_col} AS VARCHAR)", salt=salt)
+    u = f"(({h})::DOUBLE + 1.0) / {float((1 << 60) + 1)!r}"
+    key = (
+        f"CASE WHEN ({weight_col})::DOUBLE > 0 "
+        f"THEN pow({u}, 1.0 / ({weight_col})::DOUBLE) ELSE 0.0 END"
+    )
+    return f"""
+SELECT {select}, round({key}, 9) AS _es_key
+FROM {table}
+ORDER BY round({key}, 9) DESC, {id_col} ASC
+LIMIT {k}
+"""

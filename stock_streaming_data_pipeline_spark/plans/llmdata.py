@@ -1808,3 +1808,37 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("occurrences") * 50 >= F.lit(total))
     )
+
+
+@register(
+    "sample_weighted_quality",
+    tags=("LLM-mixing",),
+    oracle=f"""
+WITH q AS ({text.sql_quality_scores("doc_id", "text", table="documents")}),
+w AS (
+  SELECT d.doc_id, d.lang, q.quality
+  FROM documents d JOIN q ON d.doc_id = q.doc
+)
+{sampling.sql_sample_weighted_es(
+        id_col="doc_id", weight_col="quality", k=50,
+        select="doc_id, lang, round(quality, 6) AS quality", table="w")}
+""",
+)
+def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling (Efraimidis–Spirakis priority
+    sample): inclusion odds proportional to the quality score, yet fully
+    deterministic — the 'random' draw comes from the portable id hash,
+    so the same 50 documents win on any engine or rerun (and the DuckDB
+    oracle replays the draw). The data-mixing tool for 'sample better
+    documents more often' without an RNG seed dependence."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_scores(docs, id_col="doc_id", text_col="text")
+    w = docs.join(
+        q.select(F.col("doc").alias("doc_id"), "quality"), "doc_id"
+    ).select("doc_id", "lang", "quality")
+    out = sampling.sample_weighted_es(
+        w, id_col="doc_id", weight_col="quality", k=50
+    )
+    return out.select(
+        "doc_id", "lang", F.round("quality", 6).alias("quality"), "_es_key"
+    )

@@ -647,3 +647,37 @@ def test_minhash_xxh64_variant_precision_and_recall(spark, near_dup_corpus):
     }
     assert fast <= exact  # precision 1.0
     assert len(fast & exact) / max(1, len(exact)) >= 0.9
+
+
+def test_weighted_es_sampling_properties(spark):
+    """ES sampling: deterministic across partitionings; higher-weight
+    rows win materially more often (checked over many salt draws); zero
+    weight never wins."""
+    from stock_streaming_data_pipeline_spark.operators import sampling
+
+    rows = [(i, 10.0 if i < 20 else 1.0) for i in range(200)] + [(999, 0.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    a = sorted(
+        r["id"] for r in sampling.sample_weighted_es(
+            df, id_col="id", weight_col="w", k=30
+        ).collect()
+    )
+    b = sorted(
+        r["id"] for r in sampling.sample_weighted_es(
+            df.repartition(7), id_col="id", weight_col="w", k=30
+        ).collect()
+    )
+    assert a == b
+    assert 999 not in a  # zero weight never wins
+    heavy_wins = 0
+    for s in range(8):  # fresh draws via salts
+        win = {
+            r["id"]
+            for r in sampling.sample_weighted_es(
+                df, id_col="id", weight_col="w", k=30, salt=f"s{s}"
+            ).collect()
+        }
+        heavy_wins += len([i for i in win if i < 20])
+    # 20 heavy rows (w=10) vs 180 light (w=1): heavy inclusion must far
+    # exceed its 10% population share in a 30-row sample
+    assert heavy_wins / (8 * 30) > 0.3
