@@ -1842,3 +1842,40 @@ def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", F.round("quality", 6).alias("quality"), "_es_key"
     )
+
+
+@register(
+    "text_semantic_search",
+    tags=("LLM-text", "LLM-sim"),
+    oracle=f"""
+WITH {retrieval.sql_hash_embed(id_col="doc_id", text_col="text", dim=32)},
+qs AS (SELECT doc_id, embedding FROM hemb WHERE doc_id < 3),
+scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         round(
+           list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(q.embedding) + 1),
+               i -> (q.embedding)[i] * (c.embedding)[i])), (a, x) -> a + x),
+           6) AS cosine
+  FROM qs q JOIN hemb c ON c.doc_id != q.doc_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+       ) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+""",
+)
+def text_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free semantic search end-to-end: hash-embed the TEXT corpus
+    (unit vectors, so the dot IS the cosine), take the first three
+    documents as queries, exact cosine top-5 over the hashed space —
+    text goes in, ranked neighbors come out, no external model anywhere,
+    and the entire featurize+search pipeline replays in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = retrieval.hash_embed(
+        docs, id_col="doc_id", text_col="text", dim=32
+    ).withColumnRenamed("doc_id", "vec_id")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return similarity.cosine_topk(emb, queries, k=5)
