@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from stock_streaming_data_pipeline_spark.operators import (
     bpe,
+    coreset,
     dedup,
     graph,
     multimodal,
@@ -1879,3 +1880,19 @@ def text_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("doc_id", "vec_id")
     queries = emb.filter(F.col("vec_id") < 3)
     return similarity.cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "embedding_coreset",
+    tags=("LLM-sim", "LLM-mixing"),
+    oracle=coreset.sql_kcenter_greedy(table="embeddings", k=5),
+)
+def embedding_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset (5 maximally spread representatives) —
+    the diversity-sampling pass of a curation pipeline. Each greedy
+    round broadcasts only the chosen set (<= k vectors) for a map-side
+    max-similarity pass; decisions are round-6 with id tie-breaks, so
+    the iterative algorithm unrolls into the DuckDB oracle's chained
+    CTEs like the Lloyd and PageRank loops."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return coreset.kcenter_greedy(emb, id_col="vec_id", vec_col="embedding", k=5)

@@ -681,3 +681,27 @@ def test_weighted_es_sampling_properties(spark):
     # 20 heavy rows (w=10) vs 180 light (w=1): heavy inclusion must far
     # exceed its 10% population share in a 30-row sample
     assert heavy_wins / (8 * 30) > 0.3
+
+
+def test_kcenter_coreset_spreads_over_planted_clusters(spark):
+    """Three tight planted clusters + k=3: the greedy coreset must pick
+    one representative from EACH cluster (diversity), never two from
+    the same one — and the selection is partitioning-invariant."""
+    import numpy as np
+
+    from stock_streaming_data_pipeline_spark.operators import coreset
+
+    rng = np.random.default_rng(13)
+    centers = np.array([[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]], float)
+    vecs = []
+    for ci, c in enumerate(centers):
+        for j in range(8):
+            vecs.append((ci * 8 + j, (c + 0.05 * rng.normal(size=4)).tolist()))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = coreset.kcenter_greedy(df, k=3).collect()
+    clusters = {r["vec_id"] // 8 for r in out}
+    assert clusters == {0, 1, 2}
+    again = coreset.kcenter_greedy(df.repartition(5), k=3).collect()
+    assert sorted((r["vec_id"], r["rank"]) for r in out) == sorted(
+        (r["vec_id"], r["rank"]) for r in again
+    )
