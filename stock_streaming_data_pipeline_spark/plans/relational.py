@@ -1398,3 +1398,133 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(smallest3, lambda x: x * 2).alias("doubled_smallest3"),
         increases.alias("n_increases"),
     )
+
+
+@register(
+    "funnel_conversion",
+    tags=("A1", "W4", "F1"),
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+  FROM events GROUP BY user_id
+),
+flags AS (
+  SELECT user_id,
+         (t_view IS NOT NULL)::INT AS s1,
+         (t_view IS NOT NULL AND t_click IS NOT NULL
+          AND t_click > t_view)::INT AS s2,
+         (t_view IS NOT NULL AND t_click IS NOT NULL AND t_buy IS NOT NULL
+          AND t_click > t_view AND t_buy > t_click
+          AND t_buy - t_view <= 7 * 86400000000)::INT AS s3
+  FROM stages
+)
+SELECT CAST(sum(s1) AS BIGINT) AS n_viewed,
+       CAST(sum(s2) AS BIGINT) AS n_clicked_after_view,
+       CAST(sum(s3) AS BIGINT) AS n_converted_7d,
+       round(sum(s3)::DOUBLE / sum(s1), 6) AS conversion_rate
+FROM flags
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase within 7 days):
+    first-touch times per stage via conditional MIN aggregation — ONE
+    pass over the facts, no self-joins (the naive N-stage funnel is an
+    N-way self-join; conditional aggregation is the scale form) — then
+    the ordering/window constraints as pure integer comparisons."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_buy"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    s3 = (
+        s2
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") > F.col("t_click"))
+        & (F.col("t_buy") - F.col("t_view") <= 7 * 86_400_000_000)
+    )
+    flags = stages.select(
+        s1.cast("int").alias("s1"),
+        s2.cast("int").alias("s2"),
+        s3.cast("int").alias("s3"),
+    )
+    return flags.agg(
+        F.sum("s1").cast("long").alias("n_viewed"),
+        F.sum("s2").cast("long").alias("n_clicked_after_view"),
+        F.sum("s3").cast("long").alias("n_converted_7d"),
+        F.round(
+            F.sum("s3").cast("double") / F.sum("s1"), 6
+        ).alias("conversion_rate"),
+    )
+
+
+@register(
+    "cohort_retention",
+    tags=("A1", "C2", "J1"),
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+              AS BIGINT) AS week_n
+  FROM events e JOIN first_seen f USING (user_id)
+),
+cohort_sizes AS (
+  SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+  FROM first_seen GROUP BY cohort_week
+)
+SELECT epoch(a.cohort_week)::BIGINT AS cohort_week_s, a.week_n,
+       count(*) AS active_users, s.cohort_size,
+       round(count(*)::DOUBLE / s.cohort_size, 6) AS retention
+FROM activity a JOIN cohort_sizes s USING (cohort_week)
+GROUP BY a.cohort_week, a.week_n, s.cohort_size
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by first-seen week,
+    activity bucketed by week offset, retention = active/cohort-size —
+    the classic triangle. Shape: one first-touch agg, one distinct
+    (user, week) dedup, a broadcast-size cohort join; no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first_seen = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (F.unix_date(F.to_date(wk)) - F.unix_date(F.to_date("cohort_week")))
+                    / 7
+                )
+            ).cast("long").alias("week_n"),
+        )
+        .distinct()
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        activity.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_n", "cohort_size")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(
+            F.unix_seconds("cohort_week").alias("cohort_week_s"),
+            "week_n",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
