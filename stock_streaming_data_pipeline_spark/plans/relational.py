@@ -1528,3 +1528,127 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "event_cooccurrence_lift",
+    tags=("A1", "J1", "A4"),
+    oracle="""
+WITH peru AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+n_users AS (SELECT count(DISTINCT user_id) AS n FROM events),
+singles AS (
+  SELECT event_type, count(*) AS n_a FROM peru GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+  FROM peru a JOIN peru b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       round(p.n_ab::DOUBLE / nu.n, 6) AS support,
+       round(p.n_ab::DOUBLE * nu.n / (sa.n_a * sb.n_a), 6) AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN n_users nu
+""",
+)
+def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over user behavior: event-type co-occurrence
+    with support and lift — the market-basket pass. The self-join runs
+    on the (user, type) DISTINCT projection (bounded: users × five
+    types), never the raw facts; singles/user-count are broadcast-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    peru = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(F.countDistinct("user_id").alias("n"))
+    singles = peru.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_a"))
+    a = peru.select("user_id", F.col("event_type").alias("type_a"))
+    b = peru.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_a").alias("na")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_a").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "event_transition_matrix",
+    tags=("W4", "A1"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM ordered WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+outdeg AS (
+  SELECT from_type, sum(n) AS total FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+       round(t.n::DOUBLE / o.total, 6) AS p
+FROM trans t JOIN outdeg o USING (from_type)
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-sequence model: the next-event transition matrix
+    per user journey (lead over (ts, id) — deterministic tie-breaks),
+    row-normalized into transition probabilities. One keyed window + two
+    tiny aggs; the Markov-chain view of user behavior."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    trans = (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outdeg = trans.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return (
+        trans.join(F.broadcast(outdeg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
+        )
+    )
