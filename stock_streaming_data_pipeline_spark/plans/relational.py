@@ -1652,3 +1652,128 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
         )
     )
+
+
+@register(
+    "pareto_abc_parts",
+    tags=("W1", "A1", "O2"),
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(cents) AS t FROM rev),
+ranked AS (
+  SELECT l_partkey, cents,
+         sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM rev
+)
+SELECT r.l_partkey, r.cents,
+       CASE WHEN r.run * 100 <= t.t * 80 THEN 'A'
+            WHEN r.run * 100 <= t.t * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked r CROSS JOIN tot t
+""",
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification of parts by revenue: running revenue
+    share (integer cents — the running sum and the 80/95% cuts are exact
+    integer comparisons via cross-multiplication, no ratio rounding) over
+    the revenue-desc order. The global window runs on the PART-level
+    rollup (bounded: #parts, not #lineitems); the heavy work is the
+    partial-aggregated rollup shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (
+        F.signum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        * F.floor(
+            F.abs(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            + F.lit(0.5)
+        )
+    ).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    tot = rev.agg(F.sum("cents").alias("t"))
+    w = (
+        Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.withColumn("run", F.sum("cents").over(w))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "cents",
+        F.when(F.col("run") * 100 <= F.col("t") * 80, F.lit("A"))
+        .when(F.col("run") * 100 <= F.col("t") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+@register(
+    "revenue_gini_by_brand",
+    tags=("A1", "W1"),
+    oracle="""
+WITH rev AS (
+  SELECT p.p_brand, l.l_partkey,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                  AS BIGINT)) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT p_brand, cents,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY cents, l_partkey) AS i
+  FROM rev
+),
+m AS (
+  SELECT p_brand, count(*) AS n,
+         sum(cents) AS s, sum(i * cents) AS si
+  FROM ranked GROUP BY p_brand
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
+       round(2.0 * si / (n * s) - (n + 1.0) / n, 6) AS gini
+FROM m WHERE s > 0
+""",
+)
+def revenue_gini_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Gini) per brand: the rank-weighted exact
+    formula G = 2·Σi·x_i/(n·Σx) − (n+1)/n over cents-exact part
+    revenues with (value, id) rank tie-breaks — every operand integer
+    until the final two divisions. One rollup + one keyed window +
+    per-brand agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cents = (
+        F.signum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        * F.floor(
+            F.abs(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            + F.lit(0.5)
+        )
+    ).cast("long")
+    rev = (
+        li.join(
+            part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+            "l_partkey",
+        )
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("cents", "l_partkey")
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    m = ranked.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("si"),
+    )
+    return m.filter(F.col("s") > 0).select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_parts"),
+        F.round(
+            F.lit(2.0) * F.col("si") / (F.col("n") * F.col("s"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

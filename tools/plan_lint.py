@@ -64,6 +64,7 @@ UNPARTITIONED_WINDOW_ALLOW = {
     "hierarchical_bars",
     "streaming_custom_source_vwap",  # settle() re-frame, bounded result
     "cumulative_volume_salted",     # segment-offset window over segment totals (tiny)
+    "pareto_abc_parts",             # global running share over the PART-level rollup (bounded: #parts)
 }
 
 # Streaming queries run the full settle() harness — linting their final
