@@ -381,13 +381,14 @@ def embedding_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT doc_id AS doc, text AS txt FROM documents WHERE doc_id % 41 <> 0
   UNION ALL
   SELECT doc_id + 2000000 AS doc, text AS txt FROM documents
-  WHERE doc_id % 41 = 0 AND doc_id % 82 = 0
+  WHERE doc_id % 41 = 0 AND doc_id < 410000 AND doc_id % 82 = 0
   UNION ALL
   SELECT doc_id + 3000000 AS doc,
          substr(text, 1, floor(n_chars / 2)::INT) AS txt
-  FROM documents WHERE doc_id % 41 = 0 AND doc_id % 82 <> 0
+  FROM documents WHERE doc_id % 41 = 0 AND doc_id < 410000 AND doc_id % 82 <> 0
 """,
-        eval_select="SELECT doc_id AS eval_id, text AS txt FROM documents WHERE doc_id % 41 = 0",
+        eval_select="SELECT doc_id AS eval_id, text AS txt FROM documents"
+        " WHERE doc_id % 41 = 0 AND doc_id < 410000",
         n=5,
         min_overlap=0.2,
     ),
@@ -400,9 +401,13 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaked-benchmark scenario this check exists to catch; 5-grams have
     zero incidental cross-doc overlap on this corpus, so the planted
     pairs are exactly what must surface). Eval shingle index is
-    broadcast; the training corpus never shuffles."""
+    broadcast; the training corpus never shuffles. The eval slice is
+    CAPPED (doc_id < 410000 → ≤10k eval docs at any SF — benchmark
+    suites are fixed-size, they do not scale with the corpus), so the
+    broadcast side has bounded cardinality at 100 TB; the cap is a no-op
+    at the test SFs (max doc_id 4999)."""
     docs = load_table(spark, sf_dir, "documents")
-    evals = docs.filter(F.col("doc_id") % 41 == 0)
+    evals = docs.filter((F.col("doc_id") % 41 == 0) & (F.col("doc_id") < 410_000))
     full_copies = evals.filter(F.col("doc_id") % 82 == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
     )
@@ -884,7 +889,7 @@ _CURATION_CORPUS_SQL = """
   WHERE doc_id % 10 = 0 AND doc_id % 41 <> 0
   UNION ALL
   SELECT doc_id + 2000000 AS doc_id, text, lang FROM documents
-  WHERE doc_id % 41 = 0
+  WHERE doc_id % 41 = 0 AND doc_id < 410000
 """
 
 
@@ -899,7 +904,8 @@ contaminated AS (
   SELECT DISTINCT doc FROM (
     {dedup.sql_contamination_report(
         train_select="SELECT doc_id AS doc, text AS txt FROM kept",
-        eval_select="SELECT doc_id AS eval_id, text AS txt FROM documents WHERE doc_id % 41 = 0",
+        eval_select="SELECT doc_id AS eval_id, text AS txt FROM documents"
+        " WHERE doc_id % 41 = 0 AND doc_id < 410000",
         n=5,
         min_overlap=0.2,
     )}
@@ -941,9 +947,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: dedup is one hash-groupBy; decontamination broadcasts
     the eval index; quality/repetition are per-row / per-(doc,gram)
     partial aggs; sampling is one window on (lang); the budget agg is a
-    5-row result. No stage collects to the driver."""
+    5-row result. No stage collects to the driver. The eval slice is
+    capped (doc_id < 410000 → ≤10k docs at any SF) so the broadcast
+    eval index stays bounded at 100 TB; a no-op at test SFs."""
     docs = load_table(spark, sf_dir, "documents")
-    evals = docs.filter(F.col("doc_id") % 41 == 0)
+    evals = docs.filter((F.col("doc_id") % 41 == 0) & (F.col("doc_id") < 410_000))
     base = docs.filter(F.col("doc_id") % 41 != 0).select("doc_id", "text", "lang")
     dups = base.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"

@@ -933,7 +933,13 @@ GROUP BY 1, 2
 )
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation and order year over a
-    part-filtered join tree (LIKE predicate on the part dimension)."""
+    part-filtered join tree (LIKE predicate on the part dimension).
+
+    part carries NO broadcast hint: the filter keeps a constant ~20%
+    FRACTION of an SF-scaled relation (billions of rows at 100 TB), so the
+    join strategy is left to stats/AQE, which still picks broadcast at
+    small SF where the filtered side fits. Only the fixed-25-row nation
+    dim is hinted."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
@@ -946,7 +952,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),

@@ -62,7 +62,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min extendedprice/quantity per part-supplier). The correlated
     subquery becomes a per-part window MIN — one shuffle, no rescan.
     Double equality is safe: both engines compare the identical IEEE
-    quotient, unaggregated."""
+    quotient, unaggregated.
+
+    The p_size filter keeps a ~20% FRACTION of the SF-scaled part table,
+    so part carries no broadcast hint (stats/AQE decides); only the
+    fixed-25-row nation dim is hinted."""
     li = load_table(spark, sf_dir, "lineitem")
     unit_cost = li.groupBy(
         F.col("l_partkey"), F.col("l_suppkey")
@@ -74,7 +78,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        best.join(part, best.l_partkey == part.p_partkey)
         .join(supp, best.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
@@ -148,8 +152,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape (national market share): supplier-nation share of
     revenue by order year, restricted to ASIA customers buying ECONOMY
     parts. 8-way join tree: the two fact tables shuffle-join on orderkey;
-    the bounded dimensions (nation x2, region, filtered part) broadcast;
-    SF-scaled customer/supplier are left to stats-driven auto-broadcast.
+    the bounded dimensions (nation x2, region) broadcast; SF-scaled
+    customer/supplier/part are left to stats-driven auto-broadcast —
+    the p_type filter keeps a constant ~16% fraction of part, which is
+    unbounded at scale, so no hint.
     Conditional aggregation over exact decimals; the share division runs
     in doubles identically in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -168,7 +174,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev_col().cast("decimal(18,8)")
     sales = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == n1.c_nkey)
         .join(F.broadcast(region), n1.c_rkey == region.r_regionkey)
@@ -409,7 +415,9 @@ def q16_supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing. The NOT IN becomes a left_anti join (strategy left to
     stats/AQE — supplier is SF-scaled; safe here:
     s_suppkey is non-null by construction — NOT IN's null trap doesn't
-    apply). lineitem stands in for partsupp as the part↔supplier bridge."""
+    apply). lineitem stands in for partsupp as the part↔supplier bridge.
+    The part filters keep a ~13% fraction of the SF-scaled part table, so
+    part carries no broadcast hint (stats/AQE decides)."""
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5")
         & (F.col("p_type") != "PROMO")
@@ -419,7 +427,7 @@ def q16_supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
         li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -446,7 +454,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     than 20% of a part's average quantity. The correlated aggregate is a
     per-part pre-aggregation joined back on partkey — the Spark-native
     decorrelation (one extra shuffle instead of a per-row rescan). The
-    average is exact-decimal-sum / count, identical in both engines."""
+    average is exact-decimal-sum / count, identical in both engines.
+    The brand filter keeps an ~8% fraction of the SF-scaled part table,
+    so part carries no broadcast hint (stats/AQE decides)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand").isin("Brand#12", "Brand#23")
@@ -458,7 +468,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_cut")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part, li.l_partkey == per_part.avg_pkey)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .groupBy("p_brand")
@@ -586,15 +596,17 @@ WHERE s_suppkey IN (
 def q20_high_volume_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (nested IN over a grouped HAVING): suppliers who
     moved >50 units of any red part in 1996. partsupp's availqty check is
-    re-derived from lineitem volume. Aggregate-then-semi-join; the part
-    name filter broadcasts into the bridge join."""
+    re-derived from lineitem volume. Aggregate-then-semi-join. The part
+    name prefix filter keeps a constant fraction of the SF-scaled part
+    table, so the bridge join carries no broadcast hint (stats/AQE
+    decides)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
     red = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     heavy = (
-        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        li.join(red, li.l_partkey == red.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(money(F.col("l_quantity"))).alias("qty"))
         .filter(F.col("qty") > 50)

@@ -215,47 +215,21 @@ def test_pack_sequences_single_shuffle(spark):
 #
 # An explicit broadcast() hint is honored by Catalyst REGARDLESS of the
 # relation's size (only stats-driven auto-broadcast degrades to sort-merge),
-# so a hint over customer/supplier — which TPC-H scales linearly with SF —
-# would OOM the driver on a real cluster even though it is fast at sf0.1.
-# Bounded relations (nation: 25 rows, region: 5, selective pre-filtered
-# part, and grouped/scalar aggregates) may keep their hints.
+# so a hint over customer/supplier/part/orders/lineitem — which TPC-H
+# scales linearly with SF — would OOM the driver on a real cluster even
+# though it is fast at sf0.1. A Filter does NOT exempt a hint: a
+# predicate that keeps a constant FRACTION of an SF-scaled table
+# (p_size<=10 keeps ~20% of part forever) is still unbounded at 100 TB.
+# Only constructs that bound CARDINALITY independent of SF exempt the
+# subtree: a grouped/scalar Aggregate or a Limit. Fixed-size relations
+# (nation: 25 rows, region: 5) may keep their hints.
+#
+# The rule itself lives in tools/plan_lint.py (shared with the
+# catalog-wide linter); this test applies it to every relational-surface
+# builder's analyzed plan.
 # ---------------------------------------------------------------------------
 
-_SF_SCALED_ALWAYS = ("c_custkey", "s_suppkey")  # customer / supplier columns
-_SF_SCALED_UNFILTERED = ("p_partkey",)  # part: hint allowed only if filtered
-
-
-def _node_depth(line: str) -> int:
-    """Marker column of a treeString line (-1 for the root node)."""
-    candidates = [i for i in (line.find("+- "), line.find(":- ")) if i >= 0]
-    return min(candidates) if candidates else -1
-
-
-def _broadcast_hint_violations(tree: str) -> list[str]:
-    lines = tree.splitlines()
-    bad: list[str] = []
-    for i, line in enumerate(lines):
-        if "ResolvedHint" not in line or "broadcast" not in line.lower():
-            continue
-        d = _node_depth(line)
-        subtree = []
-        for nxt in lines[i + 1 :]:
-            if _node_depth(nxt) <= d:
-                break
-            subtree.append(nxt)
-        # A grouped/scalar aggregate bounds the hinted side's cardinality
-        # independent of SF — those hints are legitimate.
-        if any("Aggregate" in s for s in subtree):
-            continue
-        has_filter = any("Filter" in s for s in subtree)
-        for s in subtree:
-            if "Relation" not in s:
-                continue
-            if any(c in s for c in _SF_SCALED_ALWAYS):
-                bad.append(s.strip())
-            elif any(c in s for c in _SF_SCALED_UNFILTERED) and not has_filter:
-                bad.append(s.strip())
-    return bad
+from tools.plan_lint import broadcast_hint_violations as _broadcast_hint_violations
 
 
 def test_no_broadcast_hint_on_sf_scaled_relations(spark):

@@ -5,8 +5,13 @@ catalog query's analyzed + executed plan for the anti-patterns that
 kill 100 TB runs, so a new query can't regress the discipline silently:
 
 - hard broadcast hints whose subtree scans an SF-scaled relation
-  (customer/supplier/orders/lineitem/events/documents/embeddings
-  unfiltered) — explicit hints never degrade to sort-merge;
+  (customer/supplier/part/orders/lineitem/events/documents/embeddings)
+  — explicit hints never degrade to sort-merge, so they OOM the driver
+  at scale. A Filter does NOT exempt a hint: a predicate that keeps a
+  constant FRACTION of an SF-scaled table (p_size<=10 keeps ~20% of
+  part forever) is still unbounded at 100 TB. Only constructs that
+  bound CARDINALITY independent of SF exempt the subtree: a grouped or
+  scalar Aggregate (bounded output domain) or a Limit;
 - unpartitioned window operators (whole dataset through one task)
   outside the documented allowlist (bounded-domain windows);
 - CartesianProduct / BroadcastNestedLoopJoin with a non-constant-sized
@@ -30,6 +35,79 @@ import sys
 sys.path.insert(0, ".")
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# Column markers identifying a scan of an SF-scaled relation in the
+# analyzed tree. nation (25 rows) and region (5) are fixed-size by the
+# TPC-H spec and legitimately broadcastable; everything else scales
+# linearly with SF and must never carry a hard broadcast hint.
+SF_SCALED_MARKERS = (
+    "c_custkey",    # customer
+    "s_suppkey",    # supplier
+    "p_partkey",    # part — fraction filters (p_size<=10, brand isin, LIKE)
+                    # do NOT exempt: they keep a constant share of an
+                    # SF-scaled table, unbounded at 100 TB
+    "o_orderkey",   # orders
+    "l_orderkey",   # lineitem
+    "event_id",     # events
+    "doc_id",       # documents
+    "vec_id",       # embeddings
+)
+
+
+def broadcast_hint_violations(analyzed_tree: str) -> list[str]:
+    """Scan an analyzed treeString for broadcast ResolvedHints whose
+    subtree reaches an SF-scaled base relation without an intervening
+    cardinality bound. Bounds that exempt:
+
+    - a grouped/scalar Aggregate or a Limit anywhere in the subtree
+      (output domain bounded independent of SF);
+    - a Filter comparing the relation's UNIQUE KEY column directly to an
+      integer literal (``vec_id < 10``, ``doc_id <= 410000``,
+      ``c_custkey = 42``) — at most a constant number of rows survive at
+      ANY scale factor.
+
+    Deliberately NOT exempt: attribute filters (``p_size <= 10`` keeps a
+    ~20% FRACTION of part forever) and arithmetic selections on the key
+    (``doc_id % 41 = 0`` keeps 1/41 of an SF-scaled table) — both are
+    unbounded at 100 TB."""
+    import re
+
+    def node_depth(line: str) -> int:
+        candidates = [i for i in (line.find("+- "), line.find(":- ")) if i >= 0]
+        return min(candidates) if candidates else -1
+
+    lines = analyzed_tree.splitlines()
+    bad: list[str] = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line.lower():
+            continue
+        d = node_depth(line)
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            if node_depth(nxt) <= d:
+                break
+            subtree.append(nxt)
+        # A grouped/scalar aggregate or a Limit bounds the hinted side's
+        # cardinality independent of SF — those hints are legitimate.
+        if any(("Aggregate" in s) or ("Limit" in s) for s in subtree):
+            continue
+        filters = [s for s in subtree if "Filter" in s]
+        for s in subtree:
+            if "Relation" not in s:
+                continue
+            hit = [c for c in SF_SCALED_MARKERS if c in s]
+            if not hit:
+                continue
+            key = hit[0]
+            # direct literal bound on the unique key: `key#123L < 10`,
+            # `key#123L < cast(10 as bigint)`, `key#123L = N` (NOT
+            # `(key % 41) = 0`, where the key ref is followed by `%`,
+            # not a comparison)
+            bound_re = re.compile(rf"\b{key}#\d+L? (?:<|<=|=) (?:\d|cast\(\d)")
+            if any(bound_re.search(f) for f in filters):
+                continue
+            bad.append(s.strip())
+    return bad
 
 # Queries allowed to carry an unpartitioned window: each is a
 # bounded-domain window documented at the operator (global bar grid,
@@ -81,8 +159,10 @@ def lint_one(spark, name, build) -> list[str]:
         return [f"{name}: build failed: {e}"]
     qe = df._jdf.queryExecution()
     plan = qe.executedPlan().toString()
-    analyzed = qe.analyzed().toString()
+    analyzed = qe.analyzed().treeString()
 
+    for rel in broadcast_hint_violations(analyzed):
+        findings.append(f"{name}: broadcast hint over SF-scaled relation: {rel}")
     if "CartesianProduct" in plan:
         findings.append(f"{name}: CartesianProduct in physical plan")
     if "BatchEvalPython" in plan:
