@@ -3,7 +3,13 @@
 Runs every bench-tagged query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <float>}
+     "queries": {name: sec, ...}, "sf": <float>,
+     "like_for_like": <sec over the FROZEN core set>,
+     "like_for_like_queries": [...]}
+
+`value` covers the full (growing) bench set; `like_for_like` totals only
+the frozen 14-query core from round 2, so round-over-round comparisons
+stay honest as queries are added to the set.
 
 Each query is forced end-to-end with a noop-format write (full compute, no
 driver collection) after a warm-up of the session on a trivial action.
@@ -18,6 +24,26 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+# Frozen round-2 core set: like-for-like round-over-round totals. Never
+# grows — new bench queries count only toward the full total.
+LIKE_FOR_LIKE = (
+    "asof_purchase_view",
+    "cumulative_volume",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_topk",
+    "gap_fill_hourly",
+    "ohlc_sliding_bars",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_region_revenue",
+    "q9_profit_by_nation_year",
+    "text_quality",
+    "tumbling_volume_daily",
+)
 
 
 def _force(df) -> int:
@@ -94,6 +120,7 @@ def main() -> None:
             # the next one's measurement.
             spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
+    lfl = round(sum(timings.get(q, 0.0) for q in LIKE_FOR_LIKE), 3)
 
     print(
         json.dumps(
@@ -103,6 +130,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "like_for_like": lfl,
+                "like_for_like_queries": sorted(
+                    q for q in LIKE_FOR_LIKE if q in timings
+                ),
             }
         )
     )
