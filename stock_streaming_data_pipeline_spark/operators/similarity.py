@@ -1201,6 +1201,233 @@ def opq_topk(
     )
 
 
+def _sql_rot_cte(R, table: str, *, name: str = "rot") -> str:
+    """CTE rotating every vector of ``table`` by the literal matrix ``R``
+    (rows embedded as exact round-trip double literals):
+    ``v[j] = dot(R[j,:], x)`` — the same orientation as
+    :func:`_rotate_vecs`'s ``X @ R.T``."""
+    rows = ",\n       ".join(
+        "[" + ", ".join(repr(float(w)) for w in row) + "]" for row in R
+    )
+    return f"""{name} AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform([
+       {rows}
+     ], r -> list_dot_product(r, elist)) AS v
+  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS elist
+        FROM {table})
+)"""
+
+
+def _sql_pq_chain(*, num_sub: int, dsub: int, ksub: int, pq_iters: int) -> list[str]:
+    """CTE chain replaying :func:`pq_train` + the final encode over the
+    rotated vectors in CTE ``rot`` (columns ``vec_id, v``): subspace
+    explode, lowest-id seeds, ``pq_iters`` Lloyd rounds (round-6
+    squared-L2 argmin, code tie-break via struct min, empty-code
+    retention), final assignment in ``as{pq_iters}``, final codebook in
+    ``cb{pq_iters}``. Same discipline as the IVF-PQ oracle's loop."""
+    parts = [
+        f"""sub AS MATERIALIZED (
+  SELECT vec_id, CAST(u.m AS INT) AS m,
+         list_transform(range(u.m * {dsub} + 1, u.m * {dsub} + {dsub} + 1),
+                        i -> v[i]) AS sub
+  FROM rot, unnest(range(0, {num_sub})) AS u(m)
+)""",
+        f"""cb0 AS MATERIALIZED (
+  SELECT m, CAST(rn - 1 AS INT) AS code, sub AS cbvec
+  FROM (
+    SELECT m, sub,
+           row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+    FROM sub
+  ) WHERE rn <= {ksub}
+)""",
+    ]
+    l2_sub_cb = SQL_L2SQ.format(a="s.sub", b="cb.cbvec")
+    for r in range(pq_iters + 1):  # pq_iters training rounds + final encode
+        parts.append(
+            f"""as{r} AS MATERIALIZED (
+  SELECT vec_id, m,
+         (min(struct_pack(d := d6, code := code))).code AS code
+  FROM (
+    SELECT s.vec_id, s.m, cb.code,
+           round({l2_sub_cb}, 6) AS d6
+    FROM sub s JOIN cb{r} cb USING (m)
+  ) GROUP BY vec_id, m
+)"""
+        )
+        if r == pq_iters:
+            break
+        parts.append(
+            f"""cb{r + 1} AS MATERIALIZED (
+  SELECT cb.m, cb.code, coalesce(n.new_cbvec, cb.cbvec) AS cbvec
+  FROM cb{r} cb LEFT JOIN (
+    SELECT m, code, list(cv ORDER BY pos) AS new_cbvec
+    FROM (
+      SELECT a.m, a.code, u.i AS pos, avg((s.sub)[u.i]) AS cv
+      FROM as{r} a
+      JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+           unnest(range(1, {dsub} + 1)) AS u(i)
+      GROUP BY a.m, a.code, u.i
+    ) GROUP BY m, code
+  ) n ON n.m = cb.m AND n.code = cb.code
+)"""
+        )
+    return parts
+
+
+# Generated-oracle cache: keyed by every parameter; the generator runs a
+# DuckDB training replay (~1s), and the driver/tests may resolve oracles
+# repeatedly in one process.
+_SQL_OPQ_CACHE: dict = {}
+
+
+def sql_opq_topk(
+    sf_dir: str,
+    *,
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 10",
+    k: int = 5,
+    num_sub: int = 8,
+    ksub: int = 16,
+    rerank: int = 32,
+    iters: int = 2,
+    pq_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """Exact DuckDB oracle for :func:`opq_topk`, generated per scale
+    factor: the OPQ TRAINING itself is independently replayed — every
+    distributed step (rotate, subspace explode, seeded Lloyd codebooks,
+    reconstruction, the d×d Procrustes cross-product Σ ŷ·xᵀ rounded to 6
+    decimals) runs in DuckDB SQL, and only the 64×64 SVD runs in numpy,
+    exactly as the Spark implementation solves it driver-side
+    (:func:`opq_train`). The converged rotation is then FROZEN as
+    round-trip double literals inside ONE final SQL string that replays
+    rotate → PQ train → encode → LUT (round-9) → ADC (round-6) →
+    shortlist → exact-cosine re-rank.
+
+    Why this matches bit-for-bit: both engines make every discrete
+    decision (seed pick, code argmin, probe/shortlist ranks) on round-6/
+    round-9 values whose cross-engine drift is ≤ ~1e-12 (double-sum
+    ordering), and both hand the SAME rounded Procrustes matrix to the
+    same numpy SVD — so the learned R, all codes, and the final ranks
+    coincide, and the output cosines are computed from identical RAW
+    vectors on both sides (round-6).
+    """
+    key = (sf_dir, table, query_pred, k, num_sub, ksub, rerank, iters, pq_iters, dim)
+    cached = _SQL_OPQ_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    import duckdb
+    import numpy as np
+
+    assert dim % num_sub == 0
+    dsub = dim // num_sub
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * "
+        f"FROM read_parquet('{sf_dir}/{table}.parquet')"
+    )
+
+    def round_M(R) -> "np.ndarray":
+        parts = [_sql_rot_cte(R, table)]
+        parts += _sql_pq_chain(num_sub=num_sub, dsub=dsub, ksub=ksub, pq_iters=pq_iters)
+        parts.append(
+            f"""vhat AS MATERIALIZED (
+  SELECT a.vec_id, flatten(list(cb.cbvec ORDER BY a.m)) AS vh
+  FROM as{pq_iters} a
+  JOIN cb{pq_iters} cb ON cb.m = a.m AND cb.code = a.code
+  GROUP BY a.vec_id
+)"""
+        )
+        body = ",\n".join(parts)
+        sql = f"""
+WITH {body}
+SELECT ui.i AS i, uj.j AS j,
+       round(sum(h.vh[ui.i] * (e.embedding)[uj.j]::DOUBLE), 6) AS mv
+FROM vhat h JOIN {table} e ON e.vec_id = h.vec_id,
+     unnest(range(1, {dim} + 1)) AS ui(i),
+     unnest(range(1, {dim} + 1)) AS uj(j)
+GROUP BY 1, 2
+"""
+        M = np.zeros((dim, dim))
+        for i, j, v in con.execute(sql).fetchall():
+            M[int(i) - 1][int(j) - 1] = v
+        return M
+
+    R = np.eye(dim)
+    for _ in range(iters):
+        U, _, Vt = np.linalg.svd(round_M(R))
+        R = U @ Vt
+
+    # Final SQL with the converged rotation frozen as literals.
+    parts = [_sql_rot_cte(R, table)]
+    parts += _sql_pq_chain(num_sub=num_sub, dsub=dsub, ksub=ksub, pq_iters=pq_iters)
+    parts.append(
+        f"""codes AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, m, code FROM as{pq_iters}
+)"""
+    )
+    parts.append(
+        f"""qsub AS MATERIALIZED (
+  SELECT vec_id AS query_id, CAST(u.m AS INT) AS m,
+         list_transform(range(u.m * {dsub} + 1, u.m * {dsub} + {dsub} + 1),
+                        i -> v[i]) AS qs
+  FROM rot, unnest(range(0, {num_sub})) AS u(m)
+  WHERE {query_pred}
+)"""
+    )
+    l2_q_cb = SQL_L2SQ.format(a="q.qs", b="cb.cbvec")
+    parts.append(
+        f"""lut AS MATERIALIZED (
+  SELECT q.query_id, q.m, cb.code, round({l2_q_cb}, 9) AS pdist
+  FROM qsub q JOIN cb{pq_iters} cb USING (m)
+)"""
+    )
+    parts.append(
+        """adc AS MATERIALIZED (
+  SELECT l.query_id, c.neighbor_id, round(sum(l.pdist), 6) AS adc_dist
+  FROM codes c
+  JOIN lut l ON l.m = c.m AND l.code = c.code
+  WHERE c.neighbor_id != l.query_id
+  GROUP BY 1, 2
+)"""
+    )
+    parts.append(
+        f"""short AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+           ) AS rn
+    FROM adc
+  ) WHERE rn <= {rerank}
+)"""
+    )
+    cos_final = _sql_cos("n.embedding", "q.embedding", 6)
+    parts.append(
+        f"""scored AS (
+  SELECT s.query_id, s.neighbor_id, {cos_final} AS cosine
+  FROM short s
+  JOIN {table} n ON n.vec_id = s.neighbor_id
+  JOIN {table} q ON q.vec_id = s.query_id
+)"""
+    )
+    body = ",\n".join(parts)
+    sql = f"""
+WITH {body}
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+       ) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+    _SQL_OPQ_CACHE[key] = sql
+    return sql
+
+
 def centroids(
     df: DataFrame, *, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -24,6 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 Builder = Callable[[SparkSession, str], DataFrame]
 
 
+# The scale factor the grading driver runs its differential at; lazy
+# (data-dependent) oracles resolve against this when no sf_dir is given.
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
 @dataclass(frozen=True)
 class CatalogQuery:
     name: str
@@ -32,6 +37,10 @@ class CatalogQuery:
     tags: tuple[str, ...] = ()  # SURVEY §2 ids this query covers, e.g. ("A2", "T3")
     bench: bool = False  # include in bench.py's headline set
     doc: str = ""
+    # Lazy oracle: (sf_dir) -> SQL, for oracles whose text depends on the
+    # data (e.g. OPQ freezes the learned rotation as literals). Exactly
+    # one of oracle / oracle_fn may be set.
+    oracle_fn: Callable[[str], str] | None = None
 
 
 _REGISTRY: dict[str, CatalogQuery] = {}
@@ -41,12 +50,15 @@ def register(
     name: str,
     *,
     oracle: str | None = None,
+    oracle_fn: Callable[[str], str] | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
 ) -> Callable[[Builder], Builder]:
     def deco(fn: Builder) -> Builder:
         if name in _REGISTRY:
             raise ValueError(f"duplicate catalog query {name!r}")
+        if oracle is not None and oracle_fn is not None:
+            raise ValueError(f"{name!r}: set oracle OR oracle_fn, not both")
         _REGISTRY[name] = CatalogQuery(
             name=name,
             build=fn,
@@ -54,10 +66,21 @@ def register(
             tags=tags,
             bench=bench,
             doc=(fn.__doc__ or "").strip(),
+            oracle_fn=oracle_fn,
         )
         return fn
 
     return deco
+
+
+def resolve_oracle(q: CatalogQuery, sf_dir: str) -> str | None:
+    """The oracle SQL for this query at this scale factor (static string
+    or lazily generated), or None for rows-only queries."""
+    if q.oracle is not None:
+        return q.oracle
+    if q.oracle_fn is not None:
+        return q.oracle_fn(sf_dir)
+    return None
 
 
 def _load_all() -> None:
@@ -81,8 +104,13 @@ def queries() -> dict[str, Builder]:
     return {name: q.build for name, q in catalog().items()}
 
 
-def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in catalog().items() if q.oracle is not None}
+def oracle_sql(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for name, q in catalog().items():
+        sql = resolve_oracle(q, sf_dir)
+        if sql is not None:
+            out[name] = sql
+    return out
 
 
 def bench_queries() -> dict[str, Builder]:

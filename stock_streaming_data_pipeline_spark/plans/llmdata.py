@@ -358,14 +358,28 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_profile(emb, k=8, iters=4)
 
 
-@register("embedding_opq_topk", tags=("LLM-sim",))
+@register(
+    "embedding_opq_topk",
+    tags=("LLM-sim",),
+    oracle_fn=lambda sf_dir: similarity.sql_opq_topk(
+        sf_dir, query_pred="vec_id < 10", k=5, num_sub=8, ksub=16,
+        rerank=32, iters=2, pq_iters=2, dim=64,
+    ),
+)
 def embedding_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ-rotated PQ approximate top-5: an orthogonal rotation learned by
     alternating PQ training with driver-side 64x64 Procrustes solves
     (corpus-side reductions stay distributed) aligns the distribution
     with the subspace grid before 8-byte encoding — measurably lower
     quantization error than plain PQ at the same bit budget (pinned in
-    tests with the recall floor)."""
+    tests with the recall floor).
+
+    Exact differential despite the learned rotation: the oracle is
+    GENERATED per scale factor (similarity.sql_opq_topk) — OPQ training
+    is independently replayed in DuckDB (numpy only for the 64×64 SVD,
+    mirroring the Spark path's driver-side solve) and the converged
+    rotation frozen as literals in one final SQL replay of
+    rotate→PQ→ADC→re-rank."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.opq_topk(

@@ -22,12 +22,15 @@ def _catalog():
 def test_query_matches_oracle(spark, duck, name):
     from check_oracle import compare
 
+    from stock_streaming_data_pipeline_spark.plans.catalog import resolve_oracle
+
     q = _catalog()[name]
     spark_pdf = q.build(spark, SF_SMOKE).toPandas()
-    if q.oracle is None:
+    sql = resolve_oracle(q, SF_SMOKE)
+    if sql is None:
         assert len(spark_pdf) >= 0  # rows-only check (non-SQL-expressible op)
         return
-    duck_pdf = duck.execute(q.oracle).df()
+    duck_pdf = duck.execute(sql).df()
     problems = compare(name, spark_pdf, duck_pdf)
     assert not problems, f"{name}: {problems}"
 

@@ -125,7 +125,7 @@ def main() -> int:
 
         spark = get_spark("check_oracle")
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    oracles = entrymod.oracle_sql(sf_dir=sf_dir)
     names = args.names or sorted(qs)
     con = duck_connection(sf_dir)
 
