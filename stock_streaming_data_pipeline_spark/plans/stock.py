@@ -28,6 +28,20 @@ from stock_streaming_data_pipeline_spark.operators.asof import (
 from stock_streaming_data_pipeline_spark.plans.catalog import register
 from stock_streaming_data_pipeline_spark.tables import load_table
 
+def _session_scratch(spark: SparkSession, name: str, sf_dir: str) -> str:
+    """Deterministic scratch path for builders that must materialize a
+    small sink table: keyed by Spark application id and scale factor, so
+    repeated invocations within a session overwrite one directory instead
+    of leaking a new tempdir per sweep, and parallel sessions never
+    collide."""
+    import os
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"sgraft_{app}", f"{name}_{sf}")
+
+
 # DuckDB-side equivalent of the enriched trade view (volume decoded from the
 # JSON props column).
 SQL_TRADES = """
@@ -1054,17 +1068,16 @@ def cdc_changes_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the epoch algebra relationally — the parquet sink
     round-trip is exactly LWW-over-epochs, which is what's being
     checked."""
-    import tempfile
-
     from stock_streaming_data_pipeline_spark.streaming import sinks
 
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.dayofmonth("ts").alias("_epoch")
     ).agg(F.max("value").alias("day_value"))
-    path = tempfile.mkdtemp(prefix="cdc_sink_") + "/t"
-    # one append per the writer's layout contract: epoch-stamped rows
-    daily.write.mode("append").parquet(path)
+    # deterministic per-session scratch (overwritten, not leaked, on
+    # repeated catalog/oracle/lint sweeps within one session)
+    path = _session_scratch(spark, "cdc_sink", sf_dir)
+    daily.write.mode("overwrite").parquet(path)
     out = sinks.read_changes(
         spark, path, ["user_id"], since_epoch=_CDC_CUT
     )
@@ -1283,16 +1296,14 @@ def snapshot_as_of_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     then read the state AS OF the cut epoch — resolution sees only rows
     stamped at or before it. Pairs with cdc_changes_since: snapshot(T) +
     changes-since(T) reconstructs the present."""
-    import tempfile
-
     from stock_streaming_data_pipeline_spark.streaming import sinks
 
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.dayofmonth("ts").alias("_epoch")
     ).agg(F.max("value").alias("day_value"))
-    path = tempfile.mkdtemp(prefix="snap_sink_") + "/t"
-    daily.write.mode("append").parquet(path)
+    path = _session_scratch(spark, "snap_sink", sf_dir)
+    daily.write.mode("overwrite").parquet(path)
     snap = sinks.read_upsert_table_as_of(
         spark, path, ["user_id"], as_of_epoch=_CDC_CUT
     )

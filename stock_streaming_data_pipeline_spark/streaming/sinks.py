@@ -5,12 +5,15 @@ Kafka (JSON key/value, ProcessStockStream.py:163-179) and a Hive-partitioned
 file store (:181-191). Here:
 
 - **Keyed upsert** → an LSM-style parquet sink: each micro-batch appends
-  files stamped with the batch epoch; readers resolve last-write-wins per
-  key with ``max_by(values, epoch)``. This is exactly Cassandra's
-  upsert-resolved-at-read model, is idempotent under update-mode replays
-  (same epoch overwrites), and at 100 TB maps onto Delta/Iceberg MERGE or
-  a periodic compaction job — the writer path (blind appends, no
-  read-modify-write) is the part that must scale, and it does.
+  files stamped with the batch epoch and publishes them through an ATOMIC
+  numbered-manifest commit (the Delta/Iceberg-log protocol — see the
+  commit-manifest section below); readers resolve last-write-wins per
+  key with ``max_by(values, epoch)`` over exactly the committed files.
+  This is exactly Cassandra's upsert-resolved-at-read model, is
+  idempotent under update-mode replays (same epoch overwrites), and at
+  100 TB maps onto Delta/Iceberg MERGE or a periodic compaction job —
+  the writer path (blind appends, no read-modify-write) is the part that
+  must scale, and it does.
   Unlike the reference we do NOT swallow per-batch write errors
   (ProcessStockStream.py:74-75 silently breaks exactly-once; SURVEY §4).
 
@@ -24,36 +27,11 @@ file store (:181-191). Here:
 
 from __future__ import annotations
 
+import json
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-
-def upsert_writer(path: str, key_cols: list[str]):
-    """foreachBatch writer: append batch stamped with its epoch id.
-
-    Deterministic per epoch → replays after a failure rewrite the same
-    logical rows, and the read-side last-write-wins keeps one winner.
-    """
-
-    def write(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.withColumn("_epoch", F.lit(int(epoch_id)))
-            .write.mode("append")
-            .parquet(path)
-        )
-
-    return write
-
-
-def read_upsert_table(spark: SparkSession, path: str, key_cols: list[str]) -> DataFrame:
-    """Resolve the keyed-upsert sink to its current state: latest row per
-    key by (epoch, row order), i.e. Cassandra-style last-write-wins."""
-    df = spark.read.parquet(path)
-    value_cols = [c for c in df.columns if c not in key_cols and c != "_epoch"]
-    aggs = [
-        F.expr(f"max_by({c}, _epoch)").alias(c) for c in value_cols
-    ]
-    return df.groupBy(*key_cols).agg(*aggs)
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -64,39 +42,196 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
+# ---------------------------------------------------------------------------
+# Commit-manifest protocol (object-store-atomic publish)
+#
+# Appending parquet files is not atomic on object stores (a lister can see
+# a torn multi-file write), and compaction's publish-then-delete window,
+# while value-safe, left visibility timing to the filesystem. The sink
+# therefore commits through numbered manifests, the same protocol as the
+# Delta/Iceberg log:
+#
+#   - every commit writes its data files, then publishes
+#     `_manifests/manifest-<version>.json` holding the COMPLETE data-file
+#     list, via create-exclusive (HDFS/file atomic create-no-overwrite;
+#     the S3 analogue is a conditional PUT) — losers of a version race
+#     retry at the next number;
+#   - readers resolve the highest committed manifest and read EXACTLY its
+#     files: a crash between data-write and manifest-commit leaves the
+#     previous manifest (and therefore the previous state) in force, and
+#     uncommitted files are invisible garbage;
+#   - compaction's visibility flip is ONE manifest commit: the instant
+#     manifest N+1 (listing only the compacted files) is created, readers
+#     switch from full history to compacted state — the physical deletes
+#     that follow are pure garbage collection with no correctness role.
+#
+# Single-writer discipline (one streaming query per sink path, compaction
+# run between batches) — the same contract the reference's Cassandra
+# writer has per partition key (ddl.cql:7,15).
+# ---------------------------------------------------------------------------
+
+_MANIFEST_RE = re.compile(r"manifest-(\d+)\.json$")
+
+
+def _manifest_dir(path: str) -> str:
+    return path.rstrip("/") + "/_manifests"
+
+
+def _latest_manifest(spark: SparkSession, path: str):
+    """(version, [file basenames]) of the highest committed manifest, or
+    None when the table predates the manifest protocol."""
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    mpath = jvm.org.apache.hadoop.fs.Path(_manifest_dir(path))
+    if not fs.exists(mpath):
+        return None
+    entries = []
+    for st in fs.listStatus(mpath):
+        m = _MANIFEST_RE.match(st.getPath().getName())
+        if m:
+            entries.append((int(m.group(1)), st.getPath().toString()))
+    if not entries:
+        return None
+    version, mfile = max(entries)
+    doc = json.loads(
+        "".join(r["value"] for r in spark.read.text(mfile).collect())
+    )
+    return version, doc["files"]
+
+
+def _commit_manifest(spark: SparkSession, path: str, files: list[str]) -> int:
+    """Publish the complete data-file list as the next numbered manifest.
+    The create is exclusive (create-no-overwrite), so concurrent
+    committers cannot both win a version; the loser retries above."""
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    mdir = jvm.org.apache.hadoop.fs.Path(_manifest_dir(path))
+    fs.mkdirs(mdir)
+    latest = _latest_manifest(spark, path)
+    version = (latest[0] if latest else 0) + 1
+    while True:
+        name = f"{_manifest_dir(path)}/manifest-{version:012d}.json"
+        mpath = jvm.org.apache.hadoop.fs.Path(name)
+        try:
+            out = fs.create(mpath, False)
+        except Exception:
+            version += 1
+            continue
+        doc = json.dumps({"version": version, "files": sorted(files)})
+        out.write(bytearray(doc.encode("utf-8")))
+        out.close()
+        return version
+
+
+def _list_data_files(fs, hpath) -> list[str]:
+    return [
+        f.getPath().toString()
+        for f in fs.listStatus(hpath)
+        if f.isFile() and not f.getPath().getName().startswith("_")
+    ]
+
+
+def _current_data_files(spark: SparkSession, path: str) -> list[str]:
+    """The files a reader must resolve: the latest committed manifest, or
+    (back-compat for tables written before the protocol / by plain
+    parquet appends) the raw directory listing."""
+    latest = _latest_manifest(spark, path)
+    if latest is not None:
+        base = path.rstrip("/")
+        return [f"{base}/{name}" for name in latest[1]]
+    fs, hpath = _hadoop_fs(spark, path)
+    return _list_data_files(fs, hpath)
+
+
+def _commit_after_append(spark: SparkSession, path: str, pre: set[str]) -> None:
+    """Commit the manifest after a data append: new listing = previous
+    committed set (or the pre-append listing when adopting a
+    pre-manifest table) plus exactly the files this append created —
+    never a blanket directory listing, which would resurrect invisible
+    garbage left by crashed compactions."""
+    fs, hpath = _hadoop_fs(spark, path)
+    post = _list_data_files(fs, hpath)
+    added = [f.rsplit("/", 1)[-1] for f in post if f not in pre]
+    latest = _latest_manifest(spark, path)
+    base = (
+        latest[1]
+        if latest is not None
+        else [f.rsplit("/", 1)[-1] for f in sorted(pre)]
+    )
+    _commit_manifest(spark, path, list(base) + added)
+
+
+def upsert_writer(path: str, key_cols: list[str]):
+    """foreachBatch writer: append batch stamped with its epoch id, then
+    commit a manifest making the new files visible atomically.
+
+    Deterministic per epoch → replays after a failure rewrite the same
+    logical rows, and the read-side last-write-wins keeps one winner.
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs, hpath = _hadoop_fs(spark, path)
+        pre = set(_list_data_files(fs, hpath)) if fs.exists(hpath) else set()
+        (
+            batch_df.withColumn("_epoch", F.lit(int(epoch_id)))
+            .write.mode("append")
+            .parquet(path)
+        )
+        _commit_after_append(spark, path, pre)
+
+    return write
+
+
+def read_upsert_table(spark: SparkSession, path: str, key_cols: list[str]) -> DataFrame:
+    """Resolve the keyed-upsert sink to its current state: latest row per
+    key by (epoch, row order), i.e. Cassandra-style last-write-wins.
+    Reads exactly the latest manifest's files."""
+    df = spark.read.parquet(*_current_data_files(spark, path))
+    value_cols = [c for c in df.columns if c not in key_cols and c != "_epoch"]
+    aggs = [
+        F.expr(f"max_by({c}, _epoch)").alias(c) for c in value_cols
+    ]
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
 def compact_upsert_table(
     spark: SparkSession,
     path: str,
     key_cols: list[str],
     *,
+    _crash_before_manifest: bool = False,
     _crash_after_publish: bool = False,
 ) -> None:
     """Compaction for the LSM-style upsert sink: rewrite the resolved
-    last-write-wins state as one new winning epoch, then drop the history
-    files. This is the maintenance job that bounds read amplification at
-    scale (the Delta/Iceberg analogue is OPTIMIZE / rewrite-data-files).
+    last-write-wins state as one new winning epoch, publish it with ONE
+    atomic manifest commit, then garbage-collect the history files. This
+    is the maintenance job that bounds read amplification at scale (the
+    Delta/Iceberg analogue is OPTIMIZE / rewrite-data-files).
 
-    Crash-safe by construction — there is no delete-then-move window:
-    1. list the current data files;
-    2. APPEND the resolved state stamped with epoch = -1;
-    3. delete the files listed in (1).
-    A crash after (2) leaves duplicate history, but readers resolve the
-    identical state at every point: each compacted row carries the value
-    of its key's max-epoch winner, so last-write-wins returns the same
-    values whether the original files are still present or not. Epoch -1
-    (below any real micro-batch id) keeps post-compaction queries winning
+    Crash-safe at every point, on object stores too:
+    1. resolve the current manifest's files;
+    2. append the resolved state stamped with epoch = -1 (files exist but
+       are NOT visible — readers still resolve the old manifest);
+    3. commit a manifest listing ONLY the compacted files — the atomic
+       visibility flip (create-exclusive numbered manifest, the
+       put-if-absent protocol);
+    4. delete every data file the new manifest does not list (the old
+       history plus any orphans from previously crashed compactions) —
+       pure GC, invisible to readers whenever it runs or dies.
+    A crash before (3) leaves the old state in force with some invisible
+    garbage; a crash after (3) leaves the compacted state in force with
+    undeleted garbage; both recover by simply compacting again. Epoch -1
+    (below any real micro-batch id) keeps post-compaction values winning
     even when a fresh checkpoint restarts epochs at 0. Uses Hadoop
     FileSystem APIs, so the same code runs on file://, s3a://, hdfs://.
     """
     fs, hpath = _hadoop_fs(spark, path)
-    old_files = [
-        f.getPath()
-        for f in fs.listStatus(hpath)
-        if f.isFile() and not f.getPath().getName().startswith("_")
-    ]
-    # Pin the read to the exact pre-compaction file list: the plan's input
-    # set cannot drift while we append the compacted epoch alongside it.
-    df = spark.read.parquet(*[f.toString() for f in old_files])
+    old_files = _current_data_files(spark, path)
+    pre = set(_list_data_files(fs, hpath))
+    # Pin the read to the exact committed file list: the plan's input set
+    # cannot drift while we append the compacted epoch alongside it.
+    df = spark.read.parquet(*old_files)
     value_cols = [c for c in df.columns if c not in key_cols and c != "_epoch"]
     resolved = (
         df.groupBy(*key_cols)
@@ -104,12 +239,21 @@ def compact_upsert_table(
         .withColumn("_epoch", F.lit(-1))
     )
     resolved.write.mode("append").parquet(path)
-    if _crash_after_publish:
-        # failpoint for the crash-injection test: die between publishing
-        # the compacted epoch and tombstoning the history files
+    if _crash_before_manifest:
+        # failpoint: die between writing the compacted files and the
+        # manifest commit — readers must still resolve the OLD state
         return
-    for f in old_files:
-        fs.delete(f, False)
+    post = _list_data_files(fs, hpath)
+    compacted = [f.rsplit("/", 1)[-1] for f in post if f not in pre]
+    _commit_manifest(spark, path, compacted)
+    if _crash_after_publish:
+        # failpoint: die between the atomic visibility flip and the GC
+        # deletes — readers must already resolve the compacted state
+        return
+    keep = set(compacted)
+    for f in post:
+        if f.rsplit("/", 1)[-1] not in keep:
+            fs.delete(spark._jvm.org.apache.hadoop.fs.Path(f), False)
 
 
 def read_upsert_table_as_of(
@@ -124,7 +268,9 @@ def read_upsert_table_as_of(
     Delta ``VERSION AS OF`` read, for free from the epoch stamps; same
     retention contract as read_changes: compaction collapses history, so
     snapshots only resolve against epochs still present)."""
-    df = spark.read.parquet(path).filter(F.col("_epoch") <= F.lit(as_of_epoch))
+    df = spark.read.parquet(*_current_data_files(spark, path)).filter(
+        F.col("_epoch") <= F.lit(as_of_epoch)
+    )
     value_cols = [c for c in df.columns if c not in key_cols and c != "_epoch"]
     return df.groupBy(*key_cols).agg(
         *[F.expr(f"max_by({c}, _epoch)").alias(c) for c in value_cols]
@@ -151,7 +297,7 @@ def read_changes(
     epochs still present in the table — take changes feeds BEFORE
     compacting past the cut.
     """
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(*_current_data_files(spark, path))
     value_cols = [c for c in df.columns if c not in key_cols and c != "_epoch"]
     resolved = df.groupBy(*key_cols).agg(
         *[F.expr(f"max_by({c}, _epoch)").alias(c) for c in value_cols],
@@ -199,6 +345,9 @@ def tombstone_writer(path: str, key_cols: list[str]):
     at read, exactly Cassandra's tombstone model."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs, hpath = _hadoop_fs(spark, path)
+        pre = set(_list_data_files(fs, hpath)) if fs.exists(hpath) else set()
         (
             batch_df.select(*key_cols)
             .withColumn("_epoch", F.lit(int(epoch_id)))
@@ -206,6 +355,7 @@ def tombstone_writer(path: str, key_cols: list[str]):
             .write.mode("append")
             .parquet(path)
         )
+        _commit_after_append(spark, path, pre)
 
     return write
 
@@ -229,7 +379,9 @@ def read_upsert_table_with_deletes(
     as one struct (never column-by-column — per-column max_by would
     stitch values across rows when tombstones hold NULL value columns),
     and keys whose winner is a tombstone disappear from the view."""
-    df = spark.read.option("mergeSchema", "true").parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *_current_data_files(spark, path)
+    )
     value_cols = [
         c for c in df.columns if c not in key_cols and c not in ("_epoch", "_deleted")
     ]
@@ -248,16 +400,11 @@ def compact_upsert_table_with_deletes(
     """Delete-aware compaction: rewrite the resolved live state as epoch
     −1 and physically drop tombstoned keys (tombstones past compaction
     need no grave markers — the whole history collapses with them).
-    Same crash-safe publish/tombstone ordering as compact_upsert_table."""
+    Same atomic manifest publish + GC ordering as compact_upsert_table."""
     fs, hpath = _hadoop_fs(spark, path)
-    old_files = [
-        f.getPath()
-        for f in fs.listStatus(hpath)
-        if f.isFile() and not f.getPath().getName().startswith("_")
-    ]
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[f.toString() for f in old_files]
-    )
+    old_files = _current_data_files(spark, path)
+    pre = set(_list_data_files(fs, hpath))
+    df = spark.read.option("mergeSchema", "true").parquet(*old_files)
     value_cols = [
         c for c in df.columns if c not in key_cols and c not in ("_epoch", "_deleted")
     ]
@@ -270,8 +417,13 @@ def compact_upsert_table_with_deletes(
         .withColumn("_epoch", F.lit(-1))
     )
     resolved.write.mode("append").parquet(path)
-    for f in old_files:
-        fs.delete(f, False)
+    post = _list_data_files(fs, hpath)
+    compacted = [f.rsplit("/", 1)[-1] for f in post if f not in pre]
+    _commit_manifest(spark, path, compacted)
+    keep = set(compacted)
+    for f in post:
+        if f.rsplit("/", 1)[-1] not in keep:
+            fs.delete(spark._jvm.org.apache.hadoop.fs.Path(f), False)
 
 
 def missing_date_partitions(

@@ -235,6 +235,58 @@ def test_upsert_compaction_crash_between_publish_and_tombstone(spark, tmp_path):
     assert final == {"A": 10.0, "B": 2.0, "C": 30.0}
 
 
+def test_upsert_compaction_crash_before_manifest_commit(spark, tmp_path):
+    """Crash injection for the manifest protocol's other window: a
+    compaction that dies AFTER writing the compacted files but BEFORE the
+    manifest commit must leave the OLD state in force — the new files are
+    invisible, uncommitted garbage — and a recovery compaction converges
+    and garbage-collects the orphans."""
+    import glob
+    import json
+
+    path = str(tmp_path / "upsert")
+    keys = ["symbol", "timestamp"]
+    writer = sinks.upsert_writer(path, keys)
+    t = dt.datetime(2024, 1, 1)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "symbol string, timestamp timestamp, v double"
+    )
+    writer(mk([("A", t, 1.0), ("B", t, 2.0)]), 0)
+    writer(mk([("A", t, 10.0), ("C", t, 3.0)]), 1)
+    want = {"A": 10.0, "B": 2.0, "C": 3.0}
+
+    n_files_before = len(glob.glob(f"{path}/*.parquet"))
+    manifests_before = sorted(glob.glob(f"{path}/_manifests/manifest-*.json"))
+    sinks.compact_upsert_table(spark, path, keys, _crash_before_manifest=True)
+    # crashed state: orphan compacted files exist, but NO new manifest —
+    # readers resolve the previous commit, i.e. the old state exactly
+    assert len(glob.glob(f"{path}/*.parquet")) > n_files_before
+    assert sorted(glob.glob(f"{path}/_manifests/manifest-*.json")) == manifests_before
+    crashed = {
+        r["symbol"]: r["v"]
+        for r in sinks.read_upsert_table(spark, path, keys).collect()
+    }
+    assert crashed == want
+    # the orphans are invisible: the resolved epochs are all >= 0 (no -1)
+    raw = spark.read.parquet(
+        *sinks._current_data_files(spark, path)
+    )
+    assert raw.filter("_epoch = -1").count() == 0
+
+    # recovery: a normal compaction converges AND collects the orphans
+    sinks.compact_upsert_table(spark, path, keys)
+    recovered = {
+        r["symbol"]: r["v"]
+        for r in sinks.read_upsert_table(spark, path, keys).collect()
+    }
+    assert recovered == want
+    # on-disk files == exactly the committed manifest (orphans GC'd)
+    latest = max(glob.glob(f"{path}/_manifests/manifest-*.json"))
+    committed = set(json.load(open(latest))["files"])
+    on_disk = {p.rsplit("/", 1)[-1] for p in glob.glob(f"{path}/*.parquet")}
+    assert on_disk == committed
+
+
 def test_read_changes_classifies_inserts_and_updates(spark, tmp_path):
     path = str(tmp_path / "cdc")
     writer = sinks.upsert_writer(path, ["k"])
