@@ -13,7 +13,17 @@ algorithm under a full differential check.
 
 Scale shape per round: one broadcast of the chosen set (≤ k vectors —
 the only driver-side data, k·dim doubles) against a map-side max-sim
-pass + a TakeOrdered(1). k rounds total; the corpus never shuffles.
+pass + a TakeOrdered(1). k rounds total; the corpus never shuffles, and
+it is materialized ONCE (localCheckpoint) so each round scans the
+checkpointed blocks rather than replaying the full input lineage.
+
+Practical k ceiling: the algorithm is inherently sequential — each of
+the k rounds is one full corpus pass plus one 1-row collect, so cost is
+k scans of the (checkpointed) corpus and wall-clock is k round-trips.
+Use it for k in the hundreds (eval seeds, cluster inits); for
+thousands-of-representatives selection switch to cluster-then-sample
+(embedding_semantic_dedup / kmeans + per-cluster top-1), which gets the
+spread in O(iters) passes.
 """
 
 from __future__ import annotations
@@ -39,9 +49,12 @@ def kcenter_greedy(
     the max-similarity to the previously chosen set at selection time
     (the 'coverage radius' trace)."""
     spark = df.sparkSession
+    # Materialize the projected corpus once: every greedy round rescans
+    # it, and without the checkpoint each round would re-plan (and
+    # re-execute) the full upstream lineage k times.
     vecs = df.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    )
+    ).localCheckpoint(eager=True)
     first = vecs.orderBy("vid").limit(1).collect()[0]
     chosen = [(first["vid"], list(first["v"]), 1, None)]
     for t in range(2, k + 1):

@@ -705,3 +705,35 @@ def test_kcenter_coreset_spreads_over_planted_clusters(spark):
     assert sorted((r["vec_id"], r["rank"]) for r in out) == sorted(
         (r["vec_id"], r["rank"]) for r in again
     )
+
+
+def test_kcenter_rounds_scan_checkpoint_not_source(spark):
+    """The greedy rounds must rescan ONE materialized corpus
+    (localCheckpoint), never replay the upstream lineage: a round's plan
+    shows a checkpointed-RDD scan and zero parquet scans even when the
+    input is a parquet-backed view."""
+    from stock_streaming_data_pipeline_spark.operators import coreset as cs
+    from stock_streaming_data_pipeline_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id").alias("vid"), as_double(F.col("embedding")).alias("v")
+    ).localCheckpoint(eager=True)
+    # reproduce one greedy round's scored plan over the checkpointed corpus
+    ch = vecs.limit(1).select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
+    scored = (
+        vecs.crossJoin(F.broadcast(ch))
+        .withColumn("sim", F.round(cosine(F.col("v"), F.col("cv")), 6))
+        .groupBy("vid")
+        .agg(F.max("sim").alias("maxsim"))
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert "parquet" not in plan.lower()
+    # and the operator's output is unchanged by the checkpoint
+    out = cs.kcenter_greedy(emb, k=3).collect()
+    assert len(out) == 3
