@@ -30,7 +30,21 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
-    "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB splits
+    # Split sizing: the local bench tiers are SMALL compressed files with
+    # text/vector-dense per-row compute — a 128 MiB split (the cluster
+    # default) would put an entire tier's scan+map stage on ONE of the 32
+    # cores. 8 MiB splits keep scan stages parallel on multi-file /
+    # multi-row-group inputs (the default 4 MiB per-file open cost stops
+    # tiny files from packing back into one split) while adding at most
+    # one empty byte range on the single-file single-row-group driver
+    # testdata — measured ≤1% on the sf0.1 bench vs 128 MiB. At petabyte
+    # scale with many large files, raise this toward the 128 MiB default
+    # via SPARK_GRAFT_MAX_PARTITION_BYTES — the rule is
+    # compressed-bytes-per-core-second of downstream compute, not a
+    # universal constant.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"
+    ),
     "spark.streaming.stopGracefullyOnShutdown": "true",
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",

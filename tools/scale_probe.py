@@ -9,19 +9,33 @@ log10 wall-time ratio per 10× data step — ~0 = fixed-overhead-bound,
 line; committed as SCALING_r{N}.json so the judge sees measured
 evidence, not just design claims.
 
-Usage: python tools/scale_probe.py [--out SCALING_r3.json]
+The top tier (sf1-equivalent, ~6M lineitem rows) is generated locally by
+tools/gen_scale_tier.py (10 key-shifted copies of sf0.1, referential
+integrity preserved) because /root/testdata is read-only and stops at
+sf0.1; the probe generates it on demand if missing.
+
+Usage: python tools/scale_probe.py [--out SCALING_r4.json]
 """
 
 from __future__ import annotations
 
 import json
 import math
+import os
 import sys
-import time
 
 sys.path.insert(0, ".")
 
-TIERS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+import time  # noqa: E402
+
+SF1_DIR = ".scaletier/sf1"
+TIERS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+    SF1_DIR,
+]
+TIER_SFS = [0.001, 0.01, 0.1, 1.0]
 
 # spread across shapes: scan-agg, window, join tree, shuffle-heavy dedup,
 # vector math, state-adjacent asof
@@ -45,6 +59,14 @@ def main() -> int:
     if args and args[0] == "--out":
         out_path = args[1]
 
+    if not os.path.isdir(SF1_DIR):
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, "tools/gen_scale_tier.py", "--out", SF1_DIR],
+            check=True,
+        )
+
     from stock_streaming_data_pipeline_spark.plans import catalog
     from stock_streaming_data_pipeline_spark.session import get_spark
 
@@ -61,7 +83,9 @@ def main() -> int:
 
     report = {}
     for name in QUERIES:
-        walls = [min(run(name, d) for _ in range(2)) for d in TIERS]
+        # min-of-3: this VM sees bursty host-level CPU steal; the minimum
+        # of three spaced runs estimates engine throughput, not the host.
+        walls = [min(run(name, d) for _ in range(3)) for d in TIERS]
         steps = [
             round(math.log10(max(walls[i + 1], 1e-3) / max(walls[i], 1e-3)), 3)
             for i in range(len(walls) - 1)
@@ -72,7 +96,7 @@ def main() -> int:
         }
         print(name, report[name])
 
-    line = {"metric": "scale_probe", "tiers": [0.001, 0.01, 0.1], "queries": report}
+    line = {"metric": "scale_probe", "tiers": TIER_SFS, "queries": report}
     print(json.dumps(line))
     if out_path:
         with open(out_path, "w") as fh:
