@@ -58,7 +58,12 @@ def merge_states(base: DataFrame, delta: DataFrame, *, keys: list[str]) -> DataF
         fn = c.split("_", 2)[1]
         bcol, dcol = F.col(f"_b_{c}"), F.col(f"_d_{c}")
         if fn in ("sum", "count"):
-            merged = F.coalesce(bcol, F.lit(0)) + F.coalesce(dcol, F.lit(0))
+            # NULL-correct: a group whose measure is entirely NULL has
+            # sum=NULL (not 0) — merged must equal a full recompute, so
+            # only coalesce when at least one side carries a value.
+            merged = F.when(bcol.isNull() & dcol.isNull(), F.lit(None)).otherwise(
+                F.coalesce(bcol, F.lit(0)) + F.coalesce(dcol, F.lit(0))
+            )
         elif fn == "min":
             merged = F.least(bcol, dcol)  # least/greatest skip NULLs
         else:

@@ -1099,13 +1099,27 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_segment(docs, merges, id_col="doc_id", text_col="text")
 
 
+# Media payloads slice UTF-8 BYTES on the Spark side while DuckDB's
+# substr/ascii are code-point based ('é' → 233 vs byte 195). Restrict
+# the media derivation to an explicitly ASCII-sanitized projection on
+# BOTH sides so the byte and character views coincide on ANY corpus —
+# a no-op on the pure-ASCII testdata (r3 advice).
+_MEDIA_TEXT_SQL = "regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g')"
+
+
+def _ascii_text_docs(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "text", F.regexp_replace("text", "[^\\x00-\\x7F]", "?")
+    )
+
+
 @register(
     "multimodal_png_decode",
     tags=("LLM-multimodal",),
-    oracle="""
+    oracle=f"""
 WITH t AS (
   SELECT doc_id AS media_id,
-         substr(text || repeat(' ', 64), 1, 64) AS s
+         substr({_MEDIA_TEXT_SQL} || repeat(' ', 64), 1, 64) AS s
   FROM documents
 ),
 px AS (
@@ -1128,7 +1142,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential proof of the codec, not a digest fake.
     (Codec: operators/png_codec.py; the reference has no image path at
     all — this is LLM-data-tier scope.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
     media = multimodal.documents_as_png_media(docs, width=8, height=8)
     return multimodal.png_pixel_stats(media)
 
@@ -1136,10 +1150,10 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_png_resize",
     tags=("LLM-multimodal",),
-    oracle="""
+    oracle=f"""
 WITH t AS (
   SELECT doc_id AS media_id,
-         substr(text || repeat(' ', 64), 1, 64) AS s
+         substr({_MEDIA_TEXT_SQL} || repeat(' ', 64), 1, 64) AS s
   FROM documents
 ),
 px AS (
@@ -1162,7 +1176,7 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``src_idx = (ty*2)*8 + tx*2`` mapping over the source bytes, so the
     differential check proves decode, resample arithmetic, and re-encode
     together."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
     media = multimodal.documents_as_png_media(docs, width=8, height=8)
     resized = multimodal.resize_images(media, width=4, height=4)
     return multimodal.png_pixel_stats(resized)
@@ -1556,10 +1570,10 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_wav_decode",
     tags=("LLM-multimodal",),
-    oracle="""
+    oracle=f"""
 WITH t AS (
   SELECT doc_id AS media_id,
-         substr(text || repeat(' ', 64), 1, 64) AS s
+         substr({_MEDIA_TEXT_SQL} || repeat(' ', 64), 1, 64) AS s
   FROM documents
 ),
 sm AS (
@@ -1600,7 +1614,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     straight from the text bytes — the audio twin of
     multimodal_png_decode, completing real decode for two of the three
     modalities (video stays metadata-level frame sampling)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
     media = multimodal.documents_as_wav_media(docs, n_samples=64)
     return multimodal.wav_audio_stats(media)
 
@@ -1608,10 +1622,10 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_video_keyframe",
     tags=("LLM-multimodal",),
-    oracle="""
+    oracle=f"""
 WITH t AS (
   SELECT doc_id AS media_id,
-         substr(text || repeat(' ', 256), 129, 64) AS s
+         substr({_MEDIA_TEXT_SQL} || repeat(' ', 256), 129, 64) AS s
   FROM documents
 ),
 px AS (
@@ -1633,7 +1647,7 @@ def multimodal_video_keyframe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the stats from the frame's source byte range
     (bytes 129..192 of the padded text) — container walk, frame select
     and image decode all sit under the differential check."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
     media = multimodal.documents_as_pngseq_media(
         docs, n_frames=4, width=8, height=8
     )
@@ -1643,10 +1657,10 @@ def multimodal_video_keyframe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_wav_resample",
     tags=("LLM-multimodal",),
-    oracle="""
+    oracle=f"""
 WITH t AS (
   SELECT doc_id AS media_id,
-         substr(text || repeat(' ', 64), 1, 64) AS s
+         substr({_MEDIA_TEXT_SQL} || repeat(' ', 64), 1, 64) AS s
   FROM documents
 ),
 sm AS (
@@ -1674,7 +1688,7 @@ def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     two full codec round-trips under the oracle, which recomputes the
     stats from every 4th source byte (duration is preserved, the rate
     drops to 2 kHz)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
     media = multimodal.documents_as_wav_media(docs, n_samples=64)
     resampled = multimodal.resample_audio(media, factor=4)
     return multimodal.wav_audio_stats(resampled)
@@ -1818,11 +1832,26 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin here is what its error would be measured against."""
     from stock_streaming_data_pipeline_spark.operators.dedup import tokens
 
+    max_tracked = 100_000
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
-    total = tk.count()
+    # One pass for both guards: total token mass (the relative threshold)
+    # and the distinct-term count — the exact regime holds only while the
+    # vocabulary fits the tracker, so assert it rather than silently
+    # drifting approximate (and off-oracle) at larger corpora.
+    counts = tk.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_distinct("term").alias("vocab"),
+    ).first()
+    total, vocab = counts["total"], counts["vocab"]
+    if vocab >= max_tracked:
+        raise ValueError(
+            f"heavy_hitter_tokens exact regime violated: vocabulary "
+            f"{vocab} >= maxItemsTracked {max_tracked}; raise the tracker "
+            "or accept approximate counts (no oracle)"
+        )
     sk = tk.agg(
-        F.expr("approx_top_k(term, 64, 100000)").alias("top")
+        F.expr(f"approx_top_k(term, 64, {max_tracked})").alias("top")
     ).select(F.explode("top").alias("e"))
     return (
         sk.select(

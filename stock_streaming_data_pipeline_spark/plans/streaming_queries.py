@@ -639,20 +639,27 @@ def streaming_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed COUNT DISTINCT on a stream — the aggregation streaming
     engines cannot do directly (distinct aggs are unsupported in
     streaming): the standard rewrite chains TWO stateful operators,
-    watermark-bounded dropDuplicates on (key, window-day, user) followed
-    by the windowed count, in append mode. State = one row per distinct
-    (key, day, user) inside the watermark horizon, evicted as windows
-    finalize. The oracle replays the watermark cutoff (windows whose end
-    exceeds max(ts) − 1h are withheld by append mode — the T5 contract)."""
-    ev = stream_events(spark, sf_dir).select(
-        "event_type", "ts", "user_id", F.date_trunc("day", "ts").alias("day")
+    watermark-bounded dropDuplicates on (key, event-time window, user)
+    followed by the windowed count, in append mode.
+
+    The dedup subset keys on the WINDOW column derived from the
+    watermarked ts — an event-time column — so the dedup operator's
+    state is watermark-evicted as windows finalize (state = one row per
+    distinct (key, day, user) inside the horizon; bounded on an
+    unbounded stream). Keying on a plain derived date column instead
+    would never evict — Spark only expires dedup state when the subset
+    carries event-time. Eviction is pinned by
+    test_windowed_distinct_dedup_state_evicts. The oracle replays the
+    watermark cutoff (windows whose end exceeds max(ts) − 1h are
+    withheld by append mode — the T5 contract)."""
+    ev = stream_events(spark, sf_dir).select("event_type", "ts", "user_id")
+    windowed = ev.withWatermark("ts", "1 hour").select(
+        "event_type", "user_id", F.window("ts", "1 day").alias("w")
     )
-    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(
-        ["event_type", "day", "user_id"]
+    deduped = windowed.dropDuplicates(["event_type", "w", "user_id"])
+    agg = deduped.groupBy(F.col("w"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("distinct_users")
     )
-    agg = deduped.groupBy(
-        F.window("ts", "1 day").alias("w"), F.col("event_type")
-    ).agg(F.count(F.lit(1)).alias("distinct_users"))
     settled = settle(agg, "append")
     return settled.select(
         "event_type",

@@ -427,6 +427,33 @@ def test_merge_states_equals_full_recompute_and_handles_one_sided_groups(spark):
     assert got == want
 
 
+def test_merge_states_all_null_group_stays_null(spark):
+    """merged == recomputed also for a group whose measure is entirely
+    NULL on both sides: its sum must merge to NULL, not 0 (the r3-advice
+    coalesce bug)."""
+    from stock_streaming_data_pipeline_spark.operators import incremental
+
+    facts = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 3)],
+        "k string, v long",
+    )
+    base_f = facts.limit(0).unionByName(facts.filter("k = 'a'"))
+    delta_f = facts.filter("k = 'b'").unionByName(
+        spark.createDataFrame([("a", None)], "k string, v long")
+    )
+    measures = {"v": ["sum", "count"]}
+    merged = incremental.merge_states(
+        incremental.aggregate_state(base_f, keys=["k"], measures=measures),
+        incremental.aggregate_state(delta_f, keys=["k"], measures=measures),
+        keys=["k"],
+    )
+    full = incremental.aggregate_state(facts, keys=["k"], measures=measures)
+    got = {r["k"]: (r["f_sum_v"], r["f_count_v"]) for r in merged.collect()}
+    want = {r["k"]: (r["f_sum_v"], r["f_count_v"]) for r in full.collect()}
+    assert got == want
+    assert got["a"] == (None, 0)
+
+
 def test_merge_states_rejects_schema_mismatch(spark):
     import pytest
 

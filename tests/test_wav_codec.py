@@ -83,3 +83,65 @@ def test_resample_audio_decimates(spark):
     want = [(b - 100) * 128 for b in raw[:64]][::4]
     assert samples == want
     assert out["meta"]["n_frames"] == 16
+
+
+def test_media_derivation_ascii_sanitized_non_ascii_parity(spark, duck):
+    """Non-ASCII corpus parity for the media derivation (r3 advice): the
+    Spark side slices UTF-8 BYTES while DuckDB's substr/ascii are
+    code-point based, so both sides sanitize to ASCII first. Pin that a
+    doc containing multi-byte characters produces identical WAV stats
+    through the sanitized Spark path and a sanitized DuckDB replay."""
+    from pyspark.sql import functions as F
+
+    from stock_streaming_data_pipeline_spark.operators import multimodal
+    from stock_streaming_data_pipeline_spark.plans.llmdata import (
+        _ascii_text_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "héllo wörld 日本語 data"), (2, "plain ascii text")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["media_id"]: (r["sum_s"], r["zero_crossings"])
+        for r in multimodal.wav_audio_stats(
+            multimodal.documents_as_wav_media(_ascii_text_docs(docs), n_samples=64)
+        )
+        .select("media_id", "sum_s", "zero_crossings")
+        .collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        "(1, 'héllo wörld 日本語 data'), (2, 'plain ascii text')"
+        ") t(doc_id, text)"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            """
+WITH t AS (
+  SELECT doc_id AS media_id,
+         substr(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g')
+                || repeat(' ', 64), 1, 64) AS s
+  FROM d
+),
+sm AS (
+  SELECT media_id, u.i AS pos,
+         (ascii(substr(s, CAST(u.i AS INT), 1)) - 100) * 128 AS v
+  FROM t, unnest(range(1, 65)) AS u(i)
+),
+lagd AS (
+  SELECT media_id, v, lag(v) OVER (PARTITION BY media_id ORDER BY pos) AS pv
+  FROM sm
+)
+SELECT media_id, CAST(sum(v) AS BIGINT),
+       CAST(sum(CASE WHEN pv IS NOT NULL AND (pv < 0) != (v < 0)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lagd GROUP BY media_id
+"""
+        ).fetchall()
+    }
+    assert got == want
