@@ -3,9 +3,12 @@ processed with Arrow-batched ``mapInPandas`` operators.
 
 PNG payloads get REAL decoding via the pure-stdlib codec in
 ``operators/png_codec.py`` (zlib inflate + scanline unfiltering + CRC
-validation) — exercised end-to-end by the ``multimodal_png_*`` catalog
-queries with full DuckDB oracles. Other codecs (JPEG/audio/video) still
-raise NotImplementedError — those libraries are not in this environment —
+validation), baseline grayscale JPEG via ``operators/jpeg_codec.py``
+(marker walk + Huffman + dequant + IDCT), and WAV PCM16 via
+``operators/wav_codec.py`` — each exercised end-to-end by
+``multimodal_*`` catalog queries with full DuckDB oracles. Remaining
+codecs (color/progressive JPEG, compressed audio, video) raise
+NotImplementedError — those libraries are not in this environment —
 with a deterministic digest fake behind the same contract so the Spark
 plumbing (schema, batch iterator shape, partition-size control) stays
 testable for every media type.
@@ -27,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from stock_streaming_data_pipeline_spark.operators import png_codec
+from stock_streaming_data_pipeline_spark.operators import jpeg_codec, png_codec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -56,13 +59,18 @@ FEATURE_SCHEMA = (
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytearray]:
     """Real image decode: ``(width, height, channels, pixels)``. PNG is
-    decoded by the pure-stdlib codec (png_codec.py); other formats raise
-    NotImplementedError until their codec libraries exist on executors."""
+    decoded by the pure-stdlib codec (png_codec.py); baseline grayscale
+    JPEG by jpeg_codec.py; other formats raise NotImplementedError until
+    their codec libraries exist on executors."""
     if png_codec.is_png(payload):
         return png_codec.decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        w, h, px = jpeg_codec.decode_jpeg(bytes(payload))
+        return w, h, 1, bytearray(px)
     raise NotImplementedError(
-        "only PNG decoding is implemented (pure-stdlib codec); "
-        "JPEG/other codecs are not installed in this environment"
+        "only PNG and baseline grayscale JPEG decoding are implemented "
+        "(pure-stdlib codecs); other codecs are not installed in this "
+        "environment"
     )
 
 
@@ -282,6 +290,74 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, ch, px = png_codec.decode_png(bytes(payload))
+                n = len(px)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "sum_px": sum(px),
+                        "min_px": min(px) if n else 0,
+                        "max_px": max(px) if n else 0,
+                        "mean_px": round(sum(px) / n, 6) if n else 0.0,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
+def documents_as_jpeg_media(
+    docs: DataFrame, *, width: int = 8, height: int = 8
+) -> DataFrame:
+    """REAL-JPEG media table derived from document text: the first
+    width*height bytes (ASCII-sanitized upstream, space-padded) become a
+    grayscale image encoded executor-side with the baseline JPEG
+    encoder. JPEG is lossy, but deterministically so — downstream decode
+    equals jpeg_codec.reference_transform of the same bytes, which the
+    DuckDB oracle replays from literal DCT/quant tables."""
+    n = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                jpeg_codec.encode_jpeg_gray(
+                    t.encode("utf-8")[:n].ljust(n, b" "), width, height
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "image",
+                    "meta": [
+                        {
+                            "width": width,
+                            "height": height,
+                            "sample_rate": 0,
+                            "n_frames": 0,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image pixel statistics via REAL baseline-JPEG decode
+    (mapInPandas): marker walk, Huffman decode, dequant, IDCT — reduced
+    to sum/min/max/mean. Linear per partition; payloads never leave the
+    executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = jpeg_codec.decode_jpeg(bytes(payload))
                 n = len(px)
                 rows.append(
                     {

@@ -1182,6 +1182,30 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_pixel_stats(resized)
 
 
+from stock_streaming_data_pipeline_spark.operators import jpeg_codec as _jpeg  # noqa: E402
+
+
+@register(
+    "multimodal_jpeg_decode",
+    tags=("LLM-multimodal",),
+    oracle=_jpeg.sql_reference_stats(_MEDIA_TEXT_SQL),
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG round-trip through the pure-stdlib codec
+    (operators/jpeg_codec.py): each document's first 64 bytes become an
+    8x8 grayscale JPEG (real DCT + quantize + Huffman entropy encode
+    with byte stuffing), which the real decoder (marker walk + Huffman +
+    dequant + IDCT) turns back into pixels reduced to sum/min/max/mean.
+    JPEG is lossy, but DETERMINISTICALLY so: decode(encode(px)) equals
+    the quantize-roundtrip transform, which the DuckDB oracle replays
+    relationally from the literal DCT basis and Annex-K quant table —
+    completing real differential-checked decode for all three image-tier
+    codecs (PNG lossless, JPEG lossy, WAV PCM16)."""
+    docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
+    media = multimodal.documents_as_jpeg_media(docs, width=8, height=8)
+    return multimodal.jpeg_pixel_stats(media)
+
+
 @register(
     "multimodal_frame_sample",
     tags=("LLM-multimodal",),

@@ -1,0 +1,97 @@
+"""Baseline JPEG codec: round trips, framing, honesty guards.
+
+The differential contract is decode(encode(px)) == reference_transform(px)
+(JPEG is lossy but deterministically so); the catalog query
+multimodal_jpeg_decode carries the full DuckDB oracle. These tests pin
+the codec itself: entropy-layer losslessness, byte stuffing, marker
+tolerance, and the explicit unsupported-variant guards.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from stock_streaming_data_pipeline_spark.operators import jpeg_codec as j
+
+
+def test_random_roundtrips_match_reference_transform():
+    rng = random.Random(42)
+    for _ in range(25):
+        w = rng.choice([8, 16, 24, 32])
+        h = rng.choice([8, 16, 24])
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        dw, dh, dec = j.decode_jpeg(j.encode_jpeg_gray(px, w, h))
+        assert (dw, dh) == (w, h)
+        assert dec == j.reference_transform(px, w, h)
+
+
+def test_uniform_and_extreme_blocks():
+    # uniform blocks put DC/Q on exact .5 lattices — the round-6 guard's
+    # target case; extremes exercise clamping
+    for v in (0, 1, 127, 128, 129, 254, 255):
+        px = bytes([v] * 64)
+        assert j.decode_jpeg(j.encode_jpeg_gray(px, 8, 8))[2] == (
+            j.reference_transform(px, 8, 8)
+        )
+
+
+def test_quality_loss_is_bounded():
+    rng = random.Random(1)
+    px = bytes(rng.randrange(256) for _ in range(64))
+    _, _, dec = j.decode_jpeg(j.encode_jpeg_gray(px, 8, 8))
+    # Annex-K tables at full scale: coarse but sane — mean abs error
+    # bounded, means close
+    mae = sum(abs(a - b) for a, b in zip(px, dec)) / 64
+    assert mae < 48
+    assert abs(sum(px) - sum(dec)) / 64 < 16
+
+
+def test_byte_stuffing_roundtrip():
+    # gradient blocks reliably produce 0xFF bytes in the entropy stream
+    # across many phases; all must round-trip through stuffing
+    for shift in range(16):
+        px = bytes((i * 7 + shift * 13) % 256 for i in range(16 * 16))
+        enc = j.encode_jpeg_gray(px, 16, 16)
+        assert j.decode_jpeg(enc)[2] == j.reference_transform(px, 16, 16)
+
+
+def test_dc_differential_across_blocks():
+    # blocks with very different DC levels exercise negative diffs and
+    # high categories
+    px = bytes(([10] * 64) + ([250] * 64))
+    dec = j.decode_jpeg(j.encode_jpeg_gray(px, 8, 16))[2]
+    assert dec == j.reference_transform(px, 8, 16)
+
+
+def test_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="multiples of 8"):
+        j.encode_jpeg_gray(b"\x00" * 63, 7, 9)
+    with pytest.raises(ValueError, match="size mismatch"):
+        j.encode_jpeg_gray(b"\x00" * 10, 8, 8)
+    with pytest.raises(ValueError, match="missing SOI"):
+        j.decode_jpeg(b"\x89PNG")
+    enc = j.encode_jpeg_gray(b" " * 64, 8, 8)
+    with pytest.raises(ValueError):
+        j.decode_jpeg(enc[:-10])  # truncated: EOI gone
+
+
+def test_rejects_progressive_marker():
+    enc = bytearray(j.encode_jpeg_gray(b" " * 64, 8, 8))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # pretend SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        j.decode_jpeg(bytes(enc))
+
+
+def test_decode_image_routes_jpeg():
+    from stock_streaming_data_pipeline_spark.operators import multimodal
+
+    px = bytes(range(64))
+    enc = j.encode_jpeg_gray(px, 8, 8)
+    w, h, ch, out = multimodal.decode_image(enc)
+    assert (w, h, ch) == (8, 8, 1)
+    assert bytes(out) == j.reference_transform(px, 8, 8)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x00\x01\x02not-an-image")

@@ -175,8 +175,12 @@ def test_resize_nearest_is_floor_index_map():
 def test_decode_image_dispatch():
     blob = encode_png(bytes(range(8)), 4, 2)
     assert multimodal.decode_image(blob)[:3] == (4, 2, 1)
+    # JPEG signatures route to the real baseline codec now (jpeg_codec);
+    # malformed JPEG bytes are a codec error, not an unimplemented format
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 not a real jpeg")
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0 not png")
+        multimodal.decode_image(b"GIF89a not supported")
 
 
 def test_png_feature_extraction_real_path(spark):
