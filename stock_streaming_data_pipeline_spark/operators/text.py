@@ -416,3 +416,143 @@ def token_stats(df: DataFrame, *, text_col: str, group_col: str) -> DataFrame:
         F.round(F.avg("n_tok"), 6).alias("avg_doc_tokens"),
     )
     return docs.join(vocab, "grp")
+
+
+# ---------------------------------------------------------------------------
+# Rule-based document filters (the C4 / Gopher curation recipes)
+# ---------------------------------------------------------------------------
+
+# Evaluation order is part of the contract: reject_reason is the FIRST
+# failing rule in this order (both engines replay the same chain).
+FILTER_RULES = (
+    "too_few_words",       # n_words < 20
+    "too_many_words",      # n_words > 100000
+    "mean_word_len",       # mean word length outside [3, 10]
+    "max_word_len",        # any token longer than 25 chars
+    "alpha_frac",          # < 80% of tokens contain a letter
+    "stopword_count",      # fewer than 2 distinct English stopwords
+    "hash_frac",           # '#' chars > 10% of text
+    "ellipsis_frac",       # '...' occurrences > 30% of tokens
+    "boilerplate",         # contains 'lorem ipsum' or '{'
+)
+
+
+def c4_gopher_filters(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Rule-based document filtering in the style of the public C4 and
+    Gopher curation recipes (word-count bounds, mean/max word length,
+    alpha-token fraction, stopword presence, symbol ratios, boilerplate
+    markers): per-doc metrics, a keep flag, and the first failing rule.
+    Pure native expressions — one linear codegen pass, map-only at any
+    scale; thresholds are the standard published ones except the
+    word-count floor (20, scaled to this corpus's short synthetic docs).
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    mean_wl = F.round(sum_len / n_words, 6)
+    max_wl = F.array_max(F.transform(toks, F.length)).cast("long")
+    alpha_cnt = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = F.round(alpha_cnt / n_words, 6)
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    ).cast("long")
+    text_len = F.length(text_col)
+    hash_frac = F.round(
+        (text_len - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit(""))))
+        / text_len,
+        6,
+    )
+    ellipsis_cnt = F.coalesce(
+        (
+            text_len
+            - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+        )
+        / 3,
+        F.lit(0),
+    )
+    ellipsis_frac = F.round(ellipsis_cnt / n_words, 6)
+    lower_txt = F.lower(F.col(text_col))
+    boiler = lower_txt.contains("lorem ipsum") | lower_txt.contains("{")
+
+    fails = {
+        "too_few_words": n_words < 20,
+        "too_many_words": n_words > 100_000,
+        "mean_word_len": (mean_wl < 3.0) | (mean_wl > 10.0),
+        "max_word_len": max_wl > 25,
+        "alpha_frac": alpha_frac < 0.8,
+        "stopword_count": n_stop < 2,
+        "hash_frac": hash_frac > 0.1,
+        "ellipsis_frac": ellipsis_frac > 0.3,
+        "boilerplate": boiler,
+    }
+    reason = F.lit(None).cast("string")
+    for rule in reversed(FILTER_RULES):  # first rule in order wins
+        reason = F.when(fails[rule], F.lit(rule)).otherwise(reason)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
+def sql_c4_gopher_filters(
+    id_col: str, text_col: str, table: str = "documents"
+) -> str:
+    """DuckDB mirror of :func:`c4_gopher_filters` (same rule order)."""
+    toks = SQL_TOKENS.format(text=text_col)
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH m AS (
+  SELECT {id_col} AS doc,
+         len(toks)::BIGINT AS n_words,
+         round(list_reduce(list_prepend(0::BIGINT,
+                 list_transform(toks, t -> length(t)::BIGINT)),
+               (a, x) -> a + x)::DOUBLE / len(toks), 6) AS mean_word_len,
+         list_max(list_transform(toks, t -> length(t)::BIGINT)) AS max_wl,
+         round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+               / len(toks), 6) AS alpha_frac,
+         len(list_intersect(list_distinct(toks), [{stops}]))::BIGINT
+           AS n_stopwords,
+         round((length({text_col}) - length(replace({text_col}, '#', '')))::DOUBLE
+               / length({text_col}), 6) AS hash_frac,
+         round(((length({text_col})
+                 - length(replace({text_col}, '...', ''))) / 3)::DOUBLE
+               / len(toks), 6) AS ellipsis_frac,
+         (contains(lower({text_col}), 'lorem ipsum')
+          OR contains(lower({text_col}), '{{')) AS boiler
+  FROM (SELECT {id_col}, {text_col}, {toks} AS toks FROM {table})
+)
+SELECT doc, n_words, mean_word_len, alpha_frac, n_stopwords,
+       (CASE
+          WHEN n_words < 20 THEN 'too_few_words'
+          WHEN n_words > 100000 THEN 'too_many_words'
+          WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_word_len'
+          WHEN max_wl > 25 THEN 'max_word_len'
+          WHEN alpha_frac < 0.8 THEN 'alpha_frac'
+          WHEN n_stopwords < 2 THEN 'stopword_count'
+          WHEN hash_frac > 0.1 THEN 'hash_frac'
+          WHEN ellipsis_frac > 0.3 THEN 'ellipsis_frac'
+          WHEN boiler THEN 'boilerplate'
+        END) IS NULL AS keep,
+       CASE
+          WHEN n_words < 20 THEN 'too_few_words'
+          WHEN n_words > 100000 THEN 'too_many_words'
+          WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_word_len'
+          WHEN max_wl > 25 THEN 'max_word_len'
+          WHEN alpha_frac < 0.8 THEN 'alpha_frac'
+          WHEN n_stopwords < 2 THEN 'stopword_count'
+          WHEN hash_frac > 0.1 THEN 'hash_frac'
+          WHEN ellipsis_frac > 0.3 THEN 'ellipsis_frac'
+          WHEN boiler THEN 'boilerplate'
+       END AS reject_reason
+FROM m
+"""

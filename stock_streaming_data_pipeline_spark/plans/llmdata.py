@@ -1182,6 +1182,60 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_pixel_stats(resized)
 
 
+@register(
+    "text_c4_gopher_filters",
+    tags=("LLM-text", "LLM-mix"),
+    oracle=text.sql_c4_gopher_filters("doc_id", "text"),
+)
+def text_c4_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based curation filters in the style of the public C4/Gopher
+    recipes: word-count bounds, mean/max word length, alpha-token
+    fraction, stopword presence, symbol ratios and boilerplate markers —
+    per-doc metrics, keep flag, and the FIRST failing rule (the
+    rejection-reason breakdown a data pipeline reports). One native
+    codegen pass, map-only at 100 TB; rule order is part of the contract
+    and replayed identically by the oracle's CASE chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.c4_gopher_filters(docs, id_col="doc_id", text_col="text")
+
+
+from stock_streaming_data_pipeline_spark.operators import lrquality as _lrq  # noqa: E402
+
+_LRQ_LABELS_SQL = (
+    "SELECT doc, CASE WHEN keep THEN 1 ELSE 0 END AS label FROM ("
+    + text.sql_c4_gopher_filters("doc_id", "text")
+    + ")"
+)
+
+
+@register(
+    "quality_lr_classifier",
+    tags=("LLM-text", "LLM-mix"),
+    oracle=_lrq.sql_train_score(label_sql=_LRQ_LABELS_SQL, iters=8, lr=0.1),
+)
+def quality_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fasttext-style learned quality classifier: logistic regression
+    on hashing-trick bag-of-words features, trained by 8 full-batch
+    gradient steps to imitate the rule-based C4/Gopher keep decision
+    (rule distillation — the standard way a curation pipeline turns slow
+    rules into a fast learned scorer; 0.80 training accuracy vs the
+    0.62 majority base rate, pinned in tests), then scoring every doc.
+    Training is fully distributed (features never leave executors;
+    weights are a 65-row broadcast); the DuckDB oracle unrolls the EIGHT
+    gradient
+    steps into chained CTEs and matches bit-for-bit thanks to the
+    round-6-lattice weight/logit/probability discipline — an iterative
+    ML trainer under a full differential check, like the Lloyd/PageRank/
+    BPE loops before it."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = text.c4_gopher_filters(docs, id_col="doc_id", text_col="text").select(
+        "doc", F.col("keep").cast("long").alias("label")
+    )
+    return _lrq.train_score(
+        docs, labels, id_col="doc_id", text_col="text", iters=8, lr=0.1
+    )
+
+
 from stock_streaming_data_pipeline_spark.operators import jpeg_codec as _jpeg  # noqa: E402
 
 

@@ -737,3 +737,47 @@ def test_kcenter_rounds_scan_checkpoint_not_source(spark):
     # and the operator's output is unchanged by the checkpoint
     out = cs.kcenter_greedy(emb, k=3).collect()
     assert len(out) == 3
+
+
+def test_c4_gopher_filters_rules_and_reasons(spark):
+    """Rule order + reason semantics: hand-built docs hit each rule."""
+    from stock_streaming_data_pipeline_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the a of and to in is that it for " + "word " * 30),  # keep
+            (2, "the a short doc"),                                    # too few
+            (3, ("supercalifragilisticexpialidociousxx ok go "
+                 + "word " * 12
+                 + "the a of and to in is that it for")),              # max_word_len
+            (4, ("zz " * 30) + "the a"),                               # mean_word_len < 3
+            (5, "nice clean words without function terms " * 5),       # stopword_count
+            (6, "the a of lorem ipsum " + "word " * 30),               # boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r for r in t.c4_gopher_filters(
+        docs, id_col="doc_id", text_col="text").collect()}
+    assert out[1]["keep"] and out[1]["reject_reason"] is None
+    assert out[2]["reject_reason"] == "too_few_words"
+    assert out[3]["reject_reason"] == "max_word_len"
+    assert out[4]["reject_reason"] == "mean_word_len"
+    assert out[5]["reject_reason"] == "stopword_count"
+    assert out[6]["reject_reason"] == "boilerplate"
+
+
+def test_quality_lr_classifier_learns_past_base_rate(spark):
+    """The distilled LR must beat the majority-class baseline on its own
+    training labels (8 steps, lr 0.1 — 0.80 vs 0.62 measured), i.e. the
+    gradient loop genuinely moves the weights."""
+    from stock_streaming_data_pipeline_spark.plans import catalog
+
+    from tests.conftest import SF_CORRECT
+
+    df = catalog.catalog()["quality_lr_classifier"].build(spark, SF_CORRECT)
+    r = df.agg(
+        F.avg((F.col("pred").cast("int") == F.col("label")).cast("double")).alias("acc"),
+        F.avg("label").alias("base"),
+    ).first()
+    base_majority = max(r["base"], 1 - r["base"])
+    assert r["acc"] >= base_majority + 0.1
