@@ -858,3 +858,78 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("component"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Most-duplicated word n-gram spans across the corpus — the exact
+    repeated-substring signal that drives span-level dedup (the
+    "deduplicate repeated passages, not whole documents" recipe; fixed
+    window n approximates the suffix-array pass relationally): for each
+    distinct span appearing in >= min_docs docs, its document frequency,
+    total occurrences, and the lowest carrying doc id; top-k by df with
+    span tie-break.
+
+    Scale shape: one shingle explode (single-regex codegen pass) ->
+    partial-aggregated groupBy(span) -> TakeOrderedAndProject(k). The
+    span text itself rides the aggregation only until the top-k cut; at
+    petabyte scale hash the span and join the text back for the k
+    winners only.
+    """
+    spans = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(all_shingles(F.col(text_col), n)).alias("span"),
+    )
+    per_doc = spans.groupBy("span", "doc").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    return (
+        per_doc.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("occ").cast("long").alias("n_occurrences"),
+            F.min("doc").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span"))
+        .limit(k)
+    )
+
+
+def sql_duplicated_spans(
+    *,
+    id_col: str,
+    text_col: str,
+    table: str = "documents",
+    n: int = 8,
+    min_docs: int = 2,
+    k: int = 50,
+) -> str:
+    """DuckDB mirror of :func:`duplicated_spans` (every overlapping
+    occurrence, not distinct-per-doc)."""
+    toks = SQL_TOKENS.format(text=text_col)
+    return f"""
+WITH sp AS (
+  SELECT {id_col} AS doc,
+         unnest(list_transform(range(1, len(tk) - {n - 1} + 1),
+                i -> array_to_string(tk[i : i + {n - 1}], ' '))) AS span
+  FROM (SELECT {id_col}, {toks} AS tk FROM {table})
+),
+pd AS (
+  SELECT span, doc, count(*) AS occ FROM sp GROUP BY 1, 2
+)
+SELECT span, count(*)::BIGINT AS n_docs,
+       sum(occ)::BIGINT AS n_occurrences,
+       min(doc) AS first_doc
+FROM pd GROUP BY span
+HAVING count(*) >= {min_docs}
+ORDER BY n_docs DESC, n_occurrences DESC, span ASC
+LIMIT {k}
+"""

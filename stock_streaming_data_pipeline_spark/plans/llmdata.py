@@ -1182,6 +1182,110 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_pixel_stats(resized)
 
 
+_MIX_TAU = 0.5       # temperature: flattens the language distribution
+_MIX_BUDGET = 1_000_000  # total training-token budget
+_MIX_MAX_EPOCHS = 4.0    # upsampling cap for low-resource slices
+
+
+@register(
+    "mixture_token_budget",
+    tags=("LLM-mixing",),
+    oracle=f"""
+WITH per_lang AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         sum(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t <> '')))::BIGINT AS est_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(est_tokens)::DOUBLE AS total FROM per_lang),
+w AS (
+  SELECT lang, n_docs, est_tokens,
+         round(est_tokens / total, 6) AS share,
+         pow(est_tokens / total, {_MIX_TAU}) AS raw_w
+  FROM per_lang CROSS JOIN tot
+),
+norm AS (SELECT sum(raw_w) AS z FROM w)
+SELECT lang, n_docs, est_tokens, share,
+       round(raw_w / z, 6) AS weight,
+       CAST(floor(round(raw_w / z * {_MIX_BUDGET}, 6)) AS BIGINT) AS alloc_tokens,
+       round(least(floor(round(raw_w / z * {_MIX_BUDGET}, 6)) / est_tokens,
+                   {_MIX_MAX_EPOCHS}), 6) AS epochs
+FROM w CROSS JOIN norm
+""",
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture allocation: temperature-weighted token budgets
+    per language (w_l ∝ share_l^τ, τ=0.5 — the standard low-resource
+    upweighting), the absolute token allocation out of a fixed budget,
+    and the resulting per-slice epoch count capped at 4 (the repetition
+    ceiling). Two tiny aggregations over a one-pass token count; the
+    weights table a sampler (sample_temperature_mix) then consumes.
+    Map-only + a 5-row rollup at any scale."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("est_tokens"),
+    )
+    tot = per_lang.agg(F.sum("est_tokens").cast("double").alias("total"))
+    w = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "est_tokens",
+        F.round(F.col("est_tokens") / F.col("total"), 6).alias("share"),
+        F.pow(F.col("est_tokens") / F.col("total"), F.lit(_MIX_TAU)).alias("raw_w"),
+    )
+    norm = w.agg(F.sum("raw_w").alias("z"))
+    alloc = F.floor(F.round(F.col("raw_w") / F.col("z") * _MIX_BUDGET, 6))
+    return w.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "n_docs",
+        "est_tokens",
+        "share",
+        F.round(F.col("raw_w") / F.col("z"), 6).alias("weight"),
+        alloc.cast("long").alias("alloc_tokens"),
+        F.round(
+            F.least(alloc / F.col("est_tokens"), F.lit(_MIX_MAX_EPOCHS)), 6
+        ).alias("epochs"),
+    )
+
+
+@register(
+    "dedup_top_spans",
+    tags=("LLM-dedup", "LLM-text"),
+    oracle=dedup.sql_duplicated_spans(
+        id_col="doc_id",
+        text_col="text",
+        table="""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)""",
+        n=8,
+        min_docs=2,
+        k=50,
+    ),
+)
+def dedup_top_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage mining — the span-level (not whole-document)
+    dedup signal: the most-duplicated word 8-gram spans across a corpus
+    with planted verbatim re-ingests (every 10th doc under a new id),
+    with document frequency, total occurrences and the first carrying
+    doc. One shingle explode (single-regex codegen pass) -> two partial
+    aggregations -> TakeOrderedAndProject(50); the fixed-window span
+    approximates the suffix-array repeated-substring pass relationally
+    and scales as a plain groupBy."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    return dedup.duplicated_spans(
+        corpus, id_col="doc_id", text_col="text", n=8, min_docs=2, k=50
+    )
+
+
 @register(
     "text_c4_gopher_filters",
     tags=("LLM-text", "LLM-mix"),
