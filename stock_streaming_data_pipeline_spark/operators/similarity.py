@@ -983,6 +983,182 @@ def ivf_pq_topk(
     )
 
 
+def ivf2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist1: int = 4,
+    nlist2: int = 4,
+    nprobe1: int = 2,
+    nprobe2: int = 2,
+    iters: int = 2,
+) -> DataFrame:
+    """Hierarchical (two-level) IVF top-k: a coarse quantizer over the
+    corpus (nlist1 cells, cosine Lloyd), then a per-cell sub-quantizer
+    (nlist2 sub-cells each, squared-L2 Lloyd) — probes descend the tree
+    (nprobe1 cells -> nprobe2 sub-cells inside each) and only the
+    reached leaves are exact-cosine re-ranked. This is the index shape
+    that keeps probe cost flat as nlist must grow with the corpus
+    (sqrt-scaling lists at 10^9+ vectors get individually too big to
+    train/balance flat; two levels give nlist1*nlist2 leaves for
+    nlist1+nlist2 training cost).
+
+    Implementation reuse: the per-cell sub-quantizer IS :func:`pq_train`
+    with the level-1 cell id as the grouping column and the full vector
+    as the "subvector" — same seeded Lloyd, same round-6 argmin and
+    tie-breaks, so the DuckDB oracle replays it with the shared CTE
+    chain (:func:`_sql_pq_chain` with ``sub_sql``)."""
+    cents1 = ivf_train(
+        corpus, id_col=id_col, vec_col=vec_col, nlist=nlist1, iters=iters
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    a1 = _nearest_centroid(c, cents1, key_col="neighbor_id", vec_alias="cv")
+    rows = a1.select(
+        "neighbor_id", F.col("cluster_id").alias("m"), F.col("cv").alias("sub")
+    )
+    cb2 = pq_train(
+        rows, key_col="neighbor_id", num_sub=nlist1, ksub=nlist2, iters=iters
+    )
+    codes = _argmin_code(rows, cb2, key_col="neighbor_id")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    q1 = q.crossJoin(F.broadcast(cents1)).withColumn(
+        "_sim", F.round(cosine(F.col("qv"), F.col("cvec")), 6)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("_cid"))
+    probes1 = (
+        q1.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= nprobe1)
+        .select("query_id", "qv", F.col("_cid").alias("m"))
+    )
+    q2 = probes1.join(F.broadcast(cb2), "m").withColumn(
+        "_d", F.round(l2sq(F.col("qv"), F.col("cbvec")), 6)
+    )
+    w2 = Window.partitionBy("query_id", "m").orderBy(F.asc("_d"), F.asc("code"))
+    probes2 = (
+        q2.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= nprobe2)
+        .select("query_id", "m", "code")
+    )
+    cands = (
+        codes.join(F.broadcast(probes2), ["m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    rescored = (
+        cands.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sql_ivf2_topk(
+    *,
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 10",
+    k: int = 5,
+    nlist1: int = 4,
+    nlist2: int = 4,
+    nprobe1: int = 2,
+    nprobe2: int = 2,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`ivf2_topk`: level-1 Lloyd replay (shared
+    CTE builder), level-2 per-cell Lloyd via the shared pq_train chain
+    (grouping = cell id, subvector = full vector), tree-descent probes,
+    exact re-rank."""
+    cos6 = _sql_cos("e.embedding", "c.cvec", 6)
+    parts = _sql_lloyd_ctes(table, k=nlist1, iters=iters)
+    parts.append(
+        f"""asg AS MATERIALIZED (
+  SELECT vec_id, cid
+  FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {cos6} DESC, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)"""
+    )
+    parts.append(
+        f"""cvx AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM {table}
+)"""
+    )
+    sub_sql = """
+  SELECT a.vec_id, CAST(a.cid AS INT) AS m, c.v AS sub
+  FROM asg a JOIN cvx c USING (vec_id)"""
+    parts += _sql_pq_chain(
+        num_sub=nlist1, dsub=dim, ksub=nlist2, pq_iters=iters, sub_sql=sub_sql
+    )
+    parts.append(
+        f"""probes1 AS MATERIALIZED (
+  SELECT query_id, cid AS m
+  FROM (
+    SELECT e.vec_id AS query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {cos6} DESC, c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN c{iters} c
+    WHERE {query_pred}
+  ) WHERE rn <= {nprobe1}
+)"""
+    )
+    l2_q_cb = SQL_L2SQ.format(a="qv.v", b="cb.cbvec")
+    parts.append(
+        f"""probes2 AS MATERIALIZED (
+  SELECT query_id, m, code
+  FROM (
+    SELECT p.query_id, p.m, cb.code,
+           row_number() OVER (
+             PARTITION BY p.query_id, p.m
+             ORDER BY round({l2_q_cb}, 6) ASC, cb.code ASC
+           ) AS rn
+    FROM probes1 p
+    JOIN cvx qv ON qv.vec_id = p.query_id
+    JOIN cb{iters} cb ON cb.m = p.m
+  ) WHERE rn <= {nprobe2}
+)"""
+    )
+    cos_final = _sql_cos("n.embedding", "q.embedding", 6)
+    parts.append(
+        f"""scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {cos_final} AS cosine
+  FROM as{iters} a
+  JOIN probes2 p ON p.m = a.m AND p.code = a.code
+  JOIN {table} n ON n.vec_id = a.vec_id
+  JOIN {table} q ON q.vec_id = p.query_id
+  WHERE a.vec_id != p.query_id
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+       ) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def _rotate_vecs(df: DataFrame, R, *, id_col: str, vec_col: str, out: str = "v") -> DataFrame:
     """Apply a d×d rotation to every vector via an Arrow-batched pandas
     UDF (one numpy matmul per batch). Built-ins would need d interpreted
@@ -1219,19 +1395,34 @@ def _sql_rot_cte(R, table: str, *, name: str = "rot") -> str:
 )"""
 
 
-def _sql_pq_chain(*, num_sub: int, dsub: int, ksub: int, pq_iters: int) -> list[str]:
-    """CTE chain replaying :func:`pq_train` + the final encode over the
-    rotated vectors in CTE ``rot`` (columns ``vec_id, v``): subspace
-    explode, lowest-id seeds, ``pq_iters`` Lloyd rounds (round-6
-    squared-L2 argmin, code tie-break via struct min, empty-code
-    retention), final assignment in ``as{pq_iters}``, final codebook in
-    ``cb{pq_iters}``. Same discipline as the IVF-PQ oracle's loop."""
-    parts = [
-        f"""sub AS MATERIALIZED (
+def _sql_pq_chain(
+    *,
+    num_sub: int,
+    dsub: int,
+    ksub: int,
+    pq_iters: int,
+    sub_sql: str | None = None,
+) -> list[str]:
+    """CTE chain replaying :func:`pq_train` + the final encode: grouped
+    lowest-id seeds, ``pq_iters`` Lloyd rounds (round-6 squared-L2
+    argmin, code tie-break via struct min, empty-code retention), final
+    assignment in ``as{pq_iters}``, final codebook in ``cb{pq_iters}``.
+    Same discipline as the IVF-PQ oracle's loop.
+
+    By default the training rows ``sub (vec_id, m, sub)`` are the
+    ``num_sub`` subspace slices of the rotated vectors in CTE ``rot``
+    (the OPQ use). Pass ``sub_sql`` to train over ANY grouped row set
+    with that shape — e.g. the hierarchical-IVF use, where ``m`` is the
+    level-1 cluster id and ``sub`` the full vector (per-cluster k-means
+    IS pq_train with a different grouping)."""
+    if sub_sql is None:
+        sub_sql = f"""
   SELECT vec_id, CAST(u.m AS INT) AS m,
          list_transform(range(u.m * {dsub} + 1, u.m * {dsub} + {dsub} + 1),
                         i -> v[i]) AS sub
-  FROM rot, unnest(range(0, {num_sub})) AS u(m)
+  FROM rot, unnest(range(0, {num_sub})) AS u(m)"""
+    parts = [
+        f"""sub AS MATERIALIZED ({sub_sql}
 )""",
         f"""cb0 AS MATERIALIZED (
   SELECT m, CAST(rn - 1 AS INT) AS code, sub AS cbvec

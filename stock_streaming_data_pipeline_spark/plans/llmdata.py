@@ -342,6 +342,31 @@ def embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_ivf2_topk",
+    tags=("LLM-sim",),
+    oracle=similarity.sql_ivf2_topk(
+        query_pred="vec_id < 10", k=5, nlist1=4, nlist2=4,
+        nprobe1=2, nprobe2=2, iters=2,
+    ),
+)
+def embedding_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (two-level) IVF top-5: coarse cells (nlist1=4) with
+    per-cell sub-quantizers (nlist2=4), probes descending the tree
+    (2 cells x 2 sub-cells), exact re-rank of the reached leaves — the
+    index shape that keeps probe cost flat when flat-IVF list counts
+    would have to grow with the corpus (nlist1*nlist2 leaves for
+    nlist1+nlist2 training cost). The per-cell sub-quantizer reuses
+    pq_train's seeded Lloyd (grouping = cell id, 'subvector' = full
+    vector), so the full two-level training + descent replays in the
+    DuckDB oracle via the shared CTE chains."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf2_topk(
+        emb, queries, k=5, nlist1=4, nlist2=4, nprobe1=2, nprobe2=2, iters=2
+    )
+
+
+@register(
     "embedding_kmeans",
     tags=("LLM-sim",),
     oracle=similarity.sql_kmeans_profile(k=8, iters=4),

@@ -781,3 +781,41 @@ def test_quality_lr_classifier_learns_past_base_rate(spark):
     ).first()
     base_majority = max(r["base"], 1 - r["base"])
     assert r["acc"] >= base_majority + 0.1
+
+
+def test_ivf2_topk_finds_planted_neighbor(spark):
+    """Two-level IVF with a planted near-copy: the copy shares both the
+    query's coarse cell and its sub-cell (cosine ~1), so even 2x2 probes
+    must find and top-rank it."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(900_000).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+        F.lit(99).alias("label"),
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(base)
+    queries = emb.filter(F.col("vec_id") == 3)
+    got = similarity.ivf2_topk(
+        corpus, queries, k=1, nlist1=4, nlist2=4, nprobe1=1, nprobe2=1
+    ).collect()
+    assert got and got[0]["neighbor_id"] == 900_000
+    assert got[0]["cosine"] >= 0.999999
+
+
+def test_ivf2_recall_vs_brute_force(spark):
+    """Descending 2 of 4 cells x 2 of 4 sub-cells (1/4 of the leaves)
+    must keep useful top-5 recall at test scale."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    ivf2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf2_topk(
+            emb, queries, k=5, nlist1=4, nlist2=4, nprobe1=2, nprobe2=2
+        ).collect()
+    }
+    recall = len(exact & ivf2) / len(exact)
+    assert recall >= 0.5, f"IVF2 recall {recall:.2f}"
