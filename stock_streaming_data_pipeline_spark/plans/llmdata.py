@@ -1276,17 +1276,30 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted-repetition corpus for the span-mining pair of queries: every
+# 10th doc re-ingested verbatim under a new id.
+_SPAN_CORPUS_SQL = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)"""
+
+
+def _span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(planted)
+
+
 @register(
     "dedup_top_spans",
     tags=("LLM-dedup", "LLM-text"),
     oracle=dedup.sql_duplicated_spans(
         id_col="doc_id",
         text_col="text",
-        table="""(
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
-)""",
+        table=_SPAN_CORPUS_SQL,
         n=8,
         min_docs=2,
         k=50,
@@ -1301,13 +1314,61 @@ def dedup_top_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations -> TakeOrderedAndProject(50); the fixed-window span
     approximates the suffix-array repeated-substring pass relationally
     and scales as a plain groupBy."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    )
-    corpus = docs.unionByName(planted)
     return dedup.duplicated_spans(
+        _span_corpus(spark, sf_dir),
+        id_col="doc_id", text_col="text", n=8, min_docs=2, k=50,
+    )
+
+
+@register(
+    "dedup_span_scrub_report",
+    tags=("LLM-dedup", "LLM-text"),
+    oracle=f"""
+WITH top_spans AS (
+  {dedup.sql_duplicated_spans(id_col="doc_id", text_col="text",
+                              table=_SPAN_CORPUS_SQL, n=8, min_docs=2, k=50)}
+),
+sp AS (
+  SELECT doc_id AS doc,
+         unnest(list_transform(range(1, len(tk) - 7 + 1),
+                i -> array_to_string(tk[i : i + 7], ' '))) AS span
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM {_SPAN_CORPUS_SQL})
+)
+SELECT sp.doc, count(*)::BIGINT AS n_span_occurrences,
+       count(DISTINCT sp.span)::BIGINT AS n_distinct_spans,
+       CAST(sum(length(sp.span)) AS BIGINT) AS est_scrub_chars
+FROM sp JOIN top_spans t ON t.span = sp.span
+GROUP BY sp.doc
+""",
+)
+def dedup_span_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal side of span-level dedup: for every doc carrying one
+    of the corpus's top-50 duplicated 8-gram spans, how many span
+    occurrences it holds, how many distinct flagged spans, and the
+    character mass a span-scrub pass would excise — the work-list the
+    rewrite job consumes (rewriting itself is a map-only
+    regexp_replace over this join). The flagged-span side is
+    LIMIT-bounded (k=50), so its broadcast is legitimately
+    cardinality-bounded under the plan lint's rule."""
+    corpus = _span_corpus(spark, sf_dir)
+    top = dedup.duplicated_spans(
         corpus, id_col="doc_id", text_col="text", n=8, min_docs=2, k=50
+    ).select("span")
+    spans = corpus.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(dedup.all_shingles(F.col("text"), 8)).alias("span"),
+    )
+    return (
+        spans.join(F.broadcast(top), "span")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_span_occurrences"),
+            F.count_distinct("span").alias("n_distinct_spans"),
+            F.sum(F.length("span")).cast("long").alias("est_scrub_chars"),
+        )
     )
 
 
@@ -1362,6 +1423,53 @@ def quality_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _lrq.train_score(
         docs, labels, id_col="doc_id", text_col="text", iters=8, lr=0.1
+    )
+
+
+@register(
+    "quality_lr_calibration",
+    tags=("LLM-text", "LLM-mix"),
+    oracle=f"""
+WITH scored AS ({_lrq.sql_train_score(label_sql=_LRQ_LABELS_SQL, iters=8, lr=0.1)}),
+binned AS (
+  SELECT CAST(least(floor(prob * 10), 9) AS BIGINT) AS bin, label, prob
+  FROM scored
+)
+SELECT bin, count(*)::BIGINT AS n_docs,
+       round(avg(prob), 6) AS mean_prob,
+       round(avg(label::DOUBLE), 6) AS label_rate,
+       round(abs(avg(prob) - avg(label::DOUBLE)), 6) AS calibration_gap
+FROM binned GROUP BY bin
+""",
+)
+def quality_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the distilled quality classifier: decile
+    probability bins with document counts, mean predicted probability,
+    empirical label rate, and the per-bin calibration gap (the
+    expected-calibration-error terms) — the evaluation a pipeline runs
+    before trusting a learned scorer's threshold. Reuses the classifier
+    query's scores; one 10-row rollup on top. The oracle embeds the full
+    8-step training replay as a subquery, so the calibration numbers
+    are differentially checked end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = text.c4_gopher_filters(docs, id_col="doc_id", text_col="text").select(
+        "doc", F.col("keep").cast("long").alias("label")
+    )
+    scored = _lrq.train_score(
+        docs, labels, id_col="doc_id", text_col="text", iters=8, lr=0.1
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("prob") * 10), F.lit(9)).cast("long").alias("bin"),
+        "label",
+        "prob",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("prob"), 6).alias("mean_prob"),
+        F.round(F.avg(F.col("label").cast("double")), 6).alias("label_rate"),
+        F.round(
+            F.abs(F.avg("prob") - F.avg(F.col("label").cast("double"))), 6
+        ).alias("calibration_gap"),
     )
 
 
