@@ -118,6 +118,126 @@ def ivf_index_topk(
     )
 
 
+def build_ivf2_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist1: int = 4,
+    nlist2: int = 4,
+    iters: int = 2,
+) -> None:
+    """Persist a HIERARCHICAL (two-level) IVF index: vectors partitioned
+    by ``cluster_id/subcell`` (one directory per LEAF), the level-1
+    centroids and the per-cell sub-centroids as tiny side tables. The
+    training is byte-identical to :func:`similarity.ivf2_topk` (cosine
+    Lloyd coarse cells, pq_train per-cell sub-quantizer), so a probe of
+    the persisted index answers exactly like the retrain-per-query
+    operator — and leaf directories give probes two levels of partition
+    pruning (corpus × (nprobe1·nprobe2)/(nlist1·nlist2) I/O)."""
+    from stock_streaming_data_pipeline_spark.operators.similarity import (
+        _argmin_code,
+        pq_train,
+    )
+
+    cents1 = ivf_train(
+        corpus, id_col=id_col, vec_col=vec_col, nlist=nlist1, iters=iters
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    a1 = _nearest_centroid(c, cents1, key_col="vec_id", vec_alias="v")
+    rows = a1.select(
+        "vec_id", F.col("cluster_id").alias("m"), F.col("v").alias("sub")
+    )
+    cb2 = pq_train(rows, key_col="vec_id", num_sub=nlist1, ksub=nlist2, iters=iters)
+    codes = _argmin_code(rows, cb2, key_col="vec_id")
+    (
+        a1.join(codes.select("vec_id", F.col("code").alias("subcell")), "vec_id")
+        .select("vec_id", "v", "cluster_id", "subcell")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id", "subcell")
+        .parquet(f"{path}/lists")
+    )
+    cents1.select(F.col("_cid").alias("cluster_id"), "cvec").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    cb2.select(
+        F.col("m").alias("cluster_id"), F.col("code").alias("subcell"), "cbvec"
+    ).write.mode("overwrite").parquet(f"{path}/subcentroids")
+
+
+def ivf2_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe1: int = 2,
+    nprobe2: int = 2,
+) -> DataFrame:
+    """Probe the persisted two-level index: descend centroids →
+    sub-centroids on the tiny side tables, then scan ONLY the reached
+    leaf directories (a boolean partition predicate over
+    (cluster_id, subcell) prunes before any file I/O)."""
+    from stock_streaming_data_pipeline_spark.operators.similarity import l2sq
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    subcents = spark.read.parquet(f"{path}/subcentroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    q1 = q.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", F.round(cosine(F.col("qv"), F.col("cvec")), 6)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cluster_id"))
+    probes1 = (
+        q1.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= nprobe1)
+        .select("query_id", "qv", "cluster_id")
+    )
+    q2 = probes1.join(F.broadcast(subcents), "cluster_id").withColumn(
+        "_d", F.round(l2sq(F.col("qv"), F.col("cbvec")), 6)
+    )
+    w2 = Window.partitionBy("query_id", "cluster_id").orderBy(
+        F.asc("_d"), F.asc("subcell")
+    )
+    probes2 = (
+        q2.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= nprobe2)
+        .select("query_id", "qv", "cluster_id", "subcell")
+    )
+    # Driver-side leaf set (≤ queries × nprobe1 × nprobe2, bounded by the
+    # index's nlist1 × nlist2): a partition-column predicate prunes leaf
+    # directories at planning time — metadata-sized by construction.
+    leaves = {
+        (r["cluster_id"], r["subcell"])
+        for r in probes2.select("cluster_id", "subcell").distinct().collect()
+    }
+    pred = None
+    for cid, sub in sorted(leaves):
+        clause = (F.col("cluster_id") == cid) & (F.col("subcell") == sub)
+        pred = clause if pred is None else (pred | clause)
+    lists = spark.read.parquet(f"{path}/lists").filter(pred)
+    scored = (
+        lists.join(F.broadcast(probes2), ["cluster_id", "subcell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def add_to_index(
     spark: SparkSession,
     path: str,

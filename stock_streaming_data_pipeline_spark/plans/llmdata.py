@@ -330,13 +330,12 @@ def embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the retrain-per-query embedding_ivf_topk, so it
     shares that query's full-replay oracle — the differential check
     covers the index build/probe lifecycle too."""
-    import tempfile
-
     from stock_streaming_data_pipeline_spark.operators import ann_index
+    from stock_streaming_data_pipeline_spark.plans.stock import _session_scratch
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    path = tempfile.mkdtemp(prefix="ivf_index_") + "/ivf"
+    path = _session_scratch(spark, "ivf_index", sf_dir)
     ann_index.build_ivf_index(emb, path, nlist=8, iters=2)
     return ann_index.ivf_index_topk(spark, path, queries, k=5, nprobe=3)
 
@@ -363,6 +362,35 @@ def embedding_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf2_topk(
         emb, queries, k=5, nlist1=4, nlist2=4, nprobe1=2, nprobe2=2, iters=2
+    )
+
+
+@register(
+    "embedding_ivf2_index_topk",
+    tags=("LLM-sim",),
+    oracle=similarity.sql_ivf2_topk(
+        query_pred="vec_id < 10", k=5, nlist1=4, nlist2=4,
+        nprobe1=2, nprobe2=2, iters=2,
+    ),
+)
+def embedding_ivf2_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted two-level index probe path: build the hierarchical
+    IVF index on disk (leaf directories ``cluster_id=X/subcell=Y`` +
+    centroid/sub-centroid side tables), then answer the same top-5 query
+    scanning ONLY the probed leaves (two levels of partition pruning).
+    Training is byte-identical to the retrain-per-query
+    embedding_ivf2_topk, so it shares that query's full training-replay
+    oracle — the differential check covers the persisted build/probe
+    lifecycle too."""
+    from stock_streaming_data_pipeline_spark.operators import ann_index
+    from stock_streaming_data_pipeline_spark.plans.stock import _session_scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = _session_scratch(spark, "ivf2_index", sf_dir)
+    ann_index.build_ivf2_index(emb, path, nlist1=4, nlist2=4, iters=2)
+    return ann_index.ivf2_index_topk(
+        spark, path, queries, k=5, nprobe1=2, nprobe2=2
     )
 
 

@@ -153,3 +153,40 @@ def test_rebalance_splits_hot_lists_and_preserves_answers(spark, tmp_path):
         ).collect()
     )
     assert after == before  # exhaustive probe: identical answers
+
+
+def test_ivf2_index_matches_inmemory_and_prunes_leaves(spark, tmp_path):
+    """The persisted two-level index must answer exactly like the
+    retrain-per-query ivf2_topk, and its lists scan must carry BOTH
+    partition columns (cluster_id, subcell) as PartitionFilters — leaf
+    directories outside the probed set are pruned before file I/O."""
+    import glob
+
+    from stock_streaming_data_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf2")
+    ann_index.build_ivf2_index(emb, path, nlist1=4, nlist2=4, iters=2)
+    # 16 leaf directories (some may be empty-code-retained → absent)
+    assert len(glob.glob(f"{path}/lists/cluster_id=*/subcell=*")) <= 16
+
+    got = sorted(
+        tuple(r)
+        for r in ann_index.ivf2_index_topk(
+            spark, path, queries, k=5, nprobe1=2, nprobe2=2
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in similarity.ivf2_topk(
+            emb, queries, k=5, nlist1=4, nlist2=4, nprobe1=2, nprobe2=2
+        ).collect()
+    )
+    assert got == want and got
+
+    out = ann_index.ivf2_index_topk(spark, path, queries, k=5, nprobe1=1, nprobe2=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2, "lists scan lost its partition filter"
+    assert "cluster_id" in seg[1][:2000] and "subcell" in seg[1][:2000]
