@@ -364,3 +364,182 @@ def sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("death_cross"))
         .alias("signal"),
     )
+
+
+@register(
+    "moments_by_group",
+    tags=("A4", "A5", "LLM-profile"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+c AS (
+  SELECT event_type, {_CENTS} AS p FROM trades WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(CAST(p AS DECIMAL(38,0))) AS s1,
+         sum(CAST(p AS DECIMAL(38,0)) * p) AS s2,
+         sum(CAST(p AS DECIMAL(38,0)) * p * p) AS s3,
+         sum(CAST(p AS DECIMAL(38,0)) * p * p * p) AS s4
+  FROM c GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n,
+         s1::DOUBLE / n AS m1,
+         s2::DOUBLE / n AS m2,
+         s3::DOUBLE / n AS m3,
+         s4::DOUBLE / n AS m4
+  FROM s
+)
+SELECT event_type, n,
+       round(m1 / 100, 6) AS mean_value,
+       round((m2 - (m1 * m1)) / 10000, 6) AS variance,
+       round((m3 - ((3 * m1) * m2) + ((2 * m1) * (m1 * m1)))
+             / pow(m2 - (m1 * m1), 1.5), 6) AS skewness,
+       round((m4 - ((4 * m1) * m3) + (((6 * m1) * m1) * m2)
+              - ((3 * m1) * ((m1 * m1) * m1)))
+             / pow(m2 - (m1 * m1), 2.0) - 3, 6) AS kurtosis_excess
+FROM m
+""",
+)
+def moments_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment distribution profile per key: mean, population
+    variance, skewness, and excess kurtosis — the shape statistics a
+    feature-QA pass computes before trusting a column. The integer-
+    moment discipline extends to the 4th power: values snap to exact
+    cents (BIGINT), the four power sums accumulate in DECIMAL(38,0)
+    (EXACT, order-independent — cents^4 × corpus fits 38 digits to
+    ~10^13 rows per group), and only the final closed-form ratios run in
+    doubles (identically parenthesized in the oracle, round-6). One
+    partial-aggregated groupBy; map-only + rollup at any scale."""
+    t = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())
+    p = finance.to_scaled_long(F.col("value"), 2)
+    d = F.lit(1).cast("decimal(38,0)")
+    s = t.select(F.col("event_type"), p.alias("p")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p") * d).alias("s1"),
+        F.sum(F.col("p") * d * F.col("p")).alias("s2"),
+        F.sum(F.col("p") * d * F.col("p") * F.col("p")).alias("s3"),
+        F.sum(F.col("p") * d * F.col("p") * F.col("p") * F.col("p")).alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    m3 = F.col("s3").cast("double") / F.col("n")
+    m4 = F.col("s4").cast("double") / F.col("n")
+    var_c = m2 - (m1 * m1)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(m1 / 100, 6).alias("mean_value"),
+        F.round(var_c / 10000, 6).alias("variance"),
+        F.round(
+            (m3 - ((F.lit(3) * m1) * m2) + ((F.lit(2) * m1) * (m1 * m1)))
+            / F.pow(var_c, F.lit(1.5)),
+            6,
+        ).alias("skewness"),
+        F.round(
+            (
+                m4
+                - ((F.lit(4) * m1) * m3)
+                + (((F.lit(6) * m1) * m1) * m2)
+                - ((F.lit(3) * m1) * ((m1 * m1) * m1))
+            )
+            / F.pow(var_c, F.lit(2.0))
+            - 3,
+            6,
+        ).alias("kurtosis_excess"),
+    )
+
+
+@register(
+    "seasonal_decomposition",
+    tags=("A1", "W2", "C2"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         sum({_CENTS})::BIGINT AS v_c
+  FROM trades WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+tr AS (
+  SELECT event_type, bucket_ts, v_c,
+         sum(v_c) OVER w AS w_sum,
+         count(*) OVER w AS w_n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+det AS (
+  SELECT event_type, bucket_ts, v_c,
+         round(w_sum / 25.0, 6) AS trend_c,
+         round(v_c - round(w_sum / 25.0, 6), 6) AS detr_c,
+         CAST(hour(bucket_ts) AS BIGINT) AS hod
+  FROM tr WHERE w_n = 25
+),
+seas AS (
+  SELECT event_type, hod, round(avg(detr_c), 6) AS seasonal_c
+  FROM det GROUP BY 1, 2
+)
+SELECT d.event_type, epoch(d.bucket_ts)::BIGINT AS bucket_s,
+       round(d.v_c / 100.0, 6) AS value,
+       round(d.trend_c / 100.0, 6) AS trend,
+       round(s.seasonal_c / 100.0, 6) AS seasonal,
+       round((d.detr_c - s.seasonal_c) / 100.0, 6) AS residual
+FROM det d JOIN seas s ON s.event_type = d.event_type AND s.hod = d.hod
+""",
+)
+def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal-trend decomposition of the hourly
+    value series per key: trend = 25-point centered moving average
+    (rows with a full window only), seasonal = mean detrended value per
+    hour-of-day, residual = remainder — the moving-average STL
+    simplification that needs nothing beyond one keyed window pass and
+    one bounded-domain rollup. All arithmetic rides exact cent sums;
+    the window/rollup ratios are round-6 on both sides. Scale: the
+    hourly rollup is the only fact-sized shuffle; the window runs per
+    key over the (bounded) bucket series."""
+    t = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())
+    hourly = (
+        t.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bucket_ts"),
+            finance.to_scaled_long(F.col("value"), 2).alias("p"),
+        )
+        .groupBy("event_type", "bucket_ts")
+        .agg(F.sum("p").cast("long").alias("v_c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-12, 12)
+    )
+    tr = hourly.select(
+        "event_type",
+        "bucket_ts",
+        "v_c",
+        F.sum("v_c").over(w).alias("w_sum"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+    ).filter(F.col("w_n") == 25)
+    det = tr.select(
+        "event_type",
+        "bucket_ts",
+        "v_c",
+        F.round(F.col("w_sum") / 25.0, 6).alias("trend_c"),
+        F.round(
+            F.col("v_c") - F.round(F.col("w_sum") / 25.0, 6), 6
+        ).alias("detr_c"),
+        F.hour("bucket_ts").cast("long").alias("hod"),
+    )
+    seas = det.groupBy("event_type", "hod").agg(
+        F.round(F.avg("detr_c"), 6).alias("seasonal_c")
+    )
+    return det.join(F.broadcast(seas), ["event_type", "hod"]).select(
+        "event_type",
+        F.unix_seconds("bucket_ts").alias("bucket_s"),
+        F.round(F.col("v_c") / 100.0, 6).alias("value"),
+        F.round(F.col("trend_c") / 100.0, 6).alias("trend"),
+        F.round(F.col("seasonal_c") / 100.0, 6).alias("seasonal"),
+        F.round((F.col("detr_c") - F.col("seasonal_c")) / 100.0, 6).alias(
+            "residual"
+        ),
+    )
