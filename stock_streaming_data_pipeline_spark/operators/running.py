@@ -206,3 +206,52 @@ def ewma(
         return pdf
 
     return src.groupBy(key).applyInPandas(fold, schema=schema)
+
+
+def global_rank(
+    df: DataFrame,
+    *,
+    order_col: str,
+    id_col: str,
+    out: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed GLOBAL row rank (dense total order by
+    ``(order_col, id_col)``) without the single-task global window:
+    the two-phase pattern of :func:`running_sum_salted` applied to
+    ranking.
+
+    1. range-repartition on the total order — every partition holds a
+       contiguous value range, ties split deterministically by the
+       unique ``id_col``;
+    2. rank locally per partition (parallel across the range splits);
+    3. offset each partition's local ranks by the count of rows in the
+       partitions below it — a window over ONE ROW PER PARTITION
+       (bounded by the cluster's partition count, the same
+       bounded-domain exemption as the salted prefix sum's segment
+       table).
+
+    Output ranks depend only on the total order, not on where the
+    sampled range boundaries land, so results are deterministic even
+    though repartitionByRange samples. Equivalence with the
+    single-window form is pinned in tests/test_scale_ops.py.
+    """
+    spark = df.sparkSession
+    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    b = df.repartitionByRange(n_part, F.col(order_col), F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(order_col, id_col)
+    local = b.withColumn("_lrn", F.row_number().over(w_local))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )

@@ -8,7 +8,7 @@ in operators/dedup.py makes even the hash-based signatures oracle-checkable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_streaming_data_pipeline_spark.operators import (
@@ -1451,6 +1451,84 @@ def quality_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _lrq.train_score(
         docs, labels, id_col="doc_id", text_col="text", iters=8, lr=0.1
+    )
+
+
+@register(
+    "quantile_normalized_values",
+    tags=("A8", "W1", "LLM-profile"),
+    oracle="""
+WITH g AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn_g,
+         count(*) OVER (PARTITION BY event_type) AS n_g
+  FROM events
+),
+glob AS (
+  SELECT value AS gval,
+         row_number() OVER (ORDER BY value, event_id) AS pos
+  FROM events
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM events),
+mapped AS (
+  SELECT event_id, event_type, value,
+         CAST(floor(round(CASE WHEN n_g = 1 THEN 0.0
+                     ELSE (rn_g - 1)::DOUBLE / (n_g - 1) END
+                    * (n - 1), 6)) AS BIGINT) + 1 AS pos
+  FROM g CROSS JOIN tot
+)
+SELECT m.event_id, m.event_type, m.value,
+       round(gl.gval, 6) AS value_qnorm
+FROM mapped m JOIN glob gl ON gl.pos = m.pos
+""",
+)
+def quantile_normalized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: map each key's value distribution onto
+    the GLOBAL distribution (each row's within-key relative rank looked
+    up positionally in the global sorted values) — the rank-based
+    feature transform that makes heterogeneous groups comparable. The
+    global sorted positions come from operators/running.global_rank —
+    the two-phase distributed rank (range partitions + local rank +
+    per-partition offsets), so NO single-task global window touches the
+    fact table; the within-key ranks are ordinary partitioned windows
+    and the position lookup is an equi-join."""
+    from stock_streaming_data_pipeline_spark.operators.running import global_rank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w_g = Window.partitionBy("event_type").orderBy("value", "event_id")
+    g = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w_g).alias("rn_g"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_g"),
+    )
+    glob = global_rank(
+        ev.select(F.col("value").alias("gval"), "event_id"),
+        order_col="gval",
+        id_col="event_id",
+        out="pos",
+    ).select("gval", "pos")
+    n = ev.count()
+    rel = F.when(F.col("n_g") == 1, F.lit(0.0)).otherwise(
+        (F.col("rn_g") - 1).cast("double") / (F.col("n_g") - 1)
+    )
+    mapped = g.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.floor(F.round(rel * F.lit(n - 1), 6)) + 1).cast("long").alias("pos"),
+    )
+    return mapped.join(glob, "pos").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("gval", 6).alias("value_qnorm"),
     )
 
 
