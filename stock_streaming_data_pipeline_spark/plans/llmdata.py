@@ -1465,7 +1465,7 @@ WITH g AS (
          count(*) OVER (PARTITION BY event_type) AS n_g
   FROM events
 ),
-glob AS (
+gsorted AS (
   SELECT value AS gval,
          row_number() OVER (ORDER BY value, event_id) AS pos
   FROM events
@@ -1480,7 +1480,7 @@ mapped AS (
 )
 SELECT m.event_id, m.event_type, m.value,
        round(gl.gval, 6) AS value_qnorm
-FROM mapped m JOIN glob gl ON gl.pos = m.pos
+FROM mapped m JOIN gsorted gl ON gl.pos = m.pos
 """,
 )
 def quantile_normalized_values(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -312,3 +312,39 @@ def test_joins_degrade_to_sort_merge_without_auto_broadcast(spark):
                 raise AssertionError(f"{name}: {m.group(1)} still broadcast")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_quantile_normalization_window_discipline(spark):
+    """quantile_normalized_values is the one catalog query that needs a
+    GLOBAL rank over the fact table; pin that it gets it from
+    operators/running.global_rank's two-phase plan, NOT a single-task
+    window:
+
+    - every window over a fact-table column is partitioned (event_type
+      for the within-key ranks, _pid for the local ranks);
+    - the ONLY unpartitioned window orders by _pid and consumes the
+      per-partition counts frame — its input is one row per range
+      partition (an Aggregate sits below it), bounded by the
+      shuffle-partition count independent of SF.
+    """
+    import re
+
+    plan = plan_of(spark, "quantile_normalized_values")
+    unpart = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = m.group(1).split(",")[0]
+        if " ASC" in first or " DESC" in first:
+            unpart.append(first.strip())
+    # exactly one unpartitioned spec, and it's the _pid offsets window
+    assert len(set(unpart)) == 1, unpart
+    assert unpart[0].startswith("_pid"), unpart
+    # the offsets window's subtree must aggregate before the window
+    # (counts frame), so its row count == n_part, not the fact table
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window" in line and "_pid" in line and "sum(_n" in line:
+            subtree = "\n".join(lines[i : i + 8])
+            assert "HashAggregate" in subtree, subtree
+            break
+    else:
+        raise AssertionError("offsets window not found in plan")

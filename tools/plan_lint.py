@@ -143,6 +143,11 @@ UNPARTITIONED_WINDOW_ALLOW = {
     "streaming_custom_source_vwap",  # settle() re-frame, bounded result
     "cumulative_volume_salted",     # segment-offset window over segment totals (tiny)
     "pareto_abc_parts",             # global running share over the PART-level rollup (bounded: #parts)
+    "quantile_normalized_values",   # global_rank's offsets window: ORDER BY _pid over
+                                    # the per-partition counts frame — exactly n_part
+                                    # rows (shuffle-partition count, SF-independent);
+                                    # the fact-table windows are partitioned. Shape
+                                    # pinned in tests/test_plan_shapes.py.
 }
 
 # Streaming queries run the full settle() harness — linting their final
