@@ -525,3 +525,507 @@ def decode_jpeg(data: bytes):
                         255, max(0, _round_half_up(x))
                     )
     return width, height, bytes(pixels)
+
+
+# ---------------------------------------------------------------------------
+# Color: baseline 4:2:0 YCbCr (3-component SOF0, Y sampled 2x2, Cb/Cr 1x1)
+# — the overwhelmingly common real-world JPEG shape. Same differential
+# contract as grayscale: decode(encode(rgb)) == reference_transform_color,
+# replayable relationally. Components share the self-describing Huffman
+# tables above (baseline permits shared tables; compression, not
+# correctness, is what dedicated chroma tables would buy).
+# ---------------------------------------------------------------------------
+
+# Standard chrominance quantization table (ITU T.81 Annex K.2) — public.
+QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# JFIF RGB <-> YCbCr coefficients (ITU-R BT.601, the JFIF standard ones).
+# Module-level so the SQL oracle interpolates the IDENTICAL doubles.
+YCC_FWD = (0.299, 0.587, 0.114, -0.168736, -0.331264, 0.5,
+           0.5, -0.418688, -0.081312)
+YCC_INV = (1.402, -0.344136, -0.714136, 1.772)
+
+
+def _clamp8(v: int) -> int:
+    return 255 if v > 255 else (0 if v < 0 else v)
+
+
+def rgb_to_ycbcr_planes(rgb: bytes, width: int, height: int):
+    """Lattice-rounded JFIF conversion + 2x2 chroma subsample (average of
+    the four ROUNDED full-res chroma samples, rounded again — the
+    two-step integer lattice the SQL oracle replays). Returns
+    (Y plane w*h, Cb plane (w/2)*(h/2), Cr plane) as int lists. Shared
+    by the encoder and the reference transform so both feed the DCT the
+    same integers."""
+    if width % 16 or height % 16:
+        raise ValueError("jpeg color: dimensions must be multiples of 16")
+    if len(rgb) != width * height * 3:
+        raise ValueError("jpeg color: pixel buffer size mismatch")
+    ky_r, ky_g, ky_b, kb_r, kb_g, kb_b, kr_r, kr_g, kr_b = YCC_FWD
+    yp = [0] * (width * height)
+    cbf = [0] * (width * height)
+    crf = [0] * (width * height)
+    for i in range(width * height):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        yp[i] = _clamp8(_round_half_up(ky_r * r + ky_g * g + ky_b * b))
+        cbf[i] = _clamp8(_round_half_up(kb_r * r + kb_g * g + kb_b * b + 128.0))
+        crf[i] = _clamp8(_round_half_up(kr_r * r + kr_g * g + kr_b * b + 128.0))
+    cw, ch = width // 2, height // 2
+    cb = [0] * (cw * ch)
+    cr = [0] * (cw * ch)
+    for sr in range(ch):
+        for sc in range(cw):
+            idx = [(2 * sr) * width + 2 * sc, (2 * sr) * width + 2 * sc + 1,
+                   (2 * sr + 1) * width + 2 * sc, (2 * sr + 1) * width + 2 * sc + 1]
+            cb[sr * cw + sc] = _round_half_up(sum(cbf[j] for j in idx) / 4.0)
+            cr[sr * cw + sc] = _round_half_up(sum(crf[j] for j in idx) / 4.0)
+    return yp, cb, cr
+
+
+def _forward_block_zz(plane, stride: int, bx: int, by: int, qtab) -> list[int]:
+    """Quantized zigzag coefficients of one 8x8 block (level-shift → DCT
+    → half-up quantize) — the encoder's per-block forward path."""
+    C = DCT_BASIS
+    X = [
+        [plane[(by + r) * stride + bx + c] - 128.0 for c in range(8)]
+        for r in range(8)
+    ]
+    T = [
+        [sum(C[u][i] * X[i][j] for i in range(8)) for j in range(8)]
+        for u in range(8)
+    ]
+    Y = [
+        [sum(T[u][j] * C[v][j] for j in range(8)) for v in range(8)]
+        for u in range(8)
+    ]
+    return [_round_half_up(Y[r][c] / qtab[r * 8 + c]) for (r, c) in ZIGZAG]
+
+
+def _inverse_block(zz, qtab):
+    """Dequant + IDCT + half-up round + clamp for one block of zigzag
+    coefficients — the decoder's per-block inverse path. Returns an 8x8
+    row-major list of ints."""
+    C = DCT_BASIS
+    Q = [[0.0] * 8 for _ in range(8)]
+    for z, (r, c) in enumerate(ZIGZAG):
+        Q[r][c] = float(zz[z] * qtab[r * 8 + c])
+    T2 = [
+        [sum(C[u][i] * Q[u][j] for u in range(8)) for j in range(8)]
+        for i in range(8)
+    ]
+    out = [0] * 64
+    for r in range(8):
+        for c in range(8):
+            x = sum(T2[r][j] * C[j][c] for j in range(8)) + 128.0
+            out[r * 8 + c] = _clamp8(_round_half_up(x))
+    return out
+
+
+def _write_block(w: _BitWriter, zz: list[int], prev_dc: int) -> int:
+    """Entropy-encode one block's zigzag coefficients (shared DC/AC
+    tables); returns the new DC predictor."""
+    diff = zz[0] - prev_dc
+    cat, bits = _magnitude(diff)
+    code, length = _DC_CODES[cat]
+    w.write(code, length)
+    if cat:
+        w.write(bits, cat)
+    run = 0
+    for z in range(1, 64):
+        v = zz[z]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = _AC_CODES[0xF0]
+            w.write(zc, zl)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, length = _AC_CODES[(run << 4) | cat]
+        w.write(code, length)
+        w.write(bits, cat)
+        run = 0
+    if run:
+        ec, el = _AC_CODES[0x00]
+        w.write(ec, el)
+    return zz[0]
+
+
+def ycbcr_to_rgb_bytes(yp, cb, cr, width: int, height: int) -> bytes:
+    """Replicated 2x2 chroma upsample + lattice-rounded JFIF inverse."""
+    ki_cr_r, ki_cb_g, ki_cr_g, ki_cb_b = YCC_INV
+    cw = width // 2
+    out = bytearray(width * height * 3)
+    for r in range(height):
+        for c in range(width):
+            y = yp[r * width + c]
+            cbv = cb[(r // 2) * cw + c // 2] - 128.0
+            crv = cr[(r // 2) * cw + c // 2] - 128.0
+            i = 3 * (r * width + c)
+            out[i] = _clamp8(_round_half_up(y + ki_cr_r * crv))
+            out[i + 1] = _clamp8(_round_half_up(y + ki_cb_g * cbv + ki_cr_g * crv))
+            out[i + 2] = _clamp8(_round_half_up(y + ki_cb_b * cbv))
+    return bytes(out)
+
+
+def reference_transform_color(rgb: bytes, width: int, height: int) -> bytes:
+    """decode(encode_jpeg_color(rgb)) must equal THIS: lattice YCbCr +
+    subsample, per-block quantize-roundtrip (luma/chroma Annex-K tables),
+    replicated upsample, lattice inverse conversion — fully SQL-replayable
+    (sql_reference_stats_color)."""
+    yp, cb, cr = rgb_to_ycbcr_planes(rgb, width, height)
+    cw, ch = width // 2, height // 2
+
+    def roundtrip(plane, w, h, qtab):
+        out = [0] * (w * h)
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                blk = _inverse_block(_forward_block_zz(plane, w, bx, by, qtab), qtab)
+                for r in range(8):
+                    for c in range(8):
+                        out[(by + r) * w + bx + c] = blk[r * 8 + c]
+        return out
+
+    y2 = roundtrip(yp, width, height, QUANT_LUMA)
+    cb2 = roundtrip(cb, cw, ch, QUANT_CHROMA)
+    cr2 = roundtrip(cr, cw, ch, QUANT_CHROMA)
+    return ycbcr_to_rgb_bytes(y2, cb2, cr2, width, height)
+
+
+def encode_jpeg_color(rgb: bytes, width: int, height: int) -> bytes:
+    """Baseline sequential 4:2:0 YCbCr JPEG of raw interleaved 8-bit RGB."""
+    yp, cb, cr = rgb_to_ycbcr_planes(rgb, width, height)
+    cw = width // 2
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    # DQT: luma table 0 + chroma table 1, zigzag order
+    for tid, tab in ((0, QUANT_LUMA), (1, QUANT_CHROMA)):
+        zz_q = bytes(tab[r * 8 + c] for (r, c) in ZIGZAG)
+        out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, tid) + zz_q
+    # SOF0: 8-bit, 3 components — Y 2x2 sampling / qtab 0, Cb & Cr 1x1 / qtab 1
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 2 + 6 + 9, 8, height, width, 3)
+    out += struct.pack(">BBB", 1, 0x22, 0)
+    out += struct.pack(">BBB", 2, 0x11, 1)
+    out += struct.pack(">BBB", 3, 0x11, 1)
+    # DHT: the shared self-describing DC + AC tables (ids 0)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_SYMBOLS), 0x00)
+    out += bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_SYMBOLS), 0x10)
+    out += bytes(_AC_BITS) + bytes(_AC_SYMBOLS)
+    # SOS: all 3 components use DC table 0 / AC table 0
+    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 6 + 3, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack(">BB", cid, 0x00)
+    out += struct.pack(">BBB", 0, 63, 0)
+
+    w = _BitWriter()
+    dc_y = dc_cb = dc_cr = 0
+    for my in range(0, height, 16):
+        for mx in range(0, width, 16):
+            # 4 luma blocks, left-to-right then top-to-bottom (T.81 MCU order)
+            for br, bc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                zz = _forward_block_zz(
+                    yp, width, mx + 8 * bc, my + 8 * br, QUANT_LUMA
+                )
+                dc_y = _write_block(w, zz, dc_y)
+            dc_cb = _write_block(
+                w, _forward_block_zz(cb, cw, mx // 2, my // 2, QUANT_CHROMA), dc_cb
+            )
+            dc_cr = _write_block(
+                w, _forward_block_zz(cr, cw, mx // 2, my // 2, QUANT_CHROMA), dc_cr
+            )
+    w.flush()
+    out += w.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg_color(data: bytes):
+    """(width, height, interleaved RGB bytes) from a baseline 4:2:0
+    YCbCr JPEG (the encode_jpeg_color layout: SOF0, 3 components, Y
+    sampled 2x2, shared-or-separate Huffman tables). Grayscale streams
+    belong to decode_jpeg; other samplings/progressive raise."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[int, dict] = {}
+    width = height = 0
+    comp_spec: list[tuple[int, int, int]] = []  # (cid, sampling, qtab id)
+    scan_tabs: dict[int, tuple[int, int]] = {}  # cid -> (dc table, ac table)
+    scan_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq_tq = seg[p]
+                if pq_tq >> 4:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                zz = list(seg[p + 1 : p + 65])
+                tab = [0] * 64
+                for z, (r, c) in enumerate(ZIGZAG):
+                    tab[r * 8 + c] = zz[z]
+                quant[pq_tq & 0xF] = tab
+                p += 65
+        elif marker == 0xC0:
+            precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            if ncomp != 3:
+                raise ValueError("jpeg color: expected 3 components")
+            for k in range(3):
+                cid, sampling, qid = struct.unpack(
+                    ">BBB", seg[6 + 3 * k : 9 + 3 * k]
+                )
+                comp_spec.append((cid, sampling, qid))
+            if [s for _, s, _ in comp_spec] != [0x22, 0x11, 0x11]:
+                raise ValueError("jpeg color: only 4:2:0 (2x2,1x1,1x1) supported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("jpeg: only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:
+            huff.update(_decode_huffman_dht(seg))
+        elif marker == 0xDA:
+            ns = seg[0]
+            if ns != 3:
+                raise ValueError("jpeg color: expected 3-component scan")
+            for k in range(3):
+                cid, tdta = seg[1 + 2 * k], seg[2 + 2 * k]
+                scan_tabs[cid] = (tdta >> 4, tdta & 0xF)
+            scan_start = pos + seglen
+            pos = scan_start
+            break
+        pos += seglen
+    if scan_start is None or not width or not height:
+        raise ValueError("jpeg: missing SOS/SOF0")
+    if width % 16 or height % 16:
+        raise ValueError("jpeg color: non-multiple-of-16 dimensions unsupported")
+
+    end = data.find(b"\xff\xd9", scan_start)
+    if end < 0:
+        raise ValueError("jpeg: missing EOI")
+    r = _BitReader(data[scan_start:end])
+
+    def read_symbol(table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | r.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid huffman code")
+
+    def read_block(dc_tab, ac_tab, prev_dc: int) -> tuple[list[int], int]:
+        zz = [0] * 64
+        cat = read_symbol(dc_tab)
+        diff = _extend(r.read_bits(cat), cat) if cat else 0
+        dc = prev_dc + diff
+        zz[0] = dc
+        z = 1
+        while z < 64:
+            sym = read_symbol(ac_tab)
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                z += 16
+                continue
+            run, cat = sym >> 4, sym & 0xF
+            z += run
+            if z > 63:
+                raise ValueError("jpeg: AC run overflow")
+            zz[z] = _extend(r.read_bits(cat), cat)
+            z += 1
+        return zz, dc
+
+    cw, chh = width // 2, height // 2
+    yp = [0] * (width * height)
+    cbp = [0] * (cw * chh)
+    crp = [0] * (cw * chh)
+    preds = {cid: 0 for cid, _, _ in comp_spec}
+    planes = {comp_spec[0][0]: (yp, width), comp_spec[1][0]: (cbp, cw),
+              comp_spec[2][0]: (crp, cw)}
+    for my in range(0, height, 16):
+        for mx in range(0, width, 16):
+            for k, (cid, sampling, qid) in enumerate(comp_spec):
+                td, ta = scan_tabs[cid]
+                dc_tab, ac_tab = huff.get(td), huff.get(0x10 | ta)
+                qtab = quant.get(qid)
+                if dc_tab is None or ac_tab is None or qtab is None:
+                    raise ValueError("jpeg: missing tables")
+                plane, stride = planes[cid]
+                blocks = (
+                    ((0, 0), (0, 1), (1, 0), (1, 1)) if k == 0 else ((0, 0),)
+                )
+                for br, bc in blocks:
+                    zz, preds[cid] = read_block(dc_tab, ac_tab, preds[cid])
+                    px = _inverse_block(zz, qtab)
+                    ox = (mx + 8 * bc) if k == 0 else mx // 2
+                    oy = (my + 8 * br) if k == 0 else my // 2
+                    for rr in range(8):
+                        for cc in range(8):
+                            plane[(oy + rr) * stride + ox + cc] = px[rr * 8 + cc]
+    return width, height, ycbcr_to_rgb_bytes(yp, cbp, crp, width, height)
+
+
+def sql_reference_stats_color(media_text_sql: str, *, table: str = "documents") -> str:
+    """DuckDB oracle for the 16×16 4:2:0 color JPEG round-trip: replays
+    :func:`reference_transform_color` relationally — interleaved RGB from
+    the sanitized text bytes, lattice JFIF YCbCr conversion, 2×2 chroma
+    average, per-block DCT quantize-roundtrip (four luma blocks against
+    the Annex-K.1 table, one 8×8 block per chroma channel against the
+    Annex-K.2 table), replicated upsample, lattice inverse conversion —
+    reduced to the channel-summed pixel statistics of
+    :func:`multimodal.jpeg_color_pixel_stats`. Entropy layer correctness
+    is what the differential proves, exactly as in the grayscale oracle."""
+    cvals = ",\n    ".join(
+        f"({u}, {i}, {DCT_BASIS[u][i]!r})" for u in range(8) for i in range(8)
+    )
+    qvals = ",\n    ".join(
+        f"({u}, {v}, {QUANT_LUMA[u * 8 + v]})" for u in range(8) for v in range(8)
+    )
+    qcvals = ",\n    ".join(
+        f"({u}, {v}, {QUANT_CHROMA[u * 8 + v]})" for u in range(8) for v in range(8)
+    )
+    ky_r, ky_g, ky_b, kb_r, kb_g, kb_b, kr_r, kr_g, kr_b = YCC_FWD
+    ki_cr_r, ki_cb_g, ki_cr_g, ki_cb_b = YCC_INV
+    lat = "CAST(least(255, greatest(0, floor(round({x}, 6) + 0.5))) AS BIGINT)"
+    return f"""
+WITH t AS (
+  SELECT doc_id AS media_id,
+         substr({media_text_sql} || repeat(' ', 768), 1, 768) AS s
+  FROM {table}
+),
+cmat(u, i, w) AS (VALUES
+    {cvals}
+),
+qmat(u, v, q) AS (VALUES
+    {qvals}
+),
+qmatc(u, v, q) AS (VALUES
+    {qcvals}
+),
+px AS (
+  SELECT media_id,
+         CAST((u.i - 1) // 16 AS INT) AS r, CAST((u.i - 1) % 16 AS INT) AS c,
+         CAST(ascii(substr(s, CAST((u.i - 1) * 3 + 1 AS INT), 1)) AS DOUBLE) AS rv,
+         CAST(ascii(substr(s, CAST((u.i - 1) * 3 + 2 AS INT), 1)) AS DOUBLE) AS gv,
+         CAST(ascii(substr(s, CAST((u.i - 1) * 3 + 3 AS INT), 1)) AS DOUBLE) AS bv
+  FROM t, unnest(range(1, 257)) AS u(i)
+),
+ycc AS (
+  SELECT media_id, r, c,
+    {lat.format(x=f"({ky_r!r}) * rv + ({ky_g!r}) * gv + ({ky_b!r}) * bv")} AS y,
+    {lat.format(x=f"({kb_r!r}) * rv + ({kb_g!r}) * gv + ({kb_b!r}) * bv + 128.0")} AS cb,
+    {lat.format(x=f"({kr_r!r}) * rv + ({kr_g!r}) * gv + ({kr_b!r}) * bv + 128.0")} AS cr
+  FROM px
+),
+csub AS (
+  SELECT media_id, r // 2 AS sr, c // 2 AS sc,
+         CAST(floor(round(avg(CAST(cb AS DOUBLE)), 6) + 0.5) AS BIGINT) AS cbs,
+         CAST(floor(round(avg(CAST(cr AS DOUBLE)), 6) + 0.5) AS BIGINT) AS crs
+  FROM ycc GROUP BY 1, 2, 3
+),
+ylv AS (
+  SELECT media_id, (r // 8) * 2 + (c // 8) AS blk, r % 8 AS lr, c % 8 AS lc,
+         CAST(y AS DOUBLE) - 128.0 AS v
+  FROM ycc
+),
+yt1 AS (
+  SELECT ylv.media_id, ylv.blk, cm.u, ylv.lc AS j, sum(cm.w * ylv.v) AS tv
+  FROM ylv JOIN cmat cm ON cm.i = ylv.lr
+  GROUP BY 1, 2, 3, 4
+),
+yy AS (
+  SELECT yt1.media_id, yt1.blk, yt1.u, cm.u AS v, sum(yt1.tv * cm.w) AS yv
+  FROM yt1 JOIN cmat cm ON cm.i = yt1.j
+  GROUP BY 1, 2, 3, 4
+),
+yqz AS (
+  SELECT yy.media_id, yy.blk, yy.u, yy.v,
+         floor(round(yy.yv / qm.q, 6) + 0.5) * qm.q AS qv
+  FROM yy JOIN qmat qm ON qm.u = yy.u AND qm.v = yy.v
+),
+yt2 AS (
+  SELECT yqz.media_id, yqz.blk, cm.i, yqz.v AS j, sum(cm.w * yqz.qv) AS tv
+  FROM yqz JOIN cmat cm ON cm.u = yqz.u
+  GROUP BY 1, 2, 3, 4
+),
+yrc AS (
+  SELECT yt2.media_id,
+         (yt2.blk // 2) * 8 + yt2.i AS r, (yt2.blk % 2) * 8 + cm.i AS c,
+         {lat.format(x="sum(yt2.tv * cm.w) + 128.0")} AS y2
+  FROM yt2 JOIN cmat cm ON cm.u = yt2.j
+  GROUP BY 1, yt2.blk, yt2.i, cm.i
+),
+clv AS (
+  SELECT media_id, 'cb' AS ch, sr AS lr, sc AS lc,
+         CAST(cbs AS DOUBLE) - 128.0 AS v FROM csub
+  UNION ALL
+  SELECT media_id, 'cr', sr, sc, CAST(crs AS DOUBLE) - 128.0 FROM csub
+),
+ct1 AS (
+  SELECT clv.media_id, clv.ch, cm.u, clv.lc AS j, sum(cm.w * clv.v) AS tv
+  FROM clv JOIN cmat cm ON cm.i = clv.lr
+  GROUP BY 1, 2, 3, 4
+),
+cy AS (
+  SELECT ct1.media_id, ct1.ch, ct1.u, cm.u AS v, sum(ct1.tv * cm.w) AS yv
+  FROM ct1 JOIN cmat cm ON cm.i = ct1.j
+  GROUP BY 1, 2, 3, 4
+),
+cqz AS (
+  SELECT cy.media_id, cy.ch, cy.u, cy.v,
+         floor(round(cy.yv / qm.q, 6) + 0.5) * qm.q AS qv
+  FROM cy JOIN qmatc qm ON qm.u = cy.u AND qm.v = cy.v
+),
+ct2 AS (
+  SELECT cqz.media_id, cqz.ch, cm.i, cqz.v AS j, sum(cm.w * cqz.qv) AS tv
+  FROM cqz JOIN cmat cm ON cm.u = cqz.u
+  GROUP BY 1, 2, 3, 4
+),
+crc AS (
+  SELECT ct2.media_id, ct2.ch, ct2.i AS sr, cm.i AS sc,
+         {lat.format(x="sum(ct2.tv * cm.w) + 128.0")} AS val
+  FROM ct2 JOIN cmat cm ON cm.u = ct2.j
+  GROUP BY 1, 2, 3, 4
+),
+cj AS (
+  SELECT media_id, sr, sc,
+         max(CASE WHEN ch = 'cb' THEN val END) AS cb2,
+         max(CASE WHEN ch = 'cr' THEN val END) AS cr2
+  FROM crc GROUP BY 1, 2, 3
+),
+rgb AS (
+  SELECT y.media_id,
+    {lat.format(x=f"CAST(y.y2 AS DOUBLE) + ({ki_cr_r!r}) * (CAST(cj.cr2 AS DOUBLE) - 128.0)")} AS r2,
+    {lat.format(x=f"CAST(y.y2 AS DOUBLE) + ({ki_cb_g!r}) * (CAST(cj.cb2 AS DOUBLE) - 128.0) + ({ki_cr_g!r}) * (CAST(cj.cr2 AS DOUBLE) - 128.0)")} AS g2,
+    {lat.format(x=f"CAST(y.y2 AS DOUBLE) + ({ki_cb_b!r}) * (CAST(cj.cb2 AS DOUBLE) - 128.0)")} AS b2
+  FROM yrc y JOIN cj
+    ON cj.media_id = y.media_id AND cj.sr = y.r // 2 AND cj.sc = y.c // 2
+)
+SELECT media_id, 16 AS width, 16 AS height,
+       CAST(sum(r2 + g2 + b2) AS BIGINT) AS sum_px,
+       CAST(min(least(r2, g2, b2)) AS INT) AS min_px,
+       CAST(max(greatest(r2, g2, b2)) AS INT) AS max_px,
+       round(CAST(sum(r2 + g2 + b2) AS DOUBLE) / 768, 6) AS mean_px
+FROM rgb GROUP BY media_id
+"""

@@ -628,3 +628,73 @@ def resample_audio(media: DataFrame, *, factor: int) -> DataFrame:
             )
 
     return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def documents_as_jpeg_color_media(
+    docs: DataFrame, *, width: int = 16, height: int = 16
+) -> DataFrame:
+    """COLOR (4:2:0 YCbCr) baseline-JPEG media table from document text:
+    the first width*height*3 bytes (ASCII-sanitized upstream,
+    space-padded) become an interleaved RGB image encoded executor-side
+    by jpeg_codec.encode_jpeg_color. Deterministically lossy — downstream
+    decode equals jpeg_codec.reference_transform_color, replayed
+    relationally by jpeg_codec.sql_reference_stats_color."""
+    n = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                jpeg_codec.encode_jpeg_color(
+                    t.encode("utf-8")[:n].ljust(n, b" "), width, height
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "image",
+                    "meta": [
+                        {
+                            "width": width,
+                            "height": height,
+                            "sample_rate": 0,
+                            "n_frames": 0,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def jpeg_color_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image statistics over all three decoded RGB channels via the
+    REAL 4:2:0 color decoder (mapInPandas): marker walk, interleaved-MCU
+    Huffman decode, dequant, IDCT, chroma upsample, YCbCr→RGB. The mean
+    uses the codec's half-up round6 (jpeg_codec._round6) — Python's
+    builtin round is banker's and WOULD diverge from the SQL oracle on
+    the exact .5e-6 ties that sum/768 produces."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = jpeg_codec.decode_jpeg_color(bytes(payload))
+                n = len(px)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "sum_px": sum(px),
+                        "min_px": min(px) if n else 0,
+                        "max_px": max(px) if n else 0,
+                        "mean_px": jpeg_codec._round6(sum(px) / n) if n else 0.0,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, PIXEL_STATS_SCHEMA)

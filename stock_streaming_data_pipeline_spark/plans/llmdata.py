@@ -1604,6 +1604,30 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_color_decode",
+    tags=("LLM-multimodal",),
+    oracle=_jpeg.sql_reference_stats_color(_MEDIA_TEXT_SQL),
+)
+def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR baseline-JPEG round-trip — the 4:2:0 YCbCr shape virtually
+    every real-world JPEG uses: each document's first 768 bytes become a
+    16×16 interleaved-RGB image, encoded with the real color encoder
+    (lattice JFIF conversion, 2×2 chroma subsample, per-block DCT +
+    Annex-K.1/K.2 quantization, interleaved-MCU Huffman entropy layer)
+    and decoded back with the real multi-component decoder, reduced to
+    channel-summed pixel stats. Deterministically lossy like the
+    grayscale query: decode(encode(rgb)) ==
+    jpeg_codec.reference_transform_color, which the DuckDB oracle
+    replays relationally (per-block matrix products against the literal
+    DCT basis, both quant tables as literal relations, replicated
+    chroma upsample, lattice YCbCr↔RGB). Non-4:2:0 color samplings and
+    progressive streams still raise honestly."""
+    docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
+    media = multimodal.documents_as_jpeg_color_media(docs, width=16, height=16)
+    return multimodal.jpeg_color_pixel_stats(media)
+
+
+@register(
     "multimodal_frame_sample",
     tags=("LLM-multimodal",),
     oracle="""

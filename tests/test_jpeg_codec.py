@@ -95,3 +95,70 @@ def test_decode_image_routes_jpeg():
     assert bytes(out) == j.reference_transform(px, 8, 8)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x00\x01\x02not-an-image")
+
+
+# --- color (4:2:0 YCbCr) ---
+
+
+def test_color_random_roundtrips_match_reference_transform():
+    rng = random.Random(9)
+    for _ in range(12):
+        w = rng.choice([16, 32, 48])
+        h = rng.choice([16, 32])
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        dw, dh, dec = j.decode_jpeg_color(j.encode_jpeg_color(rgb, w, h))
+        assert (dw, dh) == (w, h)
+        assert dec == j.reference_transform_color(rgb, w, h)
+
+
+def test_color_uniform_and_extreme_images():
+    for v in ((0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 255, 0),
+              (0, 0, 255), (128, 128, 128), (127, 128, 129)):
+        rgb = bytes(v * (16 * 16))
+        assert j.decode_jpeg_color(j.encode_jpeg_color(rgb, 16, 16))[2] == (
+            j.reference_transform_color(rgb, 16, 16)
+        )
+
+
+def test_color_dc_differential_across_mcus():
+    # two MCUs with opposite chroma extremes: negative DC diffs on all
+    # three components' predictors
+    rgb = bytes((250, 10, 10) * (16 * 16)) + bytes((10, 10, 250) * (16 * 16))
+    assert j.decode_jpeg_color(j.encode_jpeg_color(rgb, 16, 32))[2] == (
+        j.reference_transform_color(rgb, 16, 32)
+    )
+
+
+def test_color_quality_loss_is_bounded():
+    rng = random.Random(3)
+    rgb = bytes(rng.randrange(256) for _ in range(16 * 16 * 3))
+    _, _, dec = j.decode_jpeg_color(j.encode_jpeg_color(rgb, 16, 16))
+    mae = sum(abs(a - b) for a, b in zip(rgb, dec)) / len(rgb)
+    assert mae < 64  # chroma subsampling on random noise is coarse but sane
+
+
+def test_color_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="multiples of 16"):
+        j.encode_jpeg_color(b"\x00" * (8 * 8 * 3), 8, 8)
+    with pytest.raises(ValueError, match="size mismatch"):
+        j.encode_jpeg_color(b"\x00" * 10, 16, 16)
+    # grayscale stream into the color decoder: honest component error
+    gray = j.encode_jpeg_gray(b" " * 64, 8, 8)
+    with pytest.raises(ValueError, match="3 components"):
+        j.decode_jpeg_color(gray)
+    # color stream into the grayscale decoder: honest error too
+    color = j.encode_jpeg_color(b" " * (16 * 16 * 3), 16, 16)
+    with pytest.raises(ValueError, match="single-component"):
+        j.decode_jpeg(color)
+
+
+def test_color_rejects_non_420_sampling():
+    # hand-flip the SOF0 sampling byte for Y from 0x22 to 0x11 (4:4:4-ish
+    # claim): the decoder must refuse rather than misread the MCU layout
+    enc = bytearray(j.encode_jpeg_color(b" " * (16 * 16 * 3), 16, 16))
+    sof = enc.find(b"\xff\xc0")
+    assert sof > 0
+    assert enc[sof + 11] == 0x22
+    enc[sof + 11] = 0x11
+    with pytest.raises(ValueError, match="4:2:0"):
+        j.decode_jpeg_color(bytes(enc))
