@@ -351,12 +351,17 @@ def minhash_lsh_pairs(
     approximate-recall contract anyway. False positives are eliminated;
     false negatives are the LSH tradeoff.
     """
-    # Persist the hashed shingle rows: they feed the signature aggregate
-    # (banding side) AND the hashed-set aggregate (verification side);
-    # without it the whole shingle+hash lineage runs twice.
+    # The hashed shingle rows feed the signature aggregate (banding side)
+    # AND the hashed-set aggregate (verification side). Deliberately NOT
+    # persisted: the exploded relation is ~10× the input size, and
+    # caching it (serialize + store + read) measured SLOWER than just
+    # running the cheap scan→explode→hash projection twice (sf0.1:
+    # 2.27 s persisted vs 1.87 s recomputed) — and at cluster scale a
+    # 10×-inflated cache is exactly the memory hog that evicts hotter
+    # data. Recompute is deterministic (md5/xxh64 of the same rows).
     hashed = _hashed_shingle_rows(
         df, id_col=id_col, text_col=text_col, n=n, portable=portable
-    ).persist()
+    )
     sigs = hashed.groupBy("doc").agg(*_minhash_aggs(num_perm))
     # Bucket join carries ONLY (doc, band, bucket) — the (potentially large)
     # shingle arrays are re-attached after candidate-pair dedup, so the
@@ -375,7 +380,9 @@ def minhash_lsh_pairs(
     )
     # Hashed sets in their own tiny aggregate (collect_set is a
     # TypedImperativeAggregate — kept away from the 64-min codegen agg).
-    sets = hashed.groupBy("doc").agg(F.sort_array(F.collect_set("h")).alias("hset"))
+    # No sort: array_intersect sizes are order-independent, and the
+    # per-doc sort was measured ~10% of the whole query.
+    sets = hashed.groupBy("doc").agg(F.collect_set("h").alias("hset"))
     cands = (
         cands.join(
             sets.withColumnsRenamed({"doc": "doc_a", "hset": "hs_a"}), "doc_a"
@@ -433,12 +440,16 @@ def minhash_lsh_pairs_cross(
     bucket-colliding cross pairs are exact-verified on their hashed
     shingle sets. At 100 TB the right corpus's signatures/buckets are
     computed once and reused across ingest batches."""
+    # Not persisted / not sorted for the same measured reasons as
+    # minhash_lsh_pairs: recomputing the cheap hash projection beats
+    # caching a 10×-inflated exploded relation, and intersect sizes are
+    # order-independent.
     hashed_l = _hashed_shingle_rows(
         left, id_col=id_col, text_col=text_col, n=n, portable=portable
-    ).persist()
+    )
     hashed_r = _hashed_shingle_rows(
         right, id_col=id_col, text_col=text_col, n=n, portable=portable
-    ).persist()
+    )
     bk_l = _band_buckets(
         hashed_l.groupBy("doc").agg(*_minhash_aggs(num_perm)),
         num_perm=num_perm,
@@ -459,12 +470,8 @@ def minhash_lsh_pairs_cross(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets_l = hashed_l.groupBy("doc").agg(
-        F.sort_array(F.collect_set("h")).alias("hs_a")
-    )
-    sets_r = hashed_r.groupBy("doc").agg(
-        F.sort_array(F.collect_set("h")).alias("hs_b")
-    )
+    sets_l = hashed_l.groupBy("doc").agg(F.collect_set("h").alias("hs_a"))
+    sets_r = hashed_r.groupBy("doc").agg(F.collect_set("h").alias("hs_b"))
     cands = cands.join(
         sets_l.withColumnRenamed("doc", "doc_a"), "doc_a"
     ).join(sets_r.withColumnRenamed("doc", "doc_b"), "doc_b")

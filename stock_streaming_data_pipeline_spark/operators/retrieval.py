@@ -357,3 +357,169 @@ def sql_hash_embed(
          list_transform(raw, x -> x / n) AS embedding
   FROM nrm WHERE n > 0
 )"""
+
+
+def rrf_fusion(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    pool: int = 20,
+    dim: int = 32,
+    k0: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (the standard way a
+    RAG / hard-negative-mining pipeline combines a lexical and a
+    semantic ranker without score calibration): run BM25 and
+    hash-embedding cosine for the SAME query, take each ranker's
+    ``pool`` best, and score every pooled document
+    ``sum(1 / (k0 + rank))`` over the lists it appears in
+    (Cormack/Clarke/Buettcher's k0=60 default).
+
+    Determinism discipline: each 1/(k0+rank) term is rounded to 6 and
+    snapped to micro-units before the cross-list sum (order-insensitive
+    BIGINT addition); both rank lists break ties on doc id; the final
+    order is (fused score desc, doc asc). The semantic query vector is
+    the hash-embedding of the query terms joined as a pseudo-document —
+    same featurizer, salt and dimension as the corpus, so the whole
+    hybrid stack stays model-free and SQL-replayable.
+
+    Scale shape: BM25 is the broadcast-terms postings plan of
+    :func:`bm25_topk`; the cosine side is one map-side dot product
+    against a single broadcast query vector + TakeOrderedAndProject;
+    the fusion itself joins two ≤pool-row relations.
+    """
+    q_text = " ".join(sorted(set(query_terms)))
+    spark = docs.sparkSession
+
+    lex = bm25_topk(
+        docs, query_terms, id_col=id_col, text_col=text_col, k=pool
+    ).select(
+        "doc",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc")))
+        .alias("bm25_rank"),
+    )
+
+    corpus_plus_q = docs.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).unionByName(
+        spark.createDataFrame([(-1, q_text)], f"{id_col} long, {text_col} string")
+    )
+    emb = hash_embed(corpus_plus_q, id_col=id_col, text_col=text_col, dim=dim)
+    qvec = emb.filter(F.col(id_col) == -1).select(
+        F.col("embedding").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    sem = (
+        emb.filter(F.col(id_col) != -1)
+        .crossJoin(F.broadcast(qvec))
+        .select(F.col(id_col).alias("doc"), round6(dot).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("doc"))
+        .limit(pool)
+        .select(
+            "doc",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), F.asc("doc")))
+            .alias("cos_rank"),
+        )
+    )
+
+    def contrib(rank_col: str):
+        return F.when(
+            F.col(rank_col).isNotNull(),
+            F.floor(
+                F.round(F.lit(1.0) / (F.lit(k0) + F.col(rank_col)), 6) * 1e6
+                + F.lit(0.5)
+            ),
+        ).otherwise(F.lit(0))
+
+    fused = (
+        lex.join(sem, "doc", "full_outer")
+        .select(
+            "doc",
+            "bm25_rank",
+            "cos_rank",
+            (contrib("bm25_rank") + contrib("cos_rank"))
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+        .orderBy(F.desc("rrf_micro"), F.asc("doc"))
+        .limit(k)
+        .select(
+            "doc",
+            round6(F.col("rrf_micro").cast("double") / F.lit(1e6)).alias("rrf"),
+            F.col("bm25_rank").cast("long").alias("bm25_rank"),
+            F.col("cos_rank").cast("long").alias("cos_rank"),
+        )
+    )
+    return fused
+
+
+def sql_rrf_fusion(
+    query_terms: Sequence[str],
+    *,
+    id_col: str,
+    text_col: str,
+    table: str = "documents",
+    k: int = 10,
+    pool: int = 20,
+    dim: int = 32,
+    k0: int = 60,
+) -> str:
+    """DuckDB replay of :func:`rrf_fusion` — same two rankers, same
+    micro-unit fusion."""
+    q_text = " ".join(sorted(set(query_terms)))
+    bm25_sql = sql_bm25_topk(
+        query_terms, id_col=id_col, text_col=text_col, table=table, k=pool
+    )
+    corpus_plus_q = (
+        f"(SELECT {id_col}, {text_col} FROM {table} "
+        f"UNION ALL SELECT -1, '{q_text}')"
+    )
+    hemb = sql_hash_embed(
+        id_col=id_col, text_col=text_col, table=corpus_plus_q, dim=dim
+    )
+    contrib = (
+        "CASE WHEN {r} IS NULL THEN 0 ELSE "
+        f"CAST(floor(round(1.0 / ({k0} + {{r}}), 6) * 1000000.0 + 0.5) AS BIGINT) "
+        "END"
+    )
+    return f"""
+WITH lexs AS ({bm25_sql}),
+lex AS (
+  SELECT doc, CAST(row_number() OVER (ORDER BY bm25 DESC, doc ASC) AS BIGINT)
+           AS bm25_rank
+  FROM lexs
+),
+{hemb},
+qv AS (SELECT embedding AS qe FROM hemb WHERE {id_col} = -1),
+sems AS (
+  SELECT {id_col} AS doc,
+         round(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(1, len(embedding) + 1),
+             i -> (embedding)[i] * (qv.qe)[i])), (a, x) -> a + x), 6) AS cosine
+  FROM hemb, qv WHERE {id_col} <> -1
+  ORDER BY cosine DESC, doc ASC LIMIT {pool}
+),
+sem AS (
+  SELECT doc, CAST(row_number() OVER (ORDER BY cosine DESC, doc ASC) AS BIGINT)
+           AS cos_rank
+  FROM sems
+),
+fused AS (
+  SELECT coalesce(lex.doc, sem.doc) AS doc, lex.bm25_rank, sem.cos_rank,
+         {contrib.format(r="lex.bm25_rank")} + {contrib.format(r="sem.cos_rank")}
+           AS rrf_micro
+  FROM lex FULL OUTER JOIN sem ON lex.doc = sem.doc
+)
+SELECT doc, round(rrf_micro::DOUBLE / 1000000.0, 6) AS rrf,
+       bm25_rank, cos_rank
+FROM fused ORDER BY rrf_micro DESC, doc ASC LIMIT {k}
+"""

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from stock_streaming_data_pipeline_spark.operators.dedup import (
     portable_hash,
     sql_portable_hash,
+    tokens,
 )
 
 _M = 1_000_000  # hash-to-uniform resolution
@@ -343,4 +344,155 @@ SELECT {select}, round({key}, 9) AS _es_key
 FROM {table}
 ORDER BY round({key}, 9) DESC, {id_col} ASC
 LIMIT {k}
+"""
+
+
+def dsir_importance(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    target_pred,
+    n_buckets: int = 64,
+    salt: str = "dsir_",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023), the
+    hashed-n-gram form: score every RAW document by how much more likely
+    its (hashed unigram) features are under the TARGET corpus than under
+    the raw corpus, ``w(d) = Σ_tokens ln(p_target(bucket)/p_raw(bucket))``
+    with add-one smoothing over ``n_buckets`` hashed feature buckets.
+    ``target_pred`` is a Column predicate selecting the in-domain target
+    slice (e.g. a trusted source). Output: (doc, n_toks, importance,
+    keep) for every NON-target document, ``keep = importance > 0``
+    (more target-like than raw-like).
+
+    Portability discipline: bucket counts and totals are exact integers;
+    each bucket's log-ratio — the only transcendental — is rounded to 6
+    then micro-snapped, so the per-document sum is order-insensitive
+    BIGINT arithmetic; ``importance`` is the micro sum scaled back.
+
+    Scale shape: one tokenize-explode pass; the per-bucket count
+    aggregate is ``n_buckets``-bounded (a broadcast relation, like a
+    sketch); scoring is a map-side broadcast-hash-join of token rows
+    against the 64-row ratio table + one groupBy(doc). The corpus never
+    self-joins, and nothing driver-side scales with data.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        target_pred.alias("is_target"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    bucket = F.pmod(portable_hash(F.col("t"), salt=salt), F.lit(n_buckets)).cast(
+        "int"
+    )
+    bt = toks.select("doc", "is_target", bucket.alias("b"))
+    counts = bt.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lam = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.signum(
+                    F.round(
+                        F.log(
+                            ((F.col("ct") + 1) / (F.col("tt") + F.lit(n_buckets)))
+                            / ((F.col("cr") + 1) / (F.col("tr") + F.lit(n_buckets)))
+                        ),
+                        6,
+                    )
+                )
+                * F.floor(
+                    F.abs(
+                        F.round(
+                            F.log(
+                                ((F.col("ct") + 1) / (F.col("tt") + F.lit(n_buckets)))
+                                / ((F.col("cr") + 1) / (F.col("tr") + F.lit(n_buckets)))
+                            ),
+                            6,
+                        )
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+            )
+            .cast("long")
+            .alias("lam_micro"),
+        )
+    )
+    scored = (
+        bt.filter(~F.col("is_target"))
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("lam_micro").alias("w_micro"),
+        )
+    )
+    return scored.select(
+        "doc",
+        "n_toks",
+        F.round(F.col("w_micro").cast("double") / F.lit(1e6), 6).alias(
+            "importance"
+        ),
+        (F.col("w_micro") > 0).alias("keep"),
+    )
+
+
+def sql_dsir_importance(
+    *,
+    id_col: str,
+    text_col: str,
+    target_pred_sql: str,
+    table: str = "documents",
+    n_buckets: int = 64,
+    salt: str = "dsir_",
+) -> str:
+    """DuckDB replay of :func:`dsir_importance` — identical integer/
+    micro-unit lattice."""
+    from stock_streaming_data_pipeline_spark.operators.retrieval import (
+        SQL_TOKENS,
+    )
+
+    toks = SQL_TOKENS.format(col=text_col)
+    hb = sql_portable_hash("t", salt=salt)
+    lam = (
+        f"round(ln(((ct + 1)::DOUBLE / (tt + {n_buckets})) "
+        f"/ ((cr + 1)::DOUBLE / (tr + {n_buckets}))), 6)"
+    )
+    return f"""
+WITH tk AS (
+  SELECT {id_col} AS doc, ({target_pred_sql}) AS is_target,
+         unnest({toks}) AS t
+  FROM {table}
+),
+bt AS (
+  SELECT doc, is_target, CAST({hb} % {n_buckets} AS INT) AS b FROM tk
+),
+counts AS (
+  SELECT b,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+  FROM bt GROUP BY b
+),
+totals AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+lam AS (
+  SELECT b,
+         CAST(CASE WHEN {lam} >= 0
+              THEN floor(abs({lam}) * 1000000.0 + 0.5)
+              ELSE -floor(abs({lam}) * 1000000.0 + 0.5) END AS BIGINT)
+           AS lam_micro
+  FROM counts CROSS JOIN totals
+)
+SELECT bt.doc, count(*) AS n_toks,
+       round(sum(lam.lam_micro)::DOUBLE / 1000000.0, 6) AS importance,
+       sum(lam.lam_micro) > 0 AS keep
+FROM bt JOIN lam USING (b)
+WHERE NOT bt.is_target
+GROUP BY bt.doc
 """

@@ -1880,6 +1880,56 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retrieval_rrf_fusion",
+    tags=("LLM-retrieval", "O2"),
+    oracle=retrieval.sql_rrf_fusion(
+        _BM25_QUERY, id_col="doc_id", text_col="text", k=10, pool=20, dim=32
+    ),
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused by reciprocal rank
+    (k0=60): BM25 and hash-embedding cosine each rank their 20 best for
+    the same 3-term query, and every pooled document scores
+    Σ 1/(60+rank) in micro-units — the calibration-free ranker
+    combination a RAG or hard-negative-mining pipeline runs. Both
+    ranked lists, the fusion arithmetic, and the tie discipline replay
+    exactly in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.rrf_fusion(
+        docs, _BM25_QUERY, id_col="doc_id", text_col="text",
+        k=10, pool=20, dim=32,
+    )
+
+
+_DSIR_TARGET_SQL = "source = 'src0'"
+
+
+@register(
+    "dsir_importance_weights",
+    tags=("LLM-mixing", "LLM-text"),
+    oracle=sampling.sql_dsir_importance(
+        id_col="doc_id", text_col="text",
+        target_pred_sql=_DSIR_TARGET_SQL, n_buckets=64,
+    ),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection with Importance Resampling, Xie et al. 2023)
+    in its hashed-unigram form: treat source src0 as the trusted
+    in-domain corpus, score every OTHER document by the summed hashed-
+    feature log-likelihood ratio between target and raw distributions
+    (add-one smoothing over 64 buckets), keep = more-target-like. The
+    bucket ratio table is a 64-row broadcast (sketch-sized regardless
+    of corpus scale); per-document scoring is one map-side join + one
+    groupBy. Log-ratios are round-6 micro-snapped so the differential
+    is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.dsir_importance(
+        docs, id_col="doc_id", text_col="text",
+        target_pred=F.col("source") == "src0", n_buckets=64,
+    )
+
+
+@register(
     "retrieval_tfidf_terms",
     tags=("LLM-retrieval", "W3"),
     oracle=retrieval.sql_tfidf_top_terms(id_col="doc_id", text_col="text", top=3),

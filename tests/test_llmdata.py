@@ -8,6 +8,7 @@ mapInPandas plumbing.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -819,3 +820,70 @@ def test_ivf2_recall_vs_brute_force(spark):
     }
     recall = len(exact & ivf2) / len(exact)
     assert recall >= 0.5, f"IVF2 recall {recall:.2f}"
+
+
+def test_rrf_fusion_properties(spark):
+    """RRF: a doc ranked #1 by BOTH rankers must outrank any single-list
+    doc; fused scores equal the hand-computed 1/(60+r) micro sums;
+    partitioning-invariant."""
+    from stock_streaming_data_pipeline_spark.operators import retrieval
+
+    rows = [
+        (0, "vector hash join vector hash join query fuse"),  # both-lists hit
+        (1, "vector vector vector unrelated filler words here"),
+        (2, "hash hash hash other filler words entirely"),
+        (3, "join join join unrelated content words here"),
+    ] + [(10 + i, f"noise only tokens w{i} x{i} y{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = retrieval.rrf_fusion(
+        df, ("vector", "hash", "join"), id_col="doc_id", text_col="text",
+        k=5, pool=5, dim=32,
+    ).collect()
+    assert out[0]["doc"] == 0  # best in both lists → best fused
+    for r in out:
+        expect = 0
+        for rank in (r["bm25_rank"], r["cos_rank"]):
+            if rank is not None:
+                expect += math.floor(round(1.0 / (60 + rank), 6) * 1e6 + 0.5)
+        assert r["rrf"] == round(expect / 1e6, 6)
+    out2 = retrieval.rrf_fusion(
+        df.repartition(7), ("vector", "hash", "join"),
+        id_col="doc_id", text_col="text", k=5, pool=5, dim=32,
+    ).collect()
+    assert [(r["doc"], r["rrf"]) for r in out] == [
+        (r["doc"], r["rrf"]) for r in out2
+    ]
+
+
+def test_dsir_importance_separates_domains(spark):
+    """DSIR: raw docs written in the target domain's vocabulary score
+    positive (kept), vocabulary-disjoint docs score negative (dropped);
+    target rows never appear in the output; partitioning-invariant."""
+    from stock_streaming_data_pipeline_spark.operators import sampling
+    import pyspark.sql.functions as F
+
+    target = [(i, "alpha beta gamma delta epsilon zeta", "tgt") for i in range(12)]
+    in_domain = [(100 + i, "alpha beta gamma delta", "raw") for i in range(5)]
+    off_domain = [(200 + i, "xray yankee zulu quebec oscar", "raw") for i in range(5)]
+    df = spark.createDataFrame(
+        target + in_domain + off_domain, "doc_id long, text string, src string"
+    )
+    out = {
+        r["doc"]: r
+        for r in sampling.dsir_importance(
+            df, id_col="doc_id", text_col="text",
+            target_pred=F.col("src") == "tgt", n_buckets=32,
+        ).collect()
+    }
+    assert set(out) == {100 + i for i in range(5)} | {200 + i for i in range(5)}
+    for i in range(5):
+        assert out[100 + i]["importance"] > 0 and out[100 + i]["keep"]
+        assert out[200 + i]["importance"] < 0 and not out[200 + i]["keep"]
+    out2 = {
+        r["doc"]: r["importance"]
+        for r in sampling.dsir_importance(
+            df.repartition(5), id_col="doc_id", text_col="text",
+            target_pred=F.col("src") == "tgt", n_buckets=32,
+        ).collect()
+    }
+    assert {d: r["importance"] for d, r in out.items()} == out2

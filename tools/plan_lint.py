@@ -143,6 +143,8 @@ UNPARTITIONED_WINDOW_ALLOW = {
     "streaming_custom_source_vwap",  # settle() re-frame, bounded result
     "cumulative_volume_salted",     # segment-offset window over segment totals (tiny)
     "pareto_abc_parts",             # global running share over the PART-level rollup (bounded: #parts)
+    "retrieval_rrf_fusion",         # rank windows run over the two LIMIT-pool
+                                    # (≤20-row) ranked lists, never the corpus
     "quantile_normalized_values",   # global_rank's offsets window: ORDER BY _pid over
                                     # the per-partition counts frame — exactly n_part
                                     # rows (shuffle-partition count, SF-independent);
