@@ -9,8 +9,10 @@ clamp. No PIL/libjpeg — the container framing, entropy coding, and
 transform arithmetic are all implemented here from the public JPEG
 spec (ITU T.81 baseline), so executors need only the stdlib.
 
-Scope (honest): single-component 8-bit grayscale, no subsampling, no
-restart markers, no progressive — other streams raise. JPEG is LOSSY,
+Scope (honest): baseline sequential (SOF0) only — single-component
+8-bit grayscale, and 3-component 4:2:0 YCbCr color (the dominant
+real-world shape), both with optional DRI/RSTn restart markers; other
+samplings and progressive streams raise. JPEG is LOSSY,
 so the differential contract is different from PNG's: decode(encode(px))
 equals the DETERMINISTIC transform clamp(round(IDCT(dequant(quant(
 DCT(px−128)))))+128) — the entropy layer must round-trip losslessly and
@@ -143,6 +145,12 @@ class _BitWriter:
             pad = 8 - self._n
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
 
+    def restart(self, m: int) -> None:
+        """Byte-align and emit RSTm (FFD0+m) — markers are raw, never
+        stuffed."""
+        self.flush()
+        self.buf += bytes((0xFF, 0xD0 + (m & 7)))
+
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
@@ -178,6 +186,21 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def expect_restart(self, m: int) -> None:
+        """Discard the current byte's padding bits, then consume the
+        expected RSTm marker (raw FF D0+m, outside the stuffing layer)."""
+        self._n -= self._n % 8  # drop 1-bit padding to the byte boundary
+        if self._n:
+            raise ValueError("jpeg: misaligned restart")
+        self._acc = 0
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF or (
+            self.data[self.pos + 1] != 0xD0 + (m & 7)
+        ):
+            raise ValueError(
+                f"jpeg: expected RST{m & 7} at byte {self.pos}"
+            )
+        self.pos += 2
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -243,8 +266,13 @@ def reference_transform(pixels: bytes, width: int, height: int) -> bytes:
     return bytes(out)
 
 
-def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
-    """Baseline sequential grayscale JPEG of raw 8-bit pixels."""
+def encode_jpeg_gray(
+    pixels: bytes, width: int, height: int, *,
+    restart_interval: int | None = None,
+) -> bytes:
+    """Baseline sequential grayscale JPEG of raw 8-bit pixels.
+    ``restart_interval`` (in MCUs = blocks here) adds DRI + RSTn resync
+    markers with DC-predictor resets; pixels are unchanged."""
     if width % 8 or height % 8:
         raise ValueError("jpeg: dimensions must be multiples of 8")
     if len(pixels) != width * height:
@@ -263,6 +291,8 @@ def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
     out += bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
     out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_SYMBOLS), 0x10)
     out += bytes(_AC_BITS) + bytes(_AC_SYMBOLS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 + 3, 1)
     out += struct.pack(">BB", 1, 0x00) + struct.pack(">BBB", 0, 63, 0)
@@ -270,8 +300,13 @@ def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
     C = DCT_BASIS
     w = _BitWriter()
     prev_dc = 0
+    mcu = 0
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.restart((mcu // restart_interval - 1) % 8)
+                prev_dc = 0
+            mcu += 1
             X = [
                 [pixels[(by + r) * width + bx + c] - 128.0 for c in range(8)]
                 for r in range(8)
@@ -419,6 +454,7 @@ def decode_jpeg(data: bytes):
     huff: dict[int, dict] = {}
     width = height = 0
     comp_qtab = 0
+    restart_interval = 0
     scan_start = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -456,6 +492,8 @@ def decode_jpeg(data: bytes):
             raise ValueError("jpeg: only baseline sequential (SOF0) supported")
         elif marker == 0xC4:  # DHT
             huff.update(_decode_huffman_dht(seg))
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             scan_start = pos + seglen
             pos = scan_start
@@ -490,8 +528,13 @@ def decode_jpeg(data: bytes):
     C = DCT_BASIS
     pixels = bytearray(width * height)
     prev_dc = 0
+    mcu = 0
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r.expect_restart((mcu // restart_interval - 1) % 8)
+                prev_dc = 0
+            mcu += 1
             zz = [0] * 64
             cat = read_symbol(dc_tab)
             diff = _extend(r.read_bits(cat), cat) if cat else 0
@@ -701,8 +744,15 @@ def reference_transform_color(rgb: bytes, width: int, height: int) -> bytes:
     return ycbcr_to_rgb_bytes(y2, cb2, cr2, width, height)
 
 
-def encode_jpeg_color(rgb: bytes, width: int, height: int) -> bytes:
-    """Baseline sequential 4:2:0 YCbCr JPEG of raw interleaved 8-bit RGB."""
+def encode_jpeg_color(
+    rgb: bytes, width: int, height: int, *, restart_interval: int | None = None
+) -> bytes:
+    """Baseline sequential 4:2:0 YCbCr JPEG of raw interleaved 8-bit RGB.
+
+    ``restart_interval`` (MCUs) emits a DRI segment plus cycling RSTn
+    markers with DC-predictor resets — the resync feature virtually
+    every camera/encoder writes; pixels are unchanged (the reference
+    transform is restart-agnostic)."""
     yp, cb, cr = rgb_to_ycbcr_planes(rgb, width, height)
     cw = width // 2
 
@@ -722,6 +772,8 @@ def encode_jpeg_color(rgb: bytes, width: int, height: int) -> bytes:
     out += bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
     out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_SYMBOLS), 0x10)
     out += bytes(_AC_BITS) + bytes(_AC_SYMBOLS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     # SOS: all 3 components use DC table 0 / AC table 0
     out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 6 + 3, 3)
     for cid in (1, 2, 3):
@@ -730,8 +782,13 @@ def encode_jpeg_color(rgb: bytes, width: int, height: int) -> bytes:
 
     w = _BitWriter()
     dc_y = dc_cb = dc_cr = 0
+    mcu = 0
     for my in range(0, height, 16):
         for mx in range(0, width, 16):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.restart((mcu // restart_interval - 1) % 8)
+                dc_y = dc_cb = dc_cr = 0
+            mcu += 1
             # 4 luma blocks, left-to-right then top-to-bottom (T.81 MCU order)
             for br, bc in ((0, 0), (0, 1), (1, 0), (1, 1)):
                 zz = _forward_block_zz(
@@ -761,6 +818,7 @@ def decode_jpeg_color(data: bytes):
     quant: dict[int, list[int]] = {}
     huff: dict[int, dict] = {}
     width = height = 0
+    restart_interval = 0
     comp_spec: list[tuple[int, int, int]] = []  # (cid, sampling, qtab id)
     scan_tabs: dict[int, tuple[int, int]] = {}  # cid -> (dc table, ac table)
     scan_start = None
@@ -804,6 +862,8 @@ def decode_jpeg_color(data: bytes):
             raise ValueError("jpeg: only baseline sequential (SOF0) supported")
         elif marker == 0xC4:
             huff.update(_decode_huffman_dht(seg))
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
             ns = seg[0]
             if ns != 3:
@@ -863,8 +923,13 @@ def decode_jpeg_color(data: bytes):
     preds = {cid: 0 for cid, _, _ in comp_spec}
     planes = {comp_spec[0][0]: (yp, width), comp_spec[1][0]: (cbp, cw),
               comp_spec[2][0]: (crp, cw)}
+    mcu = 0
     for my in range(0, height, 16):
         for mx in range(0, width, 16):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r.expect_restart((mcu // restart_interval - 1) % 8)
+                preds = {cid: 0 for cid in preds}
+            mcu += 1
             for k, (cid, sampling, qid) in enumerate(comp_spec):
                 td, ta = scan_tabs[cid]
                 dc_tab, ac_tab = huff.get(td), huff.get(0x10 | ta)

@@ -59,18 +59,26 @@ FEATURE_SCHEMA = (
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytearray]:
     """Real image decode: ``(width, height, channels, pixels)``. PNG is
-    decoded by the pure-stdlib codec (png_codec.py); baseline grayscale
-    JPEG by jpeg_codec.py; other formats raise NotImplementedError until
-    their codec libraries exist on executors."""
+    decoded by the pure-stdlib codec (png_codec.py); baseline JPEG
+    (grayscale, or 4:2:0 YCbCr color — both with or without restart
+    markers) by jpeg_codec.py, routed on the SOF0 component count;
+    other formats raise NotImplementedError until their codec libraries
+    exist on executors."""
     if png_codec.is_png(payload):
         return png_codec.decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        w, h, px = jpeg_codec.decode_jpeg(bytes(payload))
-        return w, h, 1, bytearray(px)
+        try:
+            w, h, px = jpeg_codec.decode_jpeg(bytes(payload))
+            return w, h, 1, bytearray(px)
+        except ValueError as e:
+            if "single-component" not in str(e):
+                raise
+        w, h, px = jpeg_codec.decode_jpeg_color(bytes(payload))
+        return w, h, 3, bytearray(px)
     raise NotImplementedError(
-        "only PNG and baseline grayscale JPEG decoding are implemented "
-        "(pure-stdlib codecs); other codecs are not installed in this "
-        "environment"
+        "only PNG and baseline JPEG (grayscale / 4:2:0 color) decoding "
+        "are implemented (pure-stdlib codecs); other codecs are not "
+        "installed in this environment"
     )
 
 

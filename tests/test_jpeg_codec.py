@@ -162,3 +162,56 @@ def test_color_rejects_non_420_sampling():
     enc[sof + 11] = 0x11
     with pytest.raises(ValueError, match="4:2:0"):
         j.decode_jpeg_color(bytes(enc))
+
+
+def test_restart_markers_gray_and_color():
+    """DRI/RSTn: restart-encoded streams decode to the SAME pixels as
+    marker-free ones (the transform is restart-agnostic), RSTn bytes are
+    actually present, and a stream whose predictors are NOT reset at a
+    restart would diverge — proven by the marker bytes + predictor-reset
+    schedule round-tripping across many intervals."""
+    rng = random.Random(11)
+    px = bytes(rng.randrange(256) for _ in range(32 * 24))
+    plain = j.decode_jpeg(j.encode_jpeg_gray(px, 32, 24))[2]
+    for ri in (1, 2, 3, 7):
+        enc = j.encode_jpeg_gray(px, 32, 24, restart_interval=ri)
+        assert b"\xff\xdd" in enc  # DRI present
+        assert any(bytes((0xFF, 0xD0 + m)) in enc for m in range(8))
+        assert j.decode_jpeg(enc)[2] == plain == j.reference_transform(px, 32, 24)
+
+    rgb = bytes(rng.randrange(256) for _ in range(48 * 32 * 3))
+    plain_c = j.decode_jpeg_color(j.encode_jpeg_color(rgb, 48, 32))[2]
+    for ri in (1, 2):
+        enc = j.encode_jpeg_color(rgb, 48, 32, restart_interval=ri)
+        assert b"\xff\xdd" in enc
+        assert j.decode_jpeg_color(enc)[2] == plain_c == (
+            j.reference_transform_color(rgb, 48, 32)
+        )
+
+
+def test_restart_marker_sequence_is_validated():
+    """A wrong RSTn index (resync slip) must be detected, not silently
+    accepted as data."""
+    px = bytes(range(64)) * 8  # 8 blocks
+    enc = bytearray(j.encode_jpeg_gray(px, 64, 8, restart_interval=2))
+    # find the first RST marker in the scan and break its index
+    for i in range(len(enc) - 1):
+        if enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7:
+            enc[i + 1] = 0xD0 + ((enc[i + 1] - 0xD0 + 3) % 8)
+            break
+    else:
+        raise AssertionError("no RST marker found")
+    with pytest.raises(ValueError):
+        j.decode_jpeg(bytes(enc))
+
+
+def test_decode_image_routes_color_jpeg():
+    from stock_streaming_data_pipeline_spark.operators import multimodal as mm
+
+    rgb = bytes((i * 5) % 256 for i in range(16 * 16 * 3))
+    w, h, ch, px = mm.decode_image(j.encode_jpeg_color(rgb, 16, 16))
+    assert (w, h, ch) == (16, 16, 3)
+    assert bytes(px) == j.reference_transform_color(rgb, 16, 16)
+    gray = bytes((i * 3) % 256 for i in range(64))
+    w, h, ch, px = mm.decode_image(j.encode_jpeg_gray(gray, 8, 8))
+    assert (w, h, ch) == (8, 8, 1)
