@@ -10,9 +10,10 @@ transform arithmetic are all implemented here from the public JPEG
 spec (ITU T.81 baseline), so executors need only the stdlib.
 
 Scope (honest): baseline sequential (SOF0) only — single-component
-8-bit grayscale, and 3-component 4:2:0 YCbCr color (the dominant
-real-world shape), both with optional DRI/RSTn restart markers; other
-samplings and progressive streams raise. JPEG is LOSSY,
+8-bit grayscale, and 3-component YCbCr color in 4:2:0 (the dominant
+real-world shape) or 4:4:4, all with optional DRI/RSTn restart
+markers; other samplings (4:2:2 etc.) and progressive streams raise.
+JPEG is LOSSY,
 so the differential contract is different from PNG's: decode(encode(px))
 equals the DETERMINISTIC transform clamp(round(IDCT(dequant(quant(
 DCT(px−128)))))+128) — the entropy layer must round-trip losslessly and
@@ -602,15 +603,19 @@ def _clamp8(v: int) -> int:
     return 255 if v > 255 else (0 if v < 0 else v)
 
 
-def rgb_to_ycbcr_planes(rgb: bytes, width: int, height: int):
-    """Lattice-rounded JFIF conversion + 2x2 chroma subsample (average of
-    the four ROUNDED full-res chroma samples, rounded again — the
-    two-step integer lattice the SQL oracle replays). Returns
-    (Y plane w*h, Cb plane (w/2)*(h/2), Cr plane) as int lists. Shared
-    by the encoder and the reference transform so both feed the DCT the
-    same integers."""
-    if width % 16 or height % 16:
-        raise ValueError("jpeg color: dimensions must be multiples of 16")
+def rgb_to_ycbcr_planes(
+    rgb: bytes, width: int, height: int, *, subsample: bool = True
+):
+    """Lattice-rounded JFIF conversion; with ``subsample`` (4:2:0), the
+    2x2 chroma subsample averages the four ROUNDED full-res chroma
+    samples and rounds again — the two-step integer lattice the SQL
+    oracle replays. Returns (Y plane w*h, Cb, Cr) as int lists — chroma
+    at (w/2)*(h/2) when subsampled, full-res for 4:4:4. Shared by the
+    encoder and the reference transform so both feed the DCT the same
+    integers."""
+    mcu = 16 if subsample else 8
+    if width % mcu or height % mcu:
+        raise ValueError(f"jpeg color: dimensions must be multiples of {mcu}")
     if len(rgb) != width * height * 3:
         raise ValueError("jpeg color: pixel buffer size mismatch")
     ky_r, ky_g, ky_b, kb_r, kb_g, kb_b, kr_r, kr_g, kr_b = YCC_FWD
@@ -622,6 +627,8 @@ def rgb_to_ycbcr_planes(rgb: bytes, width: int, height: int):
         yp[i] = _clamp8(_round_half_up(ky_r * r + ky_g * g + ky_b * b))
         cbf[i] = _clamp8(_round_half_up(kb_r * r + kb_g * g + kb_b * b + 128.0))
         crf[i] = _clamp8(_round_half_up(kr_r * r + kr_g * g + kr_b * b + 128.0))
+    if not subsample:
+        return yp, cbf, crf
     cw, ch = width // 2, height // 2
     cb = [0] * (cw * ch)
     cr = [0] * (cw * ch)
@@ -703,16 +710,20 @@ def _write_block(w: _BitWriter, zz: list[int], prev_dc: int) -> int:
     return zz[0]
 
 
-def ycbcr_to_rgb_bytes(yp, cb, cr, width: int, height: int) -> bytes:
-    """Replicated 2x2 chroma upsample + lattice-rounded JFIF inverse."""
+def ycbcr_to_rgb_bytes(
+    yp, cb, cr, width: int, height: int, *, subsample: bool = True
+) -> bytes:
+    """Replicated 2x2 chroma upsample (identity for 4:4:4) +
+    lattice-rounded JFIF inverse."""
     ki_cr_r, ki_cb_g, ki_cr_g, ki_cb_b = YCC_INV
-    cw = width // 2
+    cw = width // 2 if subsample else width
     out = bytearray(width * height * 3)
     for r in range(height):
         for c in range(width):
             y = yp[r * width + c]
-            cbv = cb[(r // 2) * cw + c // 2] - 128.0
-            crv = cr[(r // 2) * cw + c // 2] - 128.0
+            ci = (r // 2) * cw + c // 2 if subsample else r * cw + c
+            cbv = cb[ci] - 128.0
+            crv = cr[ci] - 128.0
             i = 3 * (r * width + c)
             out[i] = _clamp8(_round_half_up(y + ki_cr_r * crv))
             out[i + 1] = _clamp8(_round_half_up(y + ki_cb_g * cbv + ki_cr_g * crv))
@@ -720,13 +731,17 @@ def ycbcr_to_rgb_bytes(yp, cb, cr, width: int, height: int) -> bytes:
     return bytes(out)
 
 
-def reference_transform_color(rgb: bytes, width: int, height: int) -> bytes:
-    """decode(encode_jpeg_color(rgb)) must equal THIS: lattice YCbCr +
-    subsample, per-block quantize-roundtrip (luma/chroma Annex-K tables),
-    replicated upsample, lattice inverse conversion — fully SQL-replayable
+def reference_transform_color(
+    rgb: bytes, width: int, height: int, *, subsampling: str = "420"
+) -> bytes:
+    """decode(encode_jpeg_color(rgb)) must equal THIS: lattice YCbCr
+    (+ 2x2 subsample for 4:2:0), per-block quantize-roundtrip
+    (luma/chroma Annex-K tables), replicated upsample (identity for
+    4:4:4), lattice inverse conversion — fully SQL-replayable
     (sql_reference_stats_color)."""
-    yp, cb, cr = rgb_to_ycbcr_planes(rgb, width, height)
-    cw, ch = width // 2, height // 2
+    sub = subsampling == "420"
+    yp, cb, cr = rgb_to_ycbcr_planes(rgb, width, height, subsample=sub)
+    cw, ch = (width // 2, height // 2) if sub else (width, height)
 
     def roundtrip(plane, w, h, qtab):
         out = [0] * (w * h)
@@ -741,20 +756,26 @@ def reference_transform_color(rgb: bytes, width: int, height: int) -> bytes:
     y2 = roundtrip(yp, width, height, QUANT_LUMA)
     cb2 = roundtrip(cb, cw, ch, QUANT_CHROMA)
     cr2 = roundtrip(cr, cw, ch, QUANT_CHROMA)
-    return ycbcr_to_rgb_bytes(y2, cb2, cr2, width, height)
+    return ycbcr_to_rgb_bytes(y2, cb2, cr2, width, height, subsample=sub)
 
 
 def encode_jpeg_color(
-    rgb: bytes, width: int, height: int, *, restart_interval: int | None = None
+    rgb: bytes, width: int, height: int, *,
+    restart_interval: int | None = None,
+    subsampling: str = "420",
 ) -> bytes:
-    """Baseline sequential 4:2:0 YCbCr JPEG of raw interleaved 8-bit RGB.
+    """Baseline sequential YCbCr JPEG of raw interleaved 8-bit RGB —
+    4:2:0 (the dominant shape) or 4:4:4 via ``subsampling``.
 
     ``restart_interval`` (MCUs) emits a DRI segment plus cycling RSTn
     markers with DC-predictor resets — the resync feature virtually
     every camera/encoder writes; pixels are unchanged (the reference
     transform is restart-agnostic)."""
-    yp, cb, cr = rgb_to_ycbcr_planes(rgb, width, height)
-    cw = width // 2
+    if subsampling not in ("420", "444"):
+        raise ValueError("jpeg color: subsampling must be '420' or '444'")
+    sub = subsampling == "420"
+    yp, cb, cr = rgb_to_ycbcr_planes(rgb, width, height, subsample=sub)
+    cw = width // 2 if sub else width
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -762,9 +783,10 @@ def encode_jpeg_color(
     for tid, tab in ((0, QUANT_LUMA), (1, QUANT_CHROMA)):
         zz_q = bytes(tab[r * 8 + c] for (r, c) in ZIGZAG)
         out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, tid) + zz_q
-    # SOF0: 8-bit, 3 components — Y 2x2 sampling / qtab 0, Cb & Cr 1x1 / qtab 1
+    # SOF0: 8-bit, 3 components — Y sampled 2x2 (4:2:0) or 1x1 (4:4:4)
+    # with qtab 0; Cb & Cr 1x1 / qtab 1
     out += b"\xff\xc0" + struct.pack(">HBHHB", 2 + 6 + 9, 8, height, width, 3)
-    out += struct.pack(">BBB", 1, 0x22, 0)
+    out += struct.pack(">BBB", 1, 0x22 if sub else 0x11, 0)
     out += struct.pack(">BBB", 2, 0x11, 1)
     out += struct.pack(">BBB", 3, 0x11, 1)
     # DHT: the shared self-describing DC + AC tables (ids 0)
@@ -783,23 +805,27 @@ def encode_jpeg_color(
     w = _BitWriter()
     dc_y = dc_cb = dc_cr = 0
     mcu = 0
-    for my in range(0, height, 16):
-        for mx in range(0, width, 16):
+    mcu_px = 16 if sub else 8
+    for my in range(0, height, mcu_px):
+        for mx in range(0, width, mcu_px):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 w.restart((mcu // restart_interval - 1) % 8)
                 dc_y = dc_cb = dc_cr = 0
             mcu += 1
-            # 4 luma blocks, left-to-right then top-to-bottom (T.81 MCU order)
-            for br, bc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            # luma blocks, left-to-right then top-to-bottom (T.81 MCU
+            # order): 4 for 4:2:0, 1 for 4:4:4
+            yblocks = ((0, 0), (0, 1), (1, 0), (1, 1)) if sub else ((0, 0),)
+            for br, bc in yblocks:
                 zz = _forward_block_zz(
                     yp, width, mx + 8 * bc, my + 8 * br, QUANT_LUMA
                 )
                 dc_y = _write_block(w, zz, dc_y)
+            cx, cy = (mx // 2, my // 2) if sub else (mx, my)
             dc_cb = _write_block(
-                w, _forward_block_zz(cb, cw, mx // 2, my // 2, QUANT_CHROMA), dc_cb
+                w, _forward_block_zz(cb, cw, cx, cy, QUANT_CHROMA), dc_cb
             )
             dc_cr = _write_block(
-                w, _forward_block_zz(cr, cw, mx // 2, my // 2, QUANT_CHROMA), dc_cr
+                w, _forward_block_zz(cr, cw, cx, cy, QUANT_CHROMA), dc_cr
             )
     w.flush()
     out += w.buf
@@ -856,8 +882,14 @@ def decode_jpeg_color(data: bytes):
                     ">BBB", seg[6 + 3 * k : 9 + 3 * k]
                 )
                 comp_spec.append((cid, sampling, qid))
-            if [s for _, s, _ in comp_spec] != [0x22, 0x11, 0x11]:
-                raise ValueError("jpeg color: only 4:2:0 (2x2,1x1,1x1) supported")
+            if [s for _, s, _ in comp_spec] not in (
+                [0x22, 0x11, 0x11],  # 4:2:0
+                [0x11, 0x11, 0x11],  # 4:4:4
+            ):
+                raise ValueError(
+                    "jpeg color: only 4:2:0 (2x2,1x1,1x1) or 4:4:4 "
+                    "(1x1,1x1,1x1) supported"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("jpeg: only baseline sequential (SOF0) supported")
         elif marker == 0xC4:
@@ -877,8 +909,12 @@ def decode_jpeg_color(data: bytes):
         pos += seglen
     if scan_start is None or not width or not height:
         raise ValueError("jpeg: missing SOS/SOF0")
-    if width % 16 or height % 16:
-        raise ValueError("jpeg color: non-multiple-of-16 dimensions unsupported")
+    sub = comp_spec[0][1] == 0x22
+    mcu_px = 16 if sub else 8
+    if width % mcu_px or height % mcu_px:
+        raise ValueError(
+            f"jpeg color: non-multiple-of-{mcu_px} dimensions unsupported"
+        )
 
     end = data.find(b"\xff\xd9", scan_start)
     if end < 0:
@@ -916,7 +952,7 @@ def decode_jpeg_color(data: bytes):
             z += 1
         return zz, dc
 
-    cw, chh = width // 2, height // 2
+    cw, chh = (width // 2, height // 2) if sub else (width, height)
     yp = [0] * (width * height)
     cbp = [0] * (cw * chh)
     crp = [0] * (cw * chh)
@@ -924,8 +960,8 @@ def decode_jpeg_color(data: bytes):
     planes = {comp_spec[0][0]: (yp, width), comp_spec[1][0]: (cbp, cw),
               comp_spec[2][0]: (crp, cw)}
     mcu = 0
-    for my in range(0, height, 16):
-        for mx in range(0, width, 16):
+    for my in range(0, height, mcu_px):
+        for mx in range(0, width, mcu_px):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 r.expect_restart((mcu // restart_interval - 1) % 8)
                 preds = {cid: 0 for cid in preds}
@@ -938,17 +974,23 @@ def decode_jpeg_color(data: bytes):
                     raise ValueError("jpeg: missing tables")
                 plane, stride = planes[cid]
                 blocks = (
-                    ((0, 0), (0, 1), (1, 0), (1, 1)) if k == 0 else ((0, 0),)
+                    ((0, 0), (0, 1), (1, 0), (1, 1))
+                    if (k == 0 and sub)
+                    else ((0, 0),)
                 )
                 for br, bc in blocks:
                     zz, preds[cid] = read_block(dc_tab, ac_tab, preds[cid])
                     px = _inverse_block(zz, qtab)
-                    ox = (mx + 8 * bc) if k == 0 else mx // 2
-                    oy = (my + 8 * br) if k == 0 else my // 2
+                    if k == 0:
+                        ox, oy = mx + 8 * bc, my + 8 * br
+                    else:
+                        ox, oy = (mx // 2, my // 2) if sub else (mx, my)
                     for rr in range(8):
                         for cc in range(8):
                             plane[(oy + rr) * stride + ox + cc] = px[rr * 8 + cc]
-    return width, height, ycbcr_to_rgb_bytes(yp, cbp, crp, width, height)
+    return width, height, ycbcr_to_rgb_bytes(
+        yp, cbp, crp, width, height, subsample=sub
+    )
 
 
 def sql_reference_stats_color(media_text_sql: str, *, table: str = "documents") -> str:

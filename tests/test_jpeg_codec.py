@@ -152,15 +152,16 @@ def test_color_rejects_bad_inputs():
         j.decode_jpeg(color)
 
 
-def test_color_rejects_non_420_sampling():
-    # hand-flip the SOF0 sampling byte for Y from 0x22 to 0x11 (4:4:4-ish
-    # claim): the decoder must refuse rather than misread the MCU layout
+def test_color_rejects_unsupported_sampling():
+    # hand-flip the SOF0 sampling byte for Y from 0x22 to 0x21 (4:2:2,
+    # unimplemented): the decoder must refuse rather than misread the
+    # MCU layout
     enc = bytearray(j.encode_jpeg_color(b" " * (16 * 16 * 3), 16, 16))
     sof = enc.find(b"\xff\xc0")
     assert sof > 0
     assert enc[sof + 11] == 0x22
-    enc[sof + 11] = 0x11
-    with pytest.raises(ValueError, match="4:2:0"):
+    enc[sof + 11] = 0x21
+    with pytest.raises(ValueError, match="4:2:0.*4:4:4"):
         j.decode_jpeg_color(bytes(enc))
 
 
@@ -215,3 +216,40 @@ def test_decode_image_routes_color_jpeg():
     gray = bytes((i * 3) % 256 for i in range(64))
     w, h, ch, px = mm.decode_image(j.encode_jpeg_gray(gray, 8, 8))
     assert (w, h, ch) == (8, 8, 1)
+
+
+def test_color_444_roundtrips_match_reference():
+    """4:4:4 (no chroma subsampling): round trip equals the 4:4:4
+    reference transform; chroma detail that 4:2:0 averages away
+    survives; restart markers compose with it; 8-multiple (not
+    16-multiple) dims are legal."""
+    rng = random.Random(21)
+    for w, h in ((8, 8), (24, 16), (16, 8)):
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        dw, dh, dec = j.decode_jpeg_color(
+            j.encode_jpeg_color(rgb, w, h, subsampling="444")
+        )
+        assert (dw, dh) == (w, h)
+        assert dec == j.reference_transform_color(rgb, w, h, subsampling="444")
+    # checkerboard chroma: 2x2-averaged to gray by 4:2:0, preserved by 4:4:4
+    rgb = bytes(
+        b
+        for r in range(8)
+        for c in range(8)
+        for b in ((255, 0, 0) if (r + c) % 2 == 0 else (0, 0, 255))
+    )
+    dec420 = j.decode_jpeg_color(
+        j.encode_jpeg_color(rgb.ljust(16 * 16 * 3, b"\x00"), 16, 16)
+    )[2]
+    dec444 = j.decode_jpeg_color(j.encode_jpeg_color(rgb, 8, 8, subsampling="444"))[2]
+    # 4:4:4 keeps far more chroma energy on the checkerboard
+    def chroma_spread(px, w):
+        reds = [px[3 * i] for i in range(w * w)]
+        return max(reds) - min(reds)
+    assert chroma_spread(dec444, 8) > chroma_spread(dec420, 16) + 50
+    rgb2 = bytes(rng.randrange(256) for _ in range(24 * 16 * 3))
+    enc = j.encode_jpeg_color(rgb2, 24, 16, subsampling="444", restart_interval=2)
+    assert b"\xff\xdd" in enc
+    assert j.decode_jpeg_color(enc)[2] == j.reference_transform_color(
+        rgb2, 24, 16, subsampling="444"
+    )
