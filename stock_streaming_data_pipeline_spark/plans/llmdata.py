@@ -23,6 +23,7 @@ from stock_streaming_data_pipeline_spark.operators import (
     similarity,
     sq_quant,
     text,
+    unigram,
 )
 from stock_streaming_data_pipeline_spark.plans.catalog import register
 from stock_streaming_data_pipeline_spark.tables import load_table
@@ -1150,6 +1151,44 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe.bpe_train(docs, text_col="text", k=8)
     return bpe.bpe_segment(docs, merges, id_col="doc_id", text_col="text")
+
+
+@register(
+    "text_unigram_train",
+    tags=("LLM-text",),
+    oracle=unigram.sql_unigram_train(text_col="text", table="documents", rounds=2),
+)
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND tokenizer family: unigram-LM training (SentencePiece
+    style, hard-EM/Viterbi variant with Laplace smoothing) — seed every
+    ≤4-char substring as a candidate piece, then two EM rounds of
+    Viterbi-best segmentation (an 8-step relational DP over the
+    distinct-word relation, micro-snapped log-prob sums, longest-piece
+    tie-breaks) and usage-count re-scoring. The only corpus-scale pass
+    is the word-frequency aggregate; the DuckDB oracle unrolls the seed
+    vocab + every DP frame of both rounds into materialized CTEs — a
+    second iterative trainer under a full differential check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram.unigram_train(docs, text_col="text", rounds=2)
+
+
+@register(
+    "text_unigram_segment",
+    tags=("LLM-text",),
+    oracle=unigram.sql_unigram_segment(
+        id_col="doc_id", text_col="text", table="documents", rounds=2
+    ),
+)
+def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer apply: train the 2-round unigram LM, then
+    Viterbi-segment every document's words under the final vocabulary —
+    per-document word and piece counts, the unigram twin of
+    text_bpe_segment (words beyond the trained 8-char horizon are
+    excluded identically in both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram.unigram_segment(
+        docs, id_col="doc_id", text_col="text", rounds=2
+    )
 
 
 # Media payloads slice UTF-8 BYTES on the Spark side while DuckDB's

@@ -108,3 +108,106 @@ def test_bpe_segment_counts(spark):
         words = t.lower().split()
         want_tokens = sum(len(seqs[w]) for w in words)
         assert out[i] == (len(words), want_tokens)
+
+
+# --- unigram-LM tokenizer (operators/unigram.py) ---
+
+
+def _ref_viterbi(word, logp_micro, max_piece=4):
+    """Independent textbook Viterbi (float-free: micro-int scores),
+    tie-break (score desc, predecessor pos asc)."""
+    n = len(word)
+    best = {0: (0, [])}
+    for i in range(1, n + 1):
+        cands = []
+        for j in range(max(0, i - max_piece), i):
+            if j not in best:
+                continue
+            piece = word[j:i]
+            if piece in logp_micro:
+                sc = best[j][0] + logp_micro[piece]
+                cands.append((sc, j, best[j][1] + [piece]))
+        if cands:
+            cands.sort(key=lambda t: (-t[0], t[1]))
+            sc, j, seq = cands[0]
+            best[i] = (sc, seq)
+    return best.get(n, (None, None))[1]
+
+
+def test_unigram_train_matches_reference_viterbi(spark):
+    """The trained vocab's counts must equal what an independent Python
+    Viterbi produces when segmenting the same words under the same seed
+    scores — pinning the relational DP against a textbook one."""
+    from stock_streaming_data_pipeline_spark.operators import unigram as ug
+
+    rows = [(i, "spark parks spar park s p a r k") for i in range(10)] + [
+        (100 + i, "parks spark") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r["piece"]: r
+        for r in ug.unigram_train(df, text_col="text", rounds=1).collect()
+    }
+
+    # rebuild the seed vocab + round-1 counts independently
+    import math
+    from collections import Counter
+
+    words = Counter()
+    for _, t in rows:
+        for w in t.lower().split():
+            if len(w) <= ug.MAX_WORD_LEN:
+                words[w] += 1
+    subs = Counter()
+    for w, wc in words.items():
+        for s in range(len(w)):
+            for l in range(1, min(ug.MAX_PIECE_LEN, len(w) - s) + 1):
+                subs[w[s : s + l]] += wc
+    seed = {
+        p: c
+        for p, c in subs.items()
+        if c >= ug.MIN_SEED_COUNT or len(p) == 1
+    }
+    total = sum(seed.values())
+
+    def micro(x):
+        r = round(x, 6)
+        return int(math.copysign(math.floor(abs(r) * 1e6 + 0.5), r))
+
+    lp = {p: micro(math.log(c / total)) for p, c in seed.items()}
+    counts = Counter()
+    for w, wc in words.items():
+        for piece in _ref_viterbi(w, lp, ug.MAX_PIECE_LEN):
+            counts[piece] += wc
+    assert set(out) == set(seed)
+    for p in seed:
+        assert out[p]["cnt"] == counts.get(p, 0), p
+    # smoothed M-step scores
+    t, v = sum(counts.get(p, 0) for p in seed), len(seed)
+    for p in seed:
+        want = micro(math.log((counts.get(p, 0) + 1) / (t + v))) / 1e6
+        assert out[p]["logp"] == round(want, 6), p
+
+
+def test_unigram_segment_properties(spark):
+    """Frequent whole words become single pieces (compression beats
+    char-splitting); per-doc token counts are consistent; results are
+    partitioning-invariant."""
+    from stock_streaming_data_pipeline_spark.operators import unigram as ug
+
+    rows = [(i, "data data data data lake") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seg = {r["doc"]: r for r in ug.unigram_segment(
+        df, id_col="doc_id", text_col="text", rounds=2
+    ).collect()}
+    assert len(seg) == 20
+    for r in seg.values():
+        assert r["n_words"] == 5
+        # 'data' dominates: must segment to one piece per occurrence;
+        # 'lake' at worst splits into 4 chars: total <= 4*1 + 4
+        assert r["n_unigram_tokens"] <= 8
+    seg2 = {r["doc"]: r["n_unigram_tokens"] for r in ug.unigram_segment(
+        df.repartition(7), id_col="doc_id", text_col="text", rounds=2
+    ).collect()}
+    assert {d: r["n_unigram_tokens"] for d, r in seg.items()} == seg2
