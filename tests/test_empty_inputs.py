@@ -76,3 +76,37 @@ def test_semdedup_and_sq_on_tiny_corpus(spark):
     assert semdedup.semantic_drop_list(one, k=2, iters=1, threshold=0.9).count() == 0
     out = sq_quant.sq_topk(one, one, k=1, shortlist=2).collect()
     assert {r["query_id"] for r in out} == {0, 1}
+
+
+def test_round5_ops_on_empty(spark):
+    """RRF, DSIR and the unigram trainer on empty corpora: empty (or
+    well-defined) results, no throw from empty aggregates / ln(0) /
+    element_at."""
+    from stock_streaming_data_pipeline_spark.operators import (
+        retrieval,
+        sampling,
+        unigram,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert retrieval.rrf_fusion(
+        docs, ["x", "y"], id_col="doc_id", text_col="text", k=5, pool=5
+    ).count() == 0
+    src = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert sampling.dsir_importance(
+        src, id_col="doc_id", text_col="text",
+        target_pred=F.col("source") == "t",
+    ).count() == 0
+    assert unigram.unigram_train(docs, text_col="text").count() == 0
+    assert unigram.unigram_segment(
+        docs, id_col="doc_id", text_col="text"
+    ).count() == 0
+    # all-target corpus: every doc is in-domain, raw side empty → no
+    # scored rows, not a crash
+    one = spark.createDataFrame(
+        [(1, "alpha beta", "t")], "doc_id long, text string, source string"
+    )
+    assert sampling.dsir_importance(
+        one, id_col="doc_id", text_col="text",
+        target_pred=F.col("source") == "t",
+    ).count() == 0

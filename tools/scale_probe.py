@@ -50,6 +50,15 @@ QUERIES = [
     "embedding_topk",
     "text_quality",
     "retrieval_bm25_topk",
+    # round-5 additions: hybrid rank fusion (two bounded rankers),
+    # corpus-scale importance weighting (one token pass + 64-row
+    # broadcast), and the unigram trainer — everything after its
+    # word-count aggregate is vocabulary-bounded, so its wall should be
+    # near-FLAT across tiers (the strongest scale-structure signal in
+    # the set).
+    "retrieval_rrf_fusion",
+    "dsir_importance_weights",
+    "text_unigram_train",
 ]
 
 
