@@ -27,6 +27,7 @@ from stock_streaming_data_pipeline_spark.plans import stock as _stock
 from stock_streaming_data_pipeline_spark.plans.catalog import _REGISTRY, register
 from stock_streaming_data_pipeline_spark.sources.streams import (
     events_as_trades,
+    stream_documents,
     stream_events,
 )
 from stock_streaming_data_pipeline_spark.streaming import state as stream_state
@@ -817,4 +818,91 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kmv_estimate",
             F.size("sketch").cast("long").alias("sketch_size"),
         )
+    )
+
+
+@register(
+    "streaming_dsir",
+    tags=("T6", "J2", "LLM-mixing"),
+    oracle=_REGISTRY["dsir_importance_weights"].oracle,
+)
+def streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING importance scoring — the ingest-time half of a DSIR
+    train/serve split: the 64-bucket target-vs-raw log-ratio table is
+    fit ONCE on the batch corpus (the dsir_importance_weights recipe),
+    broadcast as a static dimension, and every streamed raw document is
+    tokenized, bucket-joined and importance-summed per micro-batch
+    (complete-mode aggregate keyed by doc — each doc's token rows all
+    arrive in its file's batch). The settled stream must reproduce the
+    batch DSIR query row-for-row, so it shares its exact oracle.
+
+    Scale note (honest): complete-mode per-doc state grows with the
+    total document count; at production scale the same λ broadcast
+    feeds an UPDATE-mode aggregate draining into the keyed-upsert sink
+    (the streaming_upsert_fanout path), keeping state bounded to
+    in-flight docs — complete mode here is what makes the settled
+    result comparable to the batch oracle in one shot."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import (
+        portable_hash,
+        tokens,
+    )
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    n_buckets, salt = 64, "dsir_"
+    batch = load_table(spark, sf_dir, "documents")
+    bt = batch.select(
+        (F.col("source") == "src0").alias("is_target"),
+        F.explode(tokens(F.col("text"))).alias("t"),
+    ).select(
+        "is_target",
+        F.pmod(portable_hash(F.col("t"), salt=salt), F.lit(n_buckets))
+        .cast("int")
+        .alias("b"),
+    )
+    counts = bt.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+    )
+    totals = counts.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    ratio = F.round(
+        F.log(
+            ((F.col("ct") + 1) / (F.col("tt") + F.lit(n_buckets)))
+            / ((F.col("cr") + 1) / (F.col("tr") + F.lit(n_buckets)))
+        ),
+        6,
+    )
+    lam = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (F.signum(ratio) * F.floor(F.abs(ratio) * 1e6 + F.lit(0.5)))
+            .cast("long")
+            .alias("lam_micro"),
+        )
+    )
+    sdocs = stream_documents(spark, sf_dir).filter(F.col("source") != "src0")
+    stoks = sdocs.select(
+        F.col("doc_id").alias("doc"), F.explode(tokens(F.col("text"))).alias("t")
+    ).select(
+        "doc",
+        F.pmod(portable_hash(F.col("t"), salt=salt), F.lit(n_buckets))
+        .cast("int")
+        .alias("b"),
+    )
+    scored = (
+        stoks.join(F.broadcast(lam), "b")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("lam_micro").alias("w_micro"),
+        )
+    )
+    settled = settle(scored, "complete")
+    return settled.select(
+        "doc",
+        "n_toks",
+        F.round(F.col("w_micro").cast("double") / F.lit(1e6), 6).alias(
+            "importance"
+        ),
+        (F.col("w_micro") > 0).alias("keep"),
     )

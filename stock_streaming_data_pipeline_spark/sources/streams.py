@@ -84,3 +84,25 @@ def events_as_trades(events: DataFrame) -> DataFrame:
         F.col("value").alias("price"),
         F.get_json_object("props", "$.k").cast("double").alias("volume"),
     )
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming view of the documents table (file source) — the
+    ingest-time shape of a curation pipeline: documents arrive as files
+    land, and scoring/filter stages run per micro-batch."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
