@@ -1136,3 +1136,118 @@ SELECT media_id, 16 AS width, 16 AS height,
        round(CAST(sum(r2 + g2 + b2) AS DOUBLE) / 768, 6) AS mean_px
 FROM rgb GROUP BY media_id
 """
+
+
+def sql_reference_stats_color_444(
+    media_text_sql: str, *, table: str = "documents"
+) -> str:
+    """DuckDB oracle for the 8×8 4:4:4 color JPEG round-trip: one block
+    per plane (an 8×8 image is a single MCU in 4:4:4), so all three
+    channels replay through one ch-keyed CTE chain — Y against the
+    Annex-K.1 table, Cb/Cr against K.2 — with the same lattice
+    conversion discipline as the 4:2:0 oracle, minus the subsample
+    stage (4:4:4 has none)."""
+    cvals = ",\n    ".join(
+        f"({u}, {i}, {DCT_BASIS[u][i]!r})" for u in range(8) for i in range(8)
+    )
+    qvals = ",\n    ".join(
+        f"({u}, {v}, {QUANT_LUMA[u * 8 + v]})" for u in range(8) for v in range(8)
+    )
+    qcvals = ",\n    ".join(
+        f"({u}, {v}, {QUANT_CHROMA[u * 8 + v]})" for u in range(8) for v in range(8)
+    )
+    ky_r, ky_g, ky_b, kb_r, kb_g, kb_b, kr_r, kr_g, kr_b = YCC_FWD
+    ki_cr_r, ki_cb_g, ki_cr_g, ki_cb_b = YCC_INV
+    lat = "CAST(least(255, greatest(0, floor(round({x}, 6) + 0.5))) AS BIGINT)"
+    return f"""
+WITH t AS (
+  SELECT doc_id AS media_id,
+         substr({media_text_sql} || repeat(' ', 192), 1, 192) AS s
+  FROM {table}
+),
+cmat(u, i, w) AS (VALUES
+    {cvals}
+),
+qmat(ch, u, v, q) AS (
+  SELECT 'y', * FROM (VALUES
+    {qvals}
+  )
+  UNION ALL SELECT 'cb', * FROM (VALUES
+    {qcvals}
+  )
+  UNION ALL SELECT 'cr', * FROM (VALUES
+    {qcvals}
+  )
+),
+px AS (
+  SELECT media_id,
+         CAST((u.i - 1) // 8 AS INT) AS r, CAST((u.i - 1) % 8 AS INT) AS c,
+         CAST(ascii(substr(s, CAST((u.i - 1) * 3 + 1 AS INT), 1)) AS DOUBLE) AS rv,
+         CAST(ascii(substr(s, CAST((u.i - 1) * 3 + 2 AS INT), 1)) AS DOUBLE) AS gv,
+         CAST(ascii(substr(s, CAST((u.i - 1) * 3 + 3 AS INT), 1)) AS DOUBLE) AS bv
+  FROM t, unnest(range(1, 65)) AS u(i)
+),
+ycc AS (
+  SELECT media_id, 'y' AS ch, r, c,
+         {lat.format(x=f"({ky_r!r}) * rv + ({ky_g!r}) * gv + ({ky_b!r}) * bv")} AS v
+  FROM px
+  UNION ALL
+  SELECT media_id, 'cb', r, c,
+         {lat.format(x=f"({kb_r!r}) * rv + ({kb_g!r}) * gv + ({kb_b!r}) * bv + 128.0")}
+  FROM px
+  UNION ALL
+  SELECT media_id, 'cr', r, c,
+         {lat.format(x=f"({kr_r!r}) * rv + ({kr_g!r}) * gv + ({kr_b!r}) * bv + 128.0")}
+  FROM px
+),
+lvl AS (
+  SELECT media_id, ch, r AS lr, c AS lc, CAST(v AS DOUBLE) - 128.0 AS v
+  FROM ycc
+),
+t1 AS (
+  SELECT lvl.media_id, lvl.ch, cm.u, lvl.lc AS j, sum(cm.w * lvl.v) AS tv
+  FROM lvl JOIN cmat cm ON cm.i = lvl.lr
+  GROUP BY 1, 2, 3, 4
+),
+y AS (
+  SELECT t1.media_id, t1.ch, t1.u, cm.u AS v, sum(t1.tv * cm.w) AS yv
+  FROM t1 JOIN cmat cm ON cm.i = t1.j
+  GROUP BY 1, 2, 3, 4
+),
+qz AS (
+  SELECT y.media_id, y.ch, y.u, y.v,
+         floor(round(y.yv / qm.q, 6) + 0.5) * qm.q AS qv
+  FROM y JOIN qmat qm ON qm.ch = y.ch AND qm.u = y.u AND qm.v = y.v
+),
+t2 AS (
+  SELECT qz.media_id, qz.ch, cm.i, qz.v AS j, sum(cm.w * qz.qv) AS tv
+  FROM qz JOIN cmat cm ON cm.u = qz.u
+  GROUP BY 1, 2, 3, 4
+),
+rec AS (
+  SELECT t2.media_id, t2.ch, t2.i AS r, cm.i AS c,
+         {lat.format(x="sum(t2.tv * cm.w) + 128.0")} AS val
+  FROM t2 JOIN cmat cm ON cm.u = t2.j
+  GROUP BY 1, 2, 3, 4
+),
+pj AS (
+  SELECT media_id, r, c,
+         max(CASE WHEN ch = 'y' THEN val END) AS y2,
+         max(CASE WHEN ch = 'cb' THEN val END) AS cb2,
+         max(CASE WHEN ch = 'cr' THEN val END) AS cr2
+  FROM rec GROUP BY 1, 2, 3
+),
+rgb AS (
+  SELECT media_id,
+    {lat.format(x=f"CAST(y2 AS DOUBLE) + ({ki_cr_r!r}) * (CAST(cr2 AS DOUBLE) - 128.0)")} AS r2,
+    {lat.format(x=f"CAST(y2 AS DOUBLE) + ({ki_cb_g!r}) * (CAST(cb2 AS DOUBLE) - 128.0) + ({ki_cr_g!r}) * (CAST(cr2 AS DOUBLE) - 128.0)")} AS g2,
+    {lat.format(x=f"CAST(y2 AS DOUBLE) + ({ki_cb_b!r}) * (CAST(cb2 AS DOUBLE) - 128.0)")} AS b2
+  FROM pj
+)
+SELECT media_id, 8 AS width, 8 AS height,
+       CAST(sum(r2 + g2 + b2) AS BIGINT) AS sum_px,
+       CAST(min(least(r2, g2, b2)) AS INT) AS min_px,
+       CAST(max(greatest(r2, g2, b2)) AS INT) AS max_px,
+       round(CAST(sum(r2 + g2 + b2) AS DOUBLE) / 192, 6) AS mean_px
+FROM rgb GROUP BY media_id
+"""

@@ -3,11 +3,12 @@ processed with Arrow-batched ``mapInPandas`` operators.
 
 PNG payloads get REAL decoding via the pure-stdlib codec in
 ``operators/png_codec.py`` (zlib inflate + scanline unfiltering + CRC
-validation), baseline grayscale JPEG via ``operators/jpeg_codec.py``
-(marker walk + Huffman + dequant + IDCT), and WAV PCM16 via
-``operators/wav_codec.py`` — each exercised end-to-end by
+validation), baseline JPEG — grayscale AND 4:2:0 / 4:4:4 YCbCr color,
+with optional restart markers — via ``operators/jpeg_codec.py``
+(marker walk + Huffman + dequant + IDCT + chroma upsample), and WAV
+PCM16 via ``operators/wav_codec.py`` — each exercised end-to-end by
 ``multimodal_*`` catalog queries with full DuckDB oracles. Remaining
-codecs (color/progressive JPEG, compressed audio, video) raise
+codecs (progressive JPEG, 4:2:2, compressed audio, video) raise
 NotImplementedError — those libraries are not in this environment —
 with a deterministic digest fake behind the same contract so the Spark
 plumbing (schema, batch iterator shape, partition-size control) stays
@@ -639,7 +640,8 @@ def resample_audio(media: DataFrame, *, factor: int) -> DataFrame:
 
 
 def documents_as_jpeg_color_media(
-    docs: DataFrame, *, width: int = 16, height: int = 16
+    docs: DataFrame, *, width: int = 16, height: int = 16,
+    subsampling: str = "420",
 ) -> DataFrame:
     """COLOR (4:2:0 YCbCr) baseline-JPEG media table from document text:
     the first width*height*3 bytes (ASCII-sanitized upstream,
@@ -653,7 +655,8 @@ def documents_as_jpeg_color_media(
         for pdf in batches:
             payloads = [
                 jpeg_codec.encode_jpeg_color(
-                    t.encode("utf-8")[:n].ljust(n, b" "), width, height
+                    t.encode("utf-8")[:n].ljust(n, b" "), width, height,
+                    subsampling=subsampling,
                 )
                 for t in pdf["text"]
             ]

@@ -1667,6 +1667,26 @@ def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_444_decode",
+    tags=("LLM-multimodal",),
+    oracle=_jpeg.sql_reference_stats_color_444(_MEDIA_TEXT_SQL),
+)
+def multimodal_jpeg_444_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:4:4 color JPEG round-trip — the no-subsampling layout (one MCU
+    per 8×8 image, full-resolution chroma): each document's first 192
+    bytes become an 8×8 RGB image encoded 4:4:4 and decoded back,
+    reduced to channel-summed stats. The DuckDB oracle replays all
+    three channels through one ch-keyed CTE chain (Y against Annex-K.1,
+    Cb/Cr against K.2) — the third differential-checked JPEG layout
+    beside grayscale and 4:2:0."""
+    docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
+    media = multimodal.documents_as_jpeg_color_media(
+        docs, width=8, height=8, subsampling="444"
+    )
+    return multimodal.jpeg_color_pixel_stats(media)
+
+
+@register(
     "multimodal_frame_sample",
     tags=("LLM-multimodal",),
     oracle="""
