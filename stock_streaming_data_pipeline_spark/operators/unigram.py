@@ -358,3 +358,79 @@ FROM toks JOIN per_word USING (w)
 GROUP BY doc
 """
     )
+
+
+def _prune(vocab: DataFrame, keep: int) -> DataFrame:
+    """SentencePiece's shrink step in deterministic form: keep the
+    ``keep`` highest-usage pieces (ties on piece asc) plus every single
+    character (coverage guarantee). The rank window is unpartitioned but
+    runs over the VOCAB relation — bounded by the piece count, never the
+    corpus (same bounded-domain exemption as the BPE argmax)."""
+    w = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    return (
+        vocab.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= keep) | (F.length("piece") == 1))
+        .drop("rn")
+    )
+
+
+def unigram_train_pruned(
+    df: DataFrame, *, text_col: str, rounds: int = 1, prune_to: int = 40
+) -> DataFrame:
+    """Train with a final shrink: ``rounds`` EM rounds on the seed vocab,
+    prune to the top ``prune_to`` pieces (plus single chars), then one
+    more EM round under the pruned vocabulary — the full SentencePiece
+    lifecycle (seed → EM → shrink → EM) in hard-EM form."""
+    words = _word_counts(df, text_col=text_col).localCheckpoint(eager=True)
+    vocab = _seed_vocab(words).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        segs = _viterbi_segment(words, vocab)
+        vocab = _m_step(vocab, segs).localCheckpoint(eager=True)
+    vocab = _prune(vocab, prune_to).localCheckpoint(eager=True)
+    segs = _viterbi_segment(words, vocab)
+    vocab = _m_step(vocab, segs)
+    return vocab.select(
+        "piece",
+        "cnt",
+        F.round(F.col("lp").cast("double") / F.lit(1e6), 6).alias("logp"),
+    )
+
+
+def sql_unigram_train_pruned(
+    *, text_col: str, table: str, rounds: int = 1, prune_to: int = 40
+) -> str:
+    ctes = sql_unigram_ctes(text_col=text_col, table=table, rounds=rounds)
+    ctes.append(
+        f"""pr AS MATERIALIZED (
+  SELECT piece, cnt, lp FROM (
+    SELECT *, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+    FROM v{rounds}
+  ) WHERE rn <= {prune_to} OR len(piece) = 1
+)"""
+    )
+    ctes += _sql_viterbi_ctes(vocab="pr", tag="pp")
+    ctes += [
+        """cntp AS MATERIALIZED (
+  SELECT p.piece, CAST(sum(s.wc) AS BIGINT) AS cnt
+  FROM segs_pp s, unnest(string_split(s.seg, ' ')) AS p(piece)
+  GROUP BY 1
+)""",
+        """joinedp AS MATERIALIZED (
+  SELECT v.piece, coalesce(c.cnt, 0) AS cnt
+  FROM pr v LEFT JOIN cntp c ON c.piece = v.piece
+)""",
+        "totp AS MATERIALIZED (SELECT sum(cnt) AS t, count(*) AS v FROM joinedp)",
+        f"""vp AS MATERIALIZED (
+  SELECT piece, cnt,
+         {_SQL_MICRO.format(x="ln((cnt + 1)::DOUBLE / (t + v))")} AS lp
+  FROM joinedp CROSS JOIN totp
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT piece, cnt, round(lp::DOUBLE / 1000000.0, 6) AS logp
+FROM vp
+"""
+    )

@@ -1173,6 +1173,26 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_pruned",
+    tags=("LLM-text",),
+    oracle=unigram.sql_unigram_train_pruned(
+        text_col="text", table="documents", rounds=1, prune_to=40
+    ),
+)
+def text_unigram_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SentencePiece lifecycle in hard-EM form: seed → one EM
+    round → SHRINK to the 40 highest-usage pieces (plus single chars,
+    the coverage floor) → one more EM round under the pruned vocabulary.
+    The shrink rank window is vocab-bounded (BPE-argmax exemption); the
+    oracle appends the prune CTE and the post-shrink EM round to the
+    unrolled chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram.unigram_train_pruned(
+        docs, text_col="text", rounds=1, prune_to=40
+    )
+
+
+@register(
     "text_unigram_segment",
     tags=("LLM-text",),
     oracle=unigram.sql_unigram_segment(

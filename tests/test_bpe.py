@@ -211,3 +211,25 @@ def test_unigram_segment_properties(spark):
         df.repartition(7), id_col="doc_id", text_col="text", rounds=2
     ).collect()}
     assert {d: r["n_unigram_tokens"] for d, r in seg.items()} == seg2
+
+
+def test_unigram_prune_shrinks_and_covers(spark):
+    """Shrink keeps (top-N by usage) ∪ single chars, never loses
+    coverage: every word still segments, and multi-char pieces below the
+    cut disappear."""
+    from stock_streaming_data_pipeline_spark.operators import unigram as ug
+
+    rows = [(i, "spark spark spark lake lake pond") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = ug.unigram_train(df, text_col="text", rounds=1).collect()
+    pruned = ug.unigram_train_pruned(
+        df, text_col="text", rounds=1, prune_to=3
+    ).collect()
+    n_multi_full = sum(1 for r in full if len(r["piece"]) > 1)
+    n_multi_pruned = sum(1 for r in pruned if len(r["piece"]) > 1)
+    assert n_multi_pruned <= 3 < n_multi_full
+    singles = {r["piece"] for r in pruned if len(r["piece"]) == 1}
+    assert set("sparklepond") <= singles  # coverage floor intact
+    # a smaller vocabulary can only segment FINER: total piece usages
+    # grow (or stay) when pieces are pruned, and never vanish
+    assert sum(r["cnt"] for r in pruned) >= sum(r["cnt"] for r in full) > 0
