@@ -11,8 +11,8 @@ spec (ITU T.81 baseline), so executors need only the stdlib.
 
 Scope (honest): baseline sequential (SOF0) only — single-component
 8-bit grayscale, and 3-component YCbCr color in 4:2:0 (the dominant
-real-world shape) or 4:4:4, all with optional DRI/RSTn restart
-markers; other samplings (4:2:2 etc.) and progressive streams raise.
+real-world shape), 4:2:2 or 4:4:4, all with optional DRI/RSTn restart
+markers; other samplings (4:4:0 etc.) and progressive streams raise.
 JPEG is LOSSY,
 so the differential contract is different from PNG's: decode(encode(px))
 equals the DETERMINISTIC transform clamp(round(IDCT(dequant(quant(
@@ -603,19 +603,38 @@ def _clamp8(v: int) -> int:
     return 255 if v > 255 else (0 if v < 0 else v)
 
 
+# Chroma divisors (horizontal, vertical) per supported sampling layout:
+# 4:2:0 halves both axes, 4:2:2 halves horizontally only, 4:4:4 keeps
+# full resolution. MCU is (8*hdiv) x (8*vdiv); the Y SOF0 sampling byte
+# is (hdiv << 4) | vdiv.
+SAMPLING_DIVS = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}
+
+
+def _sampling_divs(subsampling: str) -> tuple[int, int]:
+    try:
+        return SAMPLING_DIVS[subsampling]
+    except KeyError:
+        raise ValueError(
+            "jpeg color: subsampling must be one of "
+            + "/".join(sorted(SAMPLING_DIVS))
+        ) from None
+
+
 def rgb_to_ycbcr_planes(
-    rgb: bytes, width: int, height: int, *, subsample: bool = True
+    rgb: bytes, width: int, height: int, *, subsampling: str = "420"
 ):
-    """Lattice-rounded JFIF conversion; with ``subsample`` (4:2:0), the
-    2x2 chroma subsample averages the four ROUNDED full-res chroma
-    samples and rounds again — the two-step integer lattice the SQL
-    oracle replays. Returns (Y plane w*h, Cb, Cr) as int lists — chroma
-    at (w/2)*(h/2) when subsampled, full-res for 4:4:4. Shared by the
-    encoder and the reference transform so both feed the DCT the same
-    integers."""
-    mcu = 16 if subsample else 8
-    if width % mcu or height % mcu:
-        raise ValueError(f"jpeg color: dimensions must be multiples of {mcu}")
+    """Lattice-rounded JFIF conversion; the chroma subsample averages
+    the hdiv×vdiv cell of ROUNDED full-res chroma samples and rounds
+    again — the two-step integer lattice the SQL oracle replays.
+    Returns (Y plane w*h, Cb, Cr) as int lists — chroma at
+    (w/hdiv)*(h/vdiv). Shared by the encoder and the reference
+    transform so both feed the DCT the same integers."""
+    hdiv, vdiv = _sampling_divs(subsampling)
+    mw, mh = 8 * hdiv, 8 * vdiv
+    if width % mw or height % mh:
+        raise ValueError(
+            f"jpeg color: dimensions must be multiples of {mw}x{mh}"
+        )
     if len(rgb) != width * height * 3:
         raise ValueError("jpeg color: pixel buffer size mismatch")
     ky_r, ky_g, ky_b, kb_r, kb_g, kb_b, kr_r, kr_g, kr_b = YCC_FWD
@@ -627,17 +646,21 @@ def rgb_to_ycbcr_planes(
         yp[i] = _clamp8(_round_half_up(ky_r * r + ky_g * g + ky_b * b))
         cbf[i] = _clamp8(_round_half_up(kb_r * r + kb_g * g + kb_b * b + 128.0))
         crf[i] = _clamp8(_round_half_up(kr_r * r + kr_g * g + kr_b * b + 128.0))
-    if not subsample:
+    if (hdiv, vdiv) == (1, 1):
         return yp, cbf, crf
-    cw, ch = width // 2, height // 2
+    cw, ch = width // hdiv, height // vdiv
+    cell = float(hdiv * vdiv)
     cb = [0] * (cw * ch)
     cr = [0] * (cw * ch)
     for sr in range(ch):
         for sc in range(cw):
-            idx = [(2 * sr) * width + 2 * sc, (2 * sr) * width + 2 * sc + 1,
-                   (2 * sr + 1) * width + 2 * sc, (2 * sr + 1) * width + 2 * sc + 1]
-            cb[sr * cw + sc] = _round_half_up(sum(cbf[j] for j in idx) / 4.0)
-            cr[sr * cw + sc] = _round_half_up(sum(crf[j] for j in idx) / 4.0)
+            idx = [
+                (vdiv * sr + dr) * width + hdiv * sc + dc
+                for dr in range(vdiv)
+                for dc in range(hdiv)
+            ]
+            cb[sr * cw + sc] = _round_half_up(sum(cbf[j] for j in idx) / cell)
+            cr[sr * cw + sc] = _round_half_up(sum(crf[j] for j in idx) / cell)
     return yp, cb, cr
 
 
@@ -711,17 +734,18 @@ def _write_block(w: _BitWriter, zz: list[int], prev_dc: int) -> int:
 
 
 def ycbcr_to_rgb_bytes(
-    yp, cb, cr, width: int, height: int, *, subsample: bool = True
+    yp, cb, cr, width: int, height: int, *, subsampling: str = "420"
 ) -> bytes:
-    """Replicated 2x2 chroma upsample (identity for 4:4:4) +
-    lattice-rounded JFIF inverse."""
+    """Replicated chroma upsample (identity for 4:4:4) + lattice-rounded
+    JFIF inverse."""
+    hdiv, vdiv = _sampling_divs(subsampling)
     ki_cr_r, ki_cb_g, ki_cr_g, ki_cb_b = YCC_INV
-    cw = width // 2 if subsample else width
+    cw = width // hdiv
     out = bytearray(width * height * 3)
     for r in range(height):
         for c in range(width):
             y = yp[r * width + c]
-            ci = (r // 2) * cw + c // 2 if subsample else r * cw + c
+            ci = (r // vdiv) * cw + c // hdiv
             cbv = cb[ci] - 128.0
             crv = cr[ci] - 128.0
             i = 3 * (r * width + c)
@@ -739,9 +763,9 @@ def reference_transform_color(
     (luma/chroma Annex-K tables), replicated upsample (identity for
     4:4:4), lattice inverse conversion — fully SQL-replayable
     (sql_reference_stats_color)."""
-    sub = subsampling == "420"
-    yp, cb, cr = rgb_to_ycbcr_planes(rgb, width, height, subsample=sub)
-    cw, ch = (width // 2, height // 2) if sub else (width, height)
+    hdiv, vdiv = _sampling_divs(subsampling)
+    yp, cb, cr = rgb_to_ycbcr_planes(rgb, width, height, subsampling=subsampling)
+    cw, ch = width // hdiv, height // vdiv
 
     def roundtrip(plane, w, h, qtab):
         out = [0] * (w * h)
@@ -756,7 +780,9 @@ def reference_transform_color(
     y2 = roundtrip(yp, width, height, QUANT_LUMA)
     cb2 = roundtrip(cb, cw, ch, QUANT_CHROMA)
     cr2 = roundtrip(cr, cw, ch, QUANT_CHROMA)
-    return ycbcr_to_rgb_bytes(y2, cb2, cr2, width, height, subsample=sub)
+    return ycbcr_to_rgb_bytes(
+        y2, cb2, cr2, width, height, subsampling=subsampling
+    )
 
 
 def encode_jpeg_color(
@@ -765,17 +791,15 @@ def encode_jpeg_color(
     subsampling: str = "420",
 ) -> bytes:
     """Baseline sequential YCbCr JPEG of raw interleaved 8-bit RGB —
-    4:2:0 (the dominant shape) or 4:4:4 via ``subsampling``.
+    4:2:0 (the dominant shape), 4:2:2 or 4:4:4 via ``subsampling``.
 
     ``restart_interval`` (MCUs) emits a DRI segment plus cycling RSTn
     markers with DC-predictor resets — the resync feature virtually
     every camera/encoder writes; pixels are unchanged (the reference
     transform is restart-agnostic)."""
-    if subsampling not in ("420", "444"):
-        raise ValueError("jpeg color: subsampling must be '420' or '444'")
-    sub = subsampling == "420"
-    yp, cb, cr = rgb_to_ycbcr_planes(rgb, width, height, subsample=sub)
-    cw = width // 2 if sub else width
+    hdiv, vdiv = _sampling_divs(subsampling)
+    yp, cb, cr = rgb_to_ycbcr_planes(rgb, width, height, subsampling=subsampling)
+    cw = width // hdiv
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -783,10 +807,10 @@ def encode_jpeg_color(
     for tid, tab in ((0, QUANT_LUMA), (1, QUANT_CHROMA)):
         zz_q = bytes(tab[r * 8 + c] for (r, c) in ZIGZAG)
         out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, tid) + zz_q
-    # SOF0: 8-bit, 3 components — Y sampled 2x2 (4:2:0) or 1x1 (4:4:4)
-    # with qtab 0; Cb & Cr 1x1 / qtab 1
+    # SOF0: 8-bit, 3 components — Y sampled (hdiv, vdiv) with qtab 0;
+    # Cb & Cr 1x1 / qtab 1
     out += b"\xff\xc0" + struct.pack(">HBHHB", 2 + 6 + 9, 8, height, width, 3)
-    out += struct.pack(">BBB", 1, 0x22 if sub else 0x11, 0)
+    out += struct.pack(">BBB", 1, (hdiv << 4) | vdiv, 0)
     out += struct.pack(">BBB", 2, 0x11, 1)
     out += struct.pack(">BBB", 3, 0x11, 1)
     # DHT: the shared self-describing DC + AC tables (ids 0)
@@ -805,22 +829,21 @@ def encode_jpeg_color(
     w = _BitWriter()
     dc_y = dc_cb = dc_cr = 0
     mcu = 0
-    mcu_px = 16 if sub else 8
-    for my in range(0, height, mcu_px):
-        for mx in range(0, width, mcu_px):
+    mcu_w, mcu_h = 8 * hdiv, 8 * vdiv
+    # luma blocks per MCU, left-to-right then top-to-bottom (T.81 order)
+    yblocks = tuple((br, bc) for br in range(vdiv) for bc in range(hdiv))
+    for my in range(0, height, mcu_h):
+        for mx in range(0, width, mcu_w):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 w.restart((mcu // restart_interval - 1) % 8)
                 dc_y = dc_cb = dc_cr = 0
             mcu += 1
-            # luma blocks, left-to-right then top-to-bottom (T.81 MCU
-            # order): 4 for 4:2:0, 1 for 4:4:4
-            yblocks = ((0, 0), (0, 1), (1, 0), (1, 1)) if sub else ((0, 0),)
             for br, bc in yblocks:
                 zz = _forward_block_zz(
                     yp, width, mx + 8 * bc, my + 8 * br, QUANT_LUMA
                 )
                 dc_y = _write_block(w, zz, dc_y)
-            cx, cy = (mx // 2, my // 2) if sub else (mx, my)
+            cx, cy = mx // hdiv, my // vdiv
             dc_cb = _write_block(
                 w, _forward_block_zz(cb, cw, cx, cy, QUANT_CHROMA), dc_cb
             )
@@ -884,11 +907,12 @@ def decode_jpeg_color(data: bytes):
                 comp_spec.append((cid, sampling, qid))
             if [s for _, s, _ in comp_spec] not in (
                 [0x22, 0x11, 0x11],  # 4:2:0
+                [0x21, 0x11, 0x11],  # 4:2:2
                 [0x11, 0x11, 0x11],  # 4:4:4
             ):
                 raise ValueError(
-                    "jpeg color: only 4:2:0 (2x2,1x1,1x1) or 4:4:4 "
-                    "(1x1,1x1,1x1) supported"
+                    "jpeg color: only 4:2:0 (2x2,1x1,1x1), 4:2:2 "
+                    "(2x1,1x1,1x1) or 4:4:4 (1x1,1x1,1x1) supported"
                 )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("jpeg: only baseline sequential (SOF0) supported")
@@ -909,11 +933,12 @@ def decode_jpeg_color(data: bytes):
         pos += seglen
     if scan_start is None or not width or not height:
         raise ValueError("jpeg: missing SOS/SOF0")
-    sub = comp_spec[0][1] == 0x22
-    mcu_px = 16 if sub else 8
-    if width % mcu_px or height % mcu_px:
+    hdiv, vdiv = comp_spec[0][1] >> 4, comp_spec[0][1] & 0xF
+    mcu_w, mcu_h = 8 * hdiv, 8 * vdiv
+    if width % mcu_w or height % mcu_h:
         raise ValueError(
-            f"jpeg color: non-multiple-of-{mcu_px} dimensions unsupported"
+            f"jpeg color: non-multiple-of-{mcu_w}x{mcu_h} dimensions "
+            "unsupported"
         )
 
     end = data.find(b"\xff\xd9", scan_start)
@@ -952,16 +977,17 @@ def decode_jpeg_color(data: bytes):
             z += 1
         return zz, dc
 
-    cw, chh = (width // 2, height // 2) if sub else (width, height)
+    cw, chh = width // hdiv, height // vdiv
     yp = [0] * (width * height)
     cbp = [0] * (cw * chh)
     crp = [0] * (cw * chh)
     preds = {cid: 0 for cid, _, _ in comp_spec}
     planes = {comp_spec[0][0]: (yp, width), comp_spec[1][0]: (cbp, cw),
               comp_spec[2][0]: (crp, cw)}
+    yblocks = tuple((br, bc) for br in range(vdiv) for bc in range(hdiv))
     mcu = 0
-    for my in range(0, height, mcu_px):
-        for mx in range(0, width, mcu_px):
+    for my in range(0, height, mcu_h):
+        for mx in range(0, width, mcu_w):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 r.expect_restart((mcu // restart_interval - 1) % 8)
                 preds = {cid: 0 for cid in preds}
@@ -973,23 +999,20 @@ def decode_jpeg_color(data: bytes):
                 if dc_tab is None or ac_tab is None or qtab is None:
                     raise ValueError("jpeg: missing tables")
                 plane, stride = planes[cid]
-                blocks = (
-                    ((0, 0), (0, 1), (1, 0), (1, 1))
-                    if (k == 0 and sub)
-                    else ((0, 0),)
-                )
+                blocks = yblocks if k == 0 else ((0, 0),)
                 for br, bc in blocks:
                     zz, preds[cid] = read_block(dc_tab, ac_tab, preds[cid])
                     px = _inverse_block(zz, qtab)
                     if k == 0:
                         ox, oy = mx + 8 * bc, my + 8 * br
                     else:
-                        ox, oy = (mx // 2, my // 2) if sub else (mx, my)
+                        ox, oy = mx // hdiv, my // vdiv
                     for rr in range(8):
                         for cc in range(8):
                             plane[(oy + rr) * stride + ox + cc] = px[rr * 8 + cc]
+    sub_name = {(2, 2): "420", (2, 1): "422", (1, 1): "444"}[(hdiv, vdiv)]
     return width, height, ycbcr_to_rgb_bytes(
-        yp, cbp, crp, width, height, subsample=sub
+        yp, cbp, crp, width, height, subsampling=sub_name
     )
 
 

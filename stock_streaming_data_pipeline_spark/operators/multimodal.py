@@ -3,12 +3,12 @@ processed with Arrow-batched ``mapInPandas`` operators.
 
 PNG payloads get REAL decoding via the pure-stdlib codec in
 ``operators/png_codec.py`` (zlib inflate + scanline unfiltering + CRC
-validation), baseline JPEG — grayscale AND 4:2:0 / 4:4:4 YCbCr color,
-with optional restart markers — via ``operators/jpeg_codec.py``
+validation), baseline JPEG — grayscale AND 4:2:0 / 4:2:2 / 4:4:4 YCbCr
+color, with optional restart markers — via ``operators/jpeg_codec.py``
 (marker walk + Huffman + dequant + IDCT + chroma upsample), and WAV
 PCM16 via ``operators/wav_codec.py`` — each exercised end-to-end by
 ``multimodal_*`` catalog queries with full DuckDB oracles. Remaining
-codecs (progressive JPEG, 4:2:2, compressed audio, video) raise
+codecs (progressive JPEG, compressed audio, video) raise
 NotImplementedError — those libraries are not in this environment —
 with a deterministic digest fake behind the same contract so the Spark
 plumbing (schema, batch iterator shape, partition-size control) stays

@@ -153,16 +153,42 @@ def test_color_rejects_bad_inputs():
 
 
 def test_color_rejects_unsupported_sampling():
-    # hand-flip the SOF0 sampling byte for Y from 0x22 to 0x21 (4:2:2,
+    # hand-flip the SOF0 sampling byte for Y from 0x22 to 0x12 (4:4:0,
     # unimplemented): the decoder must refuse rather than misread the
     # MCU layout
     enc = bytearray(j.encode_jpeg_color(b" " * (16 * 16 * 3), 16, 16))
     sof = enc.find(b"\xff\xc0")
     assert sof > 0
     assert enc[sof + 11] == 0x22
-    enc[sof + 11] = 0x21
-    with pytest.raises(ValueError, match="4:2:0.*4:4:4"):
+    enc[sof + 11] = 0x12
+    with pytest.raises(ValueError, match="4:2:0.*4:2:2.*4:4:4"):
         j.decode_jpeg_color(bytes(enc))
+    with pytest.raises(ValueError, match="subsampling must be"):
+        j.encode_jpeg_color(b" " * (16 * 16 * 3), 16, 16, subsampling="440")
+
+
+def test_color_422_roundtrips_match_reference():
+    """4:2:2 (horizontal-only subsampling): 16x8 MCUs, two luma blocks
+    per MCU, half-width full-height chroma."""
+    rng = random.Random(33)
+    for w, h in ((16, 8), (32, 16), (48, 8)):
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        dw, dh, dec = j.decode_jpeg_color(
+            j.encode_jpeg_color(rgb, w, h, subsampling="422")
+        )
+        assert (dw, dh) == (w, h)
+        assert dec == j.reference_transform_color(rgb, w, h, subsampling="422")
+    # vertical chroma detail survives 4:2:2 (unlike 4:2:0): horizontal
+    # stripes of opposite chroma
+    rgb = bytes(
+        b
+        for r in range(8)
+        for c in range(16)
+        for b in ((255, 0, 0) if r % 2 == 0 else (0, 0, 255))
+    )
+    dec422 = j.decode_jpeg_color(j.encode_jpeg_color(rgb, 16, 8, subsampling="422"))[2]
+    reds = [dec422[3 * i] for i in range(16 * 8)]
+    assert max(reds) - min(reds) > 100  # stripes preserved
 
 
 def test_restart_markers_gray_and_color():
