@@ -1,0 +1,146 @@
+"""Time-series subsequence similarity search — z-normalized sliding
+windows against a query pattern (the UCR-suite / matrix-profile family's
+core primitive: "find where this SHAPE occurs, at any scale/offset").
+
+Pipeline: per-key trailing window of the last ``m`` values (one
+partitioned window pass, arrays built in-frame), z-normalize each
+subsequence (amplitude/offset invariance — what makes this SHAPE search
+rather than value search), squared Euclidean distance to the
+z-normalized query pattern, global top-k by distance. Flat windows
+(zero variance) carry no shape and are excluded — the standard UCR
+convention.
+
+Determinism discipline: the distance is round-6 before ranking and ties
+break on (event_type, ts, id), so cross-engine double drift (~1e-15
+from sum ordering inside aggregate lambdas) cannot reorder the top-k;
+the z-normalized query is computed once driver-side from the literal
+pattern and embedded in both plans as literals.
+
+Scale shape: ONE partitioned window pass over the fact table (no
+self-join — the naive form joins the series against itself m times),
+map-side distance arithmetic, TakeOrderedAndProject for the top-k. At
+100 TB the window pass shuffles once on the series key; skewed keys
+salt like any other running-window computation (operators/running.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.functions.scalars import round6
+
+
+def znorm_pattern(pattern: list[float]) -> list[float]:
+    """Driver-side z-normalization of the literal query pattern (m is
+    tiny — this is the tokenizer-artifact-sized piece both engines embed
+    as literals)."""
+    m = len(pattern)
+    mean = sum(pattern) / m
+    var = sum((x - mean) ** 2 for x in pattern) / m
+    sd = math.sqrt(var)
+    if sd == 0.0:
+        raise ValueError("subseq: flat query pattern has no shape")
+    return [(x - mean) / sd for x in pattern]
+
+
+def subsequence_topk(
+    events: DataFrame,
+    pattern: list[float],
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k z-normalized matches of ``pattern`` across every per-key
+    sliding window. Output: (event_type, ts_us, dist)."""
+    q = znorm_pattern(pattern)
+    m = len(q)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(-(m - 1), 0)
+    )
+    sub = (
+        events.select(key_col, ts_col, id_col, value_col)
+        .withColumn("win", F.collect_list(value_col).over(w))
+        .filter(F.size("win") == m)
+    )
+    mean = F.aggregate("win", F.lit(0.0), lambda a, x: a + x) / F.lit(float(m))
+    sub = sub.withColumn("mu", mean)
+    var = F.aggregate(
+        "win", F.lit(0.0), lambda a, x: a + (x - F.col("mu")) * (x - F.col("mu"))
+    ) / F.lit(float(m))
+    sub = sub.withColumn("sd", F.sqrt(var)).filter(round6(F.col("sd")) > 0)
+    qcol = F.array(*[F.lit(v) for v in q])
+    diff = F.zip_with(
+        "win", qcol, lambda x, qv: (x - F.col("mu")) / F.col("sd") - qv
+    )
+    dist = F.aggregate(diff, F.lit(0.0), lambda a, d: a + d * d)
+    return (
+        sub.withColumn("dist", round6(dist))
+        .orderBy(F.asc("dist"), F.asc(key_col), F.asc(ts_col), F.asc(id_col))
+        .limit(k)
+        .select(
+            key_col,
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            "dist",
+        )
+    )
+
+
+def sql_subsequence_topk(
+    pattern: list[float],
+    *,
+    trades_sql: str,
+    k: int = 20,
+) -> str:
+    """DuckDB replay: the same window-array build (list() OVER a ROWS
+    frame), the same z-norm/distance lattice, the same tie discipline.
+    ``trades_sql`` must yield (event_type, ts, event_id, value)."""
+    q = znorm_pattern(pattern)
+    m = len(q)
+    qlist = ", ".join(repr(v) for v in q)
+    return f"""
+WITH src AS ({trades_sql}),
+sub AS (
+  SELECT event_type, ts, event_id,
+         list(value) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN {m - 1} PRECEDING AND CURRENT ROW
+         ) AS win
+  FROM src
+),
+full_wins AS (
+  SELECT * FROM sub WHERE len(win) = {m}
+),
+stats AS (
+  SELECT event_type, ts, event_id, win,
+         list_reduce(list_prepend(0.0::DOUBLE, win), (a, x) -> a + x)
+           / {float(m)} AS mu
+  FROM full_wins
+),
+sdev AS (
+  SELECT *, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(win, x -> (x - mu) * (x - mu))), (a, x) -> a + x)
+             / {float(m)}) AS sd
+  FROM stats
+),
+scored AS (
+  SELECT event_type, ts, event_id,
+         round(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(1, {m} + 1),
+             i -> ((win[i] - mu) / sd - ([{qlist}])[i])
+                  * ((win[i] - mu) / sd - ([{qlist}])[i]))),
+           (a, x) -> a + x), 6) AS dist
+  FROM sdev WHERE round(sd, 6) > 0
+)
+SELECT event_type, epoch_us(ts) AS ts_us, dist
+FROM scored
+ORDER BY dist ASC, event_type ASC, ts ASC, event_id ASC
+LIMIT {k}
+"""

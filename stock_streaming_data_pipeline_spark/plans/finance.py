@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stock_streaming_data_pipeline_spark.operators import finance
+from stock_streaming_data_pipeline_spark.operators import finance, subseq
 from stock_streaming_data_pipeline_spark.plans.catalog import register
 from stock_streaming_data_pipeline_spark.plans.stock import SQL_TRADES, trades_view
 
@@ -543,3 +543,33 @@ def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     )
+
+
+_SHAPE_PATTERN = [0.0, 0.0, 1.0, 3.0, 1.0, 0.0, 0.0, 0.0]  # a spike
+
+
+@register(
+    "ts_shape_search",
+    tags=("W2", "O2", "LLM-sim"),
+    oracle=subseq.sql_subsequence_topk(
+        _SHAPE_PATTERN,
+        trades_sql=(
+            "SELECT event_type, ts, event_id, value FROM events "
+            "WHERE value IS NOT NULL"
+        ),
+        k=20,
+    ),
+)
+def ts_shape_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series SHAPE search (the UCR-suite primitive): find the 20
+    per-key sliding windows whose z-normalized profile best matches a
+    literal spike pattern — amplitude- and offset-invariant, so it finds
+    the shape wherever and at whatever scale it occurs. One partitioned
+    window pass builds the subsequences (no series self-join), distances
+    are map-side array arithmetic, and the top-k is a
+    TakeOrderedAndProject; round-6 distances + full id tie-breaks make
+    the DuckDB replay exact."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return subseq.subsequence_topk(ev, _SHAPE_PATTERN, k=20)

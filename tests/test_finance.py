@@ -181,3 +181,38 @@ def test_sma_crossover_emits_flip_on_planted_trend_reversal(spark):
     kinds = {r["signal"] for r in out}
     assert kinds <= {"golden_cross", "death_cross"}
     assert len(out) > 0
+
+
+def test_subsequence_search_finds_planted_shape(spark):
+    """A spike planted inside a flat-ish noisy series must be the #1
+    match at ANY amplitude/offset (z-norm invariance); flat windows are
+    excluded; results are partitioning-invariant."""
+    import datetime as dt
+
+    from stock_streaming_data_pipeline_spark.operators import subseq
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # key A: gentle alternation, then a big spike at positions 40-47
+    vals = [float(10 + (i % 3)) for i in range(60)]
+    spike = [50.0, 50.0, 80.0, 140.0, 80.0, 50.0, 50.0, 50.0]  # shape x30+50
+    vals[40:48] = spike
+    for i, v in enumerate(vals):
+        rows.append(("A", base + dt.timedelta(minutes=i), i, v))
+    # key B: constant (flat windows — must never appear)
+    for i in range(20):
+        rows.append(("B", base + dt.timedelta(minutes=i), 1000 + i, 7.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    pattern = [0.0, 0.0, 1.0, 3.0, 1.0, 0.0, 0.0, 0.0]
+    out = subseq.subsequence_topk(df, pattern, k=5).collect()
+    assert out[0]["event_type"] == "A"
+    assert out[0]["dist"] == 0.0  # exact shape match after z-norm
+    ts0 = dt.datetime.fromtimestamp(out[0]["ts_us"] / 1e6, dt.timezone.utc)
+    assert ts0.minute == 47  # window ENDING at the spike's last point
+    assert all(r["event_type"] != "B" for r in out)
+    out2 = subseq.subsequence_topk(df.repartition(7), pattern, k=5).collect()
+    assert [(r["event_type"], r["ts_us"], r["dist"]) for r in out] == [
+        (r["event_type"], r["ts_us"], r["dist"]) for r in out2
+    ]
