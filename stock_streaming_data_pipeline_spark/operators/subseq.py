@@ -144,3 +144,117 @@ FROM scored
 ORDER BY dist ASC, event_type ASC, ts ASC, event_id ASC
 LIMIT {k}
 """
+
+
+# Gaussian quartile breakpoints for a 4-symbol SAX alphabet (standard
+# normal Φ⁻¹(0.25/0.5/0.75)) — public constants from the SAX papers,
+# embedded as identical literals in both engines.
+SAX_BREAKS = (-0.6744897501960817, 0.0, 0.6744897501960817)
+SAX_ALPHABET = ("a", "b", "c", "d")
+
+
+def sax_words(
+    events: DataFrame,
+    *,
+    m: int = 8,
+    segments: int = 4,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) over every per-key sliding
+    window: z-normalize, PAA-average into ``segments`` pieces, map each
+    segment mean to a 4-symbol alphabet via the Gaussian quartile
+    breakpoints. Output: (event_type, sax_word, n_windows) — the bucket
+    histogram a symbol-indexed shape store is built on (windows with the
+    same word are shape-similar candidates; lookups touch one bucket
+    instead of the series). Flat windows are excluded as in
+    :func:`subsequence_topk`; segment-mean decisions are round-6 so the
+    DuckDB replay buckets identically."""
+    if m % segments:
+        raise ValueError("sax: m must divide into segments")
+    per = m // segments
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(-(m - 1), 0)
+    )
+    sub = (
+        events.select(key_col, ts_col, id_col, value_col)
+        .withColumn("win", F.collect_list(value_col).over(w))
+        .filter(F.size("win") == m)
+    )
+    mean = F.aggregate("win", F.lit(0.0), lambda a, x: a + x) / F.lit(float(m))
+    sub = sub.withColumn("mu", mean)
+    var = F.aggregate(
+        "win", F.lit(0.0), lambda a, x: a + (x - F.col("mu")) * (x - F.col("mu"))
+    ) / F.lit(float(m))
+    sub = sub.withColumn("sd", F.sqrt(var)).filter(round6(F.col("sd")) > 0)
+
+    def seg_mean(k: int):
+        s = F.lit(0.0)
+        for j in range(per):
+            s = s + F.element_at("win", k * per + j + 1)
+        return round6(((s / F.lit(float(per))) - F.col("mu")) / F.col("sd"))
+
+    def symbol(mcol):
+        expr = F.lit(SAX_ALPHABET[-1])
+        for b, sym in zip(reversed(SAX_BREAKS), reversed(SAX_ALPHABET[:-1])):
+            expr = F.when(mcol < F.lit(b), F.lit(sym)).otherwise(expr)
+        return expr
+
+    word = F.concat(*[symbol(seg_mean(k)) for k in range(segments)])
+    return (
+        sub.withColumn("sax_word", word)
+        .groupBy(key_col, "sax_word")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+    )
+
+
+def sql_sax_words(*, trades_sql: str, m: int = 8, segments: int = 4) -> str:
+    """DuckDB replay of :func:`sax_words`."""
+    per = m // segments
+    b1, b2, b3 = SAX_BREAKS
+
+    def seg_mean(k: int) -> str:
+        s = " + ".join(f"win[{k * per + j + 1}]" for j in range(per))
+        return f"round((({s}) / {float(per)} - mu) / sd, 6)"
+
+    def symbol(expr: str) -> str:
+        return (
+            f"CASE WHEN {expr} < ({b1!r}) THEN 'a' "
+            f"WHEN {expr} < ({b2!r}) THEN 'b' "
+            f"WHEN {expr} < ({b3!r}) THEN 'c' ELSE 'd' END"
+        )
+
+    word = " || ".join(symbol(seg_mean(k)) for k in range(segments))
+    return f"""
+WITH src AS ({trades_sql}),
+sub AS (
+  SELECT event_type, ts, event_id,
+         list(value) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN {m - 1} PRECEDING AND CURRENT ROW
+         ) AS win
+  FROM src
+),
+full_wins AS (SELECT * FROM sub WHERE len(win) = {m}),
+stats AS (
+  SELECT *, list_reduce(list_prepend(0.0::DOUBLE, win), (a, x) -> a + x)
+              / {float(m)} AS mu
+  FROM full_wins
+),
+sdev AS (
+  SELECT *, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(win, x -> (x - mu) * (x - mu))), (a, x) -> a + x)
+             / {float(m)}) AS sd
+  FROM stats
+),
+words AS (
+  SELECT event_type, {word} AS sax_word
+  FROM sdev WHERE round(sd, 6) > 0
+)
+SELECT event_type, sax_word, count(*) AS n_windows
+FROM words GROUP BY 1, 2
+"""

@@ -573,3 +573,28 @@ def ts_shape_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return subseq.subsequence_topk(ev, _SHAPE_PATTERN, k=20)
+
+
+@register(
+    "ts_sax_symbols",
+    tags=("W2", "A4", "LLM-sim"),
+    oracle=subseq.sql_sax_words(
+        trades_sql=(
+            "SELECT event_type, ts, event_id, value FROM events "
+            "WHERE value IS NOT NULL"
+        ),
+        m=8,
+        segments=4,
+    ),
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of every per-key sliding window (z-norm → PAA
+    into 4 segments → Gaussian-quartile alphabet): the bucket histogram
+    a symbol-indexed shape store builds on — same-word windows are
+    shape-similar candidates, so lookups touch one bucket instead of
+    scanning the series. The scale twin of ts_shape_search the way LSH
+    is the scale twin of brute-force cosine."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return subseq.sax_words(ev, m=8, segments=4)

@@ -2521,3 +2521,84 @@ def embedding_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs like the Lloyd and PageRank loops."""
     emb = load_table(spark, sf_dir, "embeddings")
     return coreset.kcenter_greedy(emb, id_col="vec_id", vec_col="embedding", k=5)
+
+
+@register(
+    "corpus_datacard",
+    tags=("LLM-mixing", "A4", "A6"),
+    oracle=f"""
+WITH base AS (
+  SELECT source, lang, n_chars,
+         len({dedup.SQL_TOKENS.format(text="text")}) AS n_toks,
+         md5(text) AS h
+  FROM documents
+),
+per_source AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         round(sum(n_toks)::DOUBLE / count(*), 6) AS mean_doc_tokens,
+         count(DISTINCT lang) AS n_langs,
+         round(1.0 - count(DISTINCT h)::DOUBLE / count(*), 6)
+           AS dup_fraction
+  FROM base GROUP BY source
+),
+lang_counts AS (
+  SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2
+),
+top_lang AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (
+             PARTITION BY source ORDER BY c DESC, lang ASC
+           ) AS rn
+    FROM lang_counts
+  ) WHERE rn = 1
+)
+SELECT p.source, p.n_docs, p.total_chars, p.total_tokens,
+       p.mean_doc_tokens, p.n_langs, p.dup_fraction, t.top_lang
+FROM per_source p JOIN top_lang t ON t.source = p.source
+""",
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus data card — the summary table a curation
+    pipeline publishes with every release (datasheets-for-datasets
+    practice): document/character/token volumes, language diversity
+    with the modal language, and the exact-duplicate fraction, per
+    source. One scan, two grouped aggregates and a per-source modal
+    pick; every figure is integer or round-6, so the card itself is
+    differential-checked like any operator."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokens(F.col("text"))).alias("n_toks"),
+        F.md5("text").alias("h"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_toks").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_doc_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("h").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_fraction"),
+    )
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wl = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top_lang = (
+        lang_counts.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return per_source.join(top_lang, "source")

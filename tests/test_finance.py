@@ -216,3 +216,32 @@ def test_subsequence_search_finds_planted_shape(spark):
     assert [(r["event_type"], r["ts_us"], r["dist"]) for r in out] == [
         (r["event_type"], r["ts_us"], r["dist"]) for r in out2
     ]
+
+
+def test_sax_words_bucket_similar_shapes_together(spark):
+    """Two series with the SAME shape at different amplitude/offset get
+    the same SAX words; a reversed shape gets a different word; flat
+    series contribute nothing."""
+    import datetime as dt
+
+    from stock_streaming_data_pipeline_spark.operators import subseq
+
+    base = dt.datetime(2024, 1, 1)
+    ramp = [float(i) for i in range(8)]
+    rows = []
+    for i, v in enumerate(ramp):
+        rows.append(("up_small", base + dt.timedelta(minutes=i), i, v))
+        rows.append(("up_big", base + dt.timedelta(minutes=i), 100 + i, 1000 + 50 * v))
+        rows.append(("down", base + dt.timedelta(minutes=i), 200 + i, 7.0 - v))
+        rows.append(("flat", base + dt.timedelta(minutes=i), 300 + i, 5.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = {
+        (r["event_type"], r["sax_word"]): r["n_windows"]
+        for r in subseq.sax_words(df, m=8, segments=4).collect()
+    }
+    words = {k: w for (k, w) in out}
+    assert words["up_small"] == words["up_big"]  # scale/offset invariant
+    assert words["down"] == words["up_small"][::-1]  # mirrored shape
+    assert "flat" not in words  # no variance, no shape
