@@ -61,10 +61,10 @@ FEATURE_SCHEMA = (
 def decode_image(payload: bytes) -> tuple[int, int, int, bytearray]:
     """Real image decode: ``(width, height, channels, pixels)``. PNG is
     decoded by the pure-stdlib codec (png_codec.py); baseline JPEG
-    (grayscale, or 4:2:0 YCbCr color — both with or without restart
-    markers) by jpeg_codec.py, routed on the SOF0 component count;
-    other formats raise NotImplementedError until their codec libraries
-    exist on executors."""
+    (grayscale, or 4:2:0 / 4:2:2 / 4:4:4 YCbCr color, with or without
+    restart markers) by jpeg_codec.py, routed on the SOF0 component
+    count; other formats raise NotImplementedError until their codec
+    libraries exist on executors."""
     if png_codec.is_png(payload):
         return png_codec.decode_png(payload)
     if payload[:2] == b"\xff\xd8":

@@ -598,3 +598,31 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return subseq.sax_words(ev, m=8, segments=4)
+
+
+@register(
+    "ts_motif_discovery",
+    tags=("W2", "O2", "LLM-sim"),
+    oracle=subseq.sql_motif_pairs(
+        trades_sql=(
+            "SELECT event_type, ts, event_id, value FROM events "
+            "WHERE value IS NOT NULL"
+        ),
+        m=8,
+        segments=4,
+        k=10,
+    ),
+)
+def ts_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif discovery — the 10 closest recurring shapes per series,
+    found the scalable way: candidate pairs come only from windows
+    sharing a SAX bucket (LSH-style pruning instead of the O(n²)
+    all-pairs matrix profile), exact-verified with the z-normalized
+    distance, with overlapping (trivial-match) windows excluded by the
+    UCR position rule. SAX indexing feeding exact verification — the
+    same candidates-then-verify architecture as the MinHash and ANN
+    tiers, applied to time series."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return subseq.motif_pairs(ev, m=8, segments=4, k=10)

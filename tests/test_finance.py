@@ -245,3 +245,34 @@ def test_sax_words_bucket_similar_shapes_together(spark):
     assert words["up_small"] == words["up_big"]  # scale/offset invariant
     assert words["down"] == words["up_small"][::-1]  # mirrored shape
     assert "flat" not in words  # no variance, no shape
+
+
+def test_motif_discovery_finds_planted_repeat(spark):
+    """The same shape planted twice (non-overlapping) in a noisy series
+    must surface as the #1 motif with ~zero distance; overlapping
+    windows never pair (UCR trivial-match rule)."""
+    import datetime as dt
+
+    from stock_streaming_data_pipeline_spark.operators import subseq
+
+    base = dt.datetime(2024, 1, 1)
+    # aperiodic background (quadratic residues) — a periodic background
+    # would contain REAL zero-distance motifs of its own
+    rng_vals = [float(10 + (i * i * 37) % 91) for i in range(60)]
+    shape = [3.0, 9.0, 27.0, 9.0, 3.0, 9.0, 27.0, 9.0]
+    rng_vals[10:18] = shape
+    rng_vals[40:48] = [100 + 4 * v for v in shape]  # same shape, rescaled
+    rows = [
+        ("A", base + dt.timedelta(minutes=i), i, v)
+        for i, v in enumerate(rng_vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = subseq.motif_pairs(df, m=8, segments=4, k=3).collect()
+    top = out[0]
+    assert top["dist"] == 0.0
+    # positions are window END rows (1-indexed): 18 and 48
+    assert (top["pos_a"], top["pos_b"]) == (18, 48)
+    for r in out:
+        assert r["pos_b"] - r["pos_a"] >= 8  # no trivial matches
