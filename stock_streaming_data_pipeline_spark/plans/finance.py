@@ -626,3 +626,138 @@ def ts_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return subseq.motif_pairs(ev, m=8, segments=4, k=10)
+
+
+@register(
+    "candlestick_patterns",
+    tags=("A2", "W4", "F1"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+bars AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(round(arg_min(value, ts) * 100, 0) AS BIGINT) AS o,
+         CAST(round(max(value) * 100, 0) AS BIGINT) AS h,
+         CAST(round(min(value) * 100, 0) AS BIGINT) AS l,
+         CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT) AS c
+  FROM trades WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT *, lag(o) OVER w AS po, lag(c) OVER w AS pc
+  FROM bars
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+feats AS (
+  SELECT event_type, day, o, h, l, c, po, pc,
+         abs(c - o) AS body, h - l AS rng,
+         h - greatest(o, c) AS upper, least(o, c) - l AS lower
+  FROM lagged
+),
+flags AS (
+  SELECT event_type, epoch(day)::BIGINT AS day_s,
+         (rng > 0 AND 10 * body <= rng) AS doji,
+         (body > 0 AND lower >= 2 * body AND upper <= body) AS hammer,
+         (body > 0 AND upper >= 2 * body AND lower <= body)
+           AS shooting_star,
+         (pc IS NOT NULL AND c > o AND pc < po AND o <= pc AND c >= po
+          AND (c - o) > (po - pc)) AS bullish_engulfing,
+         (pc IS NOT NULL AND c < o AND pc > po AND o >= pc AND c <= po
+          AND (o - c) > (pc - po)) AS bearish_engulfing
+  FROM feats
+)
+SELECT event_type, day_s, pattern FROM (
+  SELECT event_type, day_s, 'doji' AS pattern FROM flags WHERE doji
+  UNION ALL
+  SELECT event_type, day_s, 'hammer' FROM flags WHERE hammer
+  UNION ALL
+  SELECT event_type, day_s, 'shooting_star' FROM flags WHERE shooting_star
+  UNION ALL
+  SELECT event_type, day_s, 'bullish_engulfing' FROM flags
+  WHERE bullish_engulfing
+  UNION ALL
+  SELECT event_type, day_s, 'bearish_engulfing' FROM flags
+  WHERE bearish_engulfing
+)
+""",
+)
+def candlestick_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick pattern detection over daily OHLC bars — the
+    chart-analysis queries the reference pipeline's stock users run next
+    (doji, hammer, shooting star, bullish/bearish engulfing). Bars snap
+    to integer cents so every pattern predicate is pure integer
+    arithmetic (shadow/body multiples, engulfing containment) — exact
+    across engines; the previous bar arrives via one partitioned lag
+    window. One fact scan → one grouped aggregate → bounded bar-level
+    window work."""
+    ev = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())
+    cents = finance.to_scaled_long("value", 2)
+    bars = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            "ts",
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.expr("min_by(cents, ts)").alias("o"),
+            F.max("cents").alias("h"),
+            F.min("cents").alias("l"),
+            F.expr("max_by(cents, ts)").alias("c"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    feats = (
+        bars.withColumn("po", F.lag("o").over(w))
+        .withColumn("pc", F.lag("c").over(w))
+        .withColumn("body", F.abs(F.col("c") - F.col("o")))
+        .withColumn("rng", F.col("h") - F.col("l"))
+        .withColumn("upper", F.col("h") - F.greatest("o", "c"))
+        .withColumn("lower", F.least("o", "c") - F.col("l"))
+    )
+    flags = feats.select(
+        "event_type",
+        F.unix_seconds("day").alias("day_s"),
+        ((F.col("rng") > 0) & (10 * F.col("body") <= F.col("rng"))).alias(
+            "doji"
+        ),
+        (
+            (F.col("body") > 0)
+            & (F.col("lower") >= 2 * F.col("body"))
+            & (F.col("upper") <= F.col("body"))
+        ).alias("hammer"),
+        (
+            (F.col("body") > 0)
+            & (F.col("upper") >= 2 * F.col("body"))
+            & (F.col("lower") <= F.col("body"))
+        ).alias("shooting_star"),
+        (
+            F.col("pc").isNotNull()
+            & (F.col("c") > F.col("o"))
+            & (F.col("pc") < F.col("po"))
+            & (F.col("o") <= F.col("pc"))
+            & (F.col("c") >= F.col("po"))
+            & ((F.col("c") - F.col("o")) > (F.col("po") - F.col("pc")))
+        ).alias("bullish_engulfing"),
+        (
+            F.col("pc").isNotNull()
+            & (F.col("c") < F.col("o"))
+            & (F.col("pc") > F.col("po"))
+            & (F.col("o") >= F.col("pc"))
+            & (F.col("c") <= F.col("po"))
+            & ((F.col("o") - F.col("c")) > (F.col("pc") - F.col("po")))
+        ).alias("bearish_engulfing"),
+    )
+    out = None
+    for name in (
+        "doji",
+        "hammer",
+        "shooting_star",
+        "bullish_engulfing",
+        "bearish_engulfing",
+    ):
+        part = flags.filter(F.col(name)).select(
+            "event_type", "day_s", F.lit(name).alias("pattern")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

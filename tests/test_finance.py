@@ -276,3 +276,56 @@ def test_motif_discovery_finds_planted_repeat(spark):
     assert (top["pos_a"], top["pos_b"]) == (18, 48)
     for r in out:
         assert r["pos_b"] - r["pos_a"] >= 8  # no trivial matches
+
+
+def test_candlestick_patterns_on_scripted_bars(spark):
+    """Hand-built days with known shapes: a doji day, a hammer day, and
+    a bullish-engulfing pair — each flagged exactly once, nothing else."""
+    from stock_streaming_data_pipeline_spark.plans.catalog import catalog
+
+    rows = []
+
+    def day(d, ticks):  # ticks: list of (minute, price)
+        for minute, price in ticks:
+            rows.append(
+                (
+                    "k",
+                    T0 + dt.timedelta(days=d, minutes=minute),
+                    float(price),
+                    '{"k": 1.0}',
+                )
+            )
+
+    # day 0: doji — opens 100, ranges 90..110, closes 100.5 (body 0.5 <= 2)
+    day(0, [(0, 100), (10, 110), (20, 90), (30, 100.5)])
+    # day 1: hammer — open 100, low 80, close 101 (lower 20 >= 2*1, upper 0)
+    day(1, [(0, 100), (10, 80), (30, 101)])
+    # day 2: bearish setup bar — open 100 close 95
+    day(2, [(0, 100), (30, 95)])
+    # day 3: bullish engulfing — open 94 close 102 (engulfs 95..100)
+    day(3, [(0, 94), (30, 102)])
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.selectExpr(
+            "monotonically_increasing_id() AS event_id",
+            "ts",
+            "CAST(1 AS LONG) AS user_id",
+            "event_type",
+            "value",
+            "props",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            (r["pattern"], r["day_s"])
+            for r in catalog()["candlestick_patterns"].build(spark, d).collect()
+        }
+    t0s = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert ("doji", t0s) in got
+    assert ("hammer", t0s + 86400) in got
+    assert ("bullish_engulfing", t0s + 3 * 86400) in got
+    assert all(p != "bearish_engulfing" for p, _ in got)
+    # the doji day is ONLY a doji (long both-sided shadows, no hammer)
+    assert ("hammer", t0s) not in got and ("shooting_star", t0s) not in got
