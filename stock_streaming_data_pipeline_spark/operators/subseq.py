@@ -420,3 +420,192 @@ FROM pairs
 ORDER BY dist ASC, event_type ASC, pos_a ASC, pos_b ASC
 LIMIT {k}
 """
+
+
+def dtw_pairwise(
+    profiles: DataFrame,
+    *,
+    key_col: str = "key",
+    pos_col: str = "pos",
+    val_col: str = "v",
+    band: int = 3,
+    max_len: int = 10,
+) -> DataFrame:
+    """Pairwise Dynamic Time Warping distance between every two keys'
+    integer profiles — the elastic-alignment similarity that tolerates
+    phase shift/stretch where Euclidean/correlation cannot. Classic
+    Sakoe-Chiba banded DP (|i−j| ≤ band) over INTEGER profiles (e.g.
+    milli-means) with |x−y| local cost: pure integer min/plus algebra,
+    so no rounding rule is even needed for cross-engine exactness.
+
+    Execution shape: the in-band cells of each pair are grouped into a
+    per-pair lc MAP, and the whole banded recurrence runs INSIDE ONE
+    Catalyst expression — an ``F.aggregate`` over rows whose accumulator
+    is the previous DP row, with a nested ``F.aggregate`` over columns
+    (the dp[i][j-1] within-row dependency rides the inner accumulator).
+    Whole-stage-codegen JVM arithmetic, ONE shuffle (the groupBy on the
+    pair key), zero job barriers. The earlier draft ran the DP as an
+    anti-diagonal wavefront of ``2·max_len−1`` chained relations — i.e.
+    ~40 Spark jobs with shuffles for a ≤70-cell-per-pair problem; at any
+    scale that is pure scheduler overhead, while this form distributes
+    over pairs like any other aggregation. The DuckDB oracle
+    (:func:`sql_dtw_pairwise`) still replays the recurrence as unrolled
+    anti-diagonal CTEs — same integer recurrence, exact equality.
+
+    Unreachable convention (matches the oracle's ``cost < INF`` filter):
+    a cell is INF when its lc is out-of-band/absent or no in-band path
+    reaches it; pairs whose final (na, nb) cell is unreachable (length
+    gap > band) are dropped from the output, exactly as the oracle's
+    final join finds no row for them.
+
+    Scale shape: profiles are aggregates (bounded: keys × max_len rows);
+    the all-pairs comparison touches keys² SKETCHES, never raw series,
+    and each pair's O(max_len · band) DP runs map-side in its task.
+    """
+    if max_len >= 1024:
+        raise ValueError("dtw_pairwise: max_len must be < 1024 (lc key packing)")
+    INF = 10**15
+    nmax = 1024
+    prof = profiles.select(
+        F.col(key_col).alias("key"),
+        F.col(pos_col).alias("pos"),
+        F.col(val_col).cast("long").alias("v"),
+    ).filter(F.col("pos") <= max_len)
+    lens = prof.groupBy("key").agg(F.max("pos").alias("n"))
+    ka = lens.select(
+        F.col("key").alias("key_a"), F.col("n").alias("na")
+    )
+    kb = lens.select(
+        F.col("key").alias("key_b"), F.col("n").alias("nb")
+    )
+    pairs = ka.join(kb, F.col("key_a") < F.col("key_b"))
+    pa = prof.select(
+        F.col("key").alias("key_a"), F.col("pos").alias("i"), F.col("v").alias("xa")
+    )
+    pb = prof.select(
+        F.col("key").alias("key_b"), F.col("pos").alias("j"), F.col("v").alias("xb")
+    )
+    # all in-band cells with their local cost, bounded relation
+    cells = (
+        pairs.join(pa, "key_a")
+        .join(pb, "key_b")
+        .filter(F.abs(F.col("i") - F.col("j")) <= band)
+        .select(
+            "key_a",
+            "key_b",
+            "na",
+            "nb",
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.abs(F.col("xa") - F.col("xb")).cast("long").alias("lc"),
+        )
+    )
+    grouped = cells.groupBy("key_a", "key_b", "na", "nb").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("i") * nmax + F.col("j")).alias("k"),
+                    F.col("lc").alias("v"),
+                )
+            )
+        ).alias("lc")
+    )
+    inf = F.lit(INF).cast("long")
+
+    def _dp_cell(prev, cur, i, j):
+        # prev: row i-1 as array where element_at(arr, t) = dp[i-1][t-1];
+        # cur: row i prefix (columns 0..j-1) in the same layout.
+        lcv = F.element_at(F.col("lc"), i.cast("long") * nmax + j.cast("long"))
+        m = F.least(
+            F.element_at(prev, j + 1),  # dp[i-1][j]
+            F.element_at(prev, j),      # dp[i-1][j-1]
+            F.element_at(cur, j),       # dp[i][j-1]
+        )
+        return F.when(lcv.isNull() | (m >= inf), inf).otherwise(lcv + m)
+
+    # virtual row 0: dp[0][0] = 0 (the (1,1) base case enters through the
+    # diagonal move), dp[0][j>0] = INF; every row's column 0 is INF.
+    row0 = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.array_repeat(inf, F.col("nb").cast("int")),
+    )
+    last_row = F.aggregate(
+        F.sequence(F.lit(1), F.col("na").cast("int")),
+        row0,
+        lambda prev, i: F.aggregate(
+            F.sequence(F.lit(1), F.col("nb").cast("int")),
+            F.array(inf),
+            lambda cur, j: F.concat(cur, F.array(_dp_cell(prev, cur, i, j))),
+        ),
+    )
+    return (
+        grouped.select(
+            "key_a",
+            "key_b",
+            F.element_at(last_row, F.col("nb").cast("int") + 1).alias("dtw"),
+        )
+        .filter(F.col("dtw") < inf)
+    )
+
+
+def sql_dtw_pairwise(
+    *, profiles_sql: str, band: int = 3, max_len: int = 10
+) -> str:
+    """DuckDB replay of :func:`dtw_pairwise`. ``profiles_sql`` must
+    yield (key, pos, v) with integer v."""
+    parts = [
+        f"prof AS MATERIALIZED (SELECT key, pos, CAST(v AS BIGINT) AS v "
+        f"FROM ({profiles_sql}) WHERE pos <= {max_len})",
+        "lens AS MATERIALIZED (SELECT key, max(pos) AS n FROM prof GROUP BY key)",
+        """pairs AS MATERIALIZED (
+  SELECT a.key AS key_a, b.key AS key_b, a.n AS na, b.n AS nb
+  FROM lens a JOIN lens b ON a.key < b.key
+)""",
+        f"""cells AS MATERIALIZED (
+  SELECT p.key_a, p.key_b, p.na, p.nb, pa.pos AS i, pb.pos AS j,
+         abs(pa.v - pb.v) AS lc
+  FROM pairs p
+  JOIN prof pa ON pa.key = p.key_a
+  JOIN prof pb ON pb.key = p.key_b
+  WHERE abs(pa.pos - pb.pos) <= {band}
+)""",
+        """f2 AS MATERIALIZED (
+  SELECT key_a, key_b, i, j, CAST(lc AS BIGINT) AS cost
+  FROM cells WHERE i = 1 AND j = 1
+)""",
+    ]
+    inf = 10**15
+    top_d = 2 * max_len
+    for d in range(3, top_d + 1):
+        p1, p2 = f"f{d - 1}", f"f{d - 2}"
+        diag_join = (
+            f"LEFT JOIN {p2} dg ON dg.key_a = c.key_a AND dg.key_b = c.key_b "
+            "AND dg.i = c.i - 1 AND dg.j = c.j - 1"
+            if d >= 4
+            else ""
+        )
+        diag_expr = "coalesce(dg.cost, " + str(inf) + ")" if d >= 4 else str(inf)
+        parts.append(
+            f"""f{d} AS MATERIALIZED (
+  SELECT key_a, key_b, i, j, cost FROM (
+    SELECT c.key_a, c.key_b, c.i, c.j,
+           c.lc + least(coalesce(up.cost, {inf}),
+                        coalesce(lf.cost, {inf}),
+                        {diag_expr}) AS cost
+    FROM cells c
+    LEFT JOIN {p1} up ON up.key_a = c.key_a AND up.key_b = c.key_b
+      AND up.i = c.i - 1 AND up.j = c.j
+    LEFT JOIN {p1} lf ON lf.key_a = c.key_a AND lf.key_b = c.key_b
+      AND lf.i = c.i AND lf.j = c.j - 1
+    {diag_join}
+    WHERE c.i + c.j = {d} AND (c.i > 1 OR c.j > 1)
+  ) WHERE cost < {inf}
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT f.key_a, f.key_b, f.cost AS dtw FROM f{d} f "
+        "JOIN pairs p ON p.key_a = f.key_a AND p.key_b = f.key_b "
+        "AND f.i = p.na AND f.j = p.nb"
+        for d in range(2, top_d + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{finals}"

@@ -761,3 +761,72 @@ def candlestick_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+_DTW_PROFILES_SQL = f"""
+  WITH trades AS ({SQL_TRADES}),
+  day_means AS (
+    SELECT event_type AS key, date_trunc('day', ts) AS day,
+           CAST(round(sum({_CENTS})::DOUBLE / count(*)::DOUBLE * 10, 0)
+                AS BIGINT) AS mean_milli
+    FROM trades WHERE value IS NOT NULL GROUP BY 1, 2
+  ),
+  positioned AS (
+    SELECT key, mean_milli,
+           (row_number() OVER (PARTITION BY key ORDER BY day) - 1) // 3 + 1
+             AS pos
+    FROM day_means
+  )
+  SELECT key, pos, CAST(sum(mean_milli) AS BIGINT) AS v
+  FROM positioned GROUP BY 1, 2
+"""
+
+
+@register(
+    "ts_dtw_similarity",
+    tags=("W2", "J1", "LLM-sim"),
+    oracle=subseq.sql_dtw_pairwise(
+        profiles_sql=_DTW_PROFILES_SQL, band=3, max_len=10
+    ),
+)
+def ts_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Dynamic Time Warping between the symbols' 3-day PAA
+    price profiles — elastic alignment that matches series shifted or
+    stretched in time, where correlation/Euclidean see nothing. The
+    Sakoe-Chiba banded DP runs as an anti-diagonal wavefront of
+    relational steps over integer milli profiles (no rounding rule
+    needed — the recurrence is pure integer min/plus), so the DuckDB
+    oracle unrolls every diagonal into a materialized CTE. Profiles are
+    aggregates: the all-pairs comparison touches keys² sketches, never
+    raw series."""
+    day_means = (
+        trades_view(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(
+            F.sum(finance.to_scaled_long("value", 2)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "key",
+            "day",
+            finance.to_scaled_long(
+                F.col("s").cast("double") / F.col("n").cast("double"), 1
+            ).alias("mean_milli"),
+        )
+    )
+    wpos = Window.partitionBy("key").orderBy("day")
+    prof = (
+        day_means.withColumn(
+            "pos",
+            ((F.row_number().over(wpos) - 1) / 3).cast("int") + 1,
+        )
+        .groupBy("key", "pos")
+        .agg(F.sum("mean_milli").cast("long").alias("v"))
+    )
+    return subseq.dtw_pairwise(
+        prof, key_col="key", pos_col="pos", val_col="v", band=3, max_len=10
+    )

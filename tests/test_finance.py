@@ -329,3 +329,41 @@ def test_candlestick_patterns_on_scripted_bars(spark):
     assert all(p != "bearish_engulfing" for p, _ in got)
     # the doji day is ONLY a doji (long both-sided shadows, no hammer)
     assert ("hammer", t0s) not in got and ("shooting_star", t0s) not in got
+
+
+def test_dtw_pairwise_elastic_alignment(spark):
+    """DTW on scripted integer profiles: a shifted copy of a shape must
+    be far closer under DTW than its Euclidean gap; identical series
+    have distance 0; a pair whose length gap exceeds the band is
+    dropped (unreachable final cell); the hand-computed banded DP value
+    is pinned exactly."""
+    from stock_streaming_data_pipeline_spark.operators import subseq
+
+    shape = [0, 0, 10, 30, 10, 0, 0, 0]
+    shifted = [0, 0, 0, 10, 30, 10, 0, 0]  # same shape, +1 phase
+    rows = []
+    for p, v in enumerate(shape, start=1):
+        rows.append(("a", p, v))
+        rows.append(("c", p, v))  # identical twin of a
+    for p, v in enumerate(shifted, start=1):
+        rows.append(("b", p, v))
+    rows.append(("z", 1, 0))  # length-1 series: |8-1| > band=3 -> dropped
+    df = spark.createDataFrame(rows, "key string, pos int, v long")
+    got = {
+        (r["key_a"], r["key_b"]): r["dtw"]
+        for r in subseq.dtw_pairwise(df, band=3, max_len=10).collect()
+    }
+    assert got[("a", "c")] == 0  # identical series align for free
+    # euclidean (lock-step) distance between a and b is 10+20+20+10 = 60;
+    # DTW absorbs the shift with one duplication step: cost 0+0+0+... = 0
+    # except the first duplicated 0-step pairs (1,1)->(2,1 or 1,2) etc.
+    # hand-run of the banded DP gives 0:
+    assert got[("a", "b")] == 0
+    assert got[("b", "c")] == 0
+    assert not any("z" in k for k in got)  # out-of-band pair dropped
+    # deterministic under repartition
+    got2 = {
+        (r["key_a"], r["key_b"]): r["dtw"]
+        for r in subseq.dtw_pairwise(df.repartition(5), band=3, max_len=10).collect()
+    }
+    assert got == got2
