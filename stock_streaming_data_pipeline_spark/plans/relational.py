@@ -1783,3 +1783,54 @@ def revenue_gini_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+from stock_streaming_data_pipeline_spark.operators import bloom as _bloom  # noqa: E402
+
+
+@register(
+    "bloom_semi_join_orders",
+    tags=("J2", "F4"),
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS total_price
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+)
+GROUP BY o_orderpriority
+""",
+)
+def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join through a portable Bloom runtime filter: the BUILDING
+    customer keys condense into a fixed 64 Kib bitmap (a parameter, not
+    a data size) that prunes orders MAP-SIDE before the join's shuffle;
+    the exact left-semi join then clears Bloom false positives, so the
+    result — and the oracle — is the plain WHERE EXISTS semi-join. This
+    is the explicit form of Spark's own stats-gated
+    ``runtimeFilter.bloomFilter`` rule: at 100 TB the key set is far too
+    big to broadcast (the lint forbids that hint on SF-scaled relations)
+    and the bitmap cuts the fact shuffle to roughly the match rate plus
+    the documented false-positive rate (~10 bits/key -> ~1%). The build
+    pass collects <= m_bits/64 words — bounded by the parameter."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    joined = _bloom.bloom_semi_join(
+        orders,
+        keys,
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        m_bits=1 << 16,
+        k_hashes=4,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_price"),
+    )

@@ -348,3 +348,18 @@ def test_quantile_normalization_window_discipline(spark):
             break
     else:
         raise AssertionError("offsets window not found in plan")
+
+
+def test_bloom_filter_sits_below_the_semi_join(spark):
+    """The Bloom membership predicate must prune the fact side MAP-SIDE:
+    a Filter containing the bitmap element_at lookups below the LeftSemi
+    join node (tree children print after parents, so the join must
+    appear first)."""
+    from stock_streaming_data_pipeline_spark.plans import catalog
+
+    df = catalog.queries()["bloom_semi_join_orders"](spark, SF_SMOKE)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "element_at" in opt
+    join_at = opt.index("LeftSemi")
+    filt_at = opt.index("element_at")
+    assert join_at < filt_at  # filter is inside the join's fact subtree

@@ -466,3 +466,68 @@ def test_merge_states_rejects_schema_mismatch(spark):
         incremental.merge_states(a, b, keys=["k"])
     with pytest.raises(ValueError, match="not mergeable"):
         incremental.aggregate_state(facts, keys=["k"], measures={"v": ["avg"]})
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Bloom contract: every true key survives the prefilter (no false
+    negatives, ever); a properly-sized bitmap prunes most non-members;
+    the DuckDB position replay computes identical bit positions."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from stock_streaming_data_pipeline_spark.operators import bloom
+
+    keys = spark.createDataFrame([(i * 7,) for i in range(500)], "k long")
+    words = bloom.build_bloom_words(keys, "k", m_bits=1 << 13, k_hashes=4)
+    assert len(words) == (1 << 13) // 64
+    test = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    pred = bloom.bloom_might_contain(F.col("k"), words, k_hashes=4)
+    kept = {r["k"] for r in test.filter(pred).collect()}
+    true_keys = {i * 7 for i in range(500) if i * 7 < 5000}
+    assert true_keys <= kept  # no false negatives
+    fp = len(kept - true_keys) / (5000 - len(true_keys))
+    assert fp < 0.05  # 8192 bits / 500 keys ~ 16 bits/key -> ~0.2% expected
+    # cross-engine: DuckDB recomputes the same positions for every key
+    pos_sql = bloom.sql_bloom_positions("k", k_hashes=4, m_bits=1 << 13)
+    duck_rows = duckdb.sql(
+        "SELECT k, " + ", ".join(f"{p} AS p{i}" for i, p in enumerate(pos_sql))
+        + " FROM (SELECT unnest(range(0, 50)) * 7 AS k)"
+    ).fetchall()
+    spark_rows = (
+        keys.filter(F.col("k") < 350)
+        .select(
+            "k",
+            *[
+                p.alias(f"p{i}")
+                for i, p in enumerate(
+                    bloom._positions(
+                        bloom._h31(F.col("k"), "bf_"), k_hashes=4, m_bits=1 << 13
+                    )
+                )
+            ],
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, duck_rows)) == sorted(tuple(r) for r in spark_rows)
+
+
+def test_bloom_semi_join_exactness(spark):
+    """bloom_semi_join == plain left-semi join, bit for bit, including
+    under an undersized (saturating) bitmap."""
+    from stock_streaming_data_pipeline_spark.operators import bloom
+
+    fact = spark.createDataFrame(
+        [(i % 97, i) for i in range(3000)], "fk long, payload long"
+    )
+    keys = spark.createDataFrame([(i * 3,) for i in range(30)], "dk long")
+    got = sorted(
+        (r["fk"], r["payload"])
+        for r in bloom.bloom_semi_join(
+            fact, keys, fact_key="fk", dim_key="dk", m_bits=256, k_hashes=3
+        ).collect()
+    )
+    want = sorted(
+        (r["fk"], r["payload"])
+        for r in fact.join(keys, fact["fk"] == keys["dk"], "left_semi").collect()
+    )
+    assert got == want
