@@ -1834,3 +1834,136 @@ def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,2)")
         .alias("total_price"),
     )
+
+
+from stock_streaming_data_pipeline_spark.operators import dq as _dq  # noqa: E402
+
+
+@register(
+    "data_quality_report",
+    tags=("A4", "A6", "A7", "J2", "LLM-curate"),
+    oracle="""
+WITH o AS (
+  SELECT 'orders.o_orderkey.unique' AS check_name,
+         round(count(DISTINCT o_orderkey)::DOUBLE / count(*)::DOUBLE, 6) AS metric
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_custkey.complete',
+         round(count(o_custkey)::DOUBLE / count(*)::DOUBLE, 6)
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_orderstatus.in_set',
+         round(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)::DOUBLE, 6)
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_totalprice.min', round(min(o_totalprice), 6) FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_discount.max', round(max(l_discount), 6) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_quantity.positive',
+         round(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::DOUBLE, 6)
+  FROM lineitem
+  UNION ALL
+  SELECT 'events.value.complete',
+         round(count(value)::DOUBLE / count(*)::DOUBLE, 6)
+  FROM events
+  UNION ALL
+  SELECT 'lineitem.l_orderkey.ref_integrity',
+         round((SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))::DOUBLE, 6)
+  UNION ALL
+  SELECT 'lineitem.ship_after_order',
+         round((SELECT count(*) FROM lineitem l JOIN orders o
+                ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_shipdate < o.o_orderdate)::DOUBLE, 6)
+)
+SELECT check_name, metric,
+  CASE check_name
+    WHEN 'orders.o_orderkey.unique' THEN metric = 1.0
+    WHEN 'orders.o_custkey.complete' THEN metric >= 1.0
+    WHEN 'orders.o_orderstatus.in_set' THEN metric = 0.0
+    WHEN 'orders.o_totalprice.min' THEN metric > 0.0
+    WHEN 'lineitem.l_discount.max' THEN metric <= 0.08
+    WHEN 'lineitem.l_quantity.positive' THEN metric = 0.0
+    WHEN 'events.value.complete' THEN metric >= 0.5
+    WHEN 'lineitem.l_orderkey.ref_integrity' THEN metric = 0.0
+    WHEN 'lineitem.ship_after_order' THEN metric = 0.0
+  END AS passed
+FROM o
+""",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style verification suite over the warehouse: per-table
+    constraint packs run as ONE aggregate pass each (uniqueness,
+    completeness, set membership, ranges), plus two relational checks —
+    referential integrity (anti-join orphan count) and a cross-table
+    invariant (line items shipped before their order date). Two checks
+    FAIL on this corpus by design (max discount 0.10 > 0.08; the
+    synthetic generator does not enforce ship-after-order), so both
+    verdict branches are exercised end-to-end. Verdicts compare the
+    round-6 metric, the engine-portable rule the oracle replays."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    rep_o = _dq.agg_report(
+        orders,
+        [
+            _dq.AggCheck(
+                "orders.o_orderkey.unique",
+                _dq.uniqueness("o_orderkey"),
+                lambda m: m == 1.0,
+            ),
+            _dq.AggCheck(
+                "orders.o_custkey.complete",
+                _dq.completeness("o_custkey"),
+                lambda m: m >= 1.0,
+            ),
+            _dq.AggCheck(
+                "orders.o_orderstatus.in_set",
+                _dq.violations(~F.col("o_orderstatus").isin("O", "F", "P")),
+                lambda m: m == 0.0,
+            ),
+            _dq.AggCheck(
+                "orders.o_totalprice.min",
+                F.min("o_totalprice"),
+                lambda m: m > 0.0,
+            ),
+        ],
+    )
+    rep_l = _dq.agg_report(
+        lineitem,
+        [
+            _dq.AggCheck(
+                "lineitem.l_discount.max",
+                F.max("l_discount"),
+                lambda m: m <= 0.08,
+            ),
+            _dq.AggCheck(
+                "lineitem.l_quantity.positive",
+                _dq.violations(F.col("l_quantity") <= 0),
+                lambda m: m == 0.0,
+            ),
+        ],
+    )
+    rep_e = _dq.agg_report(
+        events,
+        [
+            _dq.AggCheck(
+                "events.value.complete",
+                _dq.completeness("value"),
+                lambda m: m >= 0.5,
+            ),
+        ],
+    )
+    orphans = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+    )
+    rep_ri = _dq.count_report("lineitem.l_orderkey.ref_integrity", orphans)
+    shipped_early = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).filter(F.col("l_shipdate") < F.col("o_orderdate"))
+    rep_ship = _dq.count_report("lineitem.ship_after_order", shipped_early)
+    return rep_o.unionByName(rep_l).unionByName(rep_e).unionByName(rep_ri).unionByName(
+        rep_ship
+    )

