@@ -2602,3 +2602,98 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("lang").alias("top_lang"))
     )
     return per_source.join(top_lang, "source")
+
+
+@register(
+    "golden_record_consolidation",
+    tags=("LLM-dedup", "A5", "J2"),
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS doc, unnest({_SQL_SHINGLES}) AS s FROM documents
+),
+sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE c / (sa.n + sb.n - c)::DOUBLE >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, a AS b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc, min(b) AS component FROM reach GROUP BY a),
+fullt AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+         d.source, d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY component ORDER BY n_chars DESC, source, doc_id
+  ) AS rn
+  FROM fullt
+),
+stats AS (
+  SELECT component, count(*) AS n_members,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM fullt GROUP BY component
+)
+SELECT r.component, s.n_members, s.total_chars,
+       r.doc_id AS survivor_doc_id,
+       r.source AS survivor_source,
+       r.n_chars AS survivor_n_chars
+FROM ranked r JOIN stats s USING (component)
+WHERE r.rn = 1
+""",
+)
+def golden_record_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-data survivorship: every document lands in a near-dup
+    cluster (transitive closure over the exact Jaccard pair graph;
+    singletons are their own cluster), and each cluster elects ONE
+    golden record by rule cascade — longest text wins, ties broken by
+    source name then doc_id — alongside merged cluster stats. The
+    election is a single min(struct(-n_chars, source, doc_id, payload))
+    aggregate, NOT a ranking window: no per-cluster sort, one shuffle on
+    the cluster key, skew-free at 100 TB (the oracle replays the cascade
+    as a ROW_NUMBER, which is the same total order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.5
+    )
+    comp = dedup.connected_components(pairs)
+    fullt = docs.join(comp, docs.doc_id == comp.doc, "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        "source",
+        "n_chars",
+    )
+    return fullt.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("neg_chars"),
+                F.col("source").alias("source"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        ).alias("sv"),
+    ).select(
+        "component",
+        "n_members",
+        "total_chars",
+        F.col("sv.doc_id").alias("survivor_doc_id"),
+        F.col("sv.source").alias("survivor_source"),
+        (-F.col("sv.neg_chars")).cast("long").alias("survivor_n_chars"),
+    )

@@ -887,3 +887,45 @@ def test_dsir_importance_separates_domains(spark):
         ).collect()
     }
     assert {d: r["importance"] for d, r in out.items()} == out2
+
+
+def test_golden_record_rule_cascade(spark, tmp_path):
+    """Survivorship: longest text wins, ties break on source then
+    doc_id; singletons are their own component; merged stats cover the
+    whole cluster."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            # 1,2,3 near-identical (one cluster); 9 is a singleton
+            "doc_id": [1, 2, 3, 9],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon zeta eta",
+                "alpha beta gamma delta epsilon zeta eta",  # tie with 2
+                "completely different words entirely here now",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["srcB", "srcB", "srcA", "srcC"],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d)
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+    from stock_streaming_data_pipeline_spark.plans.catalog import queries
+
+    rows = {
+        r["component"]: r
+        for r in queries()["golden_record_consolidation"](spark, d).collect()
+    }
+    assert set(rows) == {1, 9}
+    g = rows[1]
+    # 2 and 3 tie on length (longest); srcA < srcB -> doc 3 survives
+    assert g["survivor_doc_id"] == 3 and g["survivor_source"] == "srcA"
+    assert g["n_members"] == 3
+    assert g["total_chars"] == int(docs[docs.doc_id.isin([1, 2, 3])].n_chars.sum())
+    s = rows[9]
+    assert s["n_members"] == 1 and s["survivor_doc_id"] == 9
