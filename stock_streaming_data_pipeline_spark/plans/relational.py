@@ -1967,3 +1967,79 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep_o.unionByName(rep_l).unionByName(rep_e).unionByName(rep_ri).unionByName(
         rep_ship
     )
+
+
+_DIFF_CUT_US = 1705363200000000  # 2024-01-16T00:00:00Z in epoch micros
+
+
+@register(
+    "snapshot_table_diff",
+    tags=("W3", "J2", "K6"),
+    oracle=f"""
+WITH a AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events WHERE epoch_us(ts) < {_DIFF_CUT_US} GROUP BY 1, 2
+),
+b AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events WHERE epoch_us(ts) >= {_DIFF_CUT_US} GROUP BY 1, 2
+)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       coalesce(a.event_type, b.event_type) AS event_type,
+       CASE
+         WHEN a.user_id IS NULL THEN 'added'
+         WHEN b.user_id IS NULL THEN 'removed'
+         WHEN a.n <> b.n THEN 'changed'
+         ELSE 'unchanged'
+       END AS change_type,
+       a.n AS n_a, b.n AS n_b
+FROM a FULL OUTER JOIN b
+  ON a.user_id = b.user_id AND a.event_type = b.event_type
+""",
+)
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift between two versions of an aggregate table — the
+    added/removed/changed/unchanged classification a CDC audit, an
+    incremental-materialized-view maintainer, or a table-format
+    time-travel diff produces. Each snapshot is the per-(user, event
+    type) activity count in its half of the timeline; ONE full outer
+    join on the composite key classifies every entity (exact integer
+    attributes, so 'unchanged' is a real equality, not a double
+    accident). At 100 TB each snapshot is a partial+final aggregate and
+    the join is the only wide edge; 'unchanged' rows are kept for
+    auditability and would be filtered pre-shuffle in an incremental
+    pipeline. All four classes are data-real: changed/unchanged at
+    every SF, added/removed from sf0.1 up (pinned by the scripted unit
+    test either way)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def snap(pred):
+        return (
+            ev.filter(pred)
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    cut = F.lit(_DIFF_CUT_US)
+    a = snap(epoch_us(F.col("ts")) < cut).withColumnsRenamed(
+        {"user_id": "user_a", "event_type": "type_a", "n": "n_a"}
+    )
+    b = snap(epoch_us(F.col("ts")) >= cut).withColumnsRenamed(
+        {"user_id": "user_b", "event_type": "type_b", "n": "n_b"}
+    )
+    d = a.join(
+        b,
+        (a.user_a == b.user_b) & (a.type_a == b.type_b),
+        "full_outer",
+    )
+    return d.select(
+        F.coalesce("user_a", "user_b").alias("user_id"),
+        F.coalesce("type_a", "type_b").alias("event_type"),
+        F.when(F.col("user_a").isNull(), "added")
+        .when(F.col("user_b").isNull(), "removed")
+        .when(F.col("n_a") != F.col("n_b"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.col("n_a"),
+        F.col("n_b"),
+    )

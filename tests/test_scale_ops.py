@@ -567,3 +567,46 @@ def test_dq_agg_report_single_pass_and_verdicts(spark):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     final_section = plan.split("== Initial Plan ==")[0]
     assert final_section.count("Scan ExistingRDD") == 1
+
+
+def test_snapshot_diff_all_four_classes(spark, tmp_path):
+    """Scripted timeline exercising added/removed/changed/unchanged in
+    one diff."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    late = dt.datetime(2024, 1, 20)
+    rows = []
+    # u1/view: 2 early, 1 late -> changed ; u1/click: 1 and 1 -> unchanged
+    rows += [(1, "view", base), (1, "view", base), (1, "view", late)]
+    rows += [(2, "click", base), (2, "click", late)]
+    rows += [(3, "buy", base)]          # removed (early only)
+    rows += [(4, "buy", late)]          # added (late only)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [r[2] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    from stock_streaming_data_pipeline_spark.plans.catalog import queries
+
+    got = {
+        (r["user_id"], r["event_type"]): r["change_type"]
+        for r in queries()["snapshot_table_diff"](spark, d).collect()
+    }
+    assert got == {
+        (1, "view"): "changed",
+        (2, "click"): "unchanged",
+        (3, "buy"): "removed",
+        (4, "buy"): "added",
+    }
