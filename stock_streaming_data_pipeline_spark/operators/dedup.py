@@ -956,3 +956,124 @@ HAVING count(*) >= {min_docs}
 ORDER BY n_docs DESC, n_occurrences DESC, span ASC
 LIMIT {k}
 """
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sorted-neighborhood dedup blocking — the third candidate-
+    generation family beside LSH banding and posting-list joins. Sort
+    the corpus ONCE on a permutation-invariant blocking key (the three
+    lexicographically smallest tokens, so word order and truncation
+    don't scatter near-dups), then only rank-neighbors within ``window``
+    positions become candidates: a FIXED candidate budget of
+    docs x (window-1) pairs regardless of how skewed shingle frequency
+    is — the property that makes SNM the standard fallback when a
+    corpus has pathological hot shingles.
+
+    Distributed shape: the global sort is :func:`global_rank` (range
+    partitions + bounded offsets window — never a single-task window);
+    neighbor pairing is an equi-join on rank blocks of size window-1
+    (each left row also probes the next block, the classic two-bucket
+    trick), so the pairing shuffles on block id, skew-free by
+    construction. Candidates verify with the exact hashed-shingle
+    Jaccard, same as every other blocking family here.
+    """
+    from stock_streaming_data_pipeline_spark.operators.running import global_rank
+
+    w = window
+    keyed = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("_txt"),
+        F.concat_ws(
+            " ", F.slice(F.array_sort(tokens(F.col(text_col))), 1, 3)
+        ).alias("snm_key"),
+    )
+    ranked = global_rank(
+        keyed, order_col="snm_key", id_col="doc", out="rnk"
+    ).select("doc", "rnk")
+    blk = F.floor((F.col("rnk") - 1) / (w - 1))
+    right = ranked.select(
+        F.col("doc").alias("doc_b"), F.col("rnk").alias("rnk_b"), blk.alias("blk")
+    )
+    left = ranked.select(
+        F.col("doc").alias("doc_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.explode(F.array(blk, blk + 1)).alias("blk"),
+    )
+    cands = (
+        left.join(right, "blk")
+        .filter(
+            (F.col("rnk_b") > F.col("rnk_a"))
+            & (F.col("rnk_b") - F.col("rnk_a") <= w - 1)
+        )
+        .select("doc_a", "doc_b")
+    )
+    hashed = _hashed_shingle_rows(
+        df, id_col=id_col, text_col=text_col, n=n, portable=True
+    )
+    sets = hashed.groupBy("doc").agg(F.collect_set("h").alias("hset"))
+    cands = cands.join(
+        sets.withColumnsRenamed({"doc": "doc_a", "hset": "hs_a"}), "doc_a"
+    ).join(sets.withColumnsRenamed({"doc": "doc_b", "hset": "hs_b"}), "doc_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cands.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def sql_sorted_neighborhood_pairs(
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """DuckDB replay of :func:`sorted_neighborhood_pairs`: same blocking
+    key, same total order, same rank-distance pairing, same exact
+    hashed-shingle Jaccard."""
+    toks = SQL_TOKENS.format(text=text_col)
+    sh = sql_shingles(text_col, n)
+    base = sql_portable_hash("s", salt="mh_")
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc, {text_col} AS txt,
+         array_to_string(list_sort({toks})[1:3], ' ') AS k
+  FROM {table}
+),
+r AS (
+  SELECT doc, row_number() OVER (ORDER BY k, doc) AS rnk FROM t
+),
+cand AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b
+  FROM r a JOIN r b
+    ON b.rnk > a.rnk AND b.rnk - a.rnk <= {window - 1}
+),
+sh AS (
+  SELECT {id_col} AS doc, unnest({sh}) AS s FROM {table}
+),
+hset AS (
+  SELECT doc, list(DISTINCT {base}) AS hs FROM sh GROUP BY doc
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+             / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))),
+             6) AS jaccard
+FROM cand
+JOIN hset ha ON ha.doc = doc_a
+JOIN hset hb ON hb.doc = doc_b
+WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+      / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+      >= {threshold}
+"""

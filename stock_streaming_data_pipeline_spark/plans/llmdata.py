@@ -2697,3 +2697,23 @@ def golden_record_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sv.source").alias("survivor_source"),
         (-F.col("sv.neg_chars")).cast("long").alias("survivor_n_chars"),
     )
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    tags=("LLM-dedup", "O1"),
+    oracle=dedup.sql_sorted_neighborhood_pairs(
+        "doc_id", "text", window=8, n=3, threshold=0.5
+    ),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates: one global sort on a
+    permutation-invariant blocking key, a FIXED docs x (window-1)
+    candidate budget (immune to hot-shingle skew, unlike inverted-index
+    blocking), exact hashed-shingle Jaccard verification. The global
+    sort is the range-partitioned global_rank, never a single-task
+    window; pairing is a block-id equi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.sorted_neighborhood_pairs(
+        docs, id_col="doc_id", text_col="text", window=8, n=3, threshold=0.5
+    )

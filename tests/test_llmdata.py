@@ -929,3 +929,48 @@ def test_golden_record_rule_cascade(spark, tmp_path):
     assert g["total_chars"] == int(docs[docs.doc_id.isin([1, 2, 3])].n_chars.sum())
     s = rows[9]
     assert s["n_members"] == 1 and s["survivor_doc_id"] == 9
+
+
+def test_sorted_neighborhood_blocks_have_fixed_budget(spark, tmp_path):
+    """SNM finds the planted near-dup pair whose shared tokens sort
+    adjacently, and the candidate budget is bounded by docs*(window-1)
+    even when one shingle is corpus-hot (the inverted-index killer)."""
+    import os
+
+    import pandas as pd
+
+    from stock_streaming_data_pipeline_spark.operators import dedup
+
+    hot = "zebra yak xylophone"  # hot trigram in EVERY doc
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(20)),
+            "text": [
+                f"alpha beta gamma doc{i} filler words {hot}" for i in range(18)
+            ]
+            + [
+                f"aardvark abacus abbey unique one two three four {hot}",
+                f"aardvark abacus abbey unique one two three five {hot}",
+            ],
+            "lang": ["en"] * 20,
+            "source": ["s"] * 20,
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+    df = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    out = dedup.sorted_neighborhood_pairs(
+        df, id_col="doc_id", text_col="text", window=4, n=3, threshold=0.5
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (18, 19) in got  # the planted neighbors (blocking key 'aardvark abacus abbey')
+    # determinism under repartition
+    out2 = dedup.sorted_neighborhood_pairs(
+        df.repartition(7), id_col="doc_id", text_col="text",
+        window=4, n=3, threshold=0.5,
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out} == {
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in out2
+    }

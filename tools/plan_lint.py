@@ -150,6 +150,8 @@ UNPARTITIONED_WINDOW_ALLOW = {
                                     # rows (shuffle-partition count, SF-independent);
                                     # the fact-table windows are partitioned. Shape
                                     # pinned in tests/test_plan_shapes.py.
+    "dedup_sorted_neighborhood",    # same global_rank offsets window (n_part rows);
+                                    # the corpus-sized sort is range-partitioned.
 }
 
 # Streaming queries run the full settle() harness — linting their final
