@@ -830,3 +830,119 @@ def ts_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subseq.dtw_pairwise(
         prof, key_col="key", pos_col="pos", val_col="v", band=3, max_len=10
     )
+
+
+@register(
+    "holt_linear_trend",
+    tags=("W1", "A1", "T11"),
+    oracle=f"""
+WITH RECURSIVE trades AS ({SQL_TRADES}),
+cents AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS day,
+         {_CENTS} AS c
+  FROM trades WHERE value IS NOT NULL
+),
+dm AS (
+  SELECT key, epoch(day)::BIGINT AS day_s,
+         sum(c)::DOUBLE / count(*)::DOUBLE AS x,
+         row_number() OVER (PARTITION BY key ORDER BY day) AS rn
+  FROM cents GROUP BY key, day
+),
+rec AS (
+  SELECT key, rn, day_s, x, x AS l, 0.0::DOUBLE AS b FROM dm WHERE rn = 1
+  UNION ALL
+  SELECT key, rn, day_s, x, l,
+         0.25::DOUBLE * (l - pl) + 0.75::DOUBLE * pb AS b
+  FROM (
+    SELECT d.key, d.rn, d.day_s, d.x,
+           0.5::DOUBLE * d.x + 0.5::DOUBLE * (r.l + r.b) AS l,
+           r.l AS pl, r.b AS pb
+    FROM dm d JOIN rec r ON d.key = r.key AND d.rn = r.rn + 1
+  )
+)
+SELECT key, day_s,
+       CAST(floor(l * 1000000 + 0.5::DOUBLE) AS BIGINT) AS level_micro,
+       CAST(floor(b * 1000000 + 0.5::DOUBLE) AS BIGINT) AS trend_micro,
+       CAST(floor((l + 7 * b) * 1000000 + 0.5::DOUBLE) AS BIGINT) AS forecast7_micro
+FROM rec
+""",
+)
+def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level alpha=0.5, trend
+    beta=0.25) over each symbol's daily mean price, plus the 7-step
+    linear forecast — the trend-aware successor of the EWMA feature.
+    The per-key recursion runs INSIDE one Catalyst expression: the
+    day series is bounded by the calendar window (30 days here, never
+    by SF), so collect_list + F.aggregate folds it JVM-side with the
+    EXACT IEEE operation sequence the DuckDB recursive CTE replays —
+    bitwise equality before the micro-unit floor surface (the
+    ewma_price discipline, plans/stock.py). One shuffle: the day-mean
+    groupBy; the fold is map-side."""
+    day_means = (
+        trades_view(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(
+            F.sum(finance.to_scaled_long("value", 2)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "key",
+            F.unix_timestamp("day").cast("long").alias("day_s"),
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias("x"),
+        )
+    )
+    series = day_means.groupBy("key").agg(
+        F.array_sort(F.collect_list(F.struct("day_s", "x"))).alias("xs")
+    )
+    first = F.element_at(F.col("xs"), 1)
+    init = F.struct(
+        first["x"].alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array(
+            F.struct(
+                first["day_s"].alias("day_s"),
+                first["x"].alias("l"),
+                F.lit(0.0).alias("b"),
+            )
+        ).alias("out"),
+    )
+
+    def step(acc, e):
+        l_new = F.lit(0.5) * e["x"] + F.lit(0.5) * (acc["l"] + acc["b"])
+        b_new = F.lit(0.25) * (l_new - acc["l"]) + F.lit(0.75) * acc["b"]
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        e["day_s"].alias("day_s"),
+                        l_new.alias("l"),
+                        b_new.alias("b"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = series.select(
+        "key",
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            init,
+            step,
+        )["out"].alias("out"),
+    )
+    row = folded.select("key", F.explode("out").alias("r"))
+    micro = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")  # noqa: E731
+    return row.select(
+        "key",
+        F.col("r.day_s").alias("day_s"),
+        micro(F.col("r.l")).alias("level_micro"),
+        micro(F.col("r.b")).alias("trend_micro"),
+        micro(F.col("r.l") + F.lit(7) * F.col("r.b")).alias("forecast7_micro"),
+    )

@@ -367,3 +367,50 @@ def test_dtw_pairwise_elastic_alignment(spark):
         for r in subseq.dtw_pairwise(df.repartition(5), band=3, max_len=10).collect()
     }
     assert got == got2
+
+
+def test_holt_linear_tracks_a_planted_linear_ramp(spark):
+    """On a perfectly linear daily series the Holt trend converges to
+    the true slope and the 7-step forecast extrapolates it."""
+    import datetime as dt
+
+    from stock_streaming_data_pipeline_spark.plans.catalog import queries
+    import os
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(20):
+        # one trade per day, price = 100 + 2*d (exact in cents)
+        rows.append((d, base + dt.timedelta(days=d, hours=1), 1,
+                     "AAA", 100.0 + 2.0 * d, 1.0))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "volume"]
+    )
+    pdf["props"] = '{"volume": 1.0}'
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf.drop(columns=["volume"]).to_parquet(os.path.join(d, "events.parquet"))
+        out = sorted(
+            queries()["holt_linear_trend"](spark, d).collect(),
+            key=lambda r: r["day_s"],
+        )
+    assert len(out) == 20
+    # python float64 replay of the identical operation sequence -> exact micros
+    import math
+
+    xs = [100.0 * 100 + 200.0 * d for d in range(20)]  # daily mean in cents
+    l, b = xs[0], 0.0
+    exp = [(l, b)]
+    for x in xs[1:]:
+        l_new = 0.5 * x + 0.5 * (l + b)
+        b_new = 0.25 * (l_new - l) + 0.75 * b
+        l, b = l_new, b_new
+        exp.append((l, b))
+    for row, (el, eb) in zip(out, exp):
+        assert row["level_micro"] == math.floor(el * 1_000_000 + 0.5)
+        assert row["trend_micro"] == math.floor(eb * 1_000_000 + 0.5)
+        assert row["forecast7_micro"] == math.floor((el + 7 * eb) * 1_000_000 + 0.5)
+    # the trend converges to the true slope (200 cents/day)
+    assert abs(exp[-1][1] - 200.0) < 8.0
