@@ -2043,3 +2043,80 @@ def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a"),
         F.col("n_b"),
     )
+
+
+_ATTR_WINDOW_US = 3 * 86400 * 1000000  # 3-day lookback
+
+
+@register(
+    "attribution_linear",
+    tags=("J1", "J3", "A4"),
+    oracle=f"""
+WITH purchases AS (
+  SELECT event_id AS pid, user_id, epoch_us(ts) AS ts_p
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT event_id AS tid, user_id, event_type AS touch_type,
+         epoch_us(ts) AS ts_t
+  FROM events WHERE event_type IN ('view', 'click')
+),
+contact AS (
+  SELECT p.pid, t.touch_type
+  FROM purchases p JOIN touches t
+    ON t.user_id = p.user_id
+   AND t.ts_t < p.ts_p
+   AND t.ts_t >= p.ts_p - {_ATTR_WINDOW_US}
+),
+weighted AS (
+  SELECT pid, touch_type,
+         CAST(round(1.0 / count(*) OVER (PARTITION BY pid), 6)
+              AS DECIMAL(18,6)) AS w
+  FROM contact
+)
+SELECT touch_type,
+       count(*) AS n_touches,
+       CAST(sum(w) AS DECIMAL(38,6)) AS credit
+FROM weighted
+GROUP BY touch_type
+""",
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits one unit of
+    credit equally across the view/click touchpoints in its 3-day
+    lookback window. The contact set is an interval join (equi on the
+    user key + range predicate — ONE shuffle on user_id; at 100 TB the
+    range residual evaluates inside the sort-merge join, and a hot user
+    salts like any skewed join); per-purchase touch counts come from a
+    window over the purchase key, and the per-touch weight is snapped
+    round-6 then summed as DECIMAL so cross-engine credit totals are
+    exact, not double-accumulation-ordered."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        epoch_us("ts").alias("ts_p"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("tuser"),
+        F.col("event_type").alias("touch_type"),
+        epoch_us("ts").alias("ts_t"),
+    )
+    contact = purchases.join(
+        touches,
+        (F.col("tuser") == F.col("puser"))
+        & (F.col("ts_t") < F.col("ts_p"))
+        & (F.col("ts_t") >= F.col("ts_p") - F.lit(_ATTR_WINDOW_US)),
+    ).select("pid", "touch_type")
+    w_pid = Window.partitionBy("pid")
+    weighted = contact.withColumn(
+        "w",
+        F.round(F.lit(1.0) / F.count(F.lit(1)).over(w_pid), 6).cast(
+            "decimal(18,6)"
+        ),
+    )
+    return weighted.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("w").cast("decimal(38,6)").alias("credit"),
+    )

@@ -610,3 +610,45 @@ def test_snapshot_diff_all_four_classes(spark, tmp_path):
         (3, "buy"): "removed",
         (4, "buy"): "added",
     }
+
+
+def test_attribution_splits_credit_exactly(spark, tmp_path):
+    """Scripted journey: a purchase with 3 in-window touches splits
+    round-6 thirds; an out-of-window touch earns nothing; a purchase
+    with no touches contributes no credit."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ev(eid, typ, when, uid=1):
+        return (eid, when, uid, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, "view", t0 - dt.timedelta(days=4)),      # OUT of 3d window
+        ev(2, "view", t0 - dt.timedelta(days=2)),
+        ev(3, "click", t0 - dt.timedelta(hours=5)),
+        ev(4, "view", t0 - dt.timedelta(hours=1)),
+        ev(5, "purchase", t0),
+        ev(6, "purchase", t0 + dt.timedelta(days=5), uid=2),  # no touches
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    from stock_streaming_data_pipeline_spark.plans.catalog import queries
+
+    got = {
+        r["touch_type"]: (r["n_touches"], float(r["credit"]))
+        for r in queries()["attribution_linear"](spark, d).collect()
+    }
+    # per-touch weight snaps to round-6 BEFORE summation (documented
+    # exactness rule), so two thirds accumulate as 2 x 0.333333
+    assert got == {
+        "view": (2, 0.666666),
+        "click": (1, 0.333333),
+    }
