@@ -47,5 +47,9 @@ def test_driver_prefix_is_checkable():
     prefix = list(c)[:50]
     rows_only = {n for n in prefix if cat.resolve_oracle(c[n], cat.DRIVER_SF_DIR) is None}
     # streaming state internals that are not SQL-expressible may be
-    # rows-only; everything else in the prefix must carry an oracle
-    assert all(n.startswith("streaming_") for n in rows_only), rows_only
+    # rows-only, as may documented engine-internal hash twins (xxhash64
+    # has no DuckDB equivalent); everything else must carry an oracle
+    documented_rows_only = {"dedup_minhash_lsh_xxh64"}
+    assert all(
+        n.startswith("streaming_") or n in documented_rows_only for n in rows_only
+    ), rows_only
