@@ -105,6 +105,15 @@ def main() -> int:
         "match booleans per query) to this path — the self-reported "
         "full-catalog record the driver's 50-query sample doesn't cover",
     )
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="with --json: update the named queries' rows in an existing "
+        "artifact instead of overwriting it, so a new query can be added "
+        "to the full-catalog record without a full re-run (the commit "
+        "gate tests/test_self_check_current.py requires every registered "
+        "query to have a row in the newest CORRECTNESS_SELF artifact)",
+    )
     args = ap.parse_args()
     sf_dir = f"/root/testdata/sf{args.sf}"
 
@@ -183,10 +192,16 @@ def main() -> int:
     print(f"\n{len(names)-len(failed)}/{len(names)} passed")
     if args.json:
         import json
+        import os
 
+        if args.merge and os.path.exists(args.json):
+            with open(args.json) as fh:
+                merged = json.load(fh)
+            merged.update(report)
+            report = merged
         with open(args.json, "w") as fh:
             json.dump(report, fh, indent=2)
-        print(f"wrote {args.json}")
+        print(f"wrote {args.json} ({len(report)} rows)")
     return 1 if failed else 0
 
 
