@@ -51,14 +51,26 @@ def asof_join(
     on: str,
     right_values: list[str],
     right_prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the most recent right row (right.on <=
-    left.on) within the same ``by`` key. Unmatched rows keep nulls.
+    left.on) within the same ``by`` key — or, with
+    ``direction="forward"``, the EARLIEST right row at-or-after the left
+    row (right.on >= left.on): the pandas ``merge_asof(direction=
+    'forward')`` contract, e.g. "time to next error event". Both
+    directions are inclusive at equal timestamps. Unmatched rows keep
+    nulls.
 
     Output = all left columns + ``{right_prefix}{on}`` (the matched right
     event time) + ``{right_prefix}{col}`` for each right value column —
     all taken from the SAME matched right row.
+
+    Same scale shape either way: one union, ONE hash shuffle on the key,
+    one linear window pass (carry-forward for backward, carry-backward
+    for forward) — never an inequality join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     carried = [on, *right_values]
     l_cols = left.columns
     row_struct, struct_type = _right_row_struct(right, carried)
@@ -74,12 +86,24 @@ def asof_join(
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l.unionByName(r.select(l.columns))
 
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_tag").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = F.last(F.col("_r"), ignorenulls=True).over(w).alias("_m")
+    if direction == "backward":
+        # Right rows sort BEFORE left rows at equal ts (tag 0 < 1), so the
+        # inclusive backward frame sees the equal-ts right row.
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).asc(), F.col("_tag").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        matched = F.last(F.col("_r"), ignorenulls=True).over(w)
+    else:
+        # Right rows sort AFTER left rows at equal ts (tag desc: 1 then 0),
+        # so the inclusive forward frame sees the equal-ts right row.
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).asc(), F.col("_tag").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        matched = F.first(F.col("_r"), ignorenulls=True).over(w)
     return (
         unioned.withColumn("_m", matched)
         .filter(F.col("_tag") == 1)

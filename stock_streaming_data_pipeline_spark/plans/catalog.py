@@ -158,6 +158,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "streaming_dsir",
     # round-6 additions land here as they are built (never driver-sampled;
     # they fill the remaining ~4 slots of the 50-query prefix)
+    "asof_nearest_duck_oracle",
+    "asof_forward_next_error",
+    "attribution_last_touch",
 )
 
 

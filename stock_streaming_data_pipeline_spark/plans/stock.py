@@ -1316,3 +1316,174 @@ def snapshot_as_of_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.join(winning_epoch, "user_id").select(
         "user_id", "day_value", "as_of_epoch"
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 as-of cross-validation: the trickiest join semantics checked
+# against DuckDB's NATIVE ASOF JOIN as a second, independently-derived
+# oracle form (asof_nearest_view's oracle is a candidate join + ranking;
+# these derive the same semantics from the engine's own as-of operator).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "asof_nearest_duck_oracle",
+    tags=("J1",),
+    oracle="""
+WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+back AS (
+  SELECT l.event_id, r.ts AS rts, r.value AS rv
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+),
+fwd AS (
+  SELECT l.event_id, r.ts AS rts, r.value AS rv
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+),
+arms AS (
+  SELECT l.event_id, l.user_id, l.ts, l.value,
+         b.rts AS brts, b.rv AS brv,
+         f.rts AS frts, f.rv AS frv,
+         epoch_us(l.ts) - epoch_us(b.rts) AS db,
+         epoch_us(f.rts) - epoch_us(l.ts) AS df,
+         b.rts IS NOT NULL AND epoch_us(l.ts) - epoch_us(b.rts) <= 1800000000 AS okb,
+         f.rts IS NOT NULL AND epoch_us(f.rts) - epoch_us(l.ts) <= 1800000000 AS okf
+  FROM l LEFT JOIN back b USING (event_id) LEFT JOIN fwd f USING (event_id)
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value AS click_value,
+       CASE WHEN okb AND (NOT okf OR db <= df) THEN epoch_us(brts)
+            WHEN okf THEN epoch_us(frts) ELSE -1 END AS nearest_ts_us,
+       CASE WHEN okb AND (NOT okf OR db <= df) THEN brv
+            WHEN okf THEN frv ELSE NULL END AS nearest_value
+FROM arms
+""",
+)
+def asof_nearest_duck_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of with tolerance (each click aligned to the closest
+    view within +/-30 min, ties to the earlier side), cross-validated
+    against an oracle built from TWO of DuckDB's native ASOF JOINs
+    (backward ``l.ts >= r.ts`` + forward ``l.ts <= r.ts``) with the arm
+    pick done in plain SQL — an independent derivation from both the
+    Spark two-pass window plan (operators/asof.py:101) and the
+    candidate-join oracle that checks asof_nearest_view."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join_nearest(
+        left,
+        right,
+        by="user_id",
+        on="ts",
+        right_values=["value"],
+        tolerance_micros=1_800_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("ts_us"),
+        F.col("value").alias("click_value"),
+        F.coalesce(epoch_us("nearest_ts"), F.lit(-1).cast("long")).alias(
+            "nearest_ts_us"
+        ),
+        F.col("nearest_value").alias("nearest_value"),
+    )
+
+
+@register(
+    "asof_forward_next_error",
+    tags=("J1",),
+    oracle="""
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       coalesce(epoch_us(r.ts), -1) AS next_error_ts_us,
+       r.value AS error_value,
+       CASE WHEN r.ts IS NULL THEN -1
+            ELSE epoch_us(r.ts) - epoch_us(l.ts) END AS micros_to_error
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+""",
+)
+def asof_forward_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — pandas ``merge_asof(direction='forward')``:
+    each click aligned with the user's NEXT error event at-or-after it
+    ("time to next failure"), checked against DuckDB's native forward
+    ASOF JOIN (``l.ts <= r.ts``). Same linear union+window shape as the
+    backward form (operators/asof.py:46) with the frame reversed: one
+    hash shuffle on the key, no inequality-join explosion on hot users."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    out = asof_join(
+        left,
+        right,
+        by="user_id",
+        on="ts",
+        right_values=["value"],
+        right_prefix="next_",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("ts_us"),
+        F.coalesce(epoch_us("next_ts"), F.lit(-1).cast("long")).alias(
+            "next_error_ts_us"
+        ),
+        F.col("next_value").alias("error_value"),
+        F.coalesce(
+            epoch_us("next_ts") - epoch_us("ts"), F.lit(-1).cast("long")
+        ).alias("micros_to_error"),
+    )
+
+
+@register(
+    "attribution_last_touch",
+    tags=("J1",),
+    oracle="""
+WITH m AS (
+  SELECT l.event_id, l.user_id, l.ts, l.value, r.ts AS rts, r.value AS rv
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value AS purchase_value,
+       CASE WHEN rts IS NOT NULL AND epoch_us(ts) - epoch_us(rts) <= 604800000000
+            THEN epoch_us(rts) ELSE -1 END AS touch_ts_us,
+       CASE WHEN rts IS NOT NULL AND epoch_us(ts) - epoch_us(rts) <= 604800000000
+            THEN rv ELSE NULL END AS touch_value
+FROM m
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's most
+    recent click within a 7-day lookback — the as-of join with a
+    tolerance cutoff (the interval-join family's "last touch" member,
+    complementing attribution_linear's multi-touch interval join).
+    Backward as-of + null-out-beyond-tolerance stays one shuffle + one
+    window pass; the bounded-interval candidate join the oracle could
+    have used would be O(purchases x clicks-in-window) per hot user at
+    100 TB. Oracle: DuckDB native ASOF JOIN + the same cutoff in SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(left, right, by="user_id", on="ts", right_values=["value"])
+    within = (
+        F.col("asof_ts").isNotNull()
+        & ((epoch_us("ts") - epoch_us("asof_ts")) <= F.lit(604_800_000_000))
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("ts_us"),
+        F.col("value").alias("purchase_value"),
+        F.when(within, epoch_us("asof_ts")).otherwise(F.lit(-1)).cast("long").alias(
+            "touch_ts_us"
+        ),
+        F.when(within, F.col("asof_value")).alias("touch_value"),
+    )

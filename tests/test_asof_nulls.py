@@ -98,3 +98,44 @@ def test_asof_nearest_no_match_outside_tolerance(spark):
     assert pd.isna(out.loc[0, "nearest_ts"])
     assert pd.isna(out.loc[0, "nearest_price"])
     assert pd.isna(out.loc[0, "nearest_qty"])
+
+
+def test_asof_join_forward_inclusive_and_null_carry(spark):
+    """direction='forward' picks the EARLIEST right row at-or-after each
+    left row (inclusive at equal ts), carries whole rows (NULL values
+    surface, never back-filled from a later row), and leaves rows with
+    no following right row unmatched."""
+    left = spark.createDataFrame(
+        [("A", _ts(9)), ("A", _ts(10)), ("A", _ts(40))],
+        "sym string, ts timestamp",
+    )
+    # ts=9: NULL price (the forward match for left ts=9 — equal ts, inclusive)
+    # ts=29: price 5.0 (the forward match for left ts=10)
+    right = spark.createDataFrame(
+        [("A", _ts(9), None), ("A", _ts(29), 5.0)],
+        "sym string, ts timestamp, price double",
+    )
+    out = (
+        asof_join(
+            left, right, by="sym", on="ts", right_values=["price"],
+            right_prefix="next_", direction="forward",
+        )
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert list(out["next_ts"])[:2] == [_ts(9), _ts(29)]
+    assert pd.isna(out["next_ts"][2])
+    assert pd.isna(out["next_price"][0])  # equal-ts NULL carried
+    assert out["next_price"][1] == 5.0
+    assert pd.isna(out["next_price"][2])  # nothing after ts=40
+
+
+def test_asof_join_forward_rejects_bad_direction(spark):
+    left, right = _frames(spark)
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(
+            left, right, by="sym", on="ts", right_values=["price"],
+            direction="sideways",
+        )
