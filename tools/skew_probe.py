@@ -71,7 +71,9 @@ def gen_zipf(copies: int) -> None:
 
 def main() -> int:
     out_path = "SKEW_r6.json"
-    copies = 20
+    copies = 60  # 6M rows, 4.8M on the hot key: the single hot window
+    # task must dominate the job (at 20 copies the scan+shuffle overhead
+    # hid it and plain-vs-salted measured even)
     args = sys.argv[1:]
     while args:
         if args[0] == "--out":
@@ -160,7 +162,14 @@ def main() -> int:
             for _ in range(2):
                 df = skew_join()
                 t0 = time.time()
-                df.write.format("noop").mode("overwrite").save()
+                # collect, not noop-write: the result is 7 aggregate rows
+                # (driver-safe), and collect runs on THIS DataFrame's own
+                # query execution, so executedPlan() below is the AQE
+                # final plan that actually ran (a write action builds a
+                # separate execution whose plan never finalizes —
+                # inspecting it always shows isFinalPlan=false, no skew
+                # markers).
+                df.collect()
                 best = min(best, time.time() - t0)
                 plan = df._jdf.queryExecution().executedPlan().toString()
                 saw_skew = saw_skew or ("skew=true" in plan)
