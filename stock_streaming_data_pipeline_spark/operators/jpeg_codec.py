@@ -1274,3 +1274,512 @@ SELECT media_id, 8 AS width, 8 AS height,
        round(CAST(sum(r2 + g2 + b2) AS DOUBLE) / 192, 6) AS mean_px
 FROM rgb GROUP BY media_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) grayscale — spectral selection + successive
+# approximation per ITU T.81 Annex G, the last common real-world JPEG
+# shape (every "optimized for web" photo). The scan script is the
+# classic simple progression: DC at Al=1 then refined, each AC band
+# (1-5, 6-63) first at Al=2 then refined 2→1→0. Same differential
+# contract as baseline: the quantized coefficients are IDENTICAL to
+# SOF0's — progressive is purely a different entropy layering — so
+# decode(encode_progressive(px)) == reference_transform(px) and the
+# SAME relational oracle checks both paths. EOB runs are emitted as
+# EOB0 only (the Annex-K Huffman tables carry no EOBn>0 symbols);
+# the decoder handles general EOBn for spec compliance.
+# ---------------------------------------------------------------------------
+
+# (Ss, Se, Ah, Al) per scan — libjpeg's default simple progression for a
+# single component.
+_PROGRESSIVE_SCANS = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 5, 2, 1),
+    (6, 63, 2, 1),
+    (0, 0, 1, 0),
+    (1, 5, 1, 0),
+    (6, 63, 1, 0),
+)
+
+
+def _quantized_blocks(pixels: bytes, width: int, height: int) -> list[list[int]]:
+    """Per-block zigzag-ordered quantized DCT coefficients — the shared
+    transform layer; bit-identical to what the baseline encoder codes."""
+    C = DCT_BASIS
+    blocks: list[list[int]] = []
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            X = [
+                [pixels[(by + r) * width + bx + c] - 128.0 for c in range(8)]
+                for r in range(8)
+            ]
+            T = [
+                [sum(C[u][i] * X[i][j] for i in range(8)) for j in range(8)]
+                for u in range(8)
+            ]
+            Y = [
+                [sum(T[u][j] * C[v][j] for j in range(8)) for v in range(8)]
+                for u in range(8)
+            ]
+            blocks.append(
+                [
+                    _round_half_up(Y[r][c] / QUANT_LUMA[r * 8 + c])
+                    for (r, c) in ZIGZAG
+                ]
+            )
+    return blocks
+
+
+def _shr_to_zero(v: int, n: int) -> int:
+    """v / 2**n truncated toward zero (T.81's point transform for AC)."""
+    return v >> n if v >= 0 else -((-v) >> n)
+
+
+def _encode_scan_dc_first(blocks, al: int) -> bytes:
+    w = _BitWriter()
+    prev = 0
+    for blk in blocks:
+        # arithmetic shift (floor) for DC so refinement bits OR back in
+        # exactly (two's-complement; decoder does coef |= bit << al)
+        t = blk[0] >> al
+        cat, bits = _magnitude(t - prev)
+        prev = t
+        code, length = _DC_CODES[cat]
+        w.write(code, length)
+        if cat:
+            w.write(bits, cat)
+    w.flush()
+    return bytes(w.buf)
+
+
+def _encode_scan_dc_refine(blocks, al: int) -> bytes:
+    w = _BitWriter()
+    for blk in blocks:
+        w.write((blk[0] >> al) & 1, 1)
+    w.flush()
+    return bytes(w.buf)
+
+
+def _encode_scan_ac_first(blocks, ss: int, se: int, al: int) -> bytes:
+    w = _BitWriter()
+    for blk in blocks:
+        run = 0
+        pending_eob = False
+        for k in range(ss, se + 1):
+            t = _shr_to_zero(blk[k], al)
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = _AC_CODES[0xF0]
+                w.write(zc, zl)
+                run -= 16
+            cat, bits = _magnitude(t)
+            code, length = _AC_CODES[(run << 4) | cat]
+            w.write(code, length)
+            w.write(bits, cat)
+            run = 0
+        if run:
+            pending_eob = True
+        if pending_eob:
+            ec, el = _AC_CODES[0x00]  # EOB0: run length 1, no extension bits
+            w.write(ec, el)
+    w.flush()
+    return bytes(w.buf)
+
+
+def _encode_scan_ac_refine(blocks, ss: int, se: int, al: int) -> bytes:
+    w = _BitWriter()
+    for blk in blocks:
+        absvals = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+        # last newly-visible (== 1 at this precision) coefficient: runs
+        # beyond it fold into the EOB instead of ZRLs
+        eob_idx = -1
+        for i, t in enumerate(absvals):
+            if t == 1:
+                eob_idx = i
+        run = 0
+        br: list[int] = []  # buffered correction bits
+        for i, t in enumerate(absvals):
+            if t == 0:
+                run += 1
+                continue
+            # Emit pending ZRLs at ANY nonzero coefficient — including a
+            # history one — unless they fold into the EOB. A history
+            # coefficient encountered while run > 15 must come AFTER the
+            # ZRL in the bit stream (its correction bit belongs to the
+            # next symbol's walk, which starts past the 16 skipped
+            # zeros); buffering it across the ZRL desyncs the decoder's
+            # positional bit reads (caught by the sf0.01 differential).
+            while run > 15 and i <= eob_idx:
+                zc, zl = _AC_CODES[0xF0]
+                w.write(zc, zl)
+                for b in br:
+                    w.write(b, 1)
+                br = []
+                run -= 16
+            if t > 1:
+                # history coefficient (visible in an earlier scan):
+                # correction bit rides behind the next emitted symbol
+                br.append(t & 1)
+                continue
+            # newly visible coefficient (t == 1)
+            code, length = _AC_CODES[(run << 4) | 1]
+            w.write(code, length)
+            w.write(1 if blk[ss + i] > 0 else 0, 1)
+            for b in br:
+                w.write(b, 1)
+            br = []
+            run = 0
+        if run or br:
+            ec, el = _AC_CODES[0x00]  # EOB0 with trailing correction bits
+            w.write(ec, el)
+            for b in br:
+                w.write(b, 1)
+    w.flush()
+    return bytes(w.buf)
+
+
+def encode_jpeg_gray_progressive(pixels: bytes, width: int, height: int) -> bytes:
+    """Progressive (SOF2) grayscale JPEG of raw 8-bit pixels, 8-scan
+    spectral-selection + successive-approximation script. The quantized
+    coefficients are identical to :func:`encode_jpeg_gray`'s, so both
+    decode to the same image."""
+    if width % 8 or height % 8:
+        raise ValueError("jpeg: dimensions must be multiples of 8")
+    if len(pixels) != width * height:
+        raise ValueError("jpeg: pixel buffer size mismatch")
+    blocks = _quantized_blocks(pixels, width, height)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    zz_q = bytes(QUANT_LUMA[r * 8 + c] for (r, c) in ZIGZAG)
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00) + zz_q
+    # SOF2: progressive DCT, 1 component
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 2 + 6 + 3, 8, height, width, 1)
+    out += struct.pack(">BBB", 1, 0x11, 0)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_SYMBOLS), 0x00)
+    out += bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_SYMBOLS), 0x10)
+    out += bytes(_AC_BITS) + bytes(_AC_SYMBOLS)
+    for ss, se, ah, al in _PROGRESSIVE_SCANS:
+        out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 + 3, 1)
+        out += struct.pack(">BB", 1, 0x00)
+        out += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        if ss == 0:
+            data = (
+                _encode_scan_dc_first(blocks, al)
+                if ah == 0
+                else _encode_scan_dc_refine(blocks, al)
+            )
+        else:
+            data = (
+                _encode_scan_ac_first(blocks, ss, se, al)
+                if ah == 0
+                else _encode_scan_ac_refine(blocks, ss, se, al)
+            )
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_scan_dc_first(r, blocks, al: int, dc_tab, read_symbol) -> None:
+    prev = 0
+    for blk in blocks:
+        cat = read_symbol(dc_tab)
+        diff = _extend(r.read_bits(cat), cat) if cat else 0
+        prev += diff
+        blk[0] = prev << al
+
+
+def _decode_scan_dc_refine(r, blocks, al: int) -> None:
+    for blk in blocks:
+        if r.read_bit():
+            # two's-complement OR of this bit plane (T.81 G.1.2.1)
+            blk[0] |= 1 << al
+
+
+def _decode_scan_ac_first(r, blocks, ss, se, al, ac_tab, read_symbol) -> None:
+    eobrun = 0
+    for blk in blocks:
+        if eobrun:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = read_symbol(ac_tab)
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run != 15:
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                raise ValueError("jpeg: AC run past band end")
+            blk[k] = _extend(r.read_bits(size), size) << al
+            k += 1
+
+
+def _decode_scan_ac_refine(r, blocks, ss, se, al, ac_tab, read_symbol) -> None:
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(blk, k) -> None:
+        if r.read_bit() and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    eobrun = 0
+    for blk in blocks:
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = read_symbol(ac_tab)
+                run, size = sym >> 4, sym & 0xF
+                val = 0
+                if size == 0:
+                    if run != 15:
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += r.read_bits(run)
+                        break
+                    # ZRL: skip 16 zero-history coefficients
+                else:
+                    if size != 1:
+                        raise ValueError("jpeg: refine size != 1")
+                    val = p1 if r.read_bit() else m1
+                while k <= se:
+                    if blk[k]:
+                        correct(blk, k)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun:
+            while k <= se:
+                if blk[k]:
+                    correct(blk, k)
+                k += 1
+            eobrun -= 1
+
+
+def decode_jpeg_progressive(data: bytes):
+    """(width, height, pixels bytes) from a progressive (SOF2) grayscale
+    JPEG — accumulates coefficient bit-planes across scans, then one
+    dequant+IDCT pass."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[int, dict] = {}
+    width = height = 0
+    comp_qtab = 0
+    blocks: list[list[int]] | None = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq_tq = seg[p]
+                if pq_tq >> 4:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                zz = list(seg[p + 1 : p + 65])
+                tab = [0] * 64
+                for z, (rr, cc) in enumerate(ZIGZAG):
+                    tab[rr * 8 + cc] = zz[z]
+                quant[pq_tq & 0xF] = tab
+                p += 65
+        elif marker == 0xC2:  # SOF2 progressive
+            precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            if ncomp != 1:
+                raise ValueError(
+                    "jpeg: progressive decode supports single-component "
+                    "(grayscale) only"
+                )
+            _cid, sampling, comp_qtab = struct.unpack(">BBB", seg[6:9])
+            if sampling != 0x11:
+                raise ValueError("jpeg: subsampling unsupported")
+            if width % 8 or height % 8:
+                raise ValueError("jpeg: non-multiple-of-8 dimensions unsupported")
+            blocks = [[0] * 64 for _ in range((width // 8) * (height // 8))]
+        elif marker == 0xC0:
+            raise ValueError("jpeg: baseline stream — use decode_jpeg")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("jpeg: unsupported SOF variant")
+        elif marker == 0xC4:
+            huff.update(_decode_huffman_dht(seg))
+        elif marker == 0xDD:
+            raise ValueError("jpeg: restart markers unsupported in progressive")
+        elif marker == 0xDA:
+            if blocks is None:
+                raise ValueError("jpeg: SOS before SOF2")
+            ns = seg[0]
+            if ns != 1:
+                raise ValueError("jpeg: one component per scan supported")
+            ss, se, ahal = struct.unpack(">BBB", seg[1 + 2 * ns :][:3])
+            ah, al = ahal >> 4, ahal & 0xF
+            scan_start = pos + seglen
+            # scan data runs to the next real (non-stuffed) marker
+            end = scan_start
+            while True:
+                end = data.find(b"\xff", end)
+                if end < 0:
+                    raise ValueError("jpeg: unterminated scan")
+                if data[end + 1] != 0x00:
+                    break
+                end += 2
+            r = _BitReader(data[scan_start:end])
+
+            def read_symbol(table: dict) -> int:
+                code = 0
+                for length in range(1, 17):
+                    code = (code << 1) | r.read_bit()
+                    sym = table.get((length, code))
+                    if sym is not None:
+                        return sym
+                raise ValueError("jpeg: invalid huffman code")
+
+            dc_tab, ac_tab = huff.get(0x00), huff.get(0x10)
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("jpeg: DC scan must have Se=0")
+                if dc_tab is None and ah == 0:
+                    raise ValueError("jpeg: missing DC table")
+                if ah == 0:
+                    _decode_scan_dc_first(r, blocks, al, dc_tab, read_symbol)
+                else:
+                    _decode_scan_dc_refine(r, blocks, al)
+            else:
+                if ac_tab is None:
+                    raise ValueError("jpeg: missing AC table")
+                if ah == 0:
+                    _decode_scan_ac_first(
+                        r, blocks, ss, se, al, ac_tab, read_symbol
+                    )
+                else:
+                    _decode_scan_ac_refine(
+                        r, blocks, ss, se, al, ac_tab, read_symbol
+                    )
+            pos = end
+            continue
+        pos += seglen
+    if blocks is None or not width or not height:
+        raise ValueError("jpeg: missing SOF2/SOS")
+    qtab = quant.get(comp_qtab)
+    if qtab is None:
+        raise ValueError("jpeg: missing quant table")
+
+    C = DCT_BASIS
+    pixels = bytearray(width * height)
+    bw = width // 8
+    for bi, zz in enumerate(blocks):
+        by, bx = (bi // bw) * 8, (bi % bw) * 8
+        Q = [[0.0] * 8 for _ in range(8)]
+        for z2, (rr, cc) in enumerate(ZIGZAG):
+            Q[rr][cc] = float(zz[z2] * qtab[rr * 8 + cc])
+        T2 = [
+            [sum(C[u][i] * Q[u][j] for u in range(8)) for j in range(8)]
+            for i in range(8)
+        ]
+        for rr in range(8):
+            for cc in range(8):
+                x = sum(T2[rr][j] * C[j][cc] for j in range(8)) + 128.0
+                pixels[(by + rr) * width + bx + cc] = min(
+                    255, max(0, _round_half_up(x))
+                )
+    return width, height, bytes(pixels)
+
+
+def sql_reference_stats_tiled(
+    media_text_sql: str, *, width: int = 16, height: int = 16,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for the multi-block grayscale JPEG round-trip
+    (progressive catalog query, 16x16 = four 8x8 blocks): the
+    :func:`sql_reference_stats` relational replay generalized with a
+    block key — pixels tile into 8x8 blocks, the DCT/quant/IDCT chain
+    groups by (media_id, block), stats reduce over all blocks. Checks
+    the progressive entropy layering end-to-end because progressive and
+    baseline share the exact quantized coefficients; any scan-script,
+    EOB-run or refinement bug breaks the pixel equality."""
+    n = width * height
+    bw = width // 8
+    cvals = ",\n    ".join(
+        f"({u}, {i}, {DCT_BASIS[u][i]!r})" for u in range(8) for i in range(8)
+    )
+    qvals = ",\n    ".join(
+        f"({u}, {v}, {QUANT_LUMA[u * 8 + v]})" for u in range(8) for v in range(8)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id AS media_id,
+         substr({media_text_sql} || repeat(' ', {n}), 1, {n}) AS s
+  FROM {table}
+),
+cmat(u, i, w) AS (VALUES
+    {cvals}
+),
+qmat(u, v, q) AS (VALUES
+    {qvals}
+),
+px AS (
+  SELECT media_id,
+         ((u.i - 1) // {width}) // 8 * {bw} + ((u.i - 1) % {width}) // 8 AS blk,
+         CAST(((u.i - 1) // {width}) % 8 AS INT) AS r,
+         CAST(((u.i - 1) % {width}) % 8 AS INT) AS c,
+         ascii(substr(s, CAST(u.i AS INT), 1)) - 128.0 AS v
+  FROM t, unnest(range(1, {n + 1})) AS u(i)
+),
+t1 AS (
+  SELECT px.media_id, px.blk, cm.u, px.c AS j, sum(cm.w * px.v) AS tv
+  FROM px JOIN cmat cm ON cm.i = px.r
+  GROUP BY 1, 2, 3, 4
+),
+y AS (
+  SELECT t1.media_id, t1.blk, t1.u, cm.u AS v, sum(t1.tv * cm.w) AS yv
+  FROM t1 JOIN cmat cm ON cm.i = t1.j
+  GROUP BY 1, 2, 3, 4
+),
+qz AS (
+  SELECT y.media_id, y.blk, y.u, y.v,
+         floor(round(y.yv / qm.q, 6) + 0.5) * qm.q AS qv
+  FROM y JOIN qmat qm ON qm.u = y.u AND qm.v = y.v
+),
+t2 AS (
+  SELECT qz.media_id, qz.blk, cm.i, qz.v AS j, sum(cm.w * qz.qv) AS tv
+  FROM qz JOIN cmat cm ON cm.u = qz.u
+  GROUP BY 1, 2, 3, 4
+),
+xr AS (
+  SELECT t2.media_id, t2.blk, t2.i AS r, cm.i AS c,
+         least(255, greatest(0,
+           CAST(floor(round(sum(t2.tv * cm.w) + 128.0, 6) + 0.5)
+                AS BIGINT))) AS v
+  FROM t2 JOIN cmat cm ON cm.u = t2.j
+  GROUP BY 1, 2, 3, 4
+)
+SELECT media_id, {width} AS width, {height} AS height,
+       CAST(sum(v) AS BIGINT) AS sum_px,
+       CAST(min(v) AS INT) AS min_px, CAST(max(v) AS INT) AS max_px,
+       round(CAST(sum(v) AS DOUBLE) / {n}, 6) AS mean_px
+FROM xr GROUP BY media_id
+"""

@@ -709,3 +709,83 @@ def jpeg_color_pixel_stats(media: DataFrame) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
+def documents_as_jpeg_progressive_media(
+    docs: DataFrame, *, width: int = 16, height: int = 16
+) -> DataFrame:
+    """PROGRESSIVE-JPEG media table derived from document text: the first
+    width*height bytes (ASCII-sanitized upstream, space-padded) become a
+    grayscale image encoded executor-side with the SOF2 progressive
+    encoder (8-scan spectral-selection + successive-approximation
+    script). Quantized coefficients equal the baseline encoder's, so
+    downstream decode equals jpeg_codec.reference_transform of the same
+    bytes — replayed relationally by sql_reference_stats_tiled."""
+    n = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                jpeg_codec.encode_jpeg_gray_progressive(
+                    t.encode("utf-8")[:n].ljust(n, b" "), width, height
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "image",
+                    "meta": [
+                        {
+                            "width": width,
+                            "height": height,
+                            "sample_rate": 0,
+                            "n_frames": 0,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def jpeg_progressive_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image pixel statistics via REAL progressive-JPEG decode
+    (mapInPandas): marker walk, per-scan coefficient bit-plane
+    accumulation (DC/AC first + refinement, EOB runs), one dequant+IDCT
+    pass — reduced to sum/min/max/mean. Payloads never leave the
+    executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = jpeg_codec.decode_jpeg_progressive(bytes(payload))
+                n = len(px)
+                # half-UP 6-decimal mean, exact: for n a power of two,
+                # sum*1e6/n is an exact double, so floor(x+0.5) is
+                # deterministic and matches DuckDB's half-away round.
+                # (Python's round() is half-even; at n=256 the mean's
+                # decimal expansion terminates at digit 8, so digit-7
+                # ties are EXACT and the two conventions really diverge
+                # — caught by the sf0.01 differential.)
+                mean = math.floor(sum(px) * 1e6 / n + 0.5) / 1e6 if n else 0.0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "sum_px": sum(px),
+                        "min_px": min(px) if n else 0,
+                        "max_px": max(px) if n else 0,
+                        "mean_px": mean,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, PIXEL_STATS_SCHEMA)

@@ -161,6 +161,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "asof_nearest_duck_oracle",
     "asof_forward_next_error",
     "attribution_last_touch",
+    "multimodal_jpeg_progressive_decode",
 )
 
 

@@ -279,3 +279,51 @@ def test_color_444_roundtrips_match_reference():
     assert j.decode_jpeg_color(enc)[2] == j.reference_transform_color(
         rgb2, 24, 16, subsampling="444"
     )
+
+
+def test_progressive_roundtrips_match_reference():
+    """decode(encode_progressive(px)) == reference_transform(px) ==
+    baseline decode — progressive is purely an entropy re-layering of
+    the same quantized coefficients."""
+    rng = random.Random(99)
+    for w, h in ((8, 8), (16, 16), (32, 16)):
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        prog = j.encode_jpeg_gray_progressive(px, w, h)
+        assert prog[2:4] != b"\xff\xc0" and b"\xff\xc2" in prog  # SOF2
+        w2, h2, dec = j.decode_jpeg_progressive(prog)
+        assert (w2, h2) == (w, h)
+        assert dec == j.reference_transform(px, w, h)
+        assert dec == j.decode_jpeg(j.encode_jpeg_gray(px, w, h))[2]
+
+
+def test_progressive_sparse_blocks_exercise_zrl_and_eob():
+    """Near-empty blocks hit the long-zero-run paths: ZRL folding into
+    EOB, and the refinement-scan history-bit ordering around ZRLs (the
+    bug class the sf0.01 differential caught: a history coefficient's
+    correction bit buffered across a ZRL desyncs the decoder)."""
+    rng = random.Random(5)
+    for _ in range(100):
+        px = bytearray(32 * 32)
+        for _ in range(rng.randrange(1, 5)):
+            px[rng.randrange(len(px))] = rng.randrange(256)
+        got = j.decode_jpeg_progressive(
+            j.encode_jpeg_gray_progressive(bytes(px), 32, 32)
+        )[2]
+        assert got == j.reference_transform(bytes(px), 32, 32)
+
+
+def test_progressive_constant_and_extreme_images():
+    for val in (0, 128, 255):
+        px = bytes([val]) * 256
+        got = j.decode_jpeg_progressive(
+            j.encode_jpeg_gray_progressive(px, 16, 16)
+        )[2]
+        assert got == j.reference_transform(px, 16, 16)
+
+
+def test_progressive_and_baseline_reject_each_other():
+    px = bytes(64)
+    with pytest.raises(ValueError):
+        j.decode_jpeg(j.encode_jpeg_gray_progressive(px, 8, 8))
+    with pytest.raises(ValueError):
+        j.decode_jpeg_progressive(j.encode_jpeg_gray(px, 8, 8))
