@@ -143,3 +143,73 @@ SELECT node, r AS rank_micro,
        round(r::DOUBLE / {SCALE}.0, 6) AS rank
 FROM r{iters}
 """
+
+
+def triangles(
+    pairs: DataFrame, *, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Triangle enumeration on an undirected edge list (one row per
+    unordered pair) via DEGREE-ORIENTED wedge closing — the standard
+    scalable formulation (Cohen 2009 MapReduce triangles; the
+    node-iterator join would explode on hubs).
+
+    Each undirected edge is oriented low→high by the total order
+    (degree, node): every triangle then has exactly ONE wedge
+    a→b→c with a closing oriented edge a→c, so each triangle is
+    emitted exactly once. The orientation bounds every node's
+    out-degree at O(√m) regardless of hub size — a celebrity node with
+    10⁶ neighbors contributes wedges only through its (few) HIGHER-rank
+    neighbors, so the wedge join's intermediate is Σ out_deg² = O(m^1.5)
+    worst-case instead of Σ deg² (quadratic in the hub).
+
+    Shape: one degree aggregation, two broadcast-or-shuffle joins to
+    rank endpoints, one self-join on the wedge pivot, one semi-ish
+    closing join. Output: (node_a, node_b, node_c) sorted ascending per
+    row — engine-neutral and directly comparable to a three-way-join
+    oracle.
+    """
+    # canonicalize to (min, max) BEFORE deduping: an input carrying both
+    # orientations of an edge would otherwise survive as two rows and
+    # double every wedge (and every degree) downstream
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+
+    # orient low→high by (deg, node); carried rank keeps the comparison
+    # one join downstream instead of re-joining degrees per edge side
+    ranked = (
+        sym.join(deg.withColumnRenamed("u", "n"), F.col("u") == F.col("n"))
+        .select("u", "v", F.col("deg").alias("deg_u"))
+        .join(
+            deg.select(F.col("u").alias("n"), F.col("deg").alias("deg_v")),
+            F.col("v") == F.col("n"),
+        )
+        .select("u", "v", "deg_u", "deg_v")
+    )
+    oriented = ranked.filter(
+        (F.col("deg_u") < F.col("deg_v"))
+        | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+    ).select("u", "v")
+
+    wedge = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+    )
+    tri = wedge.join(
+        oriented.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+    )
+    # canonical ascending ids per triangle row (orientation order is by
+    # degree, not id)
+    arr = F.array_sort(F.array("a", "b", "c"))
+    return tri.select(
+        arr[0].alias("node_a"), arr[1].alias("node_b"), arr[2].alias("node_c")
+    )

@@ -162,6 +162,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "asof_forward_next_error",
     "attribution_last_touch",
     "multimodal_jpeg_progressive_decode",
+    "graph_triangles_copurchase",
 )
 
 

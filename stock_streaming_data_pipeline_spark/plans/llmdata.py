@@ -2138,6 +2138,57 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_triangles_copurchase",
+    tags=("LLM-graph",),
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+prs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT e1.pa AS node_a, e1.pb AS node_b, e2.pb AS node_c
+FROM prs e1
+JOIN prs e2 ON e2.pa = e1.pb
+JOIN prs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+""",
+)
+def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the part co-purchase graph (parts
+    linked when bought together in ≥2 orders) via degree-oriented wedge
+    closing (operators/graph.py:triangles) — co-purchase cliques are
+    the "frequently bought together" bundles a basket analysis promotes
+    beyond pairwise lift. Scale shape: the per-basket pair generation
+    is a self-join bounded by basket size (≤7 lines per TPC-H order —
+    O(k²) per basket, never corpus-quadratic), the support-≥2 filter is
+    a partial-aggregatable HAVING that prunes the edge list before any
+    graph work, and the wedge join bounds hub out-degree at O(√m) by
+    orienting edges along the (degree, node) total order. The DuckDB
+    oracle is the brute three-way pair join — an independent derivation
+    of the same triangle set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("pa", "pb")
+    )
+    return graph.triangles(pairs, a_col="pa", b_col="pb")
+
+
+@register(
     "split_train_eval",
     tags=("LLM-mixing",),
     oracle=f"""

@@ -57,3 +57,29 @@ def test_disconnected_components_share_mass_by_size(spark):
     assert ranks[0] == ranks[1] == ranks[2]
     assert ranks[10] == ranks[11]
     assert all(v > 0 for v in ranks.values())
+
+
+def test_triangles_known_graph(spark):
+    """K4 (4 triangles) + a hub star (0 triangles) + one extra triangle
+    sharing a K4 vertex — every triangle found exactly once, canonical
+    ascending ids."""
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    star = [(10, i) for i in range(20, 28)]  # hub: no closed wedges
+    extra = [(4, 50), (4, 51), (50, 51)]
+    pairs = spark.createDataFrame(k4 + star + extra, "doc_a long, doc_b long")
+    out = sorted(
+        tuple(r) for r in graph.triangles(pairs).collect()
+    )
+    assert out == [
+        (1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4), (4, 50, 51),
+    ]
+
+
+def test_triangles_input_order_and_duplicates_are_irrelevant(spark):
+    """Reversed pairs and duplicate rows must not create duplicate or
+    phantom triangles (the operator symmetrizes + dedups internally)."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (1, 3), (3, 2), (2, 3), (3, 1)], "doc_a long, doc_b long"
+    )
+    out = [tuple(r) for r in graph.triangles(pairs).collect()]
+    assert out == [(1, 2, 3)]
