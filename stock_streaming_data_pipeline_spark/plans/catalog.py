@@ -163,6 +163,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "attribution_last_touch",
     "multimodal_jpeg_progressive_decode",
     "graph_triangles_copurchase",
+    "text_wordpiece_segment",
 )
 
 

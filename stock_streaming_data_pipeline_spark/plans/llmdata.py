@@ -1211,6 +1211,28 @@ def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from stock_streaming_data_pipeline_spark.operators import wordpiece as _wp  # noqa: E402
+
+
+@register(
+    "text_wordpiece_segment",
+    tags=("LLM-text",),
+    oracle="WITH "
+    + ",\n".join(_wp.sql_wordpiece_ctes(text_col="text", table="documents"))
+    + f"\nSELECT w, wc, wordpieces, n_pieces FROM seg{_wp.MAX_WORD_LEN}",
+)
+def text_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match segmentation (BERT's tokenizer) of
+    every distinct corpus word under a corpus-derived initial/
+    continuation vocabulary — the third tokenizer family beside BPE and
+    unigram-LM. One corpus-scale word-count pass; the vocabulary, match
+    table and all 8 greedy steps run on the vocabulary-bounded
+    distinct-word relation (operators/wordpiece.py), replayed
+    bit-for-bit by chained CTEs in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _wp.wordpiece_segment(docs, text_col="text")
+
+
 # Media payloads slice UTF-8 BYTES on the Spark side while DuckDB's
 # substr/ascii are code-point based ('é' → 233 vs byte 195). Restrict
 # the media derivation to an explicitly ASCII-sanitized projection on

@@ -233,3 +233,39 @@ def test_unigram_prune_shrinks_and_covers(spark):
     # a smaller vocabulary can only segment FINER: total piece usages
     # grow (or stay) when pieces are pruned, and never vanish
     assert sum(r["cnt"] for r in pruned) >= sum(r["cnt"] for r in full) > 0
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    """Longest-match-first over a corpus where 'abcd' is frequent: the
+    word 'abcdef' must segment as [abcd, ##ef-or-chars], never char-by-
+    char; continuation pieces carry ##; every word fully consumes."""
+    from stock_streaming_data_pipeline_spark.operators import wordpiece as wp
+
+    rows = [("abcd",)] * 6 + [("abcdef",)] * 6 + [("xy",)] * 6
+    df = spark.createDataFrame(rows, "text string")
+    out = {r["w"]: r for r in wp.wordpiece_segment(df, text_col="text").collect()}
+    assert set(out) == {"abcd", "abcdef", "xy"}
+    assert out["abcd"]["wordpieces"] == "abcd"
+    assert out["abcd"]["n_pieces"] == 1
+    # 'abcd' (count 12 >= 5) wins the first greedy step; the suffix 'ef'
+    # is a frequent continuation substring (count 6) so it stays whole
+    assert out["abcdef"]["wordpieces"] == "abcd ##ef"
+    assert out["abcdef"]["n_pieces"] == 2
+    assert out["xy"]["wordpieces"] == "xy"
+    # piece accounting: n_pieces == piece list length, words reconstruct
+    for r in out.values():
+        pieces = r["wordpieces"].split(" ")
+        assert len(pieces) == r["n_pieces"]
+        assert "".join(p.removeprefix("##") for p in pieces) == r["w"]
+
+
+def test_wordpiece_rare_word_falls_to_characters(spark):
+    """A word sharing no frequent substrings segments into single-char
+    pieces (the coverage guarantee) rather than erroring."""
+    from stock_streaming_data_pipeline_spark.operators import wordpiece as wp
+
+    rows = [("hello",)] * 6 + [("zq",)]
+    df = spark.createDataFrame(rows, "text string")
+    out = {r["w"]: r for r in wp.wordpiece_segment(df, text_col="text").collect()}
+    assert out["zq"]["wordpieces"] == "z ##q"
+    assert out["zq"]["n_pieces"] == 2
