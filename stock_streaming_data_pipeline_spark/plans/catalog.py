@@ -164,6 +164,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "multimodal_jpeg_progressive_decode",
     "graph_triangles_copurchase",
     "text_wordpiece_segment",
+    "ts_seasonal_decompose",
 )
 
 

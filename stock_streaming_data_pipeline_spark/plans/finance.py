@@ -946,3 +946,140 @@ def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro(F.col("r.b")).alias("trend_micro"),
         micro(F.col("r.l") + F.lit(7) * F.col("r.b")).alias("forecast7_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: classical seasonal decomposition (trend / seasonal / residual)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_seasonal_decompose",
+    tags=("W2", "A1"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
+         CAST(sum({_CENTS}) AS BIGINT) AS v
+  FROM trades WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+ma AS (
+  SELECT event_type, slot, v,
+         count(*) OVER w AS cnt,
+         2 * sum(v) OVER w
+           - first_value(v) OVER w - last_value(v) OVER w AS t2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY slot
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+trended AS (
+  SELECT event_type, slot, v,
+         CASE WHEN cnt = 25 THEN
+           CAST(sign(t2) AS BIGINT) * ((abs(t2) * 2000000 + 48) // 96)
+         END AS trend_micro
+  FROM ma
+),
+seas AS (
+  SELECT event_type, slot % 24 AS hod,
+         CAST(sign(sum(v * 1000000 - trend_micro)) AS BIGINT)
+           * ((abs(sum(v * 1000000 - trend_micro)) * 2 + count(*))
+              // (2 * count(*))) AS seasonal_micro
+  FROM trended WHERE trend_micro IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT t.event_type, t.slot, t.slot % 24 AS hod, t.v AS v_cents,
+       t.trend_micro,
+       CASE WHEN t.trend_micro IS NOT NULL THEN s.seasonal_micro END
+         AS seasonal_micro,
+       CASE WHEN t.trend_micro IS NOT NULL THEN
+         t.v * 1000000 - t.trend_micro - s.seasonal_micro END AS residual_micro
+FROM trended t LEFT JOIN seas s
+  ON s.event_type = t.event_type AND s.hod = t.slot % 24
+""",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the hourly turnover series
+    per key: trend = centered 2x24 moving average (the textbook
+    even-period form: half-weight endpoints, full 25-row window),
+    seasonal = per-hour-of-day mean of the detrended series, residual =
+    value - trend - seasonal. Series edges without the full 25-row
+    window carry NULL trend/seasonal/residual (no partial-window bias).
+
+    Everything rides exact integers — hourly cents, then micro-unit
+    half-away snaps of the two rational divisions (/48 for the MA, /n
+    for the seasonal mean) — so both engines compute identical BIGINTs
+    and the differential is bit-exact, the Holt/DTW tier's discipline.
+    Scale shape: one corpus-scale hourly aggregate, then ONE partitioned
+    ordered window pass (25-row frame) and one hour-of-day groupBy on
+    the slot-grained relation (~720 rows/key/month — bounded, no
+    self-join, no global sort)."""
+    t = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    hourly = (
+        t.withColumn("slot", (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long"))
+        .withColumn("c", cents)
+        .groupBy("event_type", "slot")
+        .agg(F.sum("c").alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(-12, 12)
+    )
+    t2 = (
+        F.lit(2) * F.sum("v").over(w)
+        - F.first("v").over(w)
+        - F.last("v").over(w)
+    )
+    # materialize t2 as a real column first so the integer snap can
+    # reference it inside expr() text
+    trended = (
+        hourly.withColumn("cnt", F.count(F.lit(1)).over(w))
+        .withColumn("t2", t2)
+        .withColumn(
+            "trend_micro",
+            F.when(
+                F.col("cnt") == 25,
+                F.signum("t2").cast("long")
+                * F.expr("(abs(t2) * 2000000 + 48) DIV 96"),
+            ),
+        )
+        .select("event_type", "slot", "v", "trend_micro")
+    )
+    detr = F.col("v") * F.lit(1_000_000) - F.col("trend_micro")
+    seas = (
+        trended.filter(F.col("trend_micro").isNotNull())
+        .withColumn("hod", F.col("slot") % 24)
+        .withColumn("d", detr)
+        .groupBy("event_type", "hod")
+        .agg(F.sum("d").alias("sd"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "hod",
+            (
+                F.signum("sd").cast("long")
+                * F.expr("(abs(sd) * 2 + n) DIV (2 * n)")
+            ).alias("seasonal_micro"),
+        )
+    )
+    out = trended.withColumn("hod", F.col("slot") % 24).join(
+        seas, ["event_type", "hod"], "left"
+    )
+    has_trend = F.col("trend_micro").isNotNull()
+    return out.select(
+        "event_type",
+        "slot",
+        "hod",
+        F.col("v").alias("v_cents"),
+        "trend_micro",
+        F.when(has_trend, F.col("seasonal_micro")).alias("seasonal_micro"),
+        F.when(
+            has_trend,
+            F.col("v") * F.lit(1_000_000)
+            - F.col("trend_micro")
+            - F.col("seasonal_micro"),
+        ).alias("residual_micro"),
+    )

@@ -414,3 +414,34 @@ def test_holt_linear_tracks_a_planted_linear_ramp(spark):
         assert row["forecast7_micro"] == math.floor((el + 7 * eb) * 1_000_000 + 0.5)
     # the trend converges to the true slope (200 cents/day)
     assert abs(exp[-1][1] - 200.0) < 8.0
+
+
+def test_seasonal_decompose_identity_and_edges(spark):
+    """residual = v*1e6 - trend - seasonal wherever trend is defined;
+    the first/last 12 rows of each key's series carry NULLs; seasonal
+    depends only on hour-of-day within a key."""
+    from stock_streaming_data_pipeline_spark.plans.finance import (
+        ts_seasonal_decompose,
+    )
+    from tests.conftest import SF_SMOKE
+
+    pdf = ts_seasonal_decompose(spark, SF_SMOKE).toPandas()
+    have = pdf[pdf.trend_micro.notna()]
+    assert len(have) > 0
+    assert (
+        have.v_cents * 1_000_000 - have.trend_micro - have.seasonal_micro
+        == have.residual_micro
+    ).all()
+    # edges: per key, exactly 12 leading + 12 trailing rows lack trend
+    # (interior slots all have full 25-row windows on this dense series)
+    for _, g in pdf.groupby("event_type"):
+        g = g.sort_values("slot")
+        missing = g.trend_micro.isna().to_numpy()
+        assert missing[:12].all() and missing[-12:].all()
+    # seasonal constant per (key, hod)
+    assert (
+        pdf[pdf.seasonal_micro.notna()]
+        .groupby(["event_type", "hod"])
+        .seasonal_micro.nunique()
+        == 1
+    ).all()
