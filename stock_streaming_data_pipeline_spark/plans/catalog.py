@@ -165,6 +165,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "graph_triangles_copurchase",
     "text_wordpiece_segment",
     "ts_seasonal_decompose",
+    "ts_cusum_changepoint",
 )
 
 

@@ -1083,3 +1083,84 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("seasonal_micro"),
         ).alias("residual_micro"),
     )
+
+
+@register(
+    "ts_cusum_changepoint",
+    tags=("W1", "A4"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
+         CAST(sum({_CENTS}) AS BIGINT) AS v
+  FROM trades WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, slot, v,
+         sum(v) OVER (PARTITION BY event_type ORDER BY slot) AS c,
+         row_number() OVER (PARTITION BY event_type ORDER BY slot) AS t,
+         sum(v) OVER (PARTITION BY event_type) AS total,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+dev AS (
+  SELECT event_type, slot, n, total,
+         abs(n * c - t * total) AS abs_d,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY abs(n * c - t * total) DESC, slot ASC) AS rn
+  FROM cum
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(total AS BIGINT) AS total_cents,
+       slot AS cp_slot, CAST(abs_d AS BIGINT) AS max_abs_dev
+FROM dev WHERE rn = 1
+""",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint location per key: the slot maximizing the
+    mean-centered cumulative deviation |S_t| of the hourly turnover
+    series — the classic single-changepoint estimator (Page's CUSUM /
+    binary-segmentation first split). The deviation rides EXACT
+    integers: scaling by n turns S_t = cum_t − t·mean into
+    D_t = n·cum_t − t·total (pure BIGINT — no rational mean, no
+    doubles), so both engines agree bit-for-bit; ties resolve to the
+    earliest slot. Scale shape: one corpus-scale hourly aggregate, one
+    partitioned ordered window pass for the running sum, and the argmax
+    is ONE max(struct(...)) aggregate per key — never a ranking window
+    over the raw facts."""
+    t = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    hourly = (
+        t.withColumn("slot", (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long"))
+        .withColumn("c", cents)
+        .groupBy("event_type", "slot")
+        .agg(F.sum("c").alias("v"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("slot")
+    wp = Window.partitionBy("event_type")
+    dev = (
+        hourly.withColumn("c", F.sum("v").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("t", F.row_number().over(wo))
+        .withColumn("total", F.sum("v").over(wp))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("abs_d", F.abs(F.col("n") * F.col("c") - F.col("t") * F.col("total")))
+    )
+    picked = dev.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("abs_d"), (-F.col("slot")).alias("neg_slot"),
+                F.col("n"), F.col("total"),
+            )
+        ).alias("m")
+    )
+    return picked.select(
+        "event_type",
+        F.col("m.n").cast("long").alias("n"),
+        F.col("m.total").alias("total_cents"),
+        (-F.col("m.neg_slot")).alias("cp_slot"),
+        F.col("m.abs_d").alias("max_abs_dev"),
+    )

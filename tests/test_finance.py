@@ -445,3 +445,33 @@ def test_seasonal_decompose_identity_and_edges(spark):
         .seasonal_micro.nunique()
         == 1
     ).all()
+
+
+def test_cusum_finds_planted_changepoint(spark, tmp_path):
+    """A mean step planted mid-series: the CUSUM argmax must land on the
+    last slot of the first regime (|D_t| peaks exactly at the break)."""
+    import datetime as _dt
+
+    from stock_streaming_data_pipeline_spark.plans.finance import (
+        ts_cusum_changepoint,
+    )
+
+    base = _dt.datetime(2024, 3, 1)
+    rows = []
+    for h in range(200):
+        val = 10.0 if h < 120 else 30.0
+        rows.append(
+            (h, base + _dt.timedelta(hours=h), 1, "sym", val, '{"k": 1.0}')
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = ts_cusum_changepoint(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 200
+    base_slot = int(base.timestamp()) // 3600
+    assert r["cp_slot"] == base_slot + 119  # last low-regime slot
+    assert r["total_cents"] == 120 * 1000 + 80 * 3000
