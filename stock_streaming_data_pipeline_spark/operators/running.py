@@ -242,7 +242,17 @@ def global_rank(
         "_pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("_pid").orderBy(order_col, id_col)
-    local = b.withColumn("_lrn", F.row_number().over(w_local))
+    # MATERIALIZE the _pid-stamped ranks before branching: the counts
+    # branch and the output join both consume `local`, and under AQE the
+    # two branches may coalesce the range shuffle DIFFERENTLY, so
+    # spark_partition_id() — nondeterministic by definition — can
+    # disagree between them; offsets then join against the wrong
+    # partitions and the global ranks silently skew (caught by the RFM
+    # sf0.1 differential: plausible 1..n permutation, wrong order). The
+    # checkpoint pins one physical partitioning for both consumers.
+    local = b.withColumn("_lrn", F.row_number().over(w_local)).localCheckpoint(
+        eager=False
+    )
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = (
         Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -166,6 +166,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "text_wordpiece_segment",
     "ts_seasonal_decompose",
     "ts_cusum_changepoint",
+    "rfm_customer_segments",
 )
 
 

@@ -2120,3 +2120,107 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_touches"),
         F.sum("w").cast("decimal(38,6)").alias("credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+from stock_streaming_data_pipeline_spark.operators.running import global_rank as _grank  # noqa: E402
+
+
+@register(
+    "rfm_customer_segments",
+    tags=("A4", "A5", "O1"),
+    oracle="""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         max(epoch_us(o_orderdate)) // 86400000000 AS last_day,
+         count(*) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+gmax AS (SELECT max(last_day) AS max_day FROM base),
+m AS (
+  SELECT custkey, (g.max_day - last_day) AS r_days, frequency, monetary_cents
+  FROM base CROSS JOIN gmax g
+),
+ranked AS (
+  SELECT m.*,
+         row_number() OVER (ORDER BY r_days ASC, custkey ASC) AS rr,
+         row_number() OVER (ORDER BY frequency DESC, custkey ASC) AS rf,
+         row_number() OVER (ORDER BY monetary_cents DESC, custkey ASC) AS rm,
+         count(*) OVER () AS n
+  FROM m
+)
+SELECT custkey, r_days, CAST(frequency AS BIGINT) AS frequency,
+       monetary_cents,
+       5 - (5 * (rr - 1)) // n AS r_score,
+       5 - (5 * (rf - 1)) // n AS f_score,
+       5 - (5 * (rm - 1)) // n AS m_score,
+       CAST(5 - (5 * (rr - 1)) // n AS VARCHAR) ||
+       CAST(5 - (5 * (rf - 1)) // n AS VARCHAR) ||
+       CAST(5 - (5 * (rm - 1)) // n AS VARCHAR) AS segment
+FROM ranked
+""",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, recency (days since last order,
+    against the corpus max day), frequency (order count) and monetary
+    (exact cents), each mapped to a 1–5 quintile score by GLOBAL rank
+    with custkey tiebreak, concatenated into the classic 'RFM' segment
+    code. Quintile boundaries are rank-arithmetic ((5·(rank−1)) div n —
+    exact integers, no percentile interpolation to diverge across
+    engines). The three global ranks use the range-partitioned two-phase
+    global_rank (operators/running.py) — never a single-task
+    unpartitioned window — over the customer-sized relation; the raw
+    orders fact is touched once by the per-customer aggregate. The
+    oracle's plain row_number windows are an independent single-node
+    derivation of the same total orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice")
+        * F.floor(F.abs(F.col("o_totalprice")) * 100 + F.lit(0.5))
+    ).cast("long")
+    base = (
+        orders.withColumn("cents", cents)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            (F.max(F.unix_micros("o_orderdate")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+    )
+    glob = base.agg(F.max("last_day").alias("max_day"))
+    m = base.crossJoin(F.broadcast(glob)).select(
+        "custkey",
+        (F.col("max_day") - F.col("last_day")).alias("r_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    m = m.withColumn("neg_f", -F.col("frequency")).withColumn(
+        "neg_m", -F.col("monetary_cents")
+    )
+    m = _grank(m, order_col="r_days", id_col="custkey", out="rr")
+    m = _grank(m, order_col="neg_f", id_col="custkey", out="rf")
+    m = _grank(m, order_col="neg_m", id_col="custkey", out="rm")
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    m = m.crossJoin(F.broadcast(n))
+    score = lambda r: F.lit(5) - F.expr(f"(5 * ({r} - 1)) DIV n")  # noqa: E731
+    return m.select(
+        "custkey",
+        "r_days",
+        "frequency",
+        "monetary_cents",
+        score("rr").alias("r_score"),
+        score("rf").alias("f_score"),
+        score("rm").alias("m_score"),
+        F.concat(
+            score("rr").cast("string"),
+            score("rf").cast("string"),
+            score("rm").cast("string"),
+        ).alias("segment"),
+    )
