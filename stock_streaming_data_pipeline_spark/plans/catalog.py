@@ -167,6 +167,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ts_seasonal_decompose",
     "ts_cusum_changepoint",
     "rfm_customer_segments",
+    "dq_benford_first_digit",
 )
 
 

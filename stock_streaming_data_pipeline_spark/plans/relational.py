@@ -2224,3 +2224,79 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             score("rm").cast("string"),
         ).alias("segment"),
     )
+
+
+# Benford expected first-digit frequencies log10(1 + 1/d), micro-snapped
+# half-away — frozen as literals so BOTH engines use the identical
+# integers (computing log10 at query time risks a last-ulp libm
+# difference right at a round boundary).
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@register(
+    "dq_benford_first_digit",
+    tags=("A4", "F1"),
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice > 0
+),
+digits AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n_obs
+  FROM cents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM digits),
+exp_tab(digit, expected_micro) AS (VALUES
+  {", ".join(f"({d}, {m})" for d, m in sorted(_BENFORD_MICRO.items()))}
+)
+SELECT e.digit, coalesce(d.n_obs, 0) AS n_obs, t.total,
+       (coalesce(d.n_obs, 0) * 2000000 + t.total) // (2 * t.total)
+         AS observed_micro,
+       e.expected_micro,
+       abs((coalesce(d.n_obs, 0) * 2000000 + t.total) // (2 * t.total)
+           - e.expected_micro) AS abs_dev_micro
+FROM exp_tab e LEFT JOIN digits d ON d.digit = e.digit CROSS JOIN tot t
+""",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals — the
+    classic fabricated-data / unit-mixing detector for a DQ suite:
+    observed vs expected (log10(1+1/d)) first-digit frequency per digit
+    with the absolute deviation, everything in exact micro-unit
+    integers (expected ratios frozen as literals, observed ratios via
+    integer half-away division) so the differential is bit-exact.
+    Scale shape: one map-side digit projection + a 9-row aggregate —
+    the whole fact scan folds into 9 groups, the expected table is a
+    9-row broadcast VALUES relation."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).cast("long")
+    digits = (
+        orders.select(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    exp_tab = spark.createDataFrame(
+        sorted(_BENFORD_MICRO.items()), "digit int, expected_micro long"
+    )
+    tot = digits.agg(F.sum("n_obs").alias("total"))
+    out = (
+        F.broadcast(exp_tab)
+        .join(digits, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_obs", F.coalesce("n_obs", F.lit(0)))
+    )
+    obs_micro = F.expr("(n_obs * 2000000 + total) DIV (2 * total)")
+    return out.select(
+        "digit",
+        "n_obs",
+        "total",
+        obs_micro.alias("observed_micro"),
+        "expected_micro",
+        F.abs(obs_micro - F.col("expected_micro")).alias("abs_dev_micro"),
+    )
