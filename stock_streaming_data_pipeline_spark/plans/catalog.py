@@ -168,6 +168,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ts_cusum_changepoint",
     "rfm_customer_segments",
     "dq_benford_first_digit",
+    "holt_winters_seasonal",
 )
 
 

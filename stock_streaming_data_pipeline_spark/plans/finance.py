@@ -1164,3 +1164,138 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("m.neg_slot")).alias("cp_slot"),
         F.col("m.abs_d").alias("max_abs_dev"),
     )
+
+
+@register(
+    "holt_winters_seasonal",
+    tags=("W1", "A1", "T11"),
+    oracle=f"""
+WITH RECURSIVE trades AS ({SQL_TRADES}),
+cents AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS day,
+         {_CENTS} AS c
+  FROM trades WHERE value IS NOT NULL
+),
+dm AS (
+  SELECT key, epoch(day)::BIGINT AS day_s,
+         sum(c)::DOUBLE / count(*)::DOUBLE AS x,
+         row_number() OVER (PARTITION BY key ORDER BY day) AS rn
+  FROM cents GROUP BY key, day
+),
+rec AS (
+  SELECT key, rn, day_s, x, x AS l, 0.0::DOUBLE AS b, 0.0::DOUBLE AS s,
+         [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS q
+  FROM dm WHERE rn = 1
+  UNION ALL
+  SELECT key, rn, day_s, x, l,
+         0.25::DOUBLE * (l - pl) + 0.75::DOUBLE * pb AS b,
+         0.25::DOUBLE * (x - l) + 0.75::DOUBLE * sp AS s,
+         q[2:7] || [0.25::DOUBLE * (x - l) + 0.75::DOUBLE * sp] AS q
+  FROM (
+    SELECT d.key, d.rn, d.day_s, d.x,
+           0.5::DOUBLE * (d.x - r.q[1]) + 0.5::DOUBLE * (r.l + r.b) AS l,
+           r.l AS pl, r.b AS pb, r.q[1] AS sp, r.q AS q
+    FROM dm d JOIN rec r ON d.key = r.key AND d.rn = r.rn + 1
+  )
+)
+SELECT key, day_s,
+       CAST(floor(l * 1000000 + 0.5::DOUBLE) AS BIGINT) AS level_micro,
+       CAST(floor(b * 1000000 + 0.5::DOUBLE) AS BIGINT) AS trend_micro,
+       CAST(floor(s * 1000000 + 0.5::DOUBLE) AS BIGINT) AS seasonal_micro,
+       CAST(floor((l + 7 * b + s) * 1000000 + 0.5::DOUBLE) AS BIGINT)
+         AS forecast7_micro
+FROM rec
+""",
+)
+def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing (level
+    alpha=0.5, trend beta=0.25, seasonal gamma=0.25, weekly period m=7)
+    over each symbol's daily mean price, with the 7-day-ahead forecast
+    l + 7b + s_t — the seasonal successor of holt_linear_trend.
+    Zero-seasonal initialization (s_j = 0 for the first cycle) is the
+    documented deterministic variant. The seasonal state is the last-7
+    queue carried INSIDE the same Catalyst fold as level/trend (an
+    array column in the accumulator struct), so the per-key recursion
+    stays one map-side F.aggregate over the calendar-bounded day series
+    — one shuffle total (the day-mean groupBy); the DuckDB oracle
+    carries the identical queue as a list column in its recursive CTE,
+    replaying the EXACT IEEE operation sequence before the micro-unit
+    floor surface."""
+    day_means = (
+        trades_view(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(
+            F.sum(finance.to_scaled_long("value", 2)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "key",
+            F.unix_timestamp("day").cast("long").alias("day_s"),
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias("x"),
+        )
+    )
+    series = day_means.groupBy("key").agg(
+        F.array_sort(F.collect_list(F.struct("day_s", "x"))).alias("xs")
+    )
+    zeros = F.array(*[F.lit(0.0) for _ in range(7)])
+    first = F.element_at(F.col("xs"), 1)
+    init = F.struct(
+        first["x"].alias("l"),
+        F.lit(0.0).alias("b"),
+        zeros.alias("q"),
+        F.array(
+            F.struct(
+                first["day_s"].alias("day_s"),
+                first["x"].alias("l"),
+                F.lit(0.0).alias("b"),
+                F.lit(0.0).alias("s"),
+            )
+        ).alias("out"),
+    )
+
+    def step(acc, e):
+        sp = F.element_at(acc["q"], 1)
+        l_new = F.lit(0.5) * (e["x"] - sp) + F.lit(0.5) * (acc["l"] + acc["b"])
+        b_new = F.lit(0.25) * (l_new - acc["l"]) + F.lit(0.75) * acc["b"]
+        s_new = F.lit(0.25) * (e["x"] - l_new) + F.lit(0.75) * sp
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(F.slice(acc["q"], 2, 6), F.array(s_new)).alias("q"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        e["day_s"].alias("day_s"),
+                        l_new.alias("l"),
+                        b_new.alias("b"),
+                        s_new.alias("s"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = series.select(
+        "key",
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            init,
+            step,
+        )["out"].alias("out"),
+    )
+    row = folded.select("key", F.explode("out").alias("r"))
+    micro = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")  # noqa: E731
+    return row.select(
+        "key",
+        F.col("r.day_s").alias("day_s"),
+        micro(F.col("r.l")).alias("level_micro"),
+        micro(F.col("r.b")).alias("trend_micro"),
+        micro(F.col("r.s")).alias("seasonal_micro"),
+        micro(F.col("r.l") + F.lit(7) * F.col("r.b") + F.col("r.s")).alias(
+            "forecast7_micro"
+        ),
+    )

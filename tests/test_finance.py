@@ -475,3 +475,39 @@ def test_cusum_finds_planted_changepoint(spark, tmp_path):
     base_slot = int(base.timestamp()) // 3600
     assert r["cp_slot"] == base_slot + 119  # last low-regime slot
     assert r["total_cents"] == 120 * 1000 + 80 * 3000
+
+
+def test_holt_winters_learns_planted_weekly_pattern(spark, tmp_path):
+    """A perfectly periodic (m=7) zero-trend daily series: after a few
+    cycles the seasonal state must absorb the pattern — the 7-day-ahead
+    forecast converges onto the actual value (same phase)."""
+    import datetime as _dt
+
+    from stock_streaming_data_pipeline_spark.plans.finance import (
+        holt_winters_seasonal,
+    )
+
+    base = _dt.datetime(2024, 3, 1)
+    pattern = [10.0, 12.0, 15.0, 11.0, 9.0, 14.0, 13.0]
+    rows = []
+    for d in range(49):  # 7 full cycles
+        rows.append(
+            (d, base + _dt.timedelta(days=d), 1, "sym",
+             pattern[d % 7], '{"k": 1.0}')
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        holt_winters_seasonal(spark, str(tmp_path)).collect(),
+        key=lambda r: r["day_s"],
+    )
+    assert len(out) == 49
+    # last-cycle forecasts: l + 7b + s_t predicts x_{t+7} = x_t (period 7)
+    for r, d in zip(out[-7:], range(42, 49)):
+        actual_micro = pattern[d % 7] * 100 * 1_000_000  # cents scale
+        assert abs(r["forecast7_micro"] - actual_micro) < 0.12 * actual_micro
+    # trend stays near zero on the zero-trend series
+    assert abs(out[-1]["trend_micro"]) < 60_000_000  # < 0.6 cents/day drift
