@@ -169,6 +169,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "rfm_customer_segments",
     "dq_benford_first_digit",
     "holt_winters_seasonal",
+    "ab_test_two_proportion",
 )
 
 

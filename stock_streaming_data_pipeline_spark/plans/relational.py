@@ -2300,3 +2300,87 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expected_micro",
         F.abs(obs_micro - F.col("expected_micro")).alias("abs_dev_micro"),
     )
+
+
+@register(
+    "ab_test_two_proportion",
+    tags=("A4", "F4"),
+    oracle="""
+WITH users AS (
+  SELECT user_id, user_id % 2 AS variant,
+         CASE WHEN max(CASE WHEN event_type = 'purchase' THEN value END) > 150
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT variant, count(*) AS n,
+         CAST(sum(converted) AS BIGINT) AS conversions
+  FROM users GROUP BY variant
+),
+wide AS (
+  SELECT
+    max(CASE WHEN variant = 0 THEN n END) AS n_a,
+    max(CASE WHEN variant = 0 THEN conversions END) AS conv_a,
+    max(CASE WHEN variant = 1 THEN n END) AS n_b,
+    max(CASE WHEN variant = 1 THEN conversions END) AS conv_b
+  FROM arms
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, conv_a, CAST(n_b AS BIGINT) AS n_b, conv_b,
+       round(conv_a::DOUBLE / n_a::DOUBLE, 6) AS p_a,
+       round(conv_b::DOUBLE / n_b::DOUBLE, 6) AS p_b,
+       round(
+         (conv_a::DOUBLE / n_a::DOUBLE - conv_b::DOUBLE / n_b::DOUBLE)
+         / sqrt(
+             ((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+             * (1 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+             * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)
+           ),
+         6) AS z_score
+FROM wide
+""",
+)
+def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between experiment arms (users split by the
+    deterministic id parity; conversion = a purchase above a fixed
+    value threshold — plain any-purchase converts every user of this
+    dense corpus and collapses the pooled variance to zero): arm
+    sizes, conversion counts, rates and the pooled-variance z statistic
+    — the experiment-analysis primitive an analytics engine serves
+    daily. Scale shape: one per-user max aggregate over the fact scan,
+    then a 2-row arm relation pivoted and scored map-side; the z
+    arithmetic runs the IDENTICAL IEEE expression tree in both engines
+    before the round-6 surface."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.when(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("value")))
+            > 150,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("converted")
+    ).withColumn("variant", F.col("user_id") % 2)
+    arms = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conversions")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("conversions"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("conversions"))).alias("conv_b"),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    p_pool = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / F.sqrt(
+        p_pool * (F.lit(1) - p_pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("conv_a").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_b").alias("conv_b"),
+        F.round(ca / na, 6).alias("p_a"),
+        F.round(cb / nb, 6).alias("p_b"),
+        F.round(z, 6).alias("z_score"),
+    )
