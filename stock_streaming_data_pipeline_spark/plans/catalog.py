@@ -170,6 +170,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "dq_benford_first_digit",
     "holt_winters_seasonal",
     "ab_test_two_proportion",
+    "ts_binary_segmentation",
 )
 
 

@@ -1299,3 +1299,150 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast7_micro"
         ),
     )
+
+
+def _cusum_pick(hourly: DataFrame, seg_cols: list[str]) -> DataFrame:
+    """Per (key, segment): the CUSUM argmax row plus segment bounds —
+    the shared primitive of ts_cusum_changepoint and the binary
+    segmentation. All-integer deviations (n·cum − t·total), ties to the
+    earliest slot, ONE max(struct) aggregate per group."""
+    wo = Window.partitionBy(*seg_cols).orderBy("slot")
+    wp = Window.partitionBy(*seg_cols)
+    dev = (
+        hourly.withColumn(
+            "c", F.sum("v").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("t", F.row_number().over(wo))
+        .withColumn("total", F.sum("v").over(wp))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn(
+            "abs_d",
+            F.abs(F.col("n") * F.col("c") - F.col("t") * F.col("total")),
+        )
+    )
+    return dev.groupBy(*seg_cols).agg(
+        F.max(
+            F.struct(
+                F.col("abs_d"), (-F.col("slot")).alias("neg_slot"),
+                F.col("n"), F.col("total"),
+            )
+        ).alias("m"),
+        F.min("slot").alias("seg_lo"),
+        F.max("slot").alias("seg_hi"),
+    )
+
+
+@register(
+    "ts_binary_segmentation",
+    tags=("W1", "A4"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
+         CAST(sum({_CENTS}) AS BIGINT) AS v
+  FROM trades WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+dev0 AS (
+  SELECT event_type, slot,
+         abs(count(*) OVER w * sum(v) OVER (PARTITION BY event_type ORDER BY slot)
+             - row_number() OVER (PARTITION BY event_type ORDER BY slot)
+               * sum(v) OVER w) AS abs_d,
+         count(*) OVER w AS n,
+         min(slot) OVER w AS seg_lo, max(slot) OVER w AS seg_hi
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type)
+),
+cp0 AS (
+  SELECT * FROM (
+    SELECT event_type, slot, abs_d, n, seg_lo, seg_hi,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY abs_d DESC, slot ASC) AS rn
+    FROM dev0
+  ) WHERE rn = 1
+),
+tagged AS (
+  SELECT h.event_type, h.slot, h.v,
+         CASE WHEN h.slot <= c.slot THEN 'L' ELSE 'R' END AS seg
+  FROM hourly h JOIN cp0 c ON c.event_type = h.event_type
+),
+dev1 AS (
+  SELECT event_type, seg, slot,
+         abs(count(*) OVER w
+             * sum(v) OVER (PARTITION BY event_type, seg ORDER BY slot)
+             - row_number() OVER (PARTITION BY event_type, seg ORDER BY slot)
+               * sum(v) OVER w) AS abs_d,
+         count(*) OVER w AS n,
+         min(slot) OVER w AS seg_lo, max(slot) OVER w AS seg_hi
+  FROM tagged
+  WINDOW w AS (PARTITION BY event_type, seg)
+),
+cp1 AS (
+  SELECT * FROM (
+    SELECT event_type, seg, slot, abs_d, n, seg_lo, seg_hi,
+           row_number() OVER (PARTITION BY event_type, seg
+                              ORDER BY abs_d DESC, slot ASC) AS rn
+    FROM dev1
+  ) WHERE rn = 1
+)
+SELECT event_type, 0 AS level, 'root' AS seg, seg_lo, seg_hi,
+       slot AS cp_slot, CAST(abs_d AS BIGINT) AS max_abs_dev,
+       CAST(n AS BIGINT) AS n_seg
+FROM cp0
+UNION ALL
+SELECT event_type, 1 AS level, seg, seg_lo, seg_hi,
+       slot AS cp_slot, CAST(abs_d AS BIGINT) AS max_abs_dev,
+       CAST(n AS BIGINT) AS n_seg
+FROM cp1
+""",
+)
+def ts_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level binary segmentation: the CUSUM argmax splits each
+    key's hourly turnover series at the root, then recurses once into
+    the left/right segments — the standard multi-changepoint estimator
+    built from the ts_cusum_changepoint primitive (_cusum_pick). Each
+    level is one partitioned window pass + one max(struct) aggregate on
+    the slot-grained relation; the recursion depth is a STATIC plan
+    parameter (2 levels → ≤3 changepoints/key), not data-dependent
+    iteration, so lineage stays bounded and the oracle replays both
+    levels as chained CTEs on exact integers."""
+    t = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    hourly = (
+        t.withColumn("slot", (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long"))
+        .withColumn("c", cents)
+        .groupBy("event_type", "slot")
+        .agg(F.sum("c").alias("v"))
+        .localCheckpoint(eager=False)  # both levels scan it
+    )
+    cp0 = _cusum_pick(hourly, ["event_type"])
+    root = cp0.select(
+        "event_type",
+        F.lit(0).alias("level"),
+        F.lit("root").alias("seg"),
+        "seg_lo",
+        "seg_hi",
+        (-F.col("m.neg_slot")).alias("cp_slot"),
+        F.col("m.abs_d").alias("max_abs_dev"),
+        F.col("m.n").cast("long").alias("n_seg"),
+    )
+    tagged = hourly.join(
+        cp0.select("event_type", (-F.col("m.neg_slot")).alias("cp")),
+        "event_type",
+    ).withColumn(
+        "seg", F.when(F.col("slot") <= F.col("cp"), F.lit("L")).otherwise(F.lit("R"))
+    )
+    cp1 = _cusum_pick(tagged, ["event_type", "seg"])
+    level1 = cp1.select(
+        "event_type",
+        F.lit(1).alias("level"),
+        "seg",
+        "seg_lo",
+        "seg_hi",
+        (-F.col("m.neg_slot")).alias("cp_slot"),
+        F.col("m.abs_d").alias("max_abs_dev"),
+        F.col("m.n").cast("long").alias("n_seg"),
+    )
+    return root.unionByName(level1)
