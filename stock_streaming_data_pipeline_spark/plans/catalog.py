@@ -171,6 +171,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "holt_winters_seasonal",
     "ab_test_two_proportion",
     "ts_binary_segmentation",
+    "linkage_fellegi_sunter",
 )
 
 

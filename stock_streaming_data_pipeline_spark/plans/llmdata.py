@@ -2815,3 +2815,176 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.sorted_neighborhood_pairs(
         docs, id_col="doc_id", text_col="text", window=8, n=3, threshold=0.5
     )
+
+
+@register(
+    "linkage_fellegi_sunter",
+    tags=("LLM-dedup",),
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({_SQL_SHINGLES}) AS s FROM documents
+),
+sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+matched AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE c / (sa.n + sb.n - c)::DOUBLE >= 0.5
+),
+recs AS (
+  SELECT doc_id, lang, n_chars // 100 AS lb, source,
+         substr(text, 1, 16) AS head, n_chars
+  FROM documents
+),
+cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CASE WHEN x.source = y.source THEN 1 ELSE 0 END AS agree_source,
+         CASE WHEN x.head = y.head THEN 1 ELSE 0 END AS agree_head,
+         CASE WHEN x.n_chars = y.n_chars THEN 1 ELSE 0 END AS agree_len,
+         CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_m
+  FROM recs x
+  JOIN recs y ON x.lang = y.lang AND x.lb = y.lb AND x.doc_id < y.doc_id
+  LEFT JOIN matched m ON m.doc_a = x.doc_id AND m.doc_b = y.doc_id
+),
+stats AS (
+  SELECT
+    CAST(sum(is_m) AS BIGINT) AS nm,
+    CAST(sum(1 - is_m) AS BIGINT) AS nu,
+    CAST(sum(is_m * agree_source) AS BIGINT) AS ms,
+    CAST(sum((1 - is_m) * agree_source) AS BIGINT) AS us,
+    CAST(sum(is_m * agree_head) AS BIGINT) AS mh,
+    CAST(sum((1 - is_m) * agree_head) AS BIGINT) AS uh,
+    CAST(sum(is_m * agree_len) AS BIGINT) AS ml,
+    CAST(sum((1 - is_m) * agree_len) AS BIGINT) AS ul
+  FROM cand
+),
+terms AS (
+  SELECT
+    CAST(floor(ln(((ms + 1.0) / (nm + 2.0)) / ((us + 1.0) / (nu + 2.0))) * 1000000 + 0.5) AS BIGINT) AS t_src_a,
+    CAST(floor(ln(((nm - ms + 1.0) / (nm + 2.0)) / ((nu - us + 1.0) / (nu + 2.0))) * 1000000 + 0.5) AS BIGINT) AS t_src_d,
+    CAST(floor(ln(((mh + 1.0) / (nm + 2.0)) / ((uh + 1.0) / (nu + 2.0))) * 1000000 + 0.5) AS BIGINT) AS t_head_a,
+    CAST(floor(ln(((nm - mh + 1.0) / (nm + 2.0)) / ((nu - uh + 1.0) / (nu + 2.0))) * 1000000 + 0.5) AS BIGINT) AS t_head_d,
+    CAST(floor(ln(((ml + 1.0) / (nm + 2.0)) / ((ul + 1.0) / (nu + 2.0))) * 1000000 + 0.5) AS BIGINT) AS t_len_a,
+    CAST(floor(ln(((nm - ml + 1.0) / (nm + 2.0)) / ((nu - ul + 1.0) / (nu + 2.0))) * 1000000 + 0.5) AS BIGINT) AS t_len_d
+  FROM stats
+)
+SELECT c.doc_a, c.doc_b, c.agree_source, c.agree_head, c.agree_len, c.is_m,
+       (CASE WHEN c.agree_source = 1 THEN t.t_src_a ELSE t.t_src_d END
+        + CASE WHEN c.agree_head = 1 THEN t.t_head_a ELSE t.t_head_d END
+        + CASE WHEN c.agree_len = 1 THEN t.t_len_a ELSE t.t_len_d END)
+         AS weight_micro,
+       CASE
+         WHEN (CASE WHEN c.agree_source = 1 THEN t.t_src_a ELSE t.t_src_d END
+               + CASE WHEN c.agree_head = 1 THEN t.t_head_a ELSE t.t_head_d END
+               + CASE WHEN c.agree_len = 1 THEN t.t_len_a ELSE t.t_len_d END)
+              >= 2000000 THEN 'link'
+         WHEN (CASE WHEN c.agree_source = 1 THEN t.t_src_a ELSE t.t_src_d END
+               + CASE WHEN c.agree_head = 1 THEN t.t_head_a ELSE t.t_head_d END
+               + CASE WHEN c.agree_len = 1 THEN t.t_len_a ELSE t.t_len_d END)
+              <= -2000000 THEN 'non_link'
+         ELSE 'possible'
+       END AS link_class
+FROM cand c CROSS JOIN terms t
+""",
+)
+def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over the document
+    corpus: candidate pairs from (lang, length-bucket) blocking, m/u
+    agreement probabilities per comparison field (source, 16-char head,
+    exact length) estimated with Laplace smoothing — m over the labeled
+    match set (the 3-gram-Jaccard ≥0.5 near-dup pairs inside the
+    blocks), u over the non-matched candidates — and each pair scored
+    with the classic sum of log-likelihood field weights, thresholded
+    into link / possible / non_link.
+
+    Exactness: the six log-odds TERM CONSTANTS are computed once from
+    the global agreement counts and micro-snapped; every pair's weight
+    is then an exact INTEGER sum of snapped constants, so the
+    differential is bit-exact (ln touches six values total, not six
+    million). Scale shape: blocking bounds candidates (never all-pairs
+    — the 100 TB contract of every dedup operator here), the agreement
+    stats fold into ONE aggregate over the candidate relation, and the
+    terms ride back as a broadcast 1-row frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs_m = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.5
+    ).select("doc_a", "doc_b", F.lit(1).alias("is_m_flag"))
+    recs = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("lb"),
+        "source",
+        F.substring("text", 1, 16).alias("head"),
+        "n_chars",
+    )
+    x, y = recs.alias("x"), recs.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.lb") == F.col("y.lb"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            (F.col("x.source") == F.col("y.source")).cast("int").alias("agree_source"),
+            (F.col("x.head") == F.col("y.head")).cast("int").alias("agree_head"),
+            (F.col("x.n_chars") == F.col("y.n_chars")).cast("int").alias("agree_len"),
+        )
+        .join(pairs_m, ["doc_a", "doc_b"], "left")
+        .withColumn("is_m", F.coalesce("is_m_flag", F.lit(0)))
+        .drop("is_m_flag")
+        .localCheckpoint(eager=False)  # scanned by the stats agg AND the scoring pass
+    )
+    s = cand.agg(
+        F.sum("is_m").alias("nm"),
+        F.sum(F.lit(1) - F.col("is_m")).alias("nu"),
+        F.sum(F.col("is_m") * F.col("agree_source")).alias("ms"),
+        F.sum((F.lit(1) - F.col("is_m")) * F.col("agree_source")).alias("us"),
+        F.sum(F.col("is_m") * F.col("agree_head")).alias("mh"),
+        F.sum((F.lit(1) - F.col("is_m")) * F.col("agree_head")).alias("uh"),
+        F.sum(F.col("is_m") * F.col("agree_len")).alias("ml"),
+        F.sum((F.lit(1) - F.col("is_m")) * F.col("agree_len")).alias("ul"),
+    )
+
+    def term(agree_m, agree_u):
+        # micro-snapped ln odds; identical expression tree to the oracle
+        return F.floor(
+            F.log(agree_m / agree_u) * F.lit(1_000_000) + F.lit(0.5)
+        ).cast("long")
+
+    nm2 = F.col("nm") + F.lit(2.0)
+    nu2 = F.col("nu") + F.lit(2.0)
+    terms = s.select(
+        term((F.col("ms") + F.lit(1.0)) / nm2, (F.col("us") + F.lit(1.0)) / nu2).alias("t_src_a"),
+        term((F.col("nm") - F.col("ms") + F.lit(1.0)) / nm2, (F.col("nu") - F.col("us") + F.lit(1.0)) / nu2).alias("t_src_d"),
+        term((F.col("mh") + F.lit(1.0)) / nm2, (F.col("uh") + F.lit(1.0)) / nu2).alias("t_head_a"),
+        term((F.col("nm") - F.col("mh") + F.lit(1.0)) / nm2, (F.col("nu") - F.col("uh") + F.lit(1.0)) / nu2).alias("t_head_d"),
+        term((F.col("ml") + F.lit(1.0)) / nm2, (F.col("ul") + F.lit(1.0)) / nu2).alias("t_len_a"),
+        term((F.col("nm") - F.col("ml") + F.lit(1.0)) / nm2, (F.col("nu") - F.col("ul") + F.lit(1.0)) / nu2).alias("t_len_d"),
+    )
+    out = cand.crossJoin(F.broadcast(terms))
+    weight = (
+        F.when(F.col("agree_source") == 1, F.col("t_src_a")).otherwise(F.col("t_src_d"))
+        + F.when(F.col("agree_head") == 1, F.col("t_head_a")).otherwise(F.col("t_head_d"))
+        + F.when(F.col("agree_len") == 1, F.col("t_len_a")).otherwise(F.col("t_len_d"))
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "agree_source",
+        "agree_head",
+        "agree_len",
+        "is_m",
+        weight.alias("weight_micro"),
+        F.when(weight >= 2_000_000, F.lit("link"))
+        .when(weight <= -2_000_000, F.lit("non_link"))
+        .otherwise(F.lit("possible"))
+        .alias("link_class"),
+    )
