@@ -193,10 +193,18 @@ def triangles(
         )
         .select("u", "v", "deg_u", "deg_v")
     )
-    oriented = ranked.filter(
-        (F.col("deg_u") < F.col("deg_v"))
-        | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v")))
-    ).select("u", "v")
+    # materialize: the oriented edge list feeds BOTH wedge sides and the
+    # closing join — without this the upstream pair derivation (often an
+    # expensive aggregation, e.g. the co-purchase basket mining) runs
+    # three times
+    oriented = (
+        ranked.filter(
+            (F.col("deg_u") < F.col("deg_v"))
+            | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
 
     wedge = oriented.alias("e1").join(
         oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")
