@@ -172,6 +172,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ab_test_two_proportion",
     "ts_binary_segmentation",
     "linkage_fellegi_sunter",
+    "basket_association_rules",
 )
 
 

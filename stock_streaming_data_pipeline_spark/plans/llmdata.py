@@ -2988,3 +2988,90 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("possible"))
         .alias("link_class"),
     )
+
+
+@register(
+    "basket_association_rules",
+    tags=("A4", "J2"),
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+item_support AS (
+  SELECT l_partkey, count(*) AS s FROM items GROUP BY 1 HAVING count(*) >= 3
+),
+freq_items AS (
+  SELECT i.l_orderkey, i.l_partkey, sup.s
+  FROM items i JOIN item_support sup USING (l_partkey)
+),
+pair_support AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS sxy,
+         max(a.s) AS sx, max(b.s) AS sy
+  FROM freq_items a JOIN freq_items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT x AS antecedent, y AS consequent,
+       CAST(sxy AS BIGINT) AS support_xy,
+       CAST(sx AS BIGINT) AS support_x, CAST(sy AS BIGINT) AS support_y,
+       (sxy * 2000000 + sx) // (2 * sx) AS confidence_micro,
+       (sxy * n.n * 2000000 + sx * sy) // (2 * sx * sy) AS lift_micro
+FROM pair_support CROSS JOIN n_orders n
+""",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules X→Y over order baskets with
+    apriori pruning: items below the minimum support die BEFORE the
+    pair self-join (the pruning that makes basket mining feasible at
+    scale — the pair stream only ever contains frequent items), pair
+    support via the basket-bounded self-join (≤7 lines per TPC-H
+    order), confidence = s(xy)/s(x) and lift = n·s(xy)/(s(x)·s(y)) as
+    exact integer half-away micro-units. Both rule directions emit
+    (confidence is asymmetric). One distinct pass, one support
+    aggregate, one bounded self-join — no corpus-quadratic step."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=False
+    )
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )  # 1-row broadcast, no driver action
+    support = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 3)
+    )
+    freq = items.join(support, "l_partkey")
+    a = freq.select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").alias("x"),
+        F.col("s").alias("sx"),
+    )
+    b = freq.select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").alias("y"),
+        F.col("s").alias("sy"),
+    )
+    pairs = a.join(b, "o").filter(F.col("x") != F.col("y"))
+    ps = (
+        pairs.groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("sxy"),
+            F.max("sx").alias("sx"),
+            F.max("sy").alias("sy"),
+        )
+        .filter(F.col("sxy") >= 2)
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return ps.select(
+        F.col("x").alias("antecedent"),
+        F.col("y").alias("consequent"),
+        F.col("sxy").alias("support_xy"),
+        F.col("sx").alias("support_x"),
+        F.col("sy").alias("support_y"),
+        F.expr("(sxy * 2000000 + sx) DIV (2 * sx)").alias("confidence_micro"),
+        F.expr(
+            "(sxy * n * 2000000 + sx * sy) DIV (2 * sx * sy)"
+        ).alias("lift_micro"),
+    )
