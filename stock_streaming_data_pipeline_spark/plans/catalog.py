@@ -156,8 +156,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "snapshot_table_diff",
     "attribution_linear",
     "streaming_dsir",
-    # round-6 additions land here as they are built (never driver-sampled;
-    # they fill the remaining ~4 slots of the 50-query prefix)
+    # round-6 additions (never driver-sampled). The first 4 fill the
+    # 50-query prefix's remaining slots; the rest queue in order for the
+    # round-7 sample.
     "asof_nearest_duck_oracle",
     "asof_forward_next_error",
     "attribution_last_touch",
