@@ -12,7 +12,8 @@ spec (ITU T.81 baseline), so executors need only the stdlib.
 Scope (honest): baseline sequential (SOF0) only — single-component
 8-bit grayscale, and 3-component YCbCr color in 4:2:0 (the dominant
 real-world shape), 4:2:2 or 4:4:4, all with optional DRI/RSTn restart
-markers; other samplings (4:4:0 etc.) and progressive streams raise.
+markers, plus PROGRESSIVE (SOF2) grayscale and 4:4:4 color; other
+samplings (4:4:0 etc.) raise.
 JPEG is LOSSY,
 so the differential contract is different from PNG's: decode(encode(px))
 equals the DETERMINISTIC transform clamp(round(IDCT(dequant(quant(
@@ -1783,3 +1784,205 @@ SELECT media_id, {width} AS width, {height} AS height,
        round(CAST(sum(v) AS DOUBLE) / {n}, 6) AS mean_px
 FROM xr GROUP BY media_id
 """
+
+
+def encode_jpeg_color_progressive(rgb: bytes, width: int, height: int) -> bytes:
+    """Progressive (SOF2) 4:4:4 YCbCr JPEG of raw interleaved RGB: the
+    grayscale 8-scan spectral-selection + successive-approximation
+    script applied per component as single-component non-interleaved
+    scans (24 scans total — legal per T.81; interleaving DC scans would
+    only shrink headers). Coefficients equal the baseline 4:4:4
+    encoder's, so both decode to the same pixels and share the
+    relational oracle."""
+    yp, cb, cr = rgb_to_ycbcr_planes(rgb, width, height, subsampling="444")
+
+    def blocks_of(plane, qtab):
+        return [
+            _forward_block_zz(plane, width, bx, by, qtab)
+            for by in range(0, height, 8)
+            for bx in range(0, width, 8)
+        ]
+
+    comp_blocks = {
+        1: blocks_of(yp, QUANT_LUMA),
+        2: blocks_of(cb, QUANT_CHROMA),
+        3: blocks_of(cr, QUANT_CHROMA),
+    }
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    for tq, qtab in ((0, QUANT_LUMA), (1, QUANT_CHROMA)):
+        zz_q = bytes(qtab[r * 8 + c] for (r, c) in ZIGZAG)
+        out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, tq) + zz_q
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 2 + 6 + 9, 8, height, width, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += struct.pack(">BBB", cid, 0x11, tq)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_SYMBOLS), 0x00)
+    out += bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_SYMBOLS), 0x10)
+    out += bytes(_AC_BITS) + bytes(_AC_SYMBOLS)
+    for ss, se, ah, al in _PROGRESSIVE_SCANS:
+        for cid in (1, 2, 3):
+            blocks = comp_blocks[cid]
+            out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 + 3, 1)
+            out += struct.pack(">BB", cid, 0x00)
+            out += struct.pack(">BBB", ss, se, (ah << 4) | al)
+            if ss == 0:
+                data = (
+                    _encode_scan_dc_first(blocks, al)
+                    if ah == 0
+                    else _encode_scan_dc_refine(blocks, al)
+                )
+            else:
+                data = (
+                    _encode_scan_ac_first(blocks, ss, se, al)
+                    if ah == 0
+                    else _encode_scan_ac_refine(blocks, ss, se, al)
+                )
+            out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_color_progressive(data: bytes):
+    """(width, height, rgb bytes) from a progressive (SOF2) 4:4:4 YCbCr
+    JPEG with single-component scans — per-component coefficient
+    bit-plane accumulation, then dequant+IDCT per plane and the lattice
+    JFIF inverse."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[int, dict] = {}
+    width = height = 0
+    comp_qtab: dict[int, int] = {}
+    comp_blocks: dict[int, list[list[int]]] = {}
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq_tq = seg[p]
+                if pq_tq >> 4:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                zz = list(seg[p + 1 : p + 65])
+                tab = [0] * 64
+                for z, (rr, cc) in enumerate(ZIGZAG):
+                    tab[rr * 8 + cc] = zz[z]
+                quant[pq_tq & 0xF] = tab
+                p += 65
+        elif marker == 0xC2:
+            precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            if ncomp != 3:
+                raise ValueError(
+                    "jpeg: progressive color decode supports 3 components"
+                )
+            for k in range(3):
+                cid, sampling, tq = struct.unpack(">BBB", seg[6 + 3 * k : 9 + 3 * k])
+                if sampling != 0x11:
+                    raise ValueError(
+                        "jpeg: progressive color supports 4:4:4 only"
+                    )
+                comp_qtab[cid] = tq
+            if width % 8 or height % 8:
+                raise ValueError("jpeg: non-multiple-of-8 dimensions unsupported")
+            nblocks = (width // 8) * (height // 8)
+            comp_blocks = {
+                cid: [[0] * 64 for _ in range(nblocks)] for cid in comp_qtab
+            }
+        elif marker == 0xC0:
+            raise ValueError("jpeg: baseline stream — use decode_jpeg_color")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("jpeg: unsupported SOF variant")
+        elif marker == 0xC4:
+            huff.update(_decode_huffman_dht(seg))
+        elif marker == 0xDD:
+            raise ValueError("jpeg: restart markers unsupported in progressive")
+        elif marker == 0xDA:
+            if not comp_blocks:
+                raise ValueError("jpeg: SOS before SOF2")
+            ns = seg[0]
+            if ns != 1:
+                raise ValueError("jpeg: one component per scan supported")
+            cid = seg[1]
+            if cid not in comp_blocks:
+                raise ValueError(f"jpeg: unknown scan component {cid}")
+            ss, se, ahal = struct.unpack(">BBB", seg[1 + 2 * ns :][:3])
+            ah, al = ahal >> 4, ahal & 0xF
+            scan_start = pos + seglen
+            end = scan_start
+            while True:
+                end = data.find(b"\xff", end)
+                if end < 0:
+                    raise ValueError("jpeg: unterminated scan")
+                if data[end + 1] != 0x00:
+                    break
+                end += 2
+            r = _BitReader(data[scan_start:end])
+
+            def read_symbol(table: dict) -> int:
+                code = 0
+                for length in range(1, 17):
+                    code = (code << 1) | r.read_bit()
+                    sym = table.get((length, code))
+                    if sym is not None:
+                        return sym
+                raise ValueError("jpeg: invalid huffman code")
+
+            dc_tab, ac_tab = huff.get(0x00), huff.get(0x10)
+            blocks = comp_blocks[cid]
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("jpeg: DC scan must have Se=0")
+                if ah == 0:
+                    if dc_tab is None:
+                        raise ValueError("jpeg: missing DC table")
+                    _decode_scan_dc_first(r, blocks, al, dc_tab, read_symbol)
+                else:
+                    _decode_scan_dc_refine(r, blocks, al)
+            else:
+                if ac_tab is None:
+                    raise ValueError("jpeg: missing AC table")
+                if ah == 0:
+                    _decode_scan_ac_first(
+                        r, blocks, ss, se, al, ac_tab, read_symbol
+                    )
+                else:
+                    _decode_scan_ac_refine(
+                        r, blocks, ss, se, al, ac_tab, read_symbol
+                    )
+            pos = end
+            continue
+        pos += seglen
+    if not comp_blocks or not width or not height:
+        raise ValueError("jpeg: missing SOF2/SOS")
+
+    bw = width // 8
+    planes: dict[int, list[int]] = {}
+    for cid, blocks in comp_blocks.items():
+        qtab = quant.get(comp_qtab[cid])
+        if qtab is None:
+            raise ValueError("jpeg: missing quant table")
+        plane = [0] * (width * height)
+        for bi, zz in enumerate(blocks):
+            by, bx = (bi // bw) * 8, (bi % bw) * 8
+            blk = _inverse_block(zz, qtab)
+            for rr in range(8):
+                for cc in range(8):
+                    plane[(by + rr) * width + bx + cc] = blk[rr * 8 + cc]
+        planes[cid] = plane
+    rgb = ycbcr_to_rgb_bytes(
+        planes[1], planes[2], planes[3], width, height, subsampling="444"
+    )
+    return width, height, rgb

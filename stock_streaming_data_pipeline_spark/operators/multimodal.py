@@ -7,9 +7,11 @@ validation), baseline JPEG — grayscale AND 4:2:0 / 4:2:2 / 4:4:4 YCbCr
 color, with optional restart markers — via ``operators/jpeg_codec.py``
 (marker walk + Huffman + dequant + IDCT + chroma upsample), and WAV
 PCM16 via ``operators/wav_codec.py`` — each exercised end-to-end by
-``multimodal_*`` catalog queries with full DuckDB oracles. Remaining
-codecs (progressive JPEG, compressed audio, video) raise
-NotImplementedError — those libraries are not in this environment —
+``multimodal_*`` catalog queries with full DuckDB oracles. Progressive
+JPEG (SOF2 grayscale and 4:4:4 color — spectral selection + successive
+approximation) decodes for real too. Remaining codecs (compressed
+audio, video) raise NotImplementedError — those libraries are not in
+this environment —
 with a deterministic digest fake behind the same contract so the Spark
 plumbing (schema, batch iterator shape, partition-size control) stays
 testable for every media type.
@@ -783,6 +785,74 @@ def jpeg_progressive_pixel_stats(media: DataFrame) -> DataFrame:
                         "min_px": min(px) if n else 0,
                         "max_px": max(px) if n else 0,
                         "mean_px": mean,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
+def documents_as_jpeg_progressive_color_media(
+    docs: DataFrame, *, width: int = 8, height: int = 8
+) -> DataFrame:
+    """PROGRESSIVE COLOR (SOF2 4:4:4 YCbCr) JPEG media table from
+    document text: first width*height*3 bytes become an interleaved RGB
+    image encoded executor-side with the 24-scan per-component
+    progressive encoder. Coefficients equal the baseline 4:4:4
+    encoder's, so decode equals reference_transform_color(444) and the
+    existing sql_reference_stats_color_444 oracle applies unchanged."""
+    n = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                jpeg_codec.encode_jpeg_color_progressive(
+                    t.encode("utf-8")[:n].ljust(n, b" "), width, height
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "image",
+                    "meta": [
+                        {
+                            "width": width,
+                            "height": height,
+                            "sample_rate": 0,
+                            "n_frames": 0,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def jpeg_progressive_color_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image RGB statistics via the REAL progressive color decoder
+    (per-component bit-plane accumulation across 24 scans, dequant,
+    IDCT, lattice JFIF inverse). Same half-up round6 mean discipline as
+    the baseline color stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = jpeg_codec.decode_jpeg_color_progressive(bytes(payload))
+                n = len(px)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "sum_px": sum(px),
+                        "min_px": min(px) if n else 0,
+                        "max_px": max(px) if n else 0,
+                        "mean_px": jpeg_codec._round6(sum(px) / n) if n else 0.0,
                     }
                 )
             if rows:

@@ -174,6 +174,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ts_binary_segmentation",
     "linkage_fellegi_sunter",
     "basket_association_rules",
+    "multimodal_jpeg_progressive_color_decode",
 )
 
 

@@ -1729,6 +1729,31 @@ def multimodal_jpeg_444_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_progressive_color_decode",
+    tags=("LLM-multimodal",),
+    oracle=_jpeg.sql_reference_stats_color_444(_MEDIA_TEXT_SQL),
+)
+def multimodal_jpeg_progressive_color_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Progressive COLOR JPEG round-trip (SOF2 4:4:4, 24 per-component
+    spectral-selection + successive-approximation scans): each
+    document's first 192 bytes become an 8×8 RGB image, encoded with
+    the progressive color encoder and decoded by per-component
+    bit-plane accumulation, reduced to channel-summed stats. The
+    quantized coefficients equal the baseline 4:4:4 encoder's, so the
+    EXISTING sql_reference_stats_color_444 oracle checks the whole
+    progressive entropy layering unchanged — with this, every common
+    real-world JPEG shape (grayscale/color × baseline/progressive ×
+    three samplings + restart markers) decodes for real."""
+    docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
+    media = multimodal.documents_as_jpeg_progressive_color_media(
+        docs, width=8, height=8
+    )
+    return multimodal.jpeg_progressive_color_pixel_stats(media)
+
+
+@register(
     "multimodal_jpeg_progressive_decode",
     tags=("LLM-multimodal",),
     oracle=_jpeg.sql_reference_stats_tiled(_MEDIA_TEXT_SQL, width=16, height=16),

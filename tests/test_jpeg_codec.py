@@ -327,3 +327,29 @@ def test_progressive_and_baseline_reject_each_other():
         j.decode_jpeg(j.encode_jpeg_gray_progressive(px, 8, 8))
     with pytest.raises(ValueError):
         j.decode_jpeg_progressive(j.encode_jpeg_gray(px, 8, 8))
+
+
+def test_progressive_color_roundtrips_match_reference():
+    rng = random.Random(31)
+    for w, h in ((8, 8), (16, 16)):
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        prog = j.encode_jpeg_color_progressive(rgb, w, h)
+        assert b"\xff\xc2" in prog
+        w2, h2, dec = j.decode_jpeg_color_progressive(prog)
+        assert (w2, h2) == (w, h)
+        assert dec == j.reference_transform_color(rgb, w, h, subsampling="444")
+        assert dec == j.decode_jpeg_color(
+            j.encode_jpeg_color(rgb, w, h, subsampling="444")
+        )[2]
+
+
+def test_progressive_color_rejects_wrong_streams():
+    rgb = bytes(192)
+    with pytest.raises(ValueError):
+        j.decode_jpeg_color(j.encode_jpeg_color_progressive(rgb, 8, 8))
+    with pytest.raises(ValueError):
+        j.decode_jpeg_color_progressive(
+            j.encode_jpeg_color(rgb, 8, 8, subsampling="444")
+        )
+    with pytest.raises(ValueError):
+        j.decode_jpeg_color_progressive(j.encode_jpeg_gray_progressive(bytes(64), 8, 8))
