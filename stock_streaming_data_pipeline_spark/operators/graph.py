@@ -221,3 +221,53 @@ def triangles(
     return tri.select(
         arr[0].alias("node_a"), arr[1].alias("node_b"), arr[2].alias("node_c")
     )
+
+
+def kcore(
+    pairs: DataFrame,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    k: int = 2,
+    rounds: int = 5,
+) -> DataFrame:
+    """Fixed-round k-core peeling on an undirected edge list: each round
+    recomputes degrees over edges whose BOTH endpoints survive, then
+    drops nodes below ``k``. ``rounds`` is a static plan parameter (the
+    classic peeling converges when a round removes nothing; a fixed
+    horizon keeps the plan finite and the oracle replayable) — the
+    caller picks it ≥ the observed convergence depth. Returns the
+    surviving (node, degree) relation after the last round.
+
+    Scale shape per round: one semi-join of edges against the alive set
+    (shrinking monotonically), one degree aggregate — linear in edges,
+    lineage cut per round with localCheckpoint (the PageRank loop's
+    discipline)."""
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=False)
+    )
+    alive = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    out = None
+    for _ in range(rounds):
+        live_e = e.join(
+            alive.select(F.col("n").alias("u")), "u"
+        ).join(alive.select(F.col("n").alias("v")), "v")
+        deg = (
+            live_e.select(F.col("u").alias("n"))
+            .unionByName(live_e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        out = deg.filter(F.col("deg") >= k).localCheckpoint(eager=False)
+        alive = out.select("n")
+    return out.select(F.col("n").alias("node"), F.col("deg").alias("degree"))

@@ -175,6 +175,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "linkage_fellegi_sunter",
     "basket_association_rules",
     "multimodal_jpeg_progressive_color_decode",
+    "graph_kcore_copurchase",
 )
 
 

@@ -3100,3 +3100,71 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sxy * n * 2000000 + sx * sy) DIV (2 * sx * sy)"
         ).alias("lift_micro"),
     )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    # every CTE MATERIALIZED: DuckDB inlines plain CTEs, and five rounds
+    # referencing the previous round TWICE would re-derive the basket
+    # pair mining 2^5 times (observed: minutes instead of ~1 s)
+    parts = [
+        """items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """prs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)""",
+        "a0 AS MATERIALIZED (SELECT u AS n FROM prs UNION SELECT v FROM prs)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT n, count(*) AS deg FROM (
+    SELECT e.u AS n FROM prs e
+      JOIN a{r - 1} x ON x.n = e.u JOIN a{r - 1} y ON y.n = e.v
+    UNION ALL
+    SELECT e.v FROM prs e
+      JOIN a{r - 1} x ON x.n = e.u JOIN a{r - 1} y ON y.n = e.v
+  ) GROUP BY 1
+),
+a{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE deg >= {k})"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT n AS node, CAST(deg AS BIGINT) AS degree "
+        f"FROM d{rounds} WHERE deg >= {k}"
+    )
+
+
+@register(
+    "graph_kcore_copurchase",
+    tags=("LLM-graph",),
+    oracle=_kcore_oracle(k=2, rounds=5),
+)
+def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the part co-purchase graph by fixed-round peeling
+    (operators/graph.py:kcore, 5 rounds — the graph converges in 3):
+    iteratively drop parts whose co-purchase degree falls below 2 as
+    their neighbors disappear — the dense-bundle skeleton left after
+    stripping tendrils, the graph-cleaning step that precedes community
+    detection or bundle mining. Each round is one semi-join of the
+    (shrinking) edge list + one degree aggregate, lineage cut per round;
+    the oracle replays all 5 rounds as chained CTEs on exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("pa", "pb")
+    )
+    return graph.kcore(pairs, a_col="pa", b_col="pb", k=2, rounds=5)

@@ -83,3 +83,13 @@ def test_triangles_input_order_and_duplicates_are_irrelevant(spark):
     )
     out = [tuple(r) for r in graph.triangles(pairs).collect()]
     assert out == [(1, 2, 3)]
+
+
+def test_kcore_peels_tendrils_keeps_clique(spark):
+    """K4 plus a pendant path: 2-core keeps exactly the K4 (each with
+    degree 3); the path peels away over successive rounds."""
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(4, 10), (10, 11), (11, 12)]
+    pairs = spark.createDataFrame(k4 + path, "doc_a long, doc_b long")
+    out = {r["node"]: r["degree"] for r in graph.kcore(pairs, k=2, rounds=5).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
