@@ -176,6 +176,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "basket_association_rules",
     "multimodal_jpeg_progressive_color_decode",
     "graph_kcore_copurchase",
+    "text_keywords_rake",
 )
 
 

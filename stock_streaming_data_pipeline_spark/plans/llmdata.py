@@ -3168,3 +3168,81 @@ def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     return graph.kcore(pairs, a_col="pa", b_col="pb", k=2, rounds=5)
+
+
+# Frozen RAKE stopword list — identical literal in both engines.
+_RAKE_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+    "or", "from", "not", "but", "we", "you", "they", "has", "have", "had",
+)
+
+
+@register(
+    "text_keywords_rake",
+    tags=("LLM-text",),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {dedup.SQL_TOKENS.format(text="text")} AS ts FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, ts[u.i] AS w
+  FROM toks, unnest(range(1, len(ts) + 1)) AS u(i)
+),
+content AS (
+  SELECT doc_id, i, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM pos
+  WHERE w NOT IN ({", ".join(f"'{s}'" for s in _RAKE_STOPWORDS)})
+),
+phrases AS (
+  SELECT doc_id, i - rn AS run_id, w,
+         count(*) OVER (PARTITION BY doc_id, i - rn) AS phrase_len
+  FROM content
+),
+word_stats AS (
+  SELECT w AS word,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(phrase_len) AS BIGINT) AS degree
+  FROM phrases GROUP BY 1
+)
+SELECT word, freq, degree,
+       (degree * 2000000 + freq) // (2 * freq) AS score_micro
+FROM word_stats
+""",
+)
+def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring (Rose et al.'s Rapid Automatic Keyword
+    Extraction) over the corpus: candidate phrases are maximal runs of
+    non-stopword tokens (a gaps-and-islands grouping on token position
+    — run id = position − content-rank), each word scored
+    degree/frequency where degree sums the lengths of the phrases it
+    appears in — words that ride in long multi-word phrases outrank
+    equally-frequent words that appear alone. Ratio snapped to exact
+    integer micro-units. Scale shape: one tokenize-explode pass, one
+    per-doc ordered window (positions within a document — bounded by
+    doc length), one word aggregate; the stopword list is a frozen
+    literal in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", dedup.tokens(F.col("text")).alias("ts"))
+    pos = toks.select(
+        "doc_id", F.posexplode("ts").alias("i0", "w")
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("i"), "w")
+    content = pos.filter(~F.col("w").isin(*_RAKE_STOPWORDS)).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("i")),
+    )
+    phrases = content.withColumn("run_id", F.col("i") - F.col("rn")).withColumn(
+        "phrase_len",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "run_id")),
+    )
+    word_stats = phrases.groupBy(F.col("w").alias("word")).agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("phrase_len").alias("degree"),
+    )
+    return word_stats.select(
+        "word",
+        "freq",
+        "degree",
+        F.expr("(degree * 2000000 + freq) DIV (2 * freq)").alias("score_micro"),
+    )

@@ -974,3 +974,22 @@ def test_sorted_neighborhood_blocks_have_fixed_budget(spark, tmp_path):
     assert {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out} == {
         (r["doc_a"], r["doc_b"], r["jaccard"]) for r in out2
     }
+
+
+def test_rake_degree_rewards_phrase_members(spark, tmp_path):
+    """'deep learning' (always a 2-word phrase) must outscore 'cat'
+    (same frequency, always alone): degree/freq = 2.0 vs 1.0."""
+    rows = [
+        (1, "deep learning is the cat", "en", "s", 24),
+        (2, "deep learning and a cat", "en", "s", 23),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from stock_streaming_data_pipeline_spark.plans.llmdata import text_keywords_rake
+
+    out = {r["word"]: r for r in text_keywords_rake(spark, str(tmp_path)).collect()}
+    assert out["deep"]["freq"] == 2 and out["deep"]["degree"] == 4
+    assert out["deep"]["score_micro"] == 2_000_000
+    assert out["cat"]["score_micro"] == 1_000_000
+    assert "the" not in out and "is" not in out  # stopwords excluded
