@@ -177,6 +177,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "multimodal_jpeg_progressive_color_decode",
     "graph_kcore_copurchase",
     "text_keywords_rake",
+    "ts_residual_anomalies",
 )
 
 

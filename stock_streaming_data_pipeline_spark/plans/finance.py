@@ -1446,3 +1446,103 @@ def ts_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.n").cast("long").alias("n_seg"),
     )
     return root.unionByName(level1)
+
+
+@register(
+    "ts_residual_anomalies",
+    tags=("W2", "A5", "F1"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
+         CAST(sum({_CENTS}) AS BIGINT) AS v
+  FROM trades WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+ma AS (
+  SELECT event_type, slot, v,
+         count(*) OVER w AS cnt,
+         2 * sum(v) OVER w
+           - first_value(v) OVER w - last_value(v) OVER w AS t2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY slot
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+trended AS (
+  SELECT event_type, slot, v,
+         CASE WHEN cnt = 25 THEN
+           CAST(sign(t2) AS BIGINT) * ((abs(t2) * 2000000 + 48) // 96)
+         END AS trend_micro
+  FROM ma
+),
+seas AS (
+  SELECT event_type, slot % 24 AS hod,
+         CAST(sign(sum(v * 1000000 - trend_micro)) AS BIGINT)
+           * ((abs(sum(v * 1000000 - trend_micro)) * 2 + count(*))
+              // (2 * count(*))) AS seasonal_micro
+  FROM trended WHERE trend_micro IS NOT NULL
+  GROUP BY 1, 2
+),
+resid AS (
+  SELECT t.event_type, t.slot,
+         t.v * 1000000 - t.trend_micro - s.seasonal_micro AS residual_micro
+  FROM trended t JOIN seas s
+    ON s.event_type = t.event_type AND s.hod = t.slot % 24
+  WHERE t.trend_micro IS NOT NULL
+),
+med AS (
+  SELECT event_type,
+         round(quantile_cont(residual_micro, 0.5), 6) AS med
+  FROM resid GROUP BY 1
+),
+dev AS (
+  SELECT r.event_type, r.slot, r.residual_micro, m.med,
+         abs(r.residual_micro - m.med) AS adev
+  FROM resid r JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+  FROM dev GROUP BY 1
+  HAVING round(quantile_cont(adev, 0.5), 6) > 0
+)
+SELECT d.event_type, d.slot,
+       CAST(d.residual_micro AS BIGINT) AS residual_micro,
+       round(0.6745 * (d.residual_micro - d.med) / m.mad, 6) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE abs(round(0.6745 * (d.residual_micro - d.med) / m.mad, 6)) > 3.5
+""",
+)
+def ts_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly flags on the DECOMPOSED series: slots whose seasonal-
+    decomposition residual (ts_seasonal_decompose's trend + hour-of-day
+    seasonal removed) has a modified z-score |0.6745·(r−med)/MAD| > 3.5
+    — the STL-style detector that catches spikes a raw-value z-score
+    drowns under daily seasonality. Residuals are exact micro-unit
+    integers; median and MAD reuse the percentile↔quantile_cont round-6
+    parity the MAD outlier op established. Scale shape: the
+    decomposition's one window pass + hour groupBy, then two tiny
+    per-key percentile aggs broadcast back — the slot-grained relation
+    never reshuffles."""
+    decomposed = ts_seasonal_decompose(spark, sf_dir)
+    resid = decomposed.filter(F.col("residual_micro").isNotNull()).select(
+        "event_type", "slot", "residual_micro"
+    )
+    med = resid.groupBy("event_type").agg(
+        F.round(F.expr("percentile(residual_micro, 0.5)"), 6).alias("med")
+    )
+    dev = resid.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("residual_micro") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    ).filter(F.col("mad") > 0)
+    scored = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "robust_z",
+        F.round(
+            F.lit(0.6745) * (F.col("residual_micro") - F.col("med")) / F.col("mad"),
+            6,
+        ),
+    )
+    return scored.filter(F.abs(F.col("robust_z")) > 3.5).select(
+        "event_type", "slot", "residual_micro", "robust_z"
+    )
