@@ -88,6 +88,7 @@ def _load_all() -> None:
     from stock_streaming_data_pipeline_spark.plans import (  # noqa: F401
         finance,
         llmdata,
+        mlstats,
         relational,
         stock,
         streaming_queries,
@@ -178,6 +179,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "graph_kcore_copurchase",
     "text_keywords_rake",
     "ts_residual_anomalies",
+    "survival_kaplan_meier",
+    "drift_psi_report",
+    "drift_ks_two_sample",
 )
 
 
