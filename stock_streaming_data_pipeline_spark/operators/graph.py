@@ -271,3 +271,58 @@ def kcore(
         out = deg.filter(F.col("deg") >= k).localCheckpoint(eager=False)
         alive = out.select("n")
     return out.select(F.col("n").alias("node"), F.col("deg").alias("degree"))
+
+
+def label_propagation(
+    pairs: DataFrame,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    rounds: int = 4,
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (Raghavan et al.'s LPA)
+    on an undirected edge list — community detection by majority vote:
+    labels start as node ids; each round every node adopts the label
+    held by the PLURALITY of its neighbors, ties broken toward the
+    smallest label (the determinism knob — classic LPA breaks ties
+    randomly, which would be oracle-hostile). ``rounds`` is a static
+    plan parameter like :func:`kcore`'s. Returns (node, community)
+    after the last round.
+
+    Scale shape per round: one join labels⋈edges shuffled on the edge
+    endpoint + one two-level aggregate — the plurality election is
+    ``min_by(label, (-votes, label))`` folded into a single
+    ``min(struct)`` per node (skew-free: a mega-degree node's votes
+    partial-aggregate map-side, never a ranking window). Lineage cut
+    per round with localCheckpoint."""
+    und = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    e = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        e.select(F.col("src").alias("n"))
+        .distinct()
+        .select("n", F.col("n").alias("lab"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        votes = e.join(
+            labels.select(F.col("n").alias("dst"), "lab"), "dst"
+        ).select(F.col("src").alias("n"), "lab")
+        counts = votes.groupBy("n", "lab").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.groupBy("n")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab"))).alias("w"))
+            .select("n", F.col("w.lab").alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("n").alias("node"), F.col("lab").alias("community"))

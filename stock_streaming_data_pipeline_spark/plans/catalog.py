@@ -182,6 +182,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "survival_kaplan_meier",
     "drift_psi_report",
     "drift_ks_two_sample",
+    "graph_label_propagation",
+    "item_item_cofilter",
+    "trend_theil_sen",
 )
 
 

@@ -428,3 +428,342 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sqrt((F.col("n_a") + F.col("n_b")).cast("double") / den)
         ).alias("reject_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+from stock_streaming_data_pipeline_spark.operators import graph  # noqa: E402
+
+
+def _lpa_oracle(rounds: int) -> str:
+    # MATERIALIZED CTEs: each round references the previous one — DuckDB
+    # would otherwise inline and re-derive the pair mining exponentially
+    # (the kcore oracle's lesson).
+    parts = [
+        "items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """prs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)""",
+        """edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM prs
+  UNION ALL SELECT v, u FROM prs
+)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS n, src AS lab FROM edges)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT e.src AS n, l.lab, CAST(count(*) AS BIGINT) AS c
+  FROM edges e JOIN l{r - 1} l ON l.n = e.dst
+  GROUP BY 1, 2
+),
+l{r} AS MATERIALIZED (
+  SELECT n, (min({{'nc': -c, 'lab': lab}})).lab AS lab FROM c{r} GROUP BY 1
+)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body},\n"
+        f"sizes AS (SELECT lab, CAST(count(*) AS BIGINT) AS community_size "
+        f"FROM l{rounds} GROUP BY 1)\n"
+        f"SELECT l.n AS node, l.lab AS community, s.community_size\n"
+        f"FROM l{rounds} l JOIN sizes s ON s.lab = l.lab"
+    )
+
+
+@register(
+    "graph_label_propagation",
+    tags=("ML-stats", "LLM-graph"),
+    oracle=_lpa_oracle(rounds=4),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph by fixed-round
+    synchronous label propagation (operators/graph.py:
+    label_propagation, 4 rounds): every part adopts the plurality label
+    of its co-purchase neighbors each round, ties toward the smallest
+    label — the bundles LPA finds are the merchandising communities the
+    k-core skeleton (graph_kcore_copurchase) strips down to. The
+    election is one min(struct(-votes, label)) aggregate per node —
+    map-side combinable, no ranking window, so a mega-degree hub never
+    serializes a task. Community sizes come from a groupBy + join (not
+    a window over the SF-scaled membership relation). The oracle
+    unrolls all 4 rounds as MATERIALIZED CTEs with the identical
+    struct-min election."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("pa", "pb")
+    )
+    labels = graph.label_propagation(pairs, a_col="pa", b_col="pb", rounds=4)
+    sizes = labels.groupBy("community").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "community").select(
+        "node", "community", "community_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (co-purchase cosine top-k)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "item_item_cofilter",
+    tags=("ML-stats",),
+    oracle="""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+freq AS MATERIALIZED (
+  SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS nb FROM items GROUP BY 1
+),
+prs AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS cooc
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym AS (
+  SELECT pa AS item, pb AS nbr, cooc FROM prs
+  UNION ALL SELECT pb, pa, cooc FROM prs
+),
+scored AS (
+  SELECT s.item, s.nbr, s.cooc,
+         (s.cooc * s.cooc * 2000000 + fi.nb * fj.nb) // (2 * fi.nb * fj.nb)
+           AS sim2_micro
+  FROM sym s JOIN freq fi ON fi.p = s.item JOIN freq fj ON fj.p = s.nbr
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY item ORDER BY sim2_micro DESC, cooc DESC, nbr ASC
+  ) AS rank
+  FROM scored
+)
+SELECT item, nbr, cooc, CAST(sim2_micro AS BIGINT) AS sim2_micro,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def item_item_cofilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-5 nearest neighbors per
+    part by cosine similarity over order baskets — sim(i,j) =
+    cooc(i,j)/sqrt(n_i*n_j), the classic Amazon-style item-to-item
+    recommender primitive. Ranking happens on the SQUARED cosine in
+    exact integer micro-units (cooc^2*1e6 div n_i*n_j) — monotone with
+    cosine for the non-negative counts, so no sqrt enters the ordering
+    — with (cooc desc, neighbor asc) as the deterministic tie-break.
+    Scale shape: basket pair mining is one self-join shuffled on the
+    order key with a min-support-2 prune; the top-k is a per-item
+    ranking window bounded by the item's co-occurrence degree (the
+    top_parts_per_brand pattern); frequency joins are AQE-sized, no
+    hard hints."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = items.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("nbr"), "cooc"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("item"), F.col("pa").alias("nbr"), "cooc"
+        )
+    )
+    scored = (
+        sym.join(freq.select(F.col("p").alias("item"), F.col("nb").alias("ni")), "item")
+        .join(freq.select(F.col("p").alias("nbr"), F.col("nb").alias("nj")), "nbr")
+        .withColumn(
+            "sim2_micro",
+            F.expr("(cooc * cooc * 2000000 + ni * nj) DIV (2 * ni * nj)"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("sim2_micro").desc(), F.col("cooc").desc(), F.col("nbr").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("item", "nbr", "cooc", "sim2_micro", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trend_theil_sen",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         CAST(epoch_us(ts) // {_US_PER_DAY} AS BIGINT) AS d,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_micro,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+pts AS MATERIALIZED (
+  SELECT event_type, d, (sum_micro * 2 + cnt) // (2 * cnt) AS y
+  FROM daily
+),
+slopes AS (
+  SELECT a.event_type, a.d AS d1, b.d AS d2,
+         CASE WHEN b.y >= a.y
+              THEN ((b.y - a.y) * 2 + (b.d - a.d)) // (2 * (b.d - a.d))
+              ELSE -(((a.y - b.y) * 2 + (b.d - a.d)) // (2 * (b.d - a.d)))
+         END AS slope_micro
+  FROM pts a JOIN pts b ON a.event_type = b.event_type AND a.d < b.d
+),
+med AS (
+  SELECT event_type, slope_micro,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope_micro, d1, d2) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM slopes
+),
+ols AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(d * y) AS BIGINT) AS sxy, CAST(sum(d * d) AS BIGINT) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT m.event_type,
+       o.n AS n_days,
+       CAST(m.n_pairs AS BIGINT) AS n_pairs,
+       m.slope_micro AS theil_sen_micro,
+       CAST(CASE WHEN (o.n * o.sxy - o.sx * o.sy) >= 0
+            THEN ((o.n * o.sxy - o.sx * o.sy) * 2 + (o.n * o.sxx - o.sx * o.sx))
+                 // (2 * (o.n * o.sxx - o.sx * o.sx))
+            ELSE -(((o.sx * o.sy - o.n * o.sxy) * 2 + (o.n * o.sxx - o.sx * o.sx))
+                 // (2 * (o.n * o.sxx - o.sx * o.sx)))
+       END AS BIGINT) AS ols_micro
+FROM med m JOIN ols o ON o.event_type = m.event_type
+WHERE m.rn = (m.n_pairs + 1) // 2
+""",
+)
+def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the median of all
+    pairwise slopes between daily mean values — the estimator that
+    shrugs off the outlier days that wreck OLS (emitted alongside for
+    contrast). Every number is an exact integer: daily means snap to
+    half-away micro-units, each pairwise slope is a sign-decomposed
+    half-away integer division (both engines' integer division
+    semantics only agree on non-negative operands — DuckDB's // floors,
+    Spark's DIV truncates — so negatives never enter a DIV), and the
+    median is the lower-middle element of a deterministic
+    (slope, d1, d2) ordering. Scale shape: ONE pass collapses the fact
+    table to (etype, day) — everything after runs on that bounded
+    relation: the pairwise self-join is days^2 per etype (bounded by
+    the observation span, independent of SF), as is the median window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(_US_PER_DAY)).cast("long").alias("d"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+        ).alias("sum_micro"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    pts = daily.select(
+        "event_type",
+        "d",
+        F.expr("(sum_micro * 2 + cnt) DIV (2 * cnt)").alias("y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    dy = F.col("b.y") - F.col("a.y")
+    dx = F.col("b.d") - F.col("a.d")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.d").alias("d1"),
+        F.col("b.d").alias("d2"),
+        F.when(dy >= 0, (dy * 2 + dx))
+        .otherwise(-((-dy) * 2 + dx))
+        .alias("_num"),
+        dx.alias("_dx"),
+    ).select(
+        "event_type",
+        "d1",
+        "d2",
+        F.when(
+            F.col("_num") >= 0,
+            F.expr("_num DIV (2 * _dx)"),
+        )
+        .otherwise(-F.expr("(-_num) DIV (2 * _dx)"))
+        .alias("slope_micro"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("slope_micro", "d1", "d2")
+    w_all = Window.partitionBy("event_type")
+    med = (
+        slopes.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_pairs", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+    )
+    ols = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("d") * F.col("y")).alias("sxy"),
+        F.sum(F.col("d") * F.col("d")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ols_scored = ols.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.when(num >= 0, F.expr("(n*sxy - sx*sy) * 2 + (n*sxx - sx*sx)"))
+        .otherwise(F.expr("-((sx*sy - n*sxy) * 2 + (n*sxx - sx*sx))"))
+        .alias("_onum"),
+        den.alias("_oden"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.when(
+            F.col("_onum") >= 0, F.expr("_onum DIV (2 * _oden)")
+        )
+        .otherwise(-F.expr("(-_onum) DIV (2 * _oden)"))
+        .alias("ols_micro"),
+    )
+    return med.join(ols_scored, "event_type").select(
+        "event_type",
+        "n_days",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("slope_micro").alias("theil_sen_micro"),
+        "ols_micro",
+    )
