@@ -326,3 +326,42 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select(F.col("n").alias("node"), F.col("lab").alias("community"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    rounds: int = 4,
+) -> DataFrame:
+    """Fixed-round breadth-first reachability from a seed set on a
+    directed edge list (feed both directions for undirected): returns
+    (node, dist) — the minimum hop count from any seed, for every node
+    within ``rounds`` hops. Each round relaxes one hop: candidates =
+    frontier⋈edges plus the settled set, then one min-aggregate per
+    node (map-side combinable — a mega-degree hub's candidate rows
+    collapse before the shuffle). Lineage cut per round with
+    localCheckpoint, the :func:`kcore` discipline. ``rounds`` is a
+    static plan parameter so the oracle can replay the loop as chained
+    CTEs."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    dist = seeds.select(
+        F.col(seed_col).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        hop = (
+            e.join(dist.select(F.col("node").alias("src"), "dist"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

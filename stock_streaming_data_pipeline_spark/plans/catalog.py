@@ -185,6 +185,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "graph_label_propagation",
     "item_item_cofilter",
     "trend_theil_sen",
+    "calibration_isotonic_pav",
+    "text_kneser_ney_bigram",
+    "graph_bfs_reachability",
 )
 
 

@@ -767,3 +767,328 @@ def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slope_micro").alias("theil_sen_micro"),
         "ols_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (PAV) calibration over price bins
+# ---------------------------------------------------------------------------
+
+_ISO_BINS = 50
+
+
+@register(
+    "calibration_isotonic_pav",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH bounds AS (
+  SELECT min(o_totalprice) AS pmin, max(o_totalprice) AS pmax FROM orders
+),
+binned AS (
+  SELECT CASE WHEN pmax = pmin THEN 0
+              ELSE least({_ISO_BINS - 1},
+                         CAST(floor((o_totalprice - pmin) * {_ISO_BINS}
+                                    / (pmax - pmin)) AS INTEGER))
+         END AS bin,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders, bounds
+),
+bins AS MATERIALIZED (
+  SELECT bin, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+  FROM binned GROUP BY 1
+),
+pre AS MATERIALIZED (
+  SELECT a.bin, a.cnt, a.pos,
+         CAST(sum(b.pos) AS BIGINT) AS p_incl,
+         CAST(sum(b.cnt) AS BIGINT) AS c_incl
+  FROM bins a JOIN bins b ON b.bin <= a.bin
+  GROUP BY 1, 2, 3
+),
+intervals AS MATERIALIZED (
+  SELECT j.bin AS jb, k.bin AS kb,
+         ((k.p_incl - j.p_incl + j.pos) * 2000000
+          + (k.c_incl - j.c_incl + j.cnt))
+         // (2 * (k.c_incl - j.c_incl + j.cnt)) AS avg_micro
+  FROM pre j JOIN pre k ON j.bin <= k.bin
+),
+mins AS (
+  SELECT iv.jb, i.bin AS ib, min(iv.avg_micro) AS min_avg
+  FROM intervals iv JOIN bins i ON iv.jb <= i.bin AND i.bin <= iv.kb
+  GROUP BY 1, 2
+),
+fitted AS (
+  SELECT ib AS bin, CAST(max(min_avg) AS BIGINT) AS fitted_micro
+  FROM mins GROUP BY 1
+)
+SELECT b.bin, b.cnt, b.pos,
+       CAST((b.pos * 2000000 + b.cnt) // (2 * b.cnt) AS BIGINT) AS rate_micro,
+       f.fitted_micro
+FROM bins b JOIN fitted f ON f.bin = b.bin
+""",
+)
+def calibration_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-regression calibration by pool-adjacent-violators, in
+    closed minimax form: bucket orders into 50 equal-width price bins,
+    label y = (status 'F'), and fit the monotone rate curve
+    fitted(i) = max_(j<=i) min_(k>=i) avg(pos[j..k]/cnt[j..k]) — the
+    PAV solution expressed as bounded relational algebra instead of the
+    sequential stack algorithm. Every value is an exact half-away
+    micro-unit integer; min/max then run on integers, so both engines
+    agree bit-for-bit with no float anywhere. Scale shape: ONE pass
+    bins the fact table; prefix sums, the interval grid (<= B(B+1)/2 =
+    1275 rows), and the (j,i,k) triple join (<= ~22k rows) all run on
+    the CONSTANT-bounded bin relation — B is a plan parameter, not a
+    function of SF — expressed as theta-joins over aggregates rather
+    than unpartitioned windows."""
+    ords = load_table(spark, sf_dir, "orders")
+    bounds = ords.agg(
+        F.min("o_totalprice").alias("pmin"), F.max("o_totalprice").alias("pmax")
+    )
+    binned = ords.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("pmax") == F.col("pmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_ISO_BINS - 1),
+                F.floor(
+                    (F.col("o_totalprice") - F.col("pmin"))
+                    * _ISO_BINS
+                    / (F.col("pmax") - F.col("pmin"))
+                ).cast("int"),
+            )
+        )
+        .alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    # The theta-joins below run on the CONSTANT 50-row bin relation;
+    # broadcast makes them BroadcastNestedLoopJoins (never a
+    # CartesianProduct), correct at any SF because B is a plan constant.
+    pre = (
+        bins.alias("a")
+        .join(F.broadcast(bins.alias("b")), F.col("b.bin") <= F.col("a.bin"))
+        .groupBy(
+            F.col("a.bin").alias("bin"),
+            F.col("a.cnt").alias("cnt"),
+            F.col("a.pos").alias("pos"),
+        )
+        .agg(
+            F.sum("b.pos").alias("p_incl"),
+            F.sum("b.cnt").alias("c_incl"),
+        )
+    )
+    intervals = (
+        pre.alias("j")
+        .join(F.broadcast(pre.alias("k")), F.col("j.bin") <= F.col("k.bin"))
+        .select(
+            F.col("j.bin").alias("jb"),
+            F.col("k.bin").alias("kb"),
+            F.expr(
+                "((k.p_incl - j.p_incl + j.pos) * 2000000"
+                " + (k.c_incl - j.c_incl + j.cnt))"
+                " DIV (2 * (k.c_incl - j.c_incl + j.cnt))"
+            ).alias("avg_micro"),
+        )
+    )
+    mins = (
+        intervals.alias("iv")
+        .join(
+            F.broadcast(bins.select(F.col("bin").alias("ib")).alias("i")),
+            (F.col("iv.jb") <= F.col("ib")) & (F.col("ib") <= F.col("iv.kb")),
+        )
+        .groupBy("jb", "ib")
+        .agg(F.min("avg_micro").alias("min_avg"))
+    )
+    fitted = mins.groupBy(F.col("ib").alias("bin")).agg(
+        F.max("min_avg").alias("fitted_micro")
+    )
+    return bins.join(fitted, "bin").select(
+        "bin",
+        "cnt",
+        "pos",
+        F.expr("(pos * 2000000 + cnt) DIV (2 * cnt)").alias("rate_micro"),
+        "fitted_micro",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram language model
+# ---------------------------------------------------------------------------
+
+from stock_streaming_data_pipeline_spark.operators import dedup  # noqa: E402
+
+
+@register(
+    "text_kneser_ney_bigram",
+    tags=("ML-stats", "LLM-text"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {dedup.SQL_TOKENS.format(text="text")} AS ts FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, ts[u.i] AS w
+  FROM toks, unnest(range(1, len(ts) + 1)) AS u(i)
+),
+big AS MATERIALIZED (
+  SELECT w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM pos
+),
+bc AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+  FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2
+),
+fw AS (
+  SELECT w1, CAST(sum(c) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS nfw
+  FROM bc GROUP BY 1
+),
+bw AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS nbw FROM bc GROUP BY 1
+),
+tt AS (
+  SELECT CAST(count(*) AS BIGINT) AS t FROM bc
+)
+SELECT bc.w1, bc.w2, bc.c, fw.nfw, bw.nbw,
+       CAST(((greatest(4 * bc.c - 3, 0) * tt.t + 3 * fw.nfw * bw.nbw) * 2000000
+             + 4 * fw.c1 * tt.t)
+            // (2 * 4 * fw.c1 * tt.t) AS BIGINT) AS prob_micro
+FROM bc JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN tt
+WHERE bc.c >= 3
+""",
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model (Chen & Goodman's
+    formulation) over the corpus, discount D = 3/4: P(w2|w1) =
+    max(c-D,0)/c(w1) + D·N1+(w1,·)/c(w1) · N1+(·,w2)/T — the
+    continuation-probability backoff that made KN the standard n-gram
+    smoother. With D rational the whole probability is ONE exact
+    fraction (num = max(4c-3,0)·T + 3·nfw·nbw, den = 4·c1·T), snapped
+    half-away to micro-units — no float anywhere, so both engines agree
+    bit-for-bit. Output keeps bigrams with c >= 3; the model stats are
+    computed over ALL bigrams. Scale shape: one tokenize-explode pass,
+    a per-doc lead window (bounded by document length), then
+    vocabulary-bounded aggregates; the bigram-type count T rides a
+    broadcast 1-row crossJoin. BIGINT headroom: num·2e6 stays under
+    2^63 up to ~1e10 c·T products — past that, lift to DECIMAL(38,0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", dedup.tokens(F.col("text")).alias("ts"))
+    pos = toks.select(
+        "doc_id", F.posexplode("ts").alias("i0", "w")
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("i"), "w")
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    big = pos.select(
+        F.col("w").alias("w1"), F.lead("w").over(w_doc).alias("w2")
+    )
+    bc = (
+        big.filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fw = bc.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("nfw")
+    )
+    bw = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("nbw"))
+    tt = bc.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        bc.join(fw, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(tt))
+        .filter(F.col("c") >= 3)
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "nfw",
+            "nbw",
+            F.expr(
+                "((greatest(4 * c - 3, 0) * t + 3 * nfw * nbw) * 2000000"
+                " + 4 * c1 * t) DIV (2 * 4 * c1 * t)"
+            ).alias("prob_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS reachability on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def _bfs_oracle(rounds: int, seed_max: int) -> str:
+    parts = [
+        "items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """prs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)""",
+        """edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM prs
+  UNION ALL SELECT v, u FROM prs
+)""",
+        f"""d0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+  FROM edges WHERE src <= {seed_max}
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d{r - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + 1
+    FROM edges e JOIN d{r - 1} p ON p.node = e.src
+  ) GROUP BY 1
+)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body},\n"
+        f"sizes AS (SELECT dist, CAST(count(*) AS BIGINT) AS frontier_size "
+        f"FROM d{rounds} GROUP BY 1)\n"
+        f"SELECT d.node, d.dist, s.frontier_size\n"
+        f"FROM d{rounds} d JOIN sizes s ON s.dist = d.dist"
+    )
+
+
+@register(
+    "graph_bfs_reachability",
+    tags=("ML-stats", "LLM-graph"),
+    oracle=_bfs_oracle(rounds=4, seed_max=10),
+)
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop breadth-first reachability on the part co-purchase graph
+    (operators/graph.py:bfs_hops, 4 rounds): minimum hop distance from
+    the seed set (parts with key <= 10 present in the graph) to every
+    part within 4 hops — the frontier-expansion primitive behind
+    related-item exploration and blast-radius analysis. Each round is
+    one frontier⋈edges join plus a min-aggregate per node (map-side
+    combinable, never a ranking window), lineage cut per round; the
+    seed filter is a unique-key bound (constant rows at any SF). The
+    oracle replays all 4 rounds as chained MATERIALIZED CTEs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    seeds = edges.select("src").filter(F.col("src") <= 10).distinct()
+    dist = graph.bfs_hops(
+        edges, seeds, src_col="src", dst_col="dst", seed_col="src", rounds=4
+    )
+    sizes = dist.groupBy("dist").agg(F.count(F.lit(1)).alias("frontier_size"))
+    return dist.join(sizes, "dist").select("node", "dist", "frontier_size")
