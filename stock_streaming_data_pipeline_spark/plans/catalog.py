@@ -188,6 +188,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "calibration_isotonic_pav",
     "text_kneser_ney_bigram",
     "graph_bfs_reachability",
+    "bootstrap_ci_poisson",
+    "mi_chi2_independence",
 )
 
 

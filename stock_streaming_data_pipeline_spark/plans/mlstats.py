@@ -1092,3 +1092,305 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = dist.groupBy("dist").agg(F.count(F.lit(1)).alias("frontier_size"))
     return dist.join(sizes, "dist").select("node", "dist", "frontier_size")
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 50
+# Frozen Poisson(1) CDF in micro-units: P(X<=k)*1e6 for k=0..5; u above the
+# last threshold draws weight 6. The categorizer is a FIXED literal — CI
+# correctness needs only that both engines draw identical weights.
+_POIS_CDF = (367879, 735758, 919698, 981011, 996340, 999405)
+
+
+def _poisson_weight_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@register(
+    "bootstrap_ci_poisson",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH reps AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) AS price_micro,
+         CAST(r.range AS BIGINT) AS b,
+         {_poisson_weight_sql(
+             "(" + dedup.sql_portable_hash(
+                 "o_orderkey::VARCHAR || ':' || r.range::VARCHAR", "boot_"
+             ) + ") % 1000000"
+         )} AS w
+  FROM orders, range({_BOOT_B}) r
+),
+means AS (
+  SELECT o_orderpriority, b,
+         (sum(w * price_micro) * 2 + sum(w)) // (2 * sum(w)) AS mean_micro
+  FROM reps GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_orderpriority, mean_micro,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY mean_micro, b) AS rn
+  FROM means
+),
+point AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST((sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) * 2
+               + count(*)) // (2 * count(*)) AS BIGINT) AS mean_micro
+  FROM orders GROUP BY 1
+)
+SELECT p.o_orderpriority, p.n_orders, p.mean_micro,
+       CAST(lo.mean_micro AS BIGINT) AS ci_lo_micro,
+       CAST(hi.mean_micro AS BIGINT) AS ci_hi_micro
+FROM point p
+JOIN ranked lo ON lo.o_orderpriority = p.o_orderpriority AND lo.rn = 2
+JOIN ranked hi ON hi.o_orderpriority = p.o_orderpriority AND hi.rn = {_BOOT_B - 1}
+""",
+)
+def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for mean order value per
+    priority class, by the Poisson bootstrap — the resampling scheme
+    that works when the data doesn't fit one machine: instead of
+    drawing n rows with replacement (which needs global coordination),
+    every row independently draws a Poisson(1) weight per replicate,
+    which converges to the multinomial bootstrap for large n. Weights
+    come from the engine-portable hash pushed through a FROZEN
+    Poisson(1) inverse-CDF literal (integer micro thresholds), so both
+    engines draw bit-identical resamples; replicate means are exact
+    half-away micro-units and the CI picks ranks 2 and 49 of the 50
+    ordered replicate means (the 2.5%/97.5% percentile convention for
+    B=50, ties broken by replicate id). Scale shape: the 50x row
+    expansion is map-side only — partial aggregation collapses
+    (priority, replicate) sums before any shuffle, so the shuffle
+    carries |groups| x B rows; the CI window runs over exactly B rows
+    per group."""
+    ords = load_table(spark, sf_dir, "orders")
+    reps = ords.crossJoin(
+        F.broadcast(spark.range(_BOOT_B).select(F.col("id").alias("b")))
+    ).select(
+        "o_orderpriority",
+        "b",
+        F.floor(F.col("o_totalprice") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("price_micro"),
+        F.pmod(
+            dedup.portable_hash(
+                F.concat_ws(":", F.col("o_orderkey").cast("string"),
+                            F.col("b").cast("string")),
+                salt="boot_",
+            ),
+            F.lit(1_000_000),
+        ).alias("u"),
+    )
+    kcase = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        kcase = F.when(F.col("u") < _POIS_CDF[k], F.lit(k)).otherwise(kcase)
+    weighted = reps.withColumn("w", kcase)
+    means = weighted.groupBy("o_orderpriority", "b").agg(
+        F.expr(
+            "(sum(w * price_micro) * 2 + sum(w)) DIV (2 * sum(w))"
+        ).alias("mean_micro")
+    )
+    w_rank = Window.partitionBy("o_orderpriority").orderBy("mean_micro", "b")
+    ranked = means.withColumn("rn", F.row_number().over(w_rank))
+    point = ords.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) * 2"
+            " + count(*)) DIV (2 * count(*))"
+        ).alias("mean_micro"),
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(
+        "o_orderpriority", F.col("mean_micro").alias("ci_lo_micro")
+    )
+    hi = ranked.filter(F.col("rn") == _BOOT_B - 1).select(
+        "o_orderpriority", F.col("mean_micro").alias("ci_hi_micro")
+    )
+    return (
+        point.join(lo, "o_orderpriority")
+        .join(hi, "o_orderpriority")
+        .select(
+            "o_orderpriority", "n_orders", "mean_micro",
+            "ci_lo_micro", "ci_hi_micro",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information + chi-square independence
+# ---------------------------------------------------------------------------
+
+_MI_BINS = 10
+_CHI2_CRIT_DF36_05 = 50.998  # frozen chi-square critical value, df=(5-1)(10-1)
+
+
+@register(
+    "mi_chi2_independence",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH bounds AS (
+  SELECT min(value) AS vmin, max(value) AS vmax FROM events
+),
+binned AS (
+  SELECT event_type,
+         CASE WHEN vmax = vmin THEN 0
+              ELSE least({_MI_BINS - 1},
+                         CAST(floor((value - vmin) * {_MI_BINS}
+                                    / (vmax - vmin)) AS INTEGER))
+         END AS bin
+  FROM events, bounds
+),
+grid AS (
+  SELECT event_type, CAST(r.range AS INTEGER) AS bin
+  FROM (SELECT DISTINCT event_type FROM events), range({_MI_BINS}) r
+),
+cells AS MATERIALIZED (
+  SELECT g.event_type, g.bin,
+         CAST(coalesce(count(b.event_type), 0) AS BIGINT) AS n_xy
+  FROM grid g LEFT JOIN binned b
+    ON b.event_type = g.event_type AND b.bin = g.bin
+  GROUP BY 1, 2
+),
+marg AS (
+  SELECT *,
+         sum(n_xy) OVER (PARTITION BY event_type) AS n_x,
+         sum(n_xy) OVER (PARTITION BY bin) AS n_y,
+         sum(n_xy) OVER () AS n
+  FROM cells
+),
+scored AS (
+  SELECT event_type, bin, n_xy,
+         CAST(floor(CAST(n_x * n_y AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT)
+           AS expected_micro,
+         CASE WHEN n_xy > 0
+              THEN (CAST(n_xy AS DOUBLE) / n)
+                   * ln(CAST(n_xy AS DOUBLE) * n / (CAST(n_x AS DOUBLE) * n_y))
+              ELSE 0.0 END AS mi_term,
+         CASE WHEN n_y > 0
+              THEN (CAST(n_xy AS DOUBLE) - CAST(n_x * n_y AS DOUBLE) / n)
+                   * (CAST(n_xy AS DOUBLE) - CAST(n_x * n_y AS DOUBLE) / n)
+                   / (CAST(n_x * n_y AS DOUBLE) / n)
+              ELSE 0.0 END AS chi_term
+  FROM marg
+)
+SELECT event_type, bin, n_xy, expected_micro,
+       CAST(floor(sum(mi_term) OVER () * 1000000 + 0.5) AS BIGINT) AS mi_micro,
+       CAST(floor(sum(chi_term) OVER () * 1000000 + 0.5) AS BIGINT)
+         AS chi2_micro,
+       sum(chi_term) OVER () > {_CHI2_CRIT_DF36_05} AS reject_independence_05
+FROM scored
+""",
+)
+def mi_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information and chi-square independence test between
+    event type and value decile (global equal-width bins): the
+    feature-relevance screen a pipeline runs before keeping a
+    categorical column. MI = sum p(x,y)·ln(p(x,y)/(p(x)p(y))) over
+    occupied cells (0·ln 0 = 0, so no smoothing and DuckDB's ln never
+    sees zero); chi-square sums (n_xy - e)^2/e over the FULL grid with
+    e = n_x·n_y/N — cells in an empty value column (n_y = 0, so e = 0
+    and n_xy = 0) contribute 0, the standard convention — flagged
+    against the frozen df=36 critical value 50.998. Doubles touch only IEEE-exact ops plus ln on strictly
+    positive rationals; outputs snap to micro-units. Scale shape: one
+    pass collapses the fact table onto the constant etype x 10 grid
+    (left-join against the broadcast grid keeps structural zeros);
+    every window partitions that 50-row relation. The unpartitioned
+    total windows in the ORACLE correspond to Spark-side broadcast
+    1-row aggregates, not Spark windows."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_MI_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * _MI_BINS
+                    / (F.col("vmax") - F.col("vmin"))
+                ).cast("int"),
+            )
+        )
+        .alias("bin"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(_MI_BINS).select(F.col("id").cast("int").alias("bin"))
+            )
+        )
+    )
+    cells = (
+        grid.join(
+            binned.groupBy("event_type", "bin").agg(
+                F.count(F.lit(1)).alias("n0")
+            ),
+            ["event_type", "bin"],
+            "left",
+        )
+        .select(
+            "event_type", "bin", F.coalesce(F.col("n0"), F.lit(0)).alias("n_xy")
+        )
+    )
+    w_x = Window.partitionBy("event_type")
+    w_y = Window.partitionBy("bin")
+    marg = (
+        cells.withColumn("n_x", F.sum("n_xy").over(w_x))
+        .withColumn("n_y", F.sum("n_xy").over(w_y))
+    )
+    totals = cells.agg(F.sum("n_xy").alias("n"))
+    marg = marg.crossJoin(F.broadcast(totals))
+    e = (F.col("n_x") * F.col("n_y")).cast("double") / F.col("n")
+    scored = marg.select(
+        "event_type",
+        "bin",
+        "n_xy",
+        F.floor(e * 1_000_000 + F.lit(0.5)).cast("long").alias("expected_micro"),
+        F.when(
+            F.col("n_xy") > 0,
+            (F.col("n_xy").cast("double") / F.col("n"))
+            * F.log(
+                F.col("n_xy").cast("double")
+                * F.col("n")
+                / (F.col("n_x").cast("double") * F.col("n_y"))
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mi_term"),
+        F.when(
+            F.col("n_y") > 0,
+            (F.col("n_xy").cast("double") - e)
+            * (F.col("n_xy").cast("double") - e)
+            / e,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chi_term"),
+    )
+    sums = scored.agg(
+        F.sum("mi_term").alias("mi_sum"), F.sum("chi_term").alias("chi_sum")
+    )
+    return scored.crossJoin(F.broadcast(sums)).select(
+        "event_type",
+        "bin",
+        "n_xy",
+        "expected_micro",
+        F.floor(F.col("mi_sum") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("mi_micro"),
+        F.floor(F.col("chi_sum") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("chi2_micro"),
+        (F.col("chi_sum") > F.lit(_CHI2_CRIT_DF36_05)).alias(
+            "reject_independence_05"
+        ),
+    )
