@@ -190,6 +190,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "graph_bfs_reachability",
     "bootstrap_ci_poisson",
     "mi_chi2_independence",
+    "classifier_auc_roc",
+    "welch_t_test",
+    "anova_oneway_f",
 )
 
 

@@ -1394,3 +1394,419 @@ def mi_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_independence_05"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binned ROC / AUC / KS classifier evaluation
+# ---------------------------------------------------------------------------
+
+_AUC_BINS = 1024
+_EMB_DIM = 64
+
+
+@register(
+    "classifier_auc_roc",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH xm AS (
+  SELECT vec_id, CAST(label <= 4 AS INT) AS pos, (u.i - 1)::INT AS j,
+         CAST(floor(embedding[u.i]::DOUBLE * 1000000 + 0.5) AS BIGINT)
+           + 1000000 AS xs
+  FROM embeddings, unnest(range(1, {_EMB_DIM + 1})) AS u(i)
+),
+dims AS (
+  SELECT j,
+         CASE WHEN sum(pos) = 0 THEN 0
+              ELSE (2 * sum(CASE WHEN pos = 1 THEN xs ELSE 0 END)
+                    + sum(pos)) // (2 * sum(pos)) END
+         - CASE WHEN count(*) - sum(pos) = 0 THEN 0
+              ELSE (2 * sum(CASE WHEN pos = 0 THEN xs ELSE 0 END)
+                    + (count(*) - sum(pos)))
+                   // (2 * (count(*) - sum(pos))) END AS w
+  FROM xm GROUP BY 1
+),
+scores AS (
+  SELECT x.vec_id, x.pos, CAST(sum(x.xs * d.w) AS BIGINT) AS s
+  FROM xm x JOIN dims d USING (j) GROUP BY 1, 2
+),
+bounds AS (SELECT min(s) AS smin, max(s) AS smax FROM scores),
+cells AS (
+  SELECT ((s - smin) * {_AUC_BINS}) // (smax - smin + 1) AS bin,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+  FROM scores, bounds GROUP BY 1
+),
+cum AS (
+  SELECT bin, n_pos, n_neg,
+         CAST(sum(n_pos) OVER (ORDER BY bin) - n_pos AS BIGINT) AS cpb,
+         CAST(sum(n_neg) OVER (ORDER BY bin) - n_neg AS BIGINT) AS cnb
+  FROM cells
+),
+tot AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS p, CAST(sum(n_neg) AS BIGINT) AS n
+  FROM cells
+),
+gstats AS (
+  SELECT CAST(sum(n_pos * (2 * cnb + n_neg)) AS BIGINT) AS auc_num,
+         CAST(max(abs((cpb + n_pos) * n - (cnb + n_neg) * p)) AS BIGINT)
+           AS ks_num
+  FROM cum, tot
+)
+SELECT bin,
+       n_pos, n_neg,
+       CAST(p - cpb AS BIGINT) AS tp,
+       CAST(n - cnb AS BIGINT) AS fp,
+       ((p - cpb) * 2000000 + p) // (2 * p) AS tpr_micro,
+       ((n - cnb) * 2000000 + n) // (2 * n) AS fpr_micro,
+       ((p - cpb) * 2000000 + (p - cpb + n - cnb))
+         // (2 * (p - cpb + n - cnb)) AS precision_micro,
+       (2 * (p - cpb) * 2000000 + (2 * (p - cpb) + (n - cnb) + cpb))
+         // (2 * (2 * (p - cpb) + (n - cnb) + cpb)) AS f1_micro,
+       (auc_num * 2000000 + 2 * p * n) // (4 * p * n) AS auc_micro,
+       (ks_num * 2000000 + p * n) // (2 * p * n) AS ks_micro
+FROM cum, tot, gstats
+""",
+)
+def classifier_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned ROC curve + AUC + KS statistic for a nearest-centroid
+    score over the labeled embeddings — the model-evaluation pass every
+    training pipeline runs on its quality / relevance classifiers. The
+    score is the integer dot product of the (shifted-micro-quantized)
+    vector with the positive-minus-negative class mean direction; scores
+    land in {_AUC_BINS} equal-width bins (the downsampled-threshold
+    strategy Spark MLlib's BinaryClassificationMetrics uses at scale —
+    an exact rank AUC would need a global sort of n rows), and every
+    downstream number — TPR/FPR/precision/F1 per threshold, trapezoid-
+    free tie-aware AUC sum(pos_b*(2*cumneg_<b + neg_b))/(2PN), KS =
+    max|cumTPR - cumFPR| — is exact integer arithmetic, so both engines
+    agree bit-for-bit (AUC/KS numerators are O(P*N): exact in BIGINT to
+    ~2M rows per class; past that the final ratio would move to double
+    while the counts stay exact). Scale shape: one 64x explode pass
+    collapses map-side into the 64-row dims relation (broadcast back);
+    the per-vector score is one shuffle keyed by vec_id; bins collapse
+    map-side to <={_AUC_BINS} rows and every window/aggregate after that
+    runs on the bin relation — the unpartitioned cumulative window is
+    bounded by the fixed bin count (allowlisted)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xm = (
+        emb.select(
+            "vec_id",
+            (F.col("label") <= 4).cast("int").alias("pos"),
+            F.posexplode("embedding").alias("j", "e"),
+        )
+        .select(
+            "vec_id",
+            "pos",
+            "j",
+            (
+                F.floor(F.col("e").cast("double") * 1_000_000 + F.lit(0.5))
+                .cast("long")
+                + 1_000_000
+            ).alias("xs"),
+        )
+    )
+    dims = xm.groupBy("j").agg(
+        F.sum(F.when(F.col("pos") == 1, F.col("xs")).otherwise(0)).alias("ps"),
+        F.sum("pos").alias("pn"),
+        F.sum(F.when(F.col("pos") == 0, F.col("xs")).otherwise(0)).alias("ns"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("nn"),
+    ).select(
+        "j",
+        (
+            F.when(F.col("pn") == 0, F.lit(0)).otherwise(
+                F.expr("(2 * ps + pn) DIV (2 * pn)")
+            )
+            - F.when(F.col("nn") == 0, F.lit(0)).otherwise(
+                F.expr("(2 * ns + nn) DIV (2 * nn)")
+            )
+        ).alias("w"),
+    )
+    scores = (
+        xm.join(F.broadcast(dims), "j")
+        .groupBy("vec_id", "pos")
+        .agg(F.sum(F.col("xs") * F.col("w")).alias("s"))
+    )
+    bounds = scores.agg(F.min("s").alias("smin"), F.max("s").alias("smax"))
+    cells = (
+        scores.crossJoin(F.broadcast(bounds))
+        .select(
+            "pos",
+            F.expr(
+                f"((s - smin) * {_AUC_BINS}) DIV (smax - smin + 1)"
+            ).alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n_neg"),
+        )
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        (F.sum("n_pos").over(w_cum) - F.col("n_pos")).alias("cpb"),
+        (F.sum("n_neg").over(w_cum) - F.col("n_neg")).alias("cnb"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum("n_neg").cast("long").alias("n"),
+    )
+    cum = cum.crossJoin(F.broadcast(tot))
+    glob = cum.agg(
+        F.sum(F.col("n_pos") * (2 * F.col("cnb") + F.col("n_neg")))
+        .cast("long")
+        .alias("auc_num"),
+        F.max(
+            F.abs(
+                (F.col("cpb") + F.col("n_pos")) * F.col("n")
+                - (F.col("cnb") + F.col("n_neg")) * F.col("p")
+            )
+        )
+        .cast("long")
+        .alias("ks_num"),
+    )
+    return cum.crossJoin(F.broadcast(glob)).select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        (F.col("p") - F.col("cpb")).alias("tp"),
+        (F.col("n") - F.col("cnb")).alias("fp"),
+        F.expr("((p - cpb) * 2000000 + p) DIV (2 * p)").alias("tpr_micro"),
+        F.expr("((n - cnb) * 2000000 + n) DIV (2 * n)").alias("fpr_micro"),
+        F.expr(
+            "((p - cpb) * 2000000 + (p - cpb + n - cnb))"
+            " DIV (2 * (p - cpb + n - cnb))"
+        ).alias("precision_micro"),
+        F.expr(
+            "(2 * (p - cpb) * 2000000 + (2 * (p - cpb) + (n - cnb) + cpb))"
+            " DIV (2 * (2 * (p - cpb) + (n - cnb) + cpb))"
+        ).alias("f1_micro"),
+        F.expr("(auc_num * 2000000 + 2 * p * n) DIV (4 * p * n)").alias(
+            "auc_micro"
+        ),
+        F.expr("(ks_num * 2000000 + p * n) DIV (2 * p * n)").alias("ks_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test and one-way ANOVA
+# ---------------------------------------------------------------------------
+
+_Z_CRIT_05 = 1.96  # frozen two-sided 5% normal critical value (large-sample)
+_F_CRIT_DF4_INF_05 = 2.372  # frozen F critical value, df1=4, df2=inf, 5%
+
+
+@register(
+    "welch_t_test",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH xm AS (
+  SELECT event_type, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS xm
+  FROM events WHERE event_type IN ('click', 'view')
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST((2 * sum(xm) + count(*)) // (2 * count(*)) AS BIGINT) AS mean
+  FROM xm GROUP BY 1
+),
+s AS (
+  SELECT x.event_type, m.n, m.mean,
+         CAST(sum((x.xm - m.mean) * (x.xm - m.mean)) AS DOUBLE) AS ss
+  FROM xm x JOIN m USING (event_type) GROUP BY 1, 2, 3
+),
+ab AS (
+  SELECT a.n AS n_a, b.n AS n_b,
+         a.mean AS mean_a_micro, b.mean AS mean_b_micro,
+         CAST(a.mean - b.mean AS DOUBLE) AS md,
+         a.ss / (a.n - 1) / a.n AS sa, b.ss / (b.n - 1) / b.n AS sb
+  FROM (SELECT * FROM s WHERE event_type = 'click') a,
+       (SELECT * FROM s WHERE event_type = 'view') b
+)
+SELECT n_a, n_b, mean_a_micro, mean_b_micro,
+       CAST(floor(md / sqrt(sa + sb) * 1000000 + 0.5) AS BIGINT) AS t_micro,
+       CAST(floor((sa + sb) * (sa + sb)
+                  / (sa * sa / (n_a - 1) + sb * sb / (n_b - 1))
+                  * 1000000 + 0.5) AS BIGINT) AS df_micro,
+       abs(md / sqrt(sa + sb)) > {_Z_CRIT_05} AS reject_05
+FROM ab
+""",
+)
+def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between the click and
+    view arms' event values, with the Welch-Satterthwaite effective
+    degrees of freedom — the default mean-comparison test when variances
+    differ. Determinism: values freeze to micro ints; each arm's mean
+    freezes to a micro int (half-away); squared deviations from that
+    frozen mean are exact BIGINTs summed through DECIMAL(38,0)/HUGEINT
+    (order-independent), so the doubles entering t and df are identical
+    across engines and the IEEE expression tree is written identically
+    on both sides. The reject flag uses the frozen large-sample normal
+    critical value {_Z_CRIT_05} (documented convention; df here is in
+    the thousands). Scale shape: two passes over the filtered fact
+    table (means, then deviations), each collapsing map-side to the
+    2-row arm relation; everything after is 1-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    xm = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("xm"),
+    )
+    m = xm.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xm").alias("sx")
+    ).select(
+        "event_type", "n", F.expr("(2 * sx + n) DIV (2 * n)").alias("mean")
+    )
+    d = F.col("xm") - F.col("mean")
+    s = (
+        xm.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "mean")
+        .agg(F.sum((d * d).cast("decimal(38,0)")).cast("double").alias("ss"))
+    )
+    a = s.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a_micro"),
+        (F.col("ss") / (F.col("n") - 1) / F.col("n")).alias("sa"),
+    )
+    b = s.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b_micro"),
+        (F.col("ss") / (F.col("n") - 1) / F.col("n")).alias("sb"),
+    )
+    md = (F.col("mean_a_micro") - F.col("mean_b_micro")).cast("double")
+    t = md / F.sqrt(F.col("sa") + F.col("sb"))
+    df_w = ((F.col("sa") + F.col("sb")) * (F.col("sa") + F.col("sb"))) / (
+        F.col("sa") * F.col("sa") / (F.col("n_a") - 1)
+        + F.col("sb") * F.col("sb") / (F.col("n_b") - 1)
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        "mean_a_micro",
+        "mean_b_micro",
+        F.floor(t * 1_000_000 + F.lit(0.5)).cast("long").alias("t_micro"),
+        F.floor(df_w * 1_000_000 + F.lit(0.5)).cast("long").alias("df_micro"),
+        (F.abs(t) > F.lit(_Z_CRIT_05)).alias("reject_05"),
+    )
+
+
+@register(
+    "anova_oneway_f",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH xm AS (
+  SELECT event_type, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS xm
+  FROM events
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST((2 * sum(xm) + count(*)) // (2 * count(*)) AS BIGINT) AS mean
+  FROM xm GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS big_n,
+         CAST((2 * sum(xm) + count(*)) // (2 * count(*)) AS BIGINT) AS gmean,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS k
+  FROM xm
+),
+ssw AS (
+  SELECT CAST(sum((x.xm - g.mean) * (x.xm - g.mean)) AS DOUBLE) AS ssw
+  FROM xm x JOIN g USING (event_type)
+),
+ssb AS (
+  SELECT CAST(sum(g.n * (g.mean - t.gmean) * (g.mean - t.gmean)) AS DOUBLE)
+    AS ssb
+  FROM g, tot t
+),
+f AS (
+  SELECT (ssb / (k - 1)) / (ssw / (big_n - k)) AS fstat,
+         ssb / (ssb + ssw) AS eta2, k - 1 AS df1, big_n - k AS df2
+  FROM ssw, ssb, tot
+)
+SELECT g.event_type, g.n, g.mean AS mean_micro,
+       CAST(floor(fstat * 1000000 + 0.5) AS BIGINT) AS f_micro,
+       CAST(floor(eta2 * 1000000 + 0.5) AS BIGINT) AS eta2_micro,
+       CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2,
+       fstat > {_F_CRIT_DF4_INF_05} AS reject_05
+FROM g, f
+""",
+)
+def anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of event value across the event-type arms:
+    between-group vs within-group variance, effect size eta-squared, and
+    a rejection flag against the frozen F(4, inf) 5% critical value
+    {_F_CRIT_DF4_INF_05} (df2 is in the thousands, the asymptote is the
+    documented convention). Same determinism recipe as welch_t_test:
+    micro-frozen values and group means, exact integer squared
+    deviations summed through DECIMAL(38,0)/HUGEINT, one identical IEEE
+    expression tree per engine for the final ratios. Scale shape: two
+    passes over the fact table (group means, then deviations) each
+    collapsing map-side onto the k-row group relation; SSB is a k-row
+    aggregate; the output joins the k-row group relation against
+    broadcast 1-row stats."""
+    ev = load_table(spark, sf_dir, "events")
+    xm = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("xm"),
+    )
+    g = xm.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xm").alias("sx")
+    ).select(
+        "event_type", "n", F.expr("(2 * sx + n) DIV (2 * n)").alias("mean")
+    )
+    tot = xm.agg(
+        F.count(F.lit(1)).alias("big_n"),
+        F.sum("xm").alias("sx"),
+        F.countDistinct("event_type").alias("k"),
+    ).select(
+        "big_n",
+        F.expr("(2 * sx + big_n) DIV (2 * big_n)").alias("gmean"),
+        "k",
+    )
+    d = F.col("xm") - F.col("mean")
+    ssw = (
+        xm.join(F.broadcast(g), "event_type")
+        .agg(F.sum((d * d).cast("decimal(38,0)")).cast("double").alias("ssw"))
+    )
+    db = F.col("mean") - F.col("gmean")
+    ssb = (
+        g.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum((F.col("n") * db * db).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("ssb")
+        )
+    )
+    stats = (
+        tot.crossJoin(F.broadcast(ssw))
+        .crossJoin(F.broadcast(ssb))
+        .select(
+            (
+                (F.col("ssb") / (F.col("k") - 1))
+                / (F.col("ssw") / (F.col("big_n") - F.col("k")))
+            ).alias("fstat"),
+            (F.col("ssb") / (F.col("ssb") + F.col("ssw"))).alias("eta2"),
+            (F.col("k") - 1).cast("long").alias("df1"),
+            (F.col("big_n") - F.col("k")).cast("long").alias("df2"),
+        )
+    )
+    return g.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        "n",
+        F.col("mean").alias("mean_micro"),
+        F.floor(F.col("fstat") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("f_micro"),
+        F.floor(F.col("eta2") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("eta2_micro"),
+        "df1",
+        "df2",
+        (F.col("fstat") > F.lit(_F_CRIT_DF4_INF_05)).alias("reject_05"),
+    )

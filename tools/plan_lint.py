@@ -152,6 +152,8 @@ UNPARTITIONED_WINDOW_ALLOW = {
                                     # pinned in tests/test_plan_shapes.py.
     "dedup_sorted_neighborhood",    # same global_rank offsets window (n_part rows);
                                     # the corpus-sized sort is range-partitioned.
+    "classifier_auc_roc",           # cumulative ROC window over the fixed 1024-bin
+                                    # score histogram (SF-independent bound)
     "rfm_customer_segments",        # three global_rank offsets windows (n_part rows
                                     # each, SF-independent); the customer metrics and
                                     # all three rank sorts are range-partitioned.
