@@ -193,6 +193,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "classifier_auc_roc",
     "welch_t_test",
     "anova_oneway_f",
+    "ts_acf_ljung_box",
+    "sketch_countmin_tokens",
 )
 
 

@@ -1431,7 +1431,7 @@ scores AS (
 ),
 bounds AS (SELECT min(s) AS smin, max(s) AS smax FROM scores),
 cells AS (
-  SELECT ((s - smin) * {_AUC_BINS}) // (smax - smin + 1) AS bin,
+  SELECT ((s - smin) * 1024) // (smax - smin + 1) AS bin,
          CAST(sum(pos) AS BIGINT) AS n_pos,
          CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
   FROM scores, bounds GROUP BY 1
@@ -1473,7 +1473,7 @@ def classifier_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipeline runs on its quality / relevance classifiers. The
     score is the integer dot product of the (shifted-micro-quantized)
     vector with the positive-minus-negative class mean direction; scores
-    land in {_AUC_BINS} equal-width bins (the downsampled-threshold
+    land in 1024 equal-width bins (the downsampled-threshold
     strategy Spark MLlib's BinaryClassificationMetrics uses at scale —
     an exact rank AUC would need a global sort of n rows), and every
     downstream number — TPR/FPR/precision/F1 per threshold, trapezoid-
@@ -1484,7 +1484,7 @@ def classifier_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the counts stay exact). Scale shape: one 64x explode pass
     collapses map-side into the 64-row dims relation (broadcast back);
     the per-vector score is one shuffle keyed by vec_id; bins collapse
-    map-side to <={_AUC_BINS} rows and every window/aggregate after that
+    map-side to <=1024 rows and every window/aggregate after that
     runs on the bin relation — the unpartitioned cumulative window is
     bounded by the fixed bin count (allowlisted)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1532,7 +1532,7 @@ def classifier_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "pos",
             F.expr(
-                f"((s - smin) * {_AUC_BINS}) DIV (smax - smin + 1)"
+                f"((s - smin) * 1024) DIV (smax - smin + 1)"
             ).alias("bin"),
         )
         .groupBy("bin")
@@ -1629,7 +1629,7 @@ SELECT n_a, n_b, mean_a_micro, mean_b_micro,
        CAST(floor((sa + sb) * (sa + sb)
                   / (sa * sa / (n_a - 1) + sb * sb / (n_b - 1))
                   * 1000000 + 0.5) AS BIGINT) AS df_micro,
-       abs(md / sqrt(sa + sb)) > {_Z_CRIT_05} AS reject_05
+       abs(md / sqrt(sa + sb)) > 1.96 AS reject_05
 FROM ab
 """,
 )
@@ -1643,7 +1643,7 @@ def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-independent), so the doubles entering t and df are identical
     across engines and the IEEE expression tree is written identically
     on both sides. The reject flag uses the frozen large-sample normal
-    critical value {_Z_CRIT_05} (documented convention; df here is in
+    critical value 1.96 (documented convention; df here is in
     the thousands). Scale shape: two passes over the filtered fact
     table (means, then deviations), each collapsing map-side to the
     2-row arm relation; everything after is 1-row arithmetic."""
@@ -1731,7 +1731,7 @@ SELECT g.event_type, g.n, g.mean AS mean_micro,
        CAST(floor(fstat * 1000000 + 0.5) AS BIGINT) AS f_micro,
        CAST(floor(eta2 * 1000000 + 0.5) AS BIGINT) AS eta2_micro,
        CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2,
-       fstat > {_F_CRIT_DF4_INF_05} AS reject_05
+       fstat > 2.372 AS reject_05
 FROM g, f
 """,
 )
@@ -1739,7 +1739,7 @@ def anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F-test of event value across the event-type arms:
     between-group vs within-group variance, effect size eta-squared, and
     a rejection flag against the frozen F(4, inf) 5% critical value
-    {_F_CRIT_DF4_INF_05} (df2 is in the thousands, the asymptote is the
+    2.372 (df2 is in the thousands, the asymptote is the
     documented convention). Same determinism recipe as welch_t_test:
     micro-frozen values and group means, exact integer squared
     deviations summed through DECIMAL(38,0)/HUGEINT, one identical IEEE
@@ -1809,4 +1809,286 @@ def anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df1",
         "df2",
         (F.col("fstat") > F.lit(_F_CRIT_DF4_INF_05)).alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function + Ljung-Box portmanteau test
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 10
+_CHI2_CRIT_DF10_05 = 18.307  # frozen chi-square critical value, df=10, 5%
+
+
+@register(
+    "ts_acf_ljung_box",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // {_US_PER_DAY} AS BIGINT) AS d,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_micro,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+pts AS MATERIALIZED (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS t,
+         (sum_micro * 2 + cnt) // (2 * cnt) AS y
+  FROM daily
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST((2 * sum(y) + count(*)) // (2 * count(*)) AS BIGINT) AS ybar
+  FROM pts GROUP BY 1
+),
+c0 AS (
+  SELECT p.event_type,
+         CAST(sum((p.y - m.ybar) * (p.y - m.ybar)) AS DOUBLE) AS c0
+  FROM pts p JOIN m USING (event_type) GROUP BY 1
+),
+num AS (
+  SELECT a.event_type, l.range AS lag,
+         CAST(sum((a.y - m.ybar) * (b.y - m.ybar)) AS DOUBLE) AS ck
+  FROM pts a
+  JOIN range(1, {_ACF_MAX_LAG + 1}) l ON true
+  JOIN pts b ON b.event_type = a.event_type AND b.t = a.t - l.range
+  JOIN m ON m.event_type = a.event_type
+  GROUP BY 1, 2
+),
+acf AS (
+  SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+         CAST(floor(n.ck / c.c0 * 1000000 + 0.5) AS BIGINT) AS acf_micro
+  FROM num n JOIN c0 c USING (event_type)
+),
+q AS (
+  SELECT a.event_type,
+         CAST((m.n * (m.n + 2)
+               * sum((a.acf_micro * a.acf_micro * 2 + (m.n - a.lag))
+                     // (2 * (m.n - a.lag)))
+               * 2 + 1000000) // 2000000 AS BIGINT) AS q_micro
+  FROM acf a JOIN m USING (event_type) GROUP BY a.event_type, m.n
+)
+SELECT a.event_type, a.lag, a.acf_micro, m.n AS n_days,
+       q.q_micro, q.q_micro > 18307000 AS reject_05
+FROM acf a JOIN m USING (event_type) JOIN q USING (event_type)
+""",
+)
+def ts_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function at lags 1..10 of each
+    event type's daily-mean series, plus the Ljung-Box portmanteau Q
+    statistic — the is-this-white-noise screen run before fitting any
+    forecaster. ACF_k = sum (y_t-ybar)(y_t-k -ybar) / sum (y_t-ybar)^2
+    over the row-number-sequenced daily series (calendar gaps close up;
+    documented convention), with the mean frozen at micro precision and
+    numerator/denominator exact integer sums (DECIMAL/HUGEINT) so the
+    one double division per (type, lag) is engine-identical; Q =
+    n(n+2) * sum_k r_k^2/(n-k) runs entirely on the rounded acf_micro
+    ints (per-lag half-away term, then one exact DIV), flagged against
+    the frozen chi-square df=10 5% value
+    18.307. Scale shape: the fact table collapses once
+    onto the (type, day) relation; lags come from a broadcast
+    10-row dimension joined back equi on (type, t-k) — no
+    window-per-lag, no series self-cross; everything downstream runs on
+    the bounded (type x lag) grid."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(_US_PER_DAY)).cast("long").alias("d"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+        ).alias("sum_micro"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w_seq = Window.partitionBy("event_type").orderBy("d")
+    pts = daily.select(
+        "event_type",
+        F.row_number().over(w_seq).alias("t"),
+        F.expr("(sum_micro * 2 + cnt) DIV (2 * cnt)").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    ).select(
+        "event_type", "n", F.expr("(2 * sy + n) DIV (2 * n)").alias("ybar")
+    )
+    pm = pts.join(F.broadcast(m), "event_type")
+    c0 = pm.groupBy("event_type").agg(
+        F.sum(
+            ((F.col("y") - F.col("ybar")) * (F.col("y") - F.col("ybar")))
+            .cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("c0")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = pm.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "lag",
+        (F.col("t") - F.col("lag")).alias("tb"),
+        (F.col("y") - F.col("ybar")).alias("da"),
+    )
+    b = pts.select(
+        F.col("event_type").alias("event_type"),
+        F.col("t").alias("tb"),
+        F.col("y").alias("yb"),
+    ).join(F.broadcast(m), "event_type").select(
+        "event_type", "tb", (F.col("yb") - F.col("ybar")).alias("db")
+    )
+    num = (
+        a.join(b, ["event_type", "tb"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.sum((F.col("da") * F.col("db")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("ck")
+        )
+    )
+    acf = num.join(c0, "event_type").select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.floor(F.col("ck") / F.col("c0") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("acf_micro"),
+    )
+    qstat = (
+        acf.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum(
+                F.expr(
+                    "(acf_micro * acf_micro * 2 + (n - lag))"
+                    " DIV (2 * (n - lag))"
+                )
+            ).alias("s")
+        )
+        .select(
+            "event_type",
+            F.expr("(n * (n + 2) * s * 2 + 1000000) DIV 2000000")
+            .cast("long")
+            .alias("q_micro"),
+        )
+    )
+    return (
+        acf.join(F.broadcast(m.select("event_type", "n")), "event_type")
+        .join(F.broadcast(qstat), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "acf_micro",
+            F.col("n").alias("n_days"),
+            "q_micro",
+            (F.col("q_micro") > F.lit(18_307_000)).alias("reject_05"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch frequency estimation
+# ---------------------------------------------------------------------------
+
+_CM_W = 1024  # sketch width (buckets per row)
+_CM_D = 4  # sketch depth (independent hash rows)
+_CM_TOPK = 20
+
+
+@register(
+    "sketch_countmin_tokens",
+    tags=("LLM-text",),
+    oracle=f"""
+WITH tk AS (
+  SELECT unnest({{toks}}) AS term FROM documents
+),
+occ AS (
+  SELECT t.term, r.range AS r,
+         ({{h}}) % {_CM_W} AS bucket
+  FROM tk t, range({_CM_D}) r
+),
+sketch AS MATERIALIZED (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM occ GROUP BY 1, 2
+),
+exact AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+  FROM tk GROUP BY 1
+  ORDER BY exact_count DESC, term LIMIT {_CM_TOPK}
+),
+est AS (
+  SELECT e.term, e.exact_count, CAST(min(s.c) AS BIGINT) AS cm_estimate
+  FROM exact e, range({_CM_D}) r
+  JOIN sketch s
+    ON s.r = r.range
+   AND s.bucket = ({{he}}) % {_CM_W}
+  GROUP BY 1, 2
+)
+SELECT term, exact_count, cm_estimate,
+       cm_estimate - exact_count AS overestimate
+FROM est
+""".format(
+        toks=dedup.SQL_TOKENS.format(text="text"),
+        h=dedup.sql_portable_hash("r.range::VARCHAR || ':' || t.term", "cm_"),
+        he=dedup.sql_portable_hash("r.range::VARCHAR || ':' || e.term", "cm_"),
+    ),
+)
+def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream (4 hash rows x
+    1024 buckets, portable md5 hashes), audited against exact counts
+    for the top-20 tokens: estimate = min over rows of the
+    hashed bucket's counter, always >= exact (one-sided error, the
+    sketch's defining guarantee — surfaced as the overestimate column).
+    This is the mergeable fixed-size frequency summary for streams and
+    shard-then-merge pipelines where exact per-token counts don't fit.
+    Scale shape: the 4x occurrence expansion collapses map-side
+    onto the fixed 4x1024-row sketch relation (partial
+    aggregation before the shuffle — the shuffle carries at most
+    4096 rows per map partition); the exact top-k is a
+    TakeOrderedAndProject; probes join the 20-row list against
+    the broadcast sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(F.explode(dedup.tokens(F.col("text"))).alias("term"))
+    rows = spark.range(_CM_D).select(F.col("id").alias("r"))
+    occ = tk.crossJoin(F.broadcast(rows)).select(
+        F.pmod(
+            dedup.portable_hash(
+                F.concat_ws(":", F.col("r").cast("string"), F.col("term")),
+                salt="cm_",
+            ),
+            F.lit(_CM_W),
+        ).alias("bucket"),
+        "r",
+    )
+    sketch = occ.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    exact = (
+        tk.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+        .limit(_CM_TOPK)
+    )
+    probes = exact.crossJoin(F.broadcast(rows)).select(
+        "term",
+        "exact_count",
+        "r",
+        F.pmod(
+            dedup.portable_hash(
+                F.concat_ws(":", F.col("r").cast("string"), F.col("term")),
+                salt="cm_",
+            ),
+            F.lit(_CM_W),
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return est.select(
+        "term",
+        "exact_count",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_count")).alias("overestimate"),
     )
