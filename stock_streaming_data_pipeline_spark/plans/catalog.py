@@ -195,6 +195,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "anova_oneway_f",
     "ts_acf_ljung_box",
     "sketch_countmin_tokens",
+    "ols_price_model",
 )
 
 

@@ -2092,3 +2092,148 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_estimate",
         (F.col("cm_estimate") - F.col("exact_count")).alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-feature OLS via normal equations (single-pass sufficient statistics)
+# ---------------------------------------------------------------------------
+
+# The Cramer 3x3 solve and the R^2 expression are written ONCE and rendered
+# into both engines verbatim so the IEEE double expression trees are
+# identical; every input is a CAST-to-DOUBLE of an exactly-summed integer.
+_OLS_DETS = """
+  nn * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+     + s2 * (s1 * s12 - s11 * s2) AS det,
+  sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+     + s2 * (s1y * s12 - s11 * s2y) AS det0,
+  nn * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+     + s2 * (s1 * s2y - s1y * s2) AS det1,
+  nn * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+     + sy * (s1 * s12 - s11 * s2) AS det2
+"""
+
+
+@register(
+    "ols_price_model",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH xm AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x1,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT flag,
+         CAST(count(*) AS DOUBLE) AS nn,
+         CAST(sum(x1) AS DOUBLE) AS s1,
+         CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+         CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+         CAST(sum(y * y) AS DOUBLE) AS syy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM xm GROUP BY 1
+),
+d AS (
+  SELECT flag, n, nn, sy, s1y, s2y, syy,
+  {_OLS_DETS}
+  FROM s
+),
+beta AS (
+  SELECT flag, n, nn, sy, s1y, s2y, syy,
+         det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+  FROM d
+),
+fit AS (
+  SELECT flag, n, b0, b1, b2,
+         syy - (b0 * sy + b1 * s1y + b2 * s2y) AS sse,
+         syy - sy * sy / nn AS sst
+  FROM beta
+)
+SELECT flag, n,
+       CAST(floor(b0 * 1000000 + 0.5) AS BIGINT) AS b0_micro,
+       CAST(floor(b1 * 1000000 + 0.5) AS BIGINT) AS b1_micro,
+       CAST(floor(b2 * 1000000 + 0.5) AS BIGINT) AS b2_micro,
+       CAST(floor((1 - sse / sst) * 1000000 + 0.5) AS BIGINT) AS r2_micro
+FROM fit
+""",
+)
+def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature ordinary least squares fit by normal equations:
+    per return flag, regress line-item price (cents) on quantity and
+    discount percent, solving the 3x3 system with Cramer's rule and
+    reporting the intercept/slopes plus R^2. This is the distributed
+    closed-form regression every feature pipeline wants before
+    reaching for an iterative solver: ONE aggregation pass collapses
+    the fact table into the 10 sufficient statistics per group
+    (n, Sx, Sxx-cross, Sxy, Syy — all exact integers through
+    DECIMAL(38,0), so the doubles entering the solve are identical
+    across engines), and the solve itself is 3-row arithmetic. SSE
+    comes from the same pass via the orthogonality identity
+    ``SSE = Syy - beta . X'y`` — no second scan. Scale shape:
+    map-side partial aggregation to |flags| rows; nothing after the
+    single shuffle touches more than 3 rows. The Cramer/R^2 doubles
+    expression is rendered from one shared template into BOTH engines
+    (`_OLS_DETS`) so the IEEE trees match bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xm = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = xm.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum(dec(F.col("x1"))).cast("double").alias("s1"),
+        F.sum(dec(F.col("x2"))).cast("double").alias("s2"),
+        F.sum(dec(F.col("x1") * F.col("x1"))).cast("double").alias("s11"),
+        F.sum(dec(F.col("x1") * F.col("x2"))).cast("double").alias("s12"),
+        F.sum(dec(F.col("x2") * F.col("x2"))).cast("double").alias("s22"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x1") * F.col("y"))).cast("double").alias("s1y"),
+        F.sum(dec(F.col("x2") * F.col("y"))).cast("double").alias("s2y"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    d = s.selectExpr(
+        "flag", "n", "nn", "sy", "s1y", "s2y", "syy", *_OLS_DETS.split(",\n")
+    )
+    beta = d.selectExpr(
+        "flag",
+        "n",
+        "nn",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        "det0 / det AS b0",
+        "det1 / det AS b1",
+        "det2 / det AS b2",
+    )
+    fit = beta.selectExpr(
+        "flag",
+        "n",
+        "b0",
+        "b1",
+        "b2",
+        "syy - (b0 * sy + b1 * s1y + b2 * s2y) AS sse",
+        "syy - sy * sy / nn AS sst",
+    )
+    return fit.selectExpr(
+        "flag",
+        "n",
+        "CAST(floor(b0 * 1000000 + 0.5) AS BIGINT) AS b0_micro",
+        "CAST(floor(b1 * 1000000 + 0.5) AS BIGINT) AS b1_micro",
+        "CAST(floor(b2 * 1000000 + 0.5) AS BIGINT) AS b2_micro",
+        "CAST(floor((1 - sse / sst) * 1000000 + 0.5) AS BIGINT) AS r2_micro",
+    )
