@@ -196,6 +196,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ts_acf_ljung_box",
     "sketch_countmin_tokens",
     "ols_price_model",
+    "spearman_rank_corr",
 )
 
 

@@ -2237,3 +2237,141 @@ def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(b2 * 1000000 + 0.5) AS BIGINT) AS b2_micro",
         "CAST(floor((1 - sse / sst) * 1000000 + 0.5) AS BIGINT) AS r2_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie-corrected, exact integer ranks)
+# ---------------------------------------------------------------------------
+
+# Pearson-on-ranks written ONCE and rendered into both engines so the IEEE
+# double trees are identical; every input is a CAST-to-DOUBLE exact integer.
+_SPEARMAN_RHO = (
+    "(n * sxy - sx * sy) / "
+    "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rho"
+)
+
+
+@register(
+    "spearman_rank_corr",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH xm AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+  FROM lineitem
+),
+cells AS (
+  SELECT flag, q, d, CAST(count(*) AS BIGINT) AS cnt FROM xm GROUP BY 1, 2, 3
+),
+qm AS (SELECT flag, q, CAST(count(*) AS BIGINT) AS cq FROM xm GROUP BY 1, 2),
+dm AS (SELECT flag, d, CAST(count(*) AS BIGINT) AS cd FROM xm GROUP BY 1, 2),
+qr AS (
+  SELECT flag, q,
+         CAST(2 * (sum(cq) OVER (PARTITION BY flag ORDER BY q) - cq)
+              + cq + 1 AS BIGINT) AS rx2
+  FROM qm
+),
+dr AS (
+  SELECT flag, d,
+         CAST(2 * (sum(cd) OVER (PARTITION BY flag ORDER BY d) - cd)
+              + cd + 1 AS BIGINT) AS ry2
+  FROM dm
+),
+j AS (
+  SELECT c.flag AS flag, c.cnt AS cnt, qr.rx2 AS rx2, dr.ry2 AS ry2
+  FROM cells c
+  JOIN qr ON c.flag = qr.flag AND c.q = qr.q
+  JOIN dr ON c.flag = dr.flag AND c.d = dr.d
+),
+s AS (
+  SELECT flag,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(sum(cnt) AS DOUBLE) AS n,
+         CAST(sum(CAST(cnt AS HUGEINT) * rx2) AS DOUBLE) AS sx,
+         CAST(sum(CAST(cnt AS HUGEINT) * ry2) AS DOUBLE) AS sy,
+         CAST(sum(CAST(cnt AS HUGEINT) * rx2 * rx2) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(cnt AS HUGEINT) * ry2 * ry2) AS DOUBLE) AS syy,
+         CAST(sum(CAST(cnt AS HUGEINT) * rx2 * ry2) AS DOUBLE) AS sxy
+  FROM j GROUP BY 1
+),
+r AS (SELECT flag, n_rows, {_SPEARMAN_RHO} FROM s)
+SELECT flag, n_rows AS n,
+       CAST(floor(rho * 1000000 + 0.5) AS BIGINT) AS rho_micro
+FROM r
+""",
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between line-item quantity
+    and discount percent, per return flag. Ranks are the textbook
+    average ranks, held EXACT by working with doubled ranks
+    (``2*avg_rank = 2*count_less + count_equal + 1`` is always an
+    integer); Pearson on the doubled ranks equals Pearson on the ranks
+    because correlation is scale-invariant. The trick that makes this
+    distributed: rows never receive individual ranks. Both variables
+    have bounded domains (quantity 1-50, discount 0-10%), so the rank of
+    every row is a function of its (flag, value) cell — ONE groupBy
+    collapses the fact table to at most 50x11 cells per flag, the rank
+    windows run over the <=50-row per-flag marginals (partitioned by
+    flag, bounded independent of SF), and the weighted moment sums are
+    exact integers through DECIMAL(38,0) / HUGEINT so the doubles
+    entering the rho expression are identical across engines
+    (`_SPEARMAN_RHO` renders the same tree into both). Scale shape:
+    three map-side-combined aggregations over the fact table, then
+    everything downstream touches <=flags*550 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xm = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("d"),
+    )
+    cells = xm.groupBy("flag", "q", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    qm = xm.groupBy("flag", "q").agg(F.count(F.lit(1)).cast("long").alias("cq"))
+    dm = xm.groupBy("flag", "d").agg(F.count(F.lit(1)).cast("long").alias("cd"))
+    # Rank windows over the per-flag value marginals: <=50 (quantity) and
+    # <=11 (discount) rows per flag partition — bounded independent of SF.
+    wq = Window.partitionBy("flag").orderBy("q")
+    wd = Window.partitionBy("flag").orderBy("d")
+    qr = qm.select(
+        "flag",
+        "q",
+        (2 * (F.sum("cq").over(wq) - F.col("cq")) + F.col("cq") + 1)
+        .cast("long")
+        .alias("rx2"),
+    )
+    dr = dm.select(
+        "flag",
+        "d",
+        (2 * (F.sum("cd").over(wd) - F.col("cd")) + F.col("cd") + 1)
+        .cast("long")
+        .alias("ry2"),
+    )
+    j = cells.join(F.broadcast(qr), ["flag", "q"]).join(
+        F.broadcast(dr), ["flag", "d"]
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = j.groupBy("flag").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum("cnt").cast("double").alias("n"),
+        F.sum(dec(F.col("cnt")) * dec(F.col("rx2"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("cnt")) * dec(F.col("ry2"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("cnt")) * dec(F.col("rx2")) * dec(F.col("rx2")))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(dec(F.col("cnt")) * dec(F.col("ry2")) * dec(F.col("ry2")))
+        .cast("double")
+        .alias("syy"),
+        F.sum(dec(F.col("cnt")) * dec(F.col("rx2")) * dec(F.col("ry2")))
+        .cast("double")
+        .alias("sxy"),
+    )
+    r = s.selectExpr("flag", "n_rows", _SPEARMAN_RHO)
+    return r.selectExpr(
+        "flag",
+        "n_rows AS n",
+        "CAST(floor(rho * 1000000 + 0.5) AS BIGINT) AS rho_micro",
+    )
