@@ -247,6 +247,75 @@ def ngram_jaccard_pairs(
     return verified
 
 
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT near-dup join: a pair qualifies when
+    ``|A∩B| / min(|A|, |B|)`` clears the threshold — i.e. when one
+    document's shingle set is (nearly) a subset of the other's. This is
+    the asymmetric sibling of :func:`ngram_jaccard_pairs` and catches the
+    case Jaccard structurally cannot: a short document embedded verbatim
+    inside a much longer one (quote farms, boilerplate wrappers,
+    truncated mirrors), where the union in Jaccard's denominator is
+    dominated by the long side and the score collapses toward
+    ``|A|/|B|`` no matter how complete the overlap is.
+
+    Same scale architecture as the inverted-index Jaccard path — the
+    shingle strings shuffle ONCE into posting lists, singleton shingles
+    die before pair generation, and the pair stream is pure
+    (long, long) — only the final scoring arithmetic differs. Emits both
+    directions (``cont_ab`` = fraction of A's shingles found in B,
+    ``cont_ba`` symmetric) so the consumer can tell container from
+    contained; the filter is on the max of the two.
+    """
+    df = fan_out(df)
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    if max_shingle_df is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    posting = (
+        sh.groupBy("sh")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select("docs")
+    )
+    common = (
+        posting.select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnsRenamed({"doc": "doc_a", "n_sh": "n_a"}), "doc_a"
+        )
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .filter(
+            F.greatest(
+                F.col("common") / F.col("n_a"), F.col("common") / F.col("n_b")
+            )
+            >= threshold
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("common") / F.col("n_a"), 6).alias("cont_ab"),
+            F.round(F.col("common") / F.col("n_b"), 6).alias("cont_ba"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     *,

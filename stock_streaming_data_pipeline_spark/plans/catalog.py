@@ -197,6 +197,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "sketch_countmin_tokens",
     "ols_price_model",
     "spearman_rank_corr",
+    "dedup_containment",
 )
 
 

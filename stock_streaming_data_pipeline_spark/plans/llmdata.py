@@ -97,6 +97,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment",
+    tags=("LLM-dedup",),
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({_SQL_SHINGLES}) AS s FROM documents
+),
+sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c / sa.n::DOUBLE, 6) AS cont_ab,
+       round(c / sb.n::DOUBLE, 6) AS cont_ba
+FROM common
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE greatest(c / sa.n::DOUBLE, c / sb.n::DOUBLE) >= 0.8
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional 3-gram containment near-dup pairs (max-side threshold
+    0.8) — the short-doc-inside-long-doc dedup signal Jaccard misses;
+    same single-shuffle posting-list plan as `dedup_ngram_jaccard`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.8
+    )
+
+
 _MH_BANDS, _MH_ROWS = dedup.lsh_band_params(0.6, num_perm=64)  # -> (16, 4)
 
 
