@@ -198,6 +198,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ols_price_model",
     "spearman_rank_corr",
     "dedup_containment",
+    "sketch_ams_f2_tokens",
 )
 
 

@@ -2375,3 +2375,98 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows AS n",
         "CAST(floor(rho * 1000000 + 0.5) AS BIGINT) AS rho_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) F2 sketch — second frequency moment
+# ---------------------------------------------------------------------------
+
+_AMS_K = 16  # independent sign estimators
+
+# Final arithmetic rendered into BOTH engines verbatim (exact-integer
+# inputs -> identical IEEE doubles).
+_AMS_OUT = (
+    "k",
+    "f2_exact",
+    "CAST(floor(sz2 / k + 0.5) AS BIGINT) AS f2_ams",
+    "CAST(floor((sz2 / k - f2_exact) / f2_exact * 1000000 + 0.5)"
+    " AS BIGINT) AS rel_err_micro",
+)
+
+
+@register(
+    "sketch_ams_f2_tokens",
+    tags=("LLM-text",),
+    oracle="""
+WITH tk AS (
+  SELECT unnest({toks}) AS term FROM documents
+),
+signs AS (
+  SELECT r.range AS i,
+         1 - 2 * (({h}) % 2) AS sign
+  FROM tk t, range({k}) r
+),
+z AS (SELECT i, CAST(sum(sign) AS BIGINT) AS z FROM signs GROUP BY 1),
+est AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(z AS HUGEINT) * z) AS DOUBLE) AS sz2
+  FROM z
+),
+ex AS (
+  SELECT CAST(sum(CAST(f AS HUGEINT) * f) AS BIGINT) AS f2_exact
+  FROM (SELECT count(*) AS f FROM tk GROUP BY term)
+)
+SELECT {out}
+FROM est, ex
+""".format(
+        toks=dedup.SQL_TOKENS.format(text="text"),
+        h=dedup.sql_portable_hash("r.range::VARCHAR || ':' || t.term", "ams_"),
+        k=_AMS_K,
+        out=", ".join(_AMS_OUT),
+    ),
+)
+def sketch_ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS sketch of the corpus token stream's second frequency moment
+    F2 = sum(f_t^2) — the repeated-token "self-join size" statistic that
+    drives skew diagnostics (F2/n^2 is the collision probability a
+    hash-partitioned token shuffle will see). Sixteen independent
+    {-1,+1} sign hashes (portable md5, replayed bit-for-bit by the
+    oracle) each accumulate one signed counter Z_i over the occurrence
+    stream; E[Z_i^2] = F2, and the estimate is the mean of the 16
+    squares, audited here against the exact F2 with a signed relative
+    error. The defining property vs exact counting: the sketch is
+    16 numbers regardless of vocabulary size, and mergeable by plain
+    addition across shards/stream batches. Scale shape: the 16x
+    occurrence expansion partial-aggregates map-side onto 16 rows
+    (the shuffle carries <=16 rows per map partition — never the
+    vocabulary); the exact audit side is one token groupBy plus a
+    scalar aggregate; both 1-row frames broadcast-join at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(F.explode(dedup.tokens(F.col("text"))).alias("term"))
+    rows = spark.range(_AMS_K).select(F.col("id").alias("i"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    signs = tk.crossJoin(F.broadcast(rows)).select(
+        "i",
+        (
+            1
+            - 2
+            * F.pmod(
+                dedup.portable_hash(
+                    F.concat_ws(":", F.col("i").cast("string"), F.col("term")),
+                    salt="ams_",
+                ),
+                F.lit(2),
+            )
+        ).alias("sign"),
+    )
+    z = signs.groupBy("i").agg(F.sum("sign").cast("long").alias("z"))
+    est = z.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(dec(F.col("z")) * dec(F.col("z"))).cast("double").alias("sz2"),
+    )
+    ex = (
+        tk.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(F.sum(dec(F.col("f")) * dec(F.col("f"))).cast("long").alias("f2_exact"))
+    )
+    return est.crossJoin(F.broadcast(ex)).selectExpr(*_AMS_OUT)
