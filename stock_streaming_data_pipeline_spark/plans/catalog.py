@@ -199,6 +199,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "spearman_rank_corr",
     "dedup_containment",
     "sketch_ams_f2_tokens",
+    "nb_language_classifier",
 )
 
 

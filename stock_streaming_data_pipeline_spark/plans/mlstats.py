@@ -2470,3 +2470,195 @@ def sketch_ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec(F.col("f")) * dec(F.col("f"))).cast("long").alias("f2_exact"))
     )
     return est.crossJoin(F.broadcast(ex)).selectExpr(*_AMS_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier (train/test split, exact)
+# ---------------------------------------------------------------------------
+
+# Log-probabilities quantized to exact micro-int contributions BEFORE any
+# summation: float addition is order-dependent, so the engines may not
+# agree on a sum of raw doubles — but each per-(lang, term) micro-int is
+# the ln of a ratio of exact integers (identical IEEE input -> identical
+# output), and integer sums are order-free. Rendered into both engines
+# from these shared templates.
+# Parametric on the column references (qualified differently per engine);
+# the arithmetic tree is identical either way.
+_NB_LOGP_T = (
+    "CAST(floor(ln(({c} + 1.0) / ({tot} + {vv})) * 1000000 + 0.5)"
+    " AS BIGINT) AS logp_micro"
+)
+_NB_LOGP = _NB_LOGP_T.format(c="c", tot="tot", vv="vv")
+_NB_PRIOR = (
+    "CAST(floor(ln(nd * 1.0 / ndt) * 1000000 + 0.5) AS BIGINT)"
+    " AS prior_micro"
+)
+
+
+@register(
+    "nb_language_classifier",
+    tags=("ML-stats", "LLM-text"),
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, lang, unnest({toks}) AS term FROM documents
+),
+train AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM tk WHERE doc_id % 2 = 1),
+langs AS (SELECT DISTINCT lang FROM documents WHERE doc_id % 2 = 0),
+vocab AS (SELECT DISTINCT term FROM train),
+vv_t AS (SELECT CAST(count(*) AS BIGINT) AS vv FROM vocab),
+totals AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS tot FROM train GROUP BY 1
+),
+cnts AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS c FROM train GROUP BY 1, 2
+),
+dense AS (
+  SELECT l.lang, v.term,
+         {logp}
+  FROM langs l
+  CROSS JOIN vocab v
+  CROSS JOIN vv_t
+  JOIN totals t ON t.lang = l.lang
+  LEFT JOIN cnts c ON c.lang = l.lang AND c.term = v.term
+),
+prior AS (
+  SELECT d.lang, {prior}
+  FROM (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1) d
+  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS ndt
+              FROM documents WHERE doc_id % 2 = 0)
+),
+dt AS (
+  SELECT doc_id, lang AS true_lang, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM test GROUP BY 1, 2, 3
+),
+contrib AS (
+  SELECT dt.doc_id, dt.true_lang, d.lang,
+         CAST(sum(dt.cnt * d.logp_micro) AS BIGINT) AS s
+  FROM dt JOIN dense d ON d.term = dt.term
+  GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT t.doc_id, t.true_lang, l.lang
+  FROM (SELECT DISTINCT doc_id, lang AS true_lang FROM documents
+        WHERE doc_id % 2 = 1) t
+  CROSS JOIN langs l
+),
+scores AS (
+  SELECT g.doc_id, g.true_lang, g.lang,
+         coalesce(c.s, 0) + p.prior_micro AS score
+  FROM grid g
+  LEFT JOIN contrib c
+    ON c.doc_id = g.doc_id AND c.lang = g.lang
+  JOIN prior p ON p.lang = g.lang
+),
+pred AS (
+  SELECT doc_id, true_lang,
+         (min({{'ns': -score, 'lang': lang}})).lang AS pred_lang
+  FROM scores GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+""".format(
+        toks=dedup.SQL_TOKENS.format(text="text"),
+        logp=_NB_LOGP_T.format(c="coalesce(c.c, 0)", tot="t.tot", vv="vv_t.vv"),
+        prior=_NB_PRIOR,
+    ),
+)
+def nb_language_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language identifier with Laplace
+    smoothing, trained on the even doc_ids and evaluated on the odd
+    ones, reporting the full confusion matrix. The whole train/predict
+    cycle is relational: training is two groupBys (per-(lang, term)
+    counts and per-lang totals); the smoothed log-likelihood table is
+    densified over the langs x train-vocab grid (vocab-bounded, never
+    SF x vocab); prediction joins test (doc, term) counts to that table
+    and elects argmax with one min(struct(-score, lang)) aggregate —
+    map-side combinable, no ranking window. OOV test terms (absent from
+    the train vocabulary) are ignored — the standard NB convention, and
+    identical in both engines because the term join drops them. Every
+    log-probability is micro-quantized to an exact BIGINT BEFORE
+    summation (float addition is order-dependent across engines;
+    integer sums are order-free), from ln of ratios of exact integers.
+    Scale shape: token explode + map-combined groupBys over the corpus;
+    everything after is bounded by vocab x langs; the per-(doc, lang)
+    score shuffle carries langs rows per test doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", "lang", F.explode(dedup.tokens(F.col("text"))).alias("term")
+    )
+    train = tk.filter(F.col("doc_id") % 2 == 0)
+    test = tk.filter(F.col("doc_id") % 2 == 1)
+    tr_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    # groupBy (an Aggregate, SF-independent output) rather than distinct
+    # (a Deduplicate node the broadcast lint can't see a bound through)
+    langs = tr_docs.groupBy("lang").agg(F.count(F.lit(1)).alias("_nl")).select(
+        "lang"
+    )
+    vocab = train.select("term").distinct()
+    vv_t = vocab.agg(F.count(F.lit(1)).cast("long").alias("vv"))
+    totals = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("tot")
+    )
+    cnts = train.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c0")
+    )
+    dense = (
+        langs.crossJoin(vocab)
+        .crossJoin(F.broadcast(vv_t))
+        .join(F.broadcast(totals), "lang")
+        .join(cnts, ["lang", "term"], "left")
+        .withColumn("c", F.coalesce(F.col("c0"), F.lit(0)))
+        .selectExpr("lang", "term", _NB_LOGP)
+    )
+    prior = (
+        tr_docs.groupBy("lang")
+        .agg(F.countDistinct("doc_id").cast("long").alias("nd"))
+        .crossJoin(
+            F.broadcast(
+                tr_docs.agg(F.count(F.lit(1)).cast("long").alias("ndt"))
+            )
+        )
+        .selectExpr("lang", _NB_PRIOR)
+    )
+    dt = test.groupBy(
+        "doc_id", F.col("lang").alias("true_lang"), "term"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    contrib = (
+        dt.join(dense.withColumnsRenamed({"lang": "plang"}), "term")
+        .groupBy("doc_id", "true_lang", "plang")
+        .agg(F.sum(F.col("cnt") * F.col("logp_micro")).cast("long").alias("s"))
+    )
+    grid = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.col("lang").alias("true_lang"))
+        .distinct()
+        .crossJoin(F.broadcast(langs.withColumnsRenamed({"lang": "plang"})))
+    )
+    scores = (
+        grid.join(contrib, ["doc_id", "true_lang", "plang"], "left")
+        .join(
+            F.broadcast(prior.withColumnsRenamed({"lang": "plang"})), "plang"
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "plang",
+            (F.coalesce(F.col("s"), F.lit(0)) + F.col("prior_micro")).alias(
+                "score"
+            ),
+        )
+    )
+    pred = (
+        scores.groupBy("doc_id", "true_lang")
+        .agg(
+            F.min(
+                F.struct((-F.col("score")).alias("ns"), F.col("plang").alias("lang"))
+            ).alias("w")
+        )
+        .select("doc_id", "true_lang", F.col("w.lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
