@@ -200,6 +200,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "sketch_ams_f2_tokens",
     "nb_language_classifier",
+    "ts_periodogram_fixed",
 )
 
 

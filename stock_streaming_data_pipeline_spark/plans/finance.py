@@ -1546,3 +1546,135 @@ def ts_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.abs(F.col("robust_z")) > 3.5).select(
         "event_type", "slot", "residual_micro", "robust_z"
     )
+
+
+# ---------------------------------------------------------------------------
+# Periodogram at fixed calendar periods (daily / weekly spectral power)
+# ---------------------------------------------------------------------------
+
+# Frozen integer micro-cos/sin tables, computed ONCE in Python and embedded
+# as literals in BOTH engines — no transcendental evaluation happens inside
+# either engine, so there is no libm-agreement question at all, and every
+# per-row contribution is an exact integer (float sums are order-dependent;
+# integer sums are order-free).
+import math as _math  # noqa: E402
+
+_PG_PERIODS = (24, 168)  # hours: daily, weekly
+_PG_TABLE = [
+    (
+        P,
+        p,
+        int(_math.floor(_math.cos(2 * _math.pi * p / P) * 1e6 + 0.5)),
+        int(_math.floor(_math.sin(2 * _math.pi * p / P) * 1e6 + 0.5)),
+    )
+    for P in _PG_PERIODS
+    for p in range(P)
+]
+_PG_VALUES = ", ".join(f"({P}, {p}, {c}, {s})" for P, p, c, s in _PG_TABLE)
+
+# Mean-removed projection power, all inputs exact integers cast to DOUBLE.
+_PG_OUT = (
+    "event_type",
+    "period",
+    "n_hours",
+    "CAST(floor((cn * cn + sn * sn) / (1000000000000.0 * nn * vn) * 1000000"
+    " + 0.5) AS BIGINT) AS power_rel_micro",
+)
+
+
+@register(
+    "ts_periodogram_fixed",
+    tags=("ML-stats", "A1"),
+    oracle=f"""
+WITH ht AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+tbl(period, phase, cq, sq) AS (VALUES {_PG_VALUES}),
+j AS (
+  SELECT event_type, period, x, cq, sq
+  FROM ht JOIN tbl ON tbl.phase = ht.h % tbl.period
+),
+s AS (
+  SELECT event_type, period,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * cq) AS HUGEINT) AS sxc,
+         CAST(sum(CAST(x AS HUGEINT) * sq) AS HUGEINT) AS sxs,
+         CAST(sum(CAST(cq AS HUGEINT)) AS HUGEINT) AS csum,
+         CAST(sum(CAST(sq AS HUGEINT)) AS HUGEINT) AS ssum
+  FROM j GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, period, n_hours,
+         CAST(n_hours AS DOUBLE) AS nn,
+         CAST(n_hours * sxc - sx * csum AS DOUBLE) AS cn,
+         CAST(n_hours * sxs - sx * ssum AS DOUBLE) AS sn,
+         CAST(n_hours * sxx - sx * sx AS DOUBLE) AS vn
+  FROM s
+)
+SELECT {", ".join(_PG_OUT)}
+FROM d
+""",
+)
+def ts_periodogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram of the hourly event-volume series at the two calendar
+    frequencies that matter operationally — daily (24 h) and weekly
+    (168 h) — per event type. Reports the mean-removed projection power
+    ``|<x - mean, e^{-iwt}>|^2 / (n * sum((x - mean)^2))``: the squared
+    fraction of the series' variance explained by the sinusoid pair at
+    that frequency, ~0 for white noise and ->1 for a pure tone. The
+    engine-portability design: the cos/sin values are FROZEN integer
+    micro-tables (period 24 + 168 = 192 rows) computed once in Python
+    and embedded as literals in both plans — neither engine evaluates a
+    transcendental, every per-row contribution is an exact integer, and
+    mean removal is folded in exactly via the n-scaled identity
+    ``n*C - sx*sum(cos)`` in HUGEINT/DECIMAL(38,0) before the single
+    cast to double. Scale shape: one hourly groupBy over the fact table
+    (map-combined), a broadcast join against the 192-row phase table,
+    then ONE aggregate to |event_types| x 2 rows; the DFT never
+    materializes per-frequency series copies beyond the 2x phase fan."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ht = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(3_600_000_000))
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    tbl = spark.createDataFrame(
+        _PG_TABLE, schema="period INT, phase INT, cq BIGINT, sq BIGINT"
+    )
+    j = ht.join(
+        F.broadcast(tbl),
+        F.pmod(F.col("h"), F.col("period")) == F.col("phase"),
+    ).select("event_type", "period", "x", "cq", "sq")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = j.groupBy("event_type", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("x")) * dec(F.col("cq"))).alias("sxc"),
+        F.sum(dec(F.col("x")) * dec(F.col("sq"))).alias("sxs"),
+        F.sum(dec(F.col("cq"))).alias("csum"),
+        F.sum(dec(F.col("sq"))).alias("ssum"),
+    )
+    d = s.select(
+        "event_type",
+        "period",
+        "n_hours",
+        F.col("n_hours").cast("double").alias("nn"),
+        (dec(F.col("n_hours")) * F.col("sxc") - F.col("sx") * F.col("csum"))
+        .cast("double")
+        .alias("cn"),
+        (dec(F.col("n_hours")) * F.col("sxs") - F.col("sx") * F.col("ssum"))
+        .cast("double")
+        .alias("sn"),
+        (dec(F.col("n_hours")) * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("vn"),
+    )
+    return d.selectExpr(*_PG_OUT)
