@@ -365,3 +365,48 @@ def bfs_hops(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def hits(edges: DataFrame, *, rounds: int = 3) -> tuple[DataFrame, DataFrame]:
+    """HITS (hubs & authorities) power iteration on a directed bipartite
+    edge set ``(u, i)`` — hubs on the ``u`` side, authorities on ``i``.
+    Each round is the textbook pair of sparse matvecs, hub = E . auth
+    then auth = E^T . hub, expressed as join + map-combined groupBy sums
+    (the :func:`pagerank` discipline: no ranking windows, lineage cut per
+    round with localCheckpoint).
+
+    Engine-portability/determinism design: NO per-round normalization —
+    float division would make every score a sum of doubles (order-
+    dependent across engines); instead scores stay EXACT integers in
+    DECIMAL(38,0) and the caller normalizes once at the end (a single
+    int->double cast is deterministic). Integer growth is a factor of
+    at most (max_u deg * max_i deg) per round — for deeper iterations or
+    extreme-skew graphs, switch to power-of-two scaling per round (still
+    exact in binary floating point); at ``rounds<=3`` the 38-digit
+    headroom covers even hot-key degrees in the 1e6 range.
+
+    Returns ``(hubs, auths)``: (u, h) and (i, a) with exact decimal
+    scores after ``rounds`` full rounds.
+    """
+    e = edges.localCheckpoint(eager=False)
+    auth = (
+        e.groupBy("i")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .select("i", F.lit(1).cast("decimal(38,0)").alias("a"))
+        .localCheckpoint(eager=False)
+    )
+    hub = None
+    for _ in range(rounds):
+        hub = (
+            e.join(auth, "i")
+            .groupBy("u")
+            .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+            .localCheckpoint(eager=False)
+        )
+        auth = (
+            e.join(hub, "u")
+            .groupBy("i")
+            .agg(F.sum("h").cast("decimal(38,0)").alias("a"))
+            .localCheckpoint(eager=False)
+        )
+    return hub, auth

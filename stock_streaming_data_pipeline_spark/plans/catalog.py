@@ -201,6 +201,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "sketch_ams_f2_tokens",
     "nb_language_classifier",
     "ts_periodogram_fixed",
+    "graph_hits_authorities",
 )
 
 

@@ -2662,3 +2662,89 @@ def nb_language_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities on the customer -> part purchase graph
+# ---------------------------------------------------------------------------
+
+
+def _hits_oracle(rounds: int) -> str:
+    parts = [
+        """e AS MATERIALIZED (
+  SELECT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)""",
+        "a0 AS MATERIALIZED (SELECT i, CAST(1 AS HUGEINT) AS a "
+        "FROM e GROUP BY i)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""h{r} AS MATERIALIZED (
+  SELECT u, CAST(sum(a) AS HUGEINT) AS h
+  FROM e JOIN a{r - 1} USING (i) GROUP BY 1
+),
+a{r} AS MATERIALIZED (
+  SELECT i, CAST(sum(h) AS HUGEINT) AS a
+  FROM e JOIN h{r} USING (u) GROUP BY 1
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body},
+m AS (SELECT CAST(max(a) AS DOUBLE) AS amax FROM a{rounds})
+SELECT i AS part_key,
+       CAST(floor(CAST(a AS DOUBLE) / amax * 1000000 + 0.5) AS BIGINT)
+         AS auth_rel_micro
+FROM a{rounds}, m
+ORDER BY a DESC, i LIMIT 20
+"""
+
+
+@register(
+    "graph_hits_authorities",
+    tags=("ML-stats", "LLM-graph"),
+    oracle=_hits_oracle(rounds=3),
+)
+def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (operators/graph.py:hits, 3 rounds) on
+    the directed customer -> part purchase bipartite graph: the top-20
+    authority parts — the items bought by the customers who buy the most
+    widely-endorsed items, a mutually-reinforcing centrality PageRank's
+    single-mode random walk doesn't capture. Scores stay EXACT integers
+    through all rounds (no per-round float normalization — sums of
+    doubles are order-dependent across engines); one int->double cast
+    normalizes by the max at the end. The oracle unrolls all 3 rounds as
+    MATERIALIZED CTEs in HUGEINT. Scale shape per round: two join +
+    map-combined groupBy matvecs (shuffles keyed on u / i, hot keys
+    partial-aggregate map-side); final top-20 is a
+    TakeOrderedAndProject, never a global sort."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .select("u", "i")
+    )
+    _hub, auth = graph.hits(e, rounds=3)
+    amax = auth.agg(F.max("a").cast("double").alias("amax"))
+    return (
+        auth.crossJoin(F.broadcast(amax))
+        .select(
+            F.col("i").alias("part_key"),
+            F.floor(
+                F.col("a").cast("double") / F.col("amax") * 1000000 + 0.5
+            )
+            .cast("long")
+            .alias("auth_rel_micro"),
+            "a",
+        )
+        .orderBy(F.desc("a"), F.asc("part_key"))
+        .limit(20)
+        .select("part_key", "auth_rel_micro")
+    )
