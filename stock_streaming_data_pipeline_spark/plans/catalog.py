@@ -202,6 +202,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "nb_language_classifier",
     "ts_periodogram_fixed",
     "graph_hits_authorities",
+    "pca_top_component",
 )
 
 

@@ -2748,3 +2748,129 @@ def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("part_key", "auth_rel_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top principal component by integer-exact power iteration
+# ---------------------------------------------------------------------------
+
+from stock_streaming_data_pipeline_spark.operators import pca  # noqa: E402
+
+_PCA_DIM = 64
+_PCA_ROUNDS = 8
+# Shared renormalization / explained-variance expressions (exact-int
+# inputs -> identical IEEE trees in both engines).
+_PCA_NORM = (
+    "CAST(floor(CAST(raw AS DOUBLE) / m * 1000000 + 0.5) AS BIGINT)"
+)
+_PCA_EVR = (
+    "CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+    " / CAST(tr AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS evr_micro"
+)
+
+
+def _pca_oracle(rounds: int, dim: int) -> str:
+    parts = [
+        """xq AS MATERIALIZED (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings
+)""",
+        f"idx AS (SELECT range AS i FROM range({dim}))",
+        """gram AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(CAST(xq[a.i + 1] AS HUGEINT) * xq[b.i + 1]) AS HUGEINT) AS sxx
+  FROM xq, idx a, idx b GROUP BY 1, 2
+)""",
+        """sums AS MATERIALIZED (
+  SELECT a.i AS i, CAST(sum(xq[a.i + 1]) AS HUGEINT) AS sx
+  FROM xq, idx a GROUP BY 1
+)""",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM xq)",
+        """cov AS MATERIALIZED (
+  SELECT g.i, g.j, CAST(n AS HUGEINT) * g.sxx - s1.sx * s2.sx AS c
+  FROM gram g JOIN sums s1 ON s1.i = g.i JOIN sums s2 ON s2.i = g.j
+  CROSS JOIN nn
+)""",
+        "v0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS v FROM idx)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""r{r} AS MATERIALIZED (
+  SELECT c.i, CAST(sum(c.c * v.v) AS HUGEINT) AS raw
+  FROM cov c JOIN v{r - 1} v ON v.j = c.j GROUP BY 1
+),
+m{r} AS (SELECT CAST(max(abs(raw)) AS DOUBLE) AS m FROM r{r}),
+v{r} AS MATERIALIZED (
+  SELECT i AS j, {_PCA_NORM} AS v FROM r{r}, m{r}
+)"""
+        )
+    parts.append(
+        f"""rf AS MATERIALIZED (
+  SELECT c.i, CAST(sum(c.c * v.v) AS HUGEINT) AS raw
+  FROM cov c JOIN v{rounds} v ON v.j = c.j GROUP BY 1
+),
+num_t AS (
+  SELECT CAST(sum(CAST(v.v AS HUGEINT) * rf.raw) AS HUGEINT) AS num
+  FROM v{rounds} v JOIN rf ON rf.i = v.j
+),
+den_t AS (
+  SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS den FROM v{rounds}
+),
+tr_t AS (SELECT CAST(sum(c) AS HUGEINT) AS tr FROM cov WHERE i = j)"""
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT j AS dim_idx, v AS loading_micro, {_PCA_EVR}
+FROM v{rounds}, num_t, den_t, tr_t
+"""
+
+
+@register(
+    "pca_top_component",
+    tags=("ML-stats", "LLM-embedding"),
+    oracle=_pca_oracle(_PCA_ROUNDS, _PCA_DIM),
+)
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus (loadings plus
+    explained-variance ratio) by 8 rounds of power iteration over the
+    exact integer covariance (operators/pca.py). Nothing in the whole
+    pipeline ever adds two doubles from different rows: components are
+    micro-quantized once, the centered n-scaled covariance accumulates
+    in DECIMAL(38,0), every matvec is an integer join+groupBy, and each
+    round renormalizes by ONE deterministic int->double cast+divide —
+    so the DuckDB oracle (HUGEINT, all 8 rounds unrolled) matches
+    bit-for-bit. Scale shape: the corpus is touched ONCE by a
+    generator-only Gram pass (no self-join; map-side partials collapse
+    onto d^2 = 4096 keys before the only corpus-sized shuffle); all 8
+    iterations run on the 4096-row covariance relation."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = pca.covariance_rows(emb, id_col="vec_id", vec_col="embedding")
+    cov = cov.localCheckpoint(eager=False)
+    v = pca.power_iteration(cov, rounds=_PCA_ROUNDS)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rf = (
+        cov.join(v.withColumnsRenamed({"i": "j"}), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * dec(F.col("v"))).alias("raw"))
+    )
+    num_t = (
+        v.join(rf, "i")
+        .agg(F.sum(dec(F.col("v")) * F.col("raw")).alias("num"))
+    )
+    den_t = v.agg(F.sum(dec(F.col("v")) * dec(F.col("v"))).alias("den"))
+    tr_t = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum("c").alias("tr")
+    )
+    return (
+        v.crossJoin(F.broadcast(num_t))
+        .crossJoin(F.broadcast(den_t))
+        .crossJoin(F.broadcast(tr_t))
+        .selectExpr(
+            "i AS dim_idx",
+            "v AS loading_micro",
+            _PCA_EVR,
+        )
+    )
