@@ -203,6 +203,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ts_periodogram_fixed",
     "graph_hits_authorities",
     "pca_top_component",
+    "pca_projection_extremes",
 )
 
 

@@ -2874,3 +2874,81 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             _PCA_EVR,
         )
     )
+
+
+@register(
+    "pca_projection_extremes",
+    tags=("ML-stats", "LLM-embedding"),
+    oracle=_pca_oracle(_PCA_ROUNDS, _PCA_DIM).replace(
+        f"""SELECT j AS dim_idx, v AS loading_micro, {_PCA_EVR}
+FROM v{_PCA_ROUNDS}, num_t, den_t, tr_t""",
+        f"""
+, scores AS MATERIALIZED (
+  SELECT e.vec_id,
+         CAST(sum(CAST(x.xq[v.j + 1] AS HUGEINT) * v.v) AS HUGEINT) AS s
+  FROM embeddings e
+  JOIN xq2 x ON x.vec_id = e.vec_id
+  CROSS JOIN v{_PCA_ROUNDS} v
+  GROUP BY 1
+),
+ranked AS (
+  (SELECT vec_id, s, 'top' AS side FROM scores ORDER BY s DESC, vec_id LIMIT 10)
+  UNION ALL
+  (SELECT vec_id, s, 'bottom' AS side FROM scores ORDER BY s ASC, vec_id LIMIT 10)
+)
+SELECT vec_id, side,
+       CAST(floor(CAST(s AS DOUBLE) / 1000000 + 0.5) AS BIGINT) AS proj_micro
+FROM ranked""",
+    ).replace(
+        """xq AS MATERIALIZED (
+  SELECT list_transform(embedding,""",
+        """xq2 AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings
+),
+xq AS MATERIALIZED (
+  SELECT list_transform(embedding,""",
+    ),
+)
+def pca_projection_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applies the learned top principal component back to the corpus —
+    the 10 most-positive and 10 most-negative vectors along PC1 (the
+    'what does this axis mean' inspection every embedding-space audit
+    starts with). The projection is a per-row integer dot product
+    (micro-quantized components x the micro-scaled eigenvector from
+    pca_top_component's identical subplan), so scores are exact BIGINTs
+    and the top/bottom-10 are TakeOrderedAndProject heads with
+    deterministic (score, vec_id) tie-breaks — never a global sort.
+    Scale: the corpus pass is one broadcast-join of the 64-row
+    eigenvector against the exploded components + a map-combined
+    per-vector sum."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = pca.covariance_rows(emb, id_col="vec_id", vec_col="embedding").localCheckpoint(
+        eager=False
+    )
+    v = pca.power_iteration(cov, rounds=_PCA_ROUNDS)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    comps = pca.quantized_components(emb, id_col="vec_id", vec_col="embedding")
+    scores = (
+        comps.join(F.broadcast(v), "i")
+        .groupBy("vid")
+        .agg(F.sum(dec(F.col("xi")) * dec(F.col("v"))).alias("s"))
+    )
+    top = (
+        scores.orderBy(F.desc("s"), F.asc("vid"))
+        .limit(10)
+        .select("vid", "s", F.lit("top").alias("side"))
+    )
+    bottom = (
+        scores.orderBy(F.asc("s"), F.asc("vid"))
+        .limit(10)
+        .select("vid", "s", F.lit("bottom").alias("side"))
+    )
+    return top.unionByName(bottom).selectExpr(
+        "vid AS vec_id",
+        "side",
+        "CAST(floor(CAST(s AS DOUBLE) / 1000000 + 0.5) AS BIGINT) AS proj_micro",
+    )
