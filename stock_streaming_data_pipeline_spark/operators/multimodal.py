@@ -859,3 +859,27 @@ def jpeg_progressive_color_pixel_stats(media: DataFrame) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
+PIXEL_ROWS_SCHEMA = "media_id long, i int, v int"
+
+
+def png_pixel_rows(media: DataFrame) -> DataFrame:
+    """Per-pixel rows (media_id, i, v) via REAL PNG decode (mapInPandas) —
+    the relational hand-off for downstream pixel-domain operators
+    (DCT perceptual hashing, histogram audits): the Python side ONLY
+    decodes; every transform after this row stream is Catalyst
+    expressions. i is row-major sample index."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, vals = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, _ch, px = png_codec.decode_png(bytes(payload))
+                mids.extend([mid] * len(px))
+                idxs.extend(range(len(px)))
+                vals.extend(px)
+            if mids:
+                yield pd.DataFrame({"media_id": mids, "i": idxs, "v": vals})
+
+    return media.mapInPandas(run, PIXEL_ROWS_SCHEMA)

@@ -204,6 +204,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "graph_hits_authorities",
     "pca_top_component",
     "pca_projection_extremes",
+    "multimodal_phash_neardup",
 )
 
 

@@ -3278,3 +3278,141 @@ def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree",
         F.expr("(degree * 2000000 + freq) DIV (2 * freq)").alias("score_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (DCT sign) image near-dup
+# ---------------------------------------------------------------------------
+
+import math as _math  # noqa: E402
+
+# Frozen integer micro-cosine DCT-II table for the 4 lowest frequencies of
+# an 8-sample row: ct[u][x] = round(cos(pi*(2x+1)*u/16) * 1e6). Computed
+# once in Python, embedded as literals in BOTH engines — no in-engine
+# transcendentals, every DCT coefficient is an exact integer.
+_DCT_TAB = [
+    (u, x, int(_math.floor(_math.cos(_math.pi * (2 * x + 1) * u / 16) * 1e6 + 0.5)))
+    for u in range(4)
+    for x in range(8)
+]
+_DCT_CSUM = {u: sum(c for uu, _x, c in _DCT_TAB if uu == u) for u in range(4)}
+# Per-AC-coefficient parameters: bit index, bit weight, and the centering
+# constant csum_u * csum_v (sum over pixels of the basis function).
+_PHASH_PAR = [
+    (u, v, v * 4 + u - 1, 1 << (v * 4 + u - 1), _DCT_CSUM[u] * _DCT_CSUM[v])
+    for v in range(4)
+    for u in range(4)
+    if not (u == 0 and v == 0)
+]
+_DCT_VALUES = ", ".join(f"({u}, {x}, {c})" for u, x, c in _DCT_TAB)
+_PHASH_VALUES = ", ".join(
+    f"({u}, {v}, {b}, {w}, {cc})" for u, v, b, w, cc in _PHASH_PAR
+)
+
+
+@register(
+    "multimodal_phash_neardup",
+    tags=("LLM-multimodal", "LLM-dedup"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS media_id,
+         substr({_MEDIA_TEXT_SQL} || repeat(' ', 64), 1, 64) AS s
+  FROM documents
+),
+px AS (
+  SELECT media_id, CAST(u.i AS INT) - 1 AS i,
+         ascii(substr(s, CAST(u.i AS INT), 1)) AS v
+  FROM t, unnest(range(1, 65)) AS u(i)
+),
+px2 AS (SELECT media_id, i % 8 AS x, i // 8 AS y, v FROM px),
+sp AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS sp FROM px GROUP BY 1),
+ct(u, x, c) AS (VALUES {_DCT_VALUES}),
+par(u, vv, bit, w, cc) AS (VALUES {_PHASH_VALUES}),
+s AS (
+  SELECT p.media_id, cx.u AS u, cy.u AS vv,
+         CAST(sum(CAST(p.v AS HUGEINT) * cx.c * cy.c) AS HUGEINT) AS s_uv
+  FROM px2 p JOIN ct cx ON cx.x = p.x JOIN ct cy ON cy.x = p.y
+  GROUP BY 1, 2, 3
+),
+d AS (
+  SELECT s.media_id, par.w,
+         64 * s.s_uv - CAST(sp.sp AS HUGEINT) * par.cc AS dd
+  FROM s JOIN par ON par.u = s.u AND par.vv = s.vv
+  JOIN sp ON sp.media_id = s.media_id
+),
+ph AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN dd > 0 THEN w ELSE 0 END) AS BIGINT) AS phash
+  FROM d GROUP BY 1
+)
+SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
+       min(media_id) AS min_doc, max(media_id) AS max_doc
+FROM ph GROUP BY 1 HAVING count(*) >= 2
+""",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT-sign perceptual hash over REAL decoded images, bucketed for
+    near-duplicate detection: each document's 8x8 grayscale PNG (real
+    zlib encode) is REALLY decoded back to pixels (mapInPandas — the
+    Python side only decodes), then the 15 lowest-frequency 2D-DCT
+    coefficients are computed RELATIONALLY with frozen integer
+    micro-cosine tables (no in-engine transcendentals), mean-centering
+    folded in exactly via ``64*S_uv - sum_px * csum_u*csum_v``, and the
+    coefficient SIGNS packed into a 15-bit pHash. Images whose hashes
+    collide are perceptual near-dups — robust to brightness scaling and
+    small noise in a way byte-exact dedup is not. The oracle recomputes
+    pixels straight from the text bytes and replays the identical
+    integer DCT. Scale shape: decode is Arrow-batched and payload-local;
+    the DCT is a 32-row broadcast join + map-combined groupBy onto
+    15 rows per image; bucketing is one groupBy on the hash."""
+    docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
+    media = multimodal.documents_as_png_media(docs, width=8, height=8)
+    px = multimodal.png_pixel_rows(media)
+    px2 = px.selectExpr("media_id", "i % 8 AS x", "i div 8 AS y", "v")
+    sp = px.groupBy("media_id").agg(F.sum("v").cast("long").alias("sp"))
+    ct = spark.createDataFrame(_DCT_TAB, schema="u INT, x INT, c BIGINT")
+    par = spark.createDataFrame(
+        _PHASH_PAR, schema="u INT, vv INT, bit INT, w BIGINT, cc BIGINT"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = (
+        px2.join(F.broadcast(ct), "x")
+        .join(
+            F.broadcast(
+                ct.withColumnsRenamed({"u": "vv", "x": "y", "c": "c2"})
+            ),
+            "y",
+        )
+        .groupBy("media_id", "u", "vv")
+        .agg(
+            F.sum(dec(F.col("v")) * dec(F.col("c")) * dec(F.col("c2"))).alias(
+                "s_uv"
+            )
+        )
+    )
+    d = (
+        s.join(F.broadcast(par), ["u", "vv"])
+        .join(sp, "media_id")
+        .select(
+            "media_id",
+            "w",
+            (
+                F.lit(64).cast("decimal(38,0)") * F.col("s_uv")
+                - dec(F.col("sp")) * dec(F.col("cc"))
+            ).alias("dd"),
+        )
+    )
+    ph = d.groupBy("media_id").agg(
+        F.sum(F.when(F.col("dd") > 0, F.col("w")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("phash")
+    )
+    return (
+        ph.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("media_id").alias("min_doc"),
+            F.max("media_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
