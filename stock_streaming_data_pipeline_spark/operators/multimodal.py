@@ -883,3 +883,27 @@ def png_pixel_rows(media: DataFrame) -> DataFrame:
                 yield pd.DataFrame({"media_id": mids, "i": idxs, "v": vals})
 
     return media.mapInPandas(run, PIXEL_ROWS_SCHEMA)
+
+
+SAMPLE_ROWS_SCHEMA = "media_id long, pos int, v int"
+
+
+def wav_sample_rows(media: DataFrame) -> DataFrame:
+    """Per-sample rows (media_id, pos, v) via REAL WAV decode
+    (mapInPandas) — the relational hand-off for spectral operators
+    (framed DFT spectrograms): Python only decodes; all signal math
+    after this row stream is Catalyst expressions."""
+    from stock_streaming_data_pipeline_spark.operators import wav_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, poss, vals = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, s = wav_codec.decode_wav(bytes(payload))
+                mids.extend([mid] * len(s))
+                poss.extend(range(len(s)))
+                vals.extend(s)
+            if mids:
+                yield pd.DataFrame({"media_id": mids, "pos": poss, "v": vals})
+
+    return media.mapInPandas(run, SAMPLE_ROWS_SCHEMA)

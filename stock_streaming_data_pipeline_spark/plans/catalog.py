@@ -205,6 +205,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "pca_top_component",
     "pca_projection_extremes",
     "multimodal_phash_neardup",
+    "multimodal_wav_spectrogram",
 )
 
 

@@ -3416,3 +3416,94 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# WAV spectrogram: framed DFT over real audio decode
+# ---------------------------------------------------------------------------
+
+# Frozen integer micro cos/sin DFT tables for bins k=1..4 of a 16-sample
+# frame — same no-in-engine-transcendentals discipline as the DCT pHash.
+_SPG_N = 16
+_SPG_BINS = 4
+_SPG_TAB = [
+    (
+        k,
+        p,
+        int(_math.floor(_math.cos(2 * _math.pi * k * p / _SPG_N) * 1e6 + 0.5)),
+        int(_math.floor(_math.sin(2 * _math.pi * k * p / _SPG_N) * 1e6 + 0.5)),
+    )
+    for k in range(1, _SPG_BINS + 1)
+    for p in range(_SPG_N)
+]
+_SPG_VALUES = ", ".join(f"({k}, {p}, {c}, {s})" for k, p, c, s in _SPG_TAB)
+_SPG_MAG = (
+    "CAST(floor((CAST(c AS DOUBLE) * CAST(c AS DOUBLE)"
+    " + CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / 1000000000000.0 + 0.5)"
+    " AS BIGINT) AS mag2"
+)
+
+
+@register(
+    "multimodal_wav_spectrogram",
+    tags=("LLM-multimodal",),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS media_id,
+         substr({_MEDIA_TEXT_SQL} || repeat(' ', 64), 1, 64) AS s
+  FROM documents
+),
+sm AS (
+  SELECT media_id, CAST(u.i AS INT) - 1 AS pos,
+         (ascii(substr(s, CAST(u.i AS INT), 1)) - 100) * 128 AS v
+  FROM t, unnest(range(1, 65)) AS u(i)
+),
+fr AS (
+  SELECT media_id, pos // {_SPG_N} AS frame, pos % {_SPG_N} AS ph, v
+  FROM sm
+),
+tab(k, ph, cq, sq) AS (VALUES {_SPG_VALUES}),
+acc AS (
+  SELECT f.media_id, f.frame, tab.k,
+         CAST(sum(CAST(f.v AS HUGEINT) * tab.cq) AS BIGINT) AS c,
+         CAST(sum(CAST(f.v AS HUGEINT) * tab.sq) AS BIGINT) AS s
+  FROM fr f JOIN tab ON tab.ph = f.ph
+  GROUP BY 1, 2, 3
+)
+SELECT media_id, frame, k, {_SPG_MAG}
+FROM acc
+""",
+)
+def multimodal_wav_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectrogram over REAL decoded audio: each clip (the WAV round-trip
+    of multimodal_wav_decode) is framed into 4 x 16-sample windows and
+    each frame's power at DFT bins k=1..4 (500-2000 Hz at the 8 kHz
+    rate) computed RELATIONALLY — frozen integer micro cos/sin tables
+    (no in-engine transcendentals), exact integer accumulators per
+    (clip, frame, bin), one deterministic int->double cast for the
+    squared magnitude. This is the time-frequency feature grid an audio
+    curation pipeline filters on (speech/music/silence bands). The
+    oracle recomputes samples straight from the text bytes and replays
+    the identical DFT. Scale shape: decode is Arrow-batched and
+    payload-local; the DFT is a 64-row broadcast join + map-combined
+    groupBy onto 16 rows per clip — no window functions, no shuffle
+    wider than the output."""
+    docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
+    media = multimodal.documents_as_wav_media(docs, n_samples=64)
+    sm = multimodal.wav_sample_rows(media)
+    fr = sm.selectExpr(
+        "media_id", f"pos div {_SPG_N} AS frame", f"pos % {_SPG_N} AS ph", "v"
+    )
+    tab = spark.createDataFrame(
+        _SPG_TAB, schema="k INT, ph INT, cq BIGINT, sq BIGINT"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    acc = (
+        fr.join(F.broadcast(tab), "ph")
+        .groupBy("media_id", "frame", "k")
+        .agg(
+            F.sum(dec(F.col("v")) * dec(F.col("cq"))).cast("long").alias("c"),
+            F.sum(dec(F.col("v")) * dec(F.col("sq"))).cast("long").alias("s"),
+        )
+    )
+    return acc.selectExpr("media_id", "frame", "k", _SPG_MAG)
