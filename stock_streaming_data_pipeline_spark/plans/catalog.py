@@ -206,6 +206,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "pca_projection_extremes",
     "multimodal_phash_neardup",
     "multimodal_wav_spectrogram",
+    "markov_stationary_events",
 )
 
 

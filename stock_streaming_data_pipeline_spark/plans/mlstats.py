@@ -2952,3 +2952,119 @@ def pca_projection_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "side",
         "CAST(floor(CAST(s AS DOUBLE) / 1000000 + 0.5) AS BIGINT) AS proj_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution over the event-type transition chain
+# ---------------------------------------------------------------------------
+
+_MKV_ROUNDS = 8
+# Per-round L1 renormalization — ONE deterministic int->double cast+divide
+# per state, identical tree in both engines.
+_MKV_NORM = "CAST(floor(CAST(raw AS DOUBLE) / tot * 1000000 + 0.5) AS BIGINT)"
+
+
+def _markov_oracle(rounds: int) -> str:
+    parts = [
+        """ordered AS MATERIALIZED (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS next_type
+  FROM events
+)""",
+        """trans AS MATERIALIZED (
+  SELECT event_type AS a, next_type AS b, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE next_type IS NOT NULL GROUP BY 1, 2
+)""",
+        """pq AS MATERIALIZED (
+  SELECT a, b,
+         CAST(floor(CAST(n AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT)
+           AS pq
+  FROM trans JOIN (SELECT a, CAST(sum(n) AS BIGINT) AS total
+                   FROM trans GROUP BY 1) USING (a)
+)""",
+        "p0 AS (SELECT a AS s, CAST(1000000 AS BIGINT) AS v "
+        "FROM trans GROUP BY 1)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""r{r} AS MATERIALIZED (
+  SELECT pq.b AS s, CAST(sum(CAST(p.v AS HUGEINT) * pq.pq) AS HUGEINT) AS raw
+  FROM p{r - 1} p JOIN pq ON pq.a = p.s GROUP BY 1
+),
+t{r} AS (SELECT CAST(sum(raw) AS DOUBLE) AS tot FROM r{r}),
+p{r} AS MATERIALIZED (
+  SELECT s, {_MKV_NORM} AS v FROM r{r}, t{r}
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT s AS event_type, v AS stationary_micro FROM p{rounds}
+"""
+
+
+@register(
+    "markov_stationary_events",
+    tags=("ML-stats", "W4"),
+    oracle=_markov_oracle(_MKV_ROUNDS),
+)
+def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain —
+    where user journeys spend their time in the long run, the
+    steady-state companion to event_transition_matrix's one-step view.
+    Transition counts come from one lead() pass partitioned by user;
+    the row-stochastic matrix is micro-quantized ONCE (a single
+    deterministic division per transition cell), and 8 power-iteration
+    rounds run as integer matvecs over the |event_types|^2-row relation
+    with an exact L1 renormalization per round (one int->double cast) —
+    the operators/pca.py discipline applied to a chain. The oracle
+    unrolls all rounds in HUGEINT. Scale shape: the fact table is
+    touched once by the window pass + map-combined transition groupBy;
+    every iteration is a joins-over-bounded-relation (states^2 rows)."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("next_type").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    outdeg = trans.groupBy("a").agg(F.sum("n").cast("long").alias("total"))
+    pq = (
+        trans.join(F.broadcast(outdeg), "a")
+        .selectExpr(
+            "a",
+            "b",
+            "CAST(floor(CAST(n AS DOUBLE) / total * 1000000 + 0.5)"
+            " AS BIGINT) AS pq",
+        )
+        .localCheckpoint(eager=False)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    p = (
+        trans.groupBy(F.col("a").alias("s"))
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .select("s", F.lit(1_000_000).cast("long").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_MKV_ROUNDS):
+        raw = (
+            p.join(pq, p["s"] == pq["a"])
+            .groupBy(F.col("b").alias("s2"))
+            .agg(F.sum(dec(F.col("v")) * dec(F.col("pq"))).alias("raw"))
+            .withColumnRenamed("s2", "s")
+        )
+        tot = raw.agg(F.sum("raw").cast("double").alias("tot"))
+        p = (
+            raw.crossJoin(F.broadcast(tot))
+            .selectExpr("s", f"{_MKV_NORM} AS v")
+            .localCheckpoint(eager=False)
+        )
+    return p.selectExpr("s AS event_type", "v AS stationary_micro")
