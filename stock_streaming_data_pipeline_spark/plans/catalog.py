@@ -207,6 +207,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "multimodal_phash_neardup",
     "multimodal_wav_spectrogram",
     "markov_stationary_events",
+    "retrieval_ndcg_eval",
 )
 
 

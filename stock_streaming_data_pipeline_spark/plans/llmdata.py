@@ -3507,3 +3507,146 @@ def multimodal_wav_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return acc.selectExpr("media_id", "frame", "k", _SPG_MAG)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval quality evaluation: nDCG@10 against label relevance
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+# Frozen integer micro discount weights 1/log2(rank+1): computed once in
+# Python, embedded in both engines — DCG becomes an exact integer sum.
+_NDCG_W = [
+    (r, int(_math.floor(1e6 / _math.log2(r + 1) + 0.5)))
+    for r in range(1, _NDCG_K + 1)
+]
+_NDCG_W_VALUES = ", ".join(f"({r}, {w})" for r, w in _NDCG_W)
+_NDCG_CUMW = []
+_acc = 0
+for _r, _w in _NDCG_W:
+    _acc += _w
+    _NDCG_CUMW.append((_r, _acc))
+_NDCG_CUMW_VALUES = ", ".join(f"({r}, {cw})" for r, cw in _NDCG_CUMW)
+
+
+@register(
+    "retrieval_ndcg_eval",
+    tags=("LLM-retrieval",),
+    oracle=f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, a.label AS qlab,
+         b.vec_id AS neighbor_id, b.label AS nlab,
+         round(({_SQL_DOT_AB}) / (({_SQL_NORM_A}) * ({_SQL_NORM_B})), 6)
+           AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {_NDCG_K}),
+wt(rank, w) AS (VALUES {_NDCG_W_VALUES}),
+cumw(r, cw) AS (VALUES {_NDCG_CUMW_VALUES}),
+dcg AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN nlab = qlab THEN w ELSE 0 END) AS BIGINT)
+           AS dcg_micro,
+         CAST(sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel_topk
+  FROM topk JOIN wt USING (rank) GROUP BY 1
+),
+pool AS (
+  SELECT a.vec_id AS query_id,
+         CAST(least(count(*), {_NDCG_K}) AS BIGINT) AS r_ideal
+  FROM embeddings a JOIN embeddings b
+    ON b.label = a.label AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < 10
+  GROUP BY 1
+)
+SELECT d.query_id, d.n_rel_topk,
+       CAST(CASE WHEN p.r_ideal = 0 THEN 0
+            ELSE floor(CAST(d.dcg_micro AS DOUBLE) / c.cw * 1000000 + 0.5)
+            END AS BIGINT) AS ndcg_micro
+FROM dcg d
+JOIN pool p ON p.query_id = d.query_id
+JOIN cumw c ON c.r = p.r_ideal
+""",
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of brute-force cosine retrieval, judged by label match —
+    the retrieval-quality scorecard every embedding-model change gets
+    evaluated on. Relevance is binary (neighbor shares the query's
+    label); DCG uses FROZEN integer micro discount weights
+    1/log2(rank+1) (computed once in Python, embedded in both engines),
+    so the DCG is an exact integer sum, and the ideal DCG is a LOOKUP
+    into the prefix-summed weight table at r_ideal = min(k, corpus
+    relevant count) — corpus-wide ideal, the strict nDCG definition.
+    One deterministic int->double division yields the score. Scale
+    shape: retrieval is the broadcast-queries cosine top-k (per-query
+    rank windows over the 10 LIMIT pools); the ideal-pool count is one
+    label-keyed join+groupBy; everything else is <= 10 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    topk = similarity.cosine_topk(emb, queries, k=_NDCG_K)
+    labels = emb.select("vec_id", "label")
+    wt = spark.createDataFrame(_NDCG_W, schema="rank BIGINT, w BIGINT")
+    cumw = spark.createDataFrame(_NDCG_CUMW, schema="r BIGINT, cw BIGINT")
+    qlabels = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+    )  # key-bounded (vec_id < 10): legitimately broadcastable at any SF
+    lab = (
+        topk.join(F.broadcast(qlabels), "query_id")
+        .join(
+            labels.withColumnsRenamed(
+                {"vec_id": "neighbor_id", "label": "nlab"}
+            ),
+            "neighbor_id",
+        )
+    )
+    dcg = (
+        lab.join(F.broadcast(wt), "rank")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("nlab") == F.col("qlab"), F.col("w")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("dcg_micro"),
+            F.sum(
+                F.when(F.col("nlab") == F.col("qlab"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_rel_topk"),
+        )
+    )
+    pool = (
+        qlabels
+        .join(
+            labels.withColumnsRenamed({"vec_id": "bid", "label": "nlab"}),
+            F.col("nlab") == F.col("qlab"),
+        )
+        .filter(F.col("bid") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(
+            F.least(F.count(F.lit(1)), F.lit(_NDCG_K))
+            .cast("long")
+            .alias("r_ideal")
+        )
+    )
+    return (
+        dcg.join(pool, "query_id")
+        .join(F.broadcast(cumw), F.col("r") == F.col("r_ideal"))
+        .selectExpr(
+            "query_id",
+            "n_rel_topk",
+            "CAST(CASE WHEN r_ideal = 0 THEN 0"
+            " ELSE floor(CAST(dcg_micro AS DOUBLE) / cw * 1000000 + 0.5)"
+            " END AS BIGINT) AS ndcg_micro",
+        )
+    )
