@@ -208,6 +208,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "multimodal_wav_spectrogram",
     "markov_stationary_events",
     "retrieval_ndcg_eval",
+    "decision_stump_train",
 )
 
 

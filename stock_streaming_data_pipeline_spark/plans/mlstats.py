@@ -3068,3 +3068,163 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return p.selectExpr("s AS event_type", "v AS stationary_micro")
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: best single-feature Gini split (exact counts)
+# ---------------------------------------------------------------------------
+
+# Gini expressions rendered into both engines from one template —
+# every input an exact integer cast to DOUBLE.
+# NB: a bare ``2.0`` literal parses as DECIMAL in Spark SQL (truncating
+# arithmetic) but DOUBLE in DuckDB — CAST(2 AS DOUBLE) pins both engines
+# to the same IEEE tree.
+_STUMP_GAIN = (
+    "CAST(floor(("
+    "CAST(2 AS DOUBLE) * pos * (n - pos) / (n * n)"
+    " - CAST(2 AS DOUBLE) * posl * (nl - posl) / (nl * n)"
+    " - CAST(2 AS DOUBLE) * posr * (nr - posr) / (nr * n)"
+    ") * 1000000 + 0.5) AS BIGINT) AS gain_micro"
+)
+_STUMP_ACC = (
+    "CAST(floor(("
+    "CAST(greatest(posl, nl - posl) + greatest(posr, nr - posr) AS DOUBLE)"
+    " / n) * 1000000 + 0.5) AS BIGINT) AS acc_micro"
+)
+
+
+@register(
+    "decision_stump_train",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH xm AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         'quantity' AS feature,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS v
+  FROM lineitem
+  UNION ALL
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         'discount' AS feature,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS v
+  FROM lineitem
+),
+cells AS (
+  SELECT feature, v, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM xm GROUP BY 1, 2
+),
+cum AS (
+  SELECT feature, v,
+         CAST(sum(cnt) OVER w AS BIGINT) AS nl,
+         CAST(sum(pos) OVER w AS BIGINT) AS posl
+  FROM cells
+  WINDOW w AS (PARTITION BY feature ORDER BY v)
+),
+tot AS (
+  SELECT feature, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS pos
+  FROM cells GROUP BY 1
+),
+cand AS (
+  SELECT c.feature, c.v AS threshold, t.n, t.pos,
+         c.nl, c.posl, t.n - c.nl AS nr, t.pos - c.posl AS posr
+  FROM cum c JOIN tot t ON t.feature = c.feature
+  WHERE c.nl < t.n
+),
+scored AS (
+  SELECT feature, threshold, nl, nr, {_STUMP_GAIN}, {_STUMP_ACC}
+  FROM cand
+),
+best AS (
+  SELECT (min({{'ng': -gain_micro, 'feature': feature,
+                'threshold': threshold}})) AS b
+  FROM scored
+)
+SELECT s.feature, s.threshold, s.gain_micro, s.acc_micro, s.nl, s.nr
+FROM scored s, best
+WHERE s.feature = best.b.feature AND s.threshold = best.b.threshold
+""",
+)
+def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trains a decision stump — the best single-feature threshold split
+    of line items into returned ('R') vs not, by exact Gini impurity
+    decrease over every candidate threshold of two bounded-domain
+    features (quantity 1-50, discount 0-10%) — the depth-1 tree that
+    anchors every gradient-boosting pipeline, trained relationally: ONE
+    unpivoted aggregation pass collapses the fact table to <=61 cells
+    per feature, the <=50-row cumulative windows (partitioned by
+    feature, bounded independent of SF) give every candidate split its
+    left/right class counts for free, and the argmax is a single
+    min(struct) election with deterministic (gain, feature, threshold)
+    tie-breaks. The Gini gain and training accuracy are computed from
+    exact integers through one shared double template. Reports the
+    winning split with its gain and training accuracy. Scale shape:
+    nothing after the first map-combined groupBy touches more than
+    ~120 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+    qf = li.select(
+        y.alias("y"),
+        F.lit("quantity").alias("feature"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("v"),
+    )
+    df_ = li.select(
+        y.alias("y"),
+        F.lit("discount").alias("feature"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    cells = (
+        qf.unionByName(df_)
+        .groupBy("feature", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    w = Window.partitionBy("feature").orderBy("v")
+    cum = cells.select(
+        "feature",
+        "v",
+        F.sum("cnt").over(w).cast("long").alias("nl"),
+        F.sum("pos").over(w).cast("long").alias("posl"),
+    )
+    tot = cells.groupBy("feature").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("pos"),
+    )
+    cand = (
+        cum.join(F.broadcast(tot), "feature")
+        .filter(F.col("nl") < F.col("n"))
+        .select(
+            "feature",
+            F.col("v").alias("threshold"),
+            "n",
+            "pos",
+            "nl",
+            "posl",
+            (F.col("n") - F.col("nl")).alias("nr"),
+            (F.col("pos") - F.col("posl")).alias("posr"),
+        )
+    )
+    scored = cand.selectExpr(
+        "feature", "threshold", "nl", "nr", _STUMP_GAIN, _STUMP_ACC
+    )
+    best = scored.agg(
+        F.min(
+            F.struct(
+                (-F.col("gain_micro")).alias("ng"),
+                F.col("feature").alias("feature"),
+                F.col("threshold").alias("threshold"),
+            )
+        ).alias("b")
+    )
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .filter(
+            (F.col("feature") == F.col("b.feature"))
+            & (F.col("threshold") == F.col("b.threshold"))
+        )
+        .select("feature", "threshold", "gain_micro", "acc_micro", "nl", "nr")
+    )
