@@ -209,6 +209,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "markov_stationary_events",
     "retrieval_ndcg_eval",
     "decision_stump_train",
+    "event_trigram_mining",
 )
 
 

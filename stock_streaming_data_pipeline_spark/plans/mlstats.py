@@ -3228,3 +3228,64 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("feature", "threshold", "gain_micro", "acc_micro", "nl", "nr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining: top event-type trigrams per user journey
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_trigram_mining",
+    tags=("ML-stats", "W4"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+tri AS (
+  SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS support,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM ordered WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT e1, e2, e3, support, n_users
+FROM tri ORDER BY support DESC, e1, e2, e3 LIMIT 15
+""",
+)
+def event_trigram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 sequential event-type trigrams across user journeys (by
+    total occurrences, with the distinct-user support beside it) — the
+    order-3 sequence mining that extends event_transition_matrix's
+    bigrams and markov_stationary_events' chain view: which three-step
+    paths actually dominate. One window pass (two leads, partitioned by
+    user — no cross-row joins, no self-join on the fact table), one
+    map-combined groupBy onto the bounded |event_types|^3 grid, and a
+    TakeOrderedAndProject head with full deterministic tie-breaks."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    ordered = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    tri = (
+        ordered.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("support"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    return (
+        tri.orderBy(
+            F.desc("support"), F.asc("e1"), F.asc("e2"), F.asc("e3")
+        ).limit(15)
+    )
