@@ -210,6 +210,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "retrieval_ndcg_eval",
     "decision_stump_train",
     "event_trigram_mining",
+    "corpus_token_entropy",
 )
 
 

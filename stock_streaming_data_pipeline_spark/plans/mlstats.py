@@ -3289,3 +3289,83 @@ def event_trigram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc("support"), F.asc("e1"), F.asc("e2"), F.asc("e3")
         ).limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of the token distribution per source
+# ---------------------------------------------------------------------------
+
+# H = ln(N) - (1/N) * sum f*ln(f), with each token's ln(f) micro-quantized
+# to an exact integer BEFORE the cross-token sum (float sums are order-
+# dependent; the per-token rounding is part of the defined statistic and
+# identical in both engines). Rendered from one shared template.
+_ENTROPY_OUT = (
+    "source",
+    "nn AS n_tokens",
+    "vv AS n_distinct",
+    "CAST(floor((ln(nn) - CAST(sfl AS DOUBLE) / 1000000.0 / nn) * 1000000"
+    " + 0.5) AS BIGINT) AS entropy_micro",
+    "CAST(floor((ln(nn) - CAST(sfl AS DOUBLE) / 1000000.0 / nn) / ln(vv)"
+    " * 1000000 + 0.5) AS BIGINT) AS norm_entropy_micro",
+)
+
+
+@register(
+    "corpus_token_entropy",
+    tags=("LLM-text",),
+    oracle="""
+WITH tk AS (
+  SELECT source, unnest({toks}) AS term FROM documents
+),
+cnts AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY 1, 2
+),
+s AS (
+  SELECT source,
+         CAST(sum(f) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS vv,
+         CAST(sum(CAST(f AS HUGEINT)
+              * CAST(floor(ln(f) * 1000000 + 0.5) AS BIGINT)) AS HUGEINT)
+           AS sfl
+  FROM cnts GROUP BY 1
+)
+SELECT {out}
+FROM s
+""".format(
+        toks=dedup.SQL_TOKENS.format(text="text"),
+        out=", ".join(_ENTROPY_OUT),
+    ),
+)
+def corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (and its ln(V)-normalized form) of each source's
+    token distribution — the lexical-diversity statistic corpus datacards
+    report beside token counts: low entropy flags templated/boilerplate
+    sources, normalized entropy near 1 means near-uniform vocabulary
+    use. Uses the identity H = ln(N) - (1/N) sum f*ln(f) so ONE
+    (source, term) groupBy plus one per-source aggregate computes it;
+    each token's ln(f) is micro-quantized to an exact integer BEFORE the
+    cross-token sum (order-free integer addition — the catalog's float
+    discipline), making the statistic bit-portable across engines.
+    Scale shape: token explode, one map-combined groupBy to the
+    vocabulary relation, one groupBy to |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "source", F.explode(dedup.tokens(F.col("text"))).alias("term")
+    )
+    cnts = tk.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = cnts.groupBy("source").agg(
+        F.sum("f").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("vv"),
+        F.sum(
+            dec(F.col("f"))
+            * dec(
+                F.floor(F.log(F.col("f").cast("double")) * 1000000 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+        ).alias("sfl"),
+    )
+    return s.selectExpr(*_ENTROPY_OUT)
