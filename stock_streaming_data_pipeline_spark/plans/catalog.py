@@ -211,6 +211,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "decision_stump_train",
     "event_trigram_mining",
     "corpus_token_entropy",
+    "ts_ccf_click_purchase",
 )
 
 

@@ -3369,3 +3369,97 @@ def corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sfl"),
     )
     return s.selectExpr(*_ENTROPY_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation function (CCF) between event-type hourly series
+# ---------------------------------------------------------------------------
+
+_CCF_LAGS = tuple(range(-3, 4))
+
+
+@register(
+    "ts_ccf_click_purchase",
+    tags=("ML-stats", "A1"),
+    oracle=f"""
+WITH ht AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+),
+lags(lag) AS (VALUES {", ".join(f"({l})" for l in _CCF_LAGS)}),
+j AS (
+  SELECT l.lag, a.x AS xa, b.x AS xb
+  FROM ht a
+  JOIN lags l ON TRUE
+  JOIN ht b ON b.event_type = 'purchase' AND b.slot = a.slot + l.lag
+  WHERE a.event_type = 'click'
+),
+s AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(xa) AS DOUBLE) AS sx,
+         CAST(sum(xb) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xa AS HUGEINT) * xa) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(xb AS HUGEINT) * xb) AS DOUBLE) AS syy,
+         CAST(sum(CAST(xa AS HUGEINT) * xb) AS DOUBLE) AS sxy
+  FROM j GROUP BY 1
+),
+r AS (SELECT lag, n_pairs, {_SPEARMAN_RHO} FROM s)
+SELECT lag, n_pairs,
+       CAST(floor(rho * 1000000 + 0.5) AS BIGINT) AS ccf_micro
+FROM r
+""",
+)
+def ts_ccf_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the click and purchase hourly
+    volume series at lags -3..+3 hours — the lead/lag discovery tool
+    that tells an attribution pipeline how far apart cause and effect
+    sit (a peak at lag +2 means clicks lead purchases by two hours),
+    extending ts_acf_ljung_box's single-series view to a pair. Pearson
+    at each lag runs on exact integer moments (both series are counts)
+    through the same shared rho template as spearman_rank_corr, so the
+    doubles are engine-identical. Scale shape: one hourly groupBy over
+    the filtered fact table, a 7-row lag fan via broadcast, one
+    slot-keyed equi-join of the two bounded hourly series, and one
+    aggregate to 7 rows — no windows, no self-join on raw events."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ht = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("slot"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    lags = spark.createDataFrame(
+        [(l,) for l in _CCF_LAGS], schema="lag BIGINT"
+    )
+    a = ht.filter(F.col("event_type") == "click").select(
+        F.col("slot").alias("sa"), F.col("x").alias("xa")
+    )
+    b = ht.filter(F.col("event_type") == "purchase").select(
+        F.col("slot").alias("sb"), F.col("x").alias("xb")
+    )
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("sb") == F.col("sa") + F.col("lag"))
+        .select("lag", "xa", "xb")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xa").cast("double").alias("sx"),
+        F.sum("xb").cast("double").alias("sy"),
+        F.sum(dec(F.col("xa")) * dec(F.col("xa"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("xb")) * dec(F.col("xb"))).cast("double").alias("syy"),
+        F.sum(dec(F.col("xa")) * dec(F.col("xb"))).cast("double").alias("sxy"),
+    )
+    r = s.selectExpr("lag", "n_pairs", _SPEARMAN_RHO)
+    return r.selectExpr(
+        "lag",
+        "n_pairs",
+        "CAST(floor(rho * 1000000 + 0.5) AS BIGINT) AS ccf_micro",
+    )
