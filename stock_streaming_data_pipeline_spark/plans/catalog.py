@@ -212,6 +212,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "event_trigram_mining",
     "corpus_token_entropy",
     "ts_ccf_click_purchase",
+    "corpus_vocab_overlap",
+    "orders_backlog_weekly",
 )
 
 

@@ -3650,3 +3650,83 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT) AS ndcg_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary overlap matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_vocab_overlap",
+    tags=("LLM-text", "LLM-dedup"),
+    oracle="""
+WITH tsrc AS (
+  SELECT DISTINCT source, term
+  FROM (SELECT source, unnest({toks}) AS term FROM documents)
+),
+vs AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM tsrc GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS i
+  FROM tsrc a JOIN tsrc b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, i AS n_shared,
+       CAST(floor(CAST(i AS DOUBLE) / (va.v + vb.v - i) * 1000000 + 0.5)
+            AS BIGINT) AS jaccard_micro
+FROM inter
+JOIN vs va ON va.source = src_a
+JOIN vs vb ON vb.source = src_b
+""".format(toks=dedup.SQL_TOKENS.format(text="text")),
+)
+def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the cross-corpus
+    contamination screen run before mixing corpora: a suspiciously high
+    overlap between two 'independent' sources means shared boilerplate
+    or one scraping the other. Same posting-list architecture as the
+    document-level dedup joins, one level up: the (term, source)
+    distinct relation shuffles ONCE into per-term source lists
+    (vocabulary-sized, source lists bounded by |sources|), pair
+    generation is map-side, and the intersection counts aggregate onto
+    the |sources|^2 grid. Vocabulary sizes come from one groupBy; the
+    Jaccard is a single deterministic int->double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    tsrc = (
+        docs.select(
+            "source", F.explode(dedup.tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("term", "source")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .select("term", "source")
+    )
+    vs = tsrc.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    posting = (
+        tsrc.groupBy("term")
+        .agg(F.collect_list("source").alias("srcs"))
+        .filter(F.size("srcs") > 1)
+        .select("srcs")
+    )
+    inter = (
+        posting.select(F.explode("srcs").alias("src_a"), "srcs")
+        .select("src_a", F.explode("srcs").alias("src_b"))
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    return (
+        inter.join(
+            F.broadcast(vs.withColumnsRenamed({"source": "src_a", "v": "va"})),
+            "src_a",
+        )
+        .join(
+            F.broadcast(vs.withColumnsRenamed({"source": "src_b", "v": "vb"})),
+            "src_b",
+        )
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "i AS n_shared",
+            "CAST(floor(CAST(i AS DOUBLE) / (va + vb - i) * 1000000 + 0.5)"
+            " AS BIGINT) AS jaccard_micro",
+        )
+    )

@@ -2384,3 +2384,103 @@ def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cb / nb, 6).alias("p_b"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog by week (interval sweep via +1/-1 deltas)
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 604_800_000_000
+
+
+@register(
+    "orders_backlog_weekly",
+    tags=("A1", "W1"),
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) // {_WEEK_US} AS wk_open
+  FROM orders
+),
+c AS (
+  SELECT l_orderkey, epoch_us(max(l_shipdate)) // {_WEEK_US} AS wk_close
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT wk_open, wk_close
+  FROM o JOIN c ON c.l_orderkey = o.o_orderkey
+),
+deltas AS (
+  SELECT wk_open AS week, 1 AS d, 1 AS is_open FROM j
+  UNION ALL
+  SELECT wk_close + 1 AS week, -1 AS d, 0 AS is_open FROM j
+),
+wk AS (
+  SELECT week,
+         CAST(sum(is_open) AS BIGINT) AS opened,
+         CAST(sum(1 - is_open) AS BIGINT) AS closed,
+         CAST(sum(d) AS BIGINT) AS delta
+  FROM deltas GROUP BY 1
+)
+SELECT week, opened, closed,
+       CAST(sum(delta) OVER (ORDER BY week) AS BIGINT) AS backlog
+FROM wk
+""",
+)
+def orders_backlog_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per week — how many orders have been placed
+    but not fully shipped at each point in time, the inventory-pressure
+    series an operations dashboard tracks. Implemented as the classic
+    interval SWEEP: each order contributes a +1 delta at its open week
+    and a -1 the week after its last shipment (no per-week interval
+    join, no week x orders expansion — an order alive for two years
+    still costs exactly 2 rows), deltas collapse onto the calendar-week
+    grid with ONE map-combined groupBy, and the running sum is a window
+    over that grid. The grid is bounded by the CALENDAR SPAN (~345
+    weeks for TPC-H dates), independent of SF — the unpartitioned
+    cumulative window is over that fixed-size relation, never the fact
+    table (allowlisted with this bound). Orders with no line items are
+    excluded (they never ship; semantics documented)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.unix_micros("o_orderdate") / F.lit(_WEEK_US))
+        .cast("long")
+        .alias("wk_open"),
+    )
+    c = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            (F.max(F.unix_micros("l_shipdate")) / F.lit(_WEEK_US))
+            .cast("long")
+            .alias("wk_close")
+        )
+    )
+    j = o.join(c, o["o_orderkey"] == c["l_orderkey"]).select(
+        "wk_open", "wk_close"
+    )
+    opens = j.select(
+        F.col("wk_open").alias("week"),
+        F.lit(1).alias("d"),
+        F.lit(1).alias("is_open"),
+    )
+    closes = j.select(
+        (F.col("wk_close") + 1).alias("week"),
+        F.lit(-1).alias("d"),
+        F.lit(0).alias("is_open"),
+    )
+    wk = (
+        opens.unionByName(closes)
+        .groupBy("week")
+        .agg(
+            F.sum("is_open").cast("long").alias("opened"),
+            F.sum(1 - F.col("is_open")).cast("long").alias("closed"),
+            F.sum("d").cast("long").alias("delta"),
+        )
+    )
+    w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    return wk.select(
+        "week",
+        "opened",
+        "closed",
+        F.sum("delta").over(w).cast("long").alias("backlog"),
+    )

@@ -154,6 +154,10 @@ UNPARTITIONED_WINDOW_ALLOW = {
                                     # the corpus-sized sort is range-partitioned.
     "classifier_auc_roc",           # cumulative ROC window over the fixed 1024-bin
                                     # score histogram (SF-independent bound)
+    "orders_backlog_weekly",        # cumulative window over the calendar-week
+                                    # grid (~345 rows, bounded by the date SPAN,
+                                    # SF-independent) — the fact table only ever
+                                    # feeds the +1/-1 delta groupBy.
     "rfm_customer_segments",        # three global_rank offsets windows (n_part rows
                                     # each, SF-independent); the customer metrics and
                                     # all three rank sorts are range-partitioned.
