@@ -214,6 +214,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ts_ccf_click_purchase",
     "corpus_vocab_overlap",
     "orders_backlog_weekly",
+    "mann_whitney_u_drift",
 )
 
 

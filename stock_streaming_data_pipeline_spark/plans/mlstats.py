@@ -3463,3 +3463,118 @@ def ts_ccf_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "CAST(floor(rho * 1000000 + 0.5) AS BIGINT) AS ccf_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) two-sample test
+# ---------------------------------------------------------------------------
+
+# Shared final-arithmetic templates: u2 = 2U and tt = sum(t^3 - t) arrive
+# as exact integers; every division below is double-led (no bare decimal
+# literals — the Spark DECIMAL-literal trap).
+_MWU_OUT = (
+    "event_type",
+    "n_a",
+    "n_b",
+    "CAST(floor(CAST(u2 AS DOUBLE) / (CAST(2 AS DOUBLE) * n_a * n_b)"
+    " * 1000000 + 0.5) AS BIGINT) AS auc_micro",
+    "CAST(floor(CAST(u2 - n_a * n_b AS DOUBLE)"
+    " / (CAST(2 AS DOUBLE) * sqrt(CAST(n_a AS DOUBLE) * n_b"
+    " / CAST(12 AS DOUBLE)"
+    " * (CAST(n_a + n_b + 1 AS DOUBLE)"
+    "    - CAST(tt AS DOUBLE) / (n_a + n_b) / (n_a + n_b - 1))))"
+    " * 1000000 + 0.5) AS BIGINT) AS z_micro",
+    "abs(CAST(u2 - n_a * n_b AS DOUBLE)"
+    " / (CAST(2 AS DOUBLE) * sqrt(CAST(n_a AS DOUBLE) * n_b"
+    " / CAST(12 AS DOUBLE)"
+    " * (CAST(n_a + n_b + 1 AS DOUBLE)"
+    "    - CAST(tt AS DOUBLE) / (n_a + n_b) / (n_a + n_b - 1)))))"
+    " > 1.959964 AS reject_05",
+)
+
+
+@register(
+    "mann_whitney_u_drift",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH bounds AS (
+  SELECT epoch_us(min(ts)) AS t0_us FROM events
+),
+tagged AS (
+  SELECT event_type, value,
+         (epoch_us(ts) < t0_us + {_PSI_SPLIT_DAYS} * {_US_PER_DAY}) AS in_a
+  FROM events, bounds
+),
+pts AS (
+  SELECT event_type, value,
+         CAST(coalesce(sum(CASE WHEN in_a THEN 1 END), 0) AS BIGINT) AS ca,
+         CAST(coalesce(sum(CASE WHEN NOT in_a THEN 1 END), 0) AS BIGINT) AS cb
+  FROM tagged GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type, ca, cb,
+         sum(ca) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ca_le
+  FROM pts
+),
+s AS (
+  SELECT event_type,
+         CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b,
+         CAST(sum(CAST(cb AS HUGEINT) * (2 * CAST(ca_le AS HUGEINT) - ca))
+              AS HUGEINT) AS u2,
+         CAST(sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+                  - (ca + cb)) AS HUGEINT) AS tt
+  FROM pre GROUP BY 1
+)
+SELECT {", ".join(_MWU_OUT)}
+FROM s
+""",
+)
+def mann_whitney_u_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) drift test per event type —
+    the nonparametric companion to drift_ks_two_sample over the same
+    early/late split: did the value DISTRIBUTION shift in location,
+    without assuming normality (Welch) or looking only at the max ECDF
+    gap (KS)? The counting formulation makes it distributed-exact: over
+    the distinct-value relation, 2U = sum cb*(2*ca_le - ca) needs only
+    the prefix sum ca_le — computed with the same two-phase salted
+    running sum as the KS ECDF (operators/running.py), so no single
+    task ever owns an event type's whole value domain. Reports the
+    probability-of-superiority U/(nA*nB) (the ROC-AUC of the split),
+    the tie-corrected normal z, and the 5% verdict — all from exact
+    integer moments through shared double-led templates. Scale shape:
+    one value groupBy, the salted prefix pass, one aggregate to
+    |event_types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.unix_micros(F.min("ts")).alias("t0_us"))
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "value",
+        (
+            F.unix_micros("ts")
+            < F.col("t0_us") + F.lit(_PSI_SPLIT_DAYS * _US_PER_DAY)
+        ).alias("in_a"),
+    )
+    pts = tagged.groupBy("event_type", "value").agg(
+        F.coalesce(F.sum(F.when(F.col("in_a"), 1)), F.lit(0)).alias("ca"),
+        F.coalesce(F.sum(F.when(~F.col("in_a"), 1)), F.lit(0)).alias("cb"),
+    )
+    seg = F.floor(F.col("value") / F.lit(50.0))
+    pre = running.running_sum_salted(
+        pts, key="event_type", ts="value", value="ca", out="ca_le", segment=seg
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t = F.col("ca") + F.col("cb")
+    s = pre.groupBy("event_type").agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(dec(F.col("cb")) * (2 * dec(F.col("ca_le")) - dec(F.col("ca"))))
+        .cast("decimal(38,0)")
+        .alias("u2"),
+        F.sum(dec(t) * dec(t) * dec(t) - dec(t))
+        .cast("decimal(38,0)")
+        .alias("tt"),
+    )
+    return s.selectExpr(*_MWU_OUT)
