@@ -188,11 +188,23 @@ def test_max_drawdown_matches_brute_force(spark, rows):
     by_key: dict[str, list[float]] = {}
     for k, ts, v, _ in sorted(rows, key=lambda r: (r[0], r[1], round(r[2] * 100))):
         by_key.setdefault(k, []).append(round(v * 100))
+    # Reference rounding must replicate Spark's round(double, 6): Java
+    # BigDecimal.valueOf HALF_UPs the SHORTEST decimal repr of the double
+    # (0.9996875 -> 0.999688), while Python's round() half-evens the
+    # binary value (0.99968749999999994 -> 0.999687). Hypothesis found
+    # the boundary: peak=64000, trough=20 cents.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def spark_round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
     for k, cents in by_key.items():
         peak, best = cents[0], 0.0
         for c in cents:
             peak = max(peak, c)
-            best = max(best, round((peak - c) / peak, 6))
+            best = max(best, spark_round6((peak - c) / peak))
         assert got[k] == best
 
 
