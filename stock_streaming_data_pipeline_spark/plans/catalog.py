@@ -215,6 +215,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "corpus_vocab_overlap",
     "orders_backlog_weekly",
     "mann_whitney_u_drift",
+    "revenue_rollup_year_flag",
 )
 
 

@@ -2484,3 +2484,61 @@ def orders_backlog_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "closed",
         F.sum("delta").over(w).cast("long").alias("backlog"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP subtotals: revenue by year x returnflag with subtotal/grand rows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_rollup_year_flag",
+    tags=("A1", "A4"),
+    oracle="""
+WITH base AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, l_returnflag AS flag,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+           AS cents
+  FROM lineitem
+)
+SELECT coalesce(CAST(yr AS VARCHAR), 'ALL') AS year_label,
+       coalesce(flag, 'ALL') AS flag_label,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM base GROUP BY ROLLUP (yr, flag)
+""",
+)
+def revenue_rollup_year_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue by (ship year, return flag) with ROLLUP
+    subtotals — per-year rows, per-year-all-flags subtotals, and the
+    grand total in ONE aggregation pass, the OLAP reporting shape every
+    BI layer asks for. Spark's rollup() compiles to a single Expand +
+    hash aggregate (each input row fans to its 3 grouping sets map-side
+    and partial-aggregates before the shuffle — never 3 scans, never a
+    union of 3 groupBys). Subtotal rows are labeled 'ALL' via coalesce
+    so the labels — not engine-specific grouping-id bit orders — carry
+    the semantics across engines. Revenue rides the catalog's exact
+    cents convention."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.year("l_shipdate").cast("long").alias("yr"),
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        base.rollup("yr", "flag")
+        .agg(
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias(
+                "year_label"
+            ),
+            F.coalesce(F.col("flag"), F.lit("ALL")).alias("flag_label"),
+            "revenue_cents",
+            "n_items",
+        )
+    )
