@@ -216,6 +216,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "orders_backlog_weekly",
     "mann_whitney_u_drift",
     "revenue_rollup_year_flag",
+    "ann_recall_eval",
 )
 
 

@@ -3730,3 +3730,85 @@ def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS jaccard_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: LSH top-k vs exact brute-force top-k
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 5
+
+
+@register(
+    "ann_recall_eval",
+    tags=("LLM-sim", "LLM-retrieval"),
+    oracle=f"""
+WITH brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(({_SQL_DOT_AB}) / (({_SQL_NORM_A}) * ({_SQL_NORM_B})), 6)
+             AS cosine,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(({_SQL_DOT_AB})
+                            / (({_SQL_NORM_A}) * ({_SQL_NORM_B})), 6) DESC,
+                      b.vec_id
+           ) AS rank
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+  ) WHERE rank <= {_RECALL_K}
+),
+lshq AS (
+  SELECT query_id, neighbor_id FROM (
+    {similarity.sql_lsh_topk(query_pred="vec_id < 10", k=_RECALL_K, dim=64, bits=4)}
+  )
+),
+hits AS (
+  SELECT b.query_id, CAST(count(l.neighbor_id) AS BIGINT) AS n_hit
+  FROM brute b
+  LEFT JOIN lshq l
+    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+  GROUP BY 1
+)
+SELECT query_id, n_hit,
+       CAST(floor(CAST(n_hit AS DOUBLE) / {_RECALL_K} * 1000000 + 0.5)
+            AS BIGINT) AS recall_micro
+FROM hits
+""",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH-bucketed ANN path against the exact brute-force
+    ground truth, per query — the accuracy-vs-speed scorecard that
+    justifies (or vetoes) deploying an approximate index, and the
+    catalog-level form of the recall-floor unit tests the ANN operators
+    carry. Both retrieval subplans are the existing oracle-checked
+    operators (cosine_topk / lsh_topk with fixed hyperplane literals),
+    so the eval itself is deterministic end-to-end: the overlap count is
+    one (query, neighbor) equi-join of two <=10x5-row LIMIT pools. A
+    recall below 1.0 here is the LSH design's documented approximation,
+    not nondeterminism — both engines report the identical number."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(emb, queries, k=_RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = similarity.lsh_topk(
+        emb, queries, k=_RECALL_K, dim=64, bits=4
+    ).select("query_id", F.col("neighbor_id").alias("lsh_neighbor"))
+    hits = (
+        brute.join(
+            lsh,
+            (brute["query_id"] == lsh["query_id"])
+            & (brute["neighbor_id"] == lsh["lsh_neighbor"]),
+            "left",
+        )
+        .select(brute["query_id"].alias("qid"), "lsh_neighbor")
+        .groupBy("qid")
+        .agg(F.count("lsh_neighbor").cast("long").alias("n_hit"))
+    )
+    return hits.selectExpr(
+        "qid AS query_id",
+        "n_hit",
+        f"CAST(floor(CAST(n_hit AS DOUBLE) / {_RECALL_K} * 1000000 + 0.5)"
+        " AS BIGINT) AS recall_micro",
+    )
