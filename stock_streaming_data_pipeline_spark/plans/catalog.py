@@ -217,6 +217,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "mann_whitney_u_drift",
     "revenue_rollup_year_flag",
     "ann_recall_eval",
+    "streaming_ams_f2",
 )
 
 

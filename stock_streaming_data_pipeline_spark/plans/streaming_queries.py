@@ -906,3 +906,70 @@ def streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("w_micro") > 0).alias("keep"),
     )
+
+
+@register(
+    "streaming_ams_f2",
+    tags=("T6", "T11", "LLM-text"),
+    oracle=_REGISTRY["sketch_ams_f2_tokens"].oracle,
+)
+def streaming_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING AMS F2 — the mergeable-sketch property demonstrated in
+    the engine: the 16 signed counters fold per micro-batch under a
+    complete-mode groupBy whose state is EXACTLY 16 integers regardless
+    of vocabulary or stream length (addition is commutative/associative,
+    so batch boundaries and arrival order cannot change the settled
+    sketch), then the settled counters join the batch-side exact-F2
+    audit (an offline quantity, the streaming_dsir hybrid pattern) and
+    must reproduce the batch sketch query bit-for-bit — it shares its
+    exact oracle. The 16x sign fan is a pure generator (explode over a
+    literal array — no stream-static join needed)."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import (
+        portable_hash,
+        tokens,
+    )
+    from stock_streaming_data_pipeline_spark.plans.mlstats import (
+        _AMS_K,
+        _AMS_OUT,
+    )
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tk = stream_documents(spark, sf_dir).select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    signs = tk.select(
+        "term",
+        F.explode(F.array(*[F.lit(i) for i in range(_AMS_K)])).alias("i"),
+    ).select(
+        "i",
+        (
+            1
+            - 2
+            * F.pmod(
+                portable_hash(
+                    F.concat_ws(":", F.col("i").cast("string"), F.col("term")),
+                    salt="ams_",
+                ),
+                F.lit(2),
+            )
+        ).alias("sign"),
+    )
+    z = signs.groupBy("i").agg(F.sum("sign").cast("long").alias("z"))
+    settled = settle(z, "complete")
+    est = settled.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(dec(F.col("z")) * dec(F.col("z"))).cast("double").alias("sz2"),
+    )
+    ex = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(
+            F.sum(dec(F.col("f")) * dec(F.col("f")))
+            .cast("long")
+            .alias("f2_exact")
+        )
+    )
+    return est.crossJoin(F.broadcast(ex)).selectExpr(*_AMS_OUT)
