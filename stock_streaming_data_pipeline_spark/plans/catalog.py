@@ -218,6 +218,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "revenue_rollup_year_flag",
     "ann_recall_eval",
     "streaming_ams_f2",
+    "multimodal_wav_silence_runs",
+    "multimodal_png_equalize",
 )
 
 

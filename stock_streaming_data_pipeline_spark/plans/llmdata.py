@@ -3812,3 +3812,174 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(floor(CAST(n_hit AS DOUBLE) / {_RECALL_K} * 1000000 + 0.5)"
         " AS BIGINT) AS recall_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio silence-run detection (gaps-and-islands over real decode)
+# ---------------------------------------------------------------------------
+
+_SILENCE_ABS = 1280  # |sample| below this (10% of byte-span amplitude) = silent
+
+
+@register(
+    "multimodal_wav_silence_runs",
+    tags=("LLM-multimodal",),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS media_id,
+         substr({_MEDIA_TEXT_SQL} || repeat(' ', 64), 1, 64) AS s
+  FROM documents
+),
+sm AS (
+  SELECT media_id, CAST(u.i AS INT) - 1 AS pos,
+         (ascii(substr(s, CAST(u.i AS INT), 1)) - 100) * 128 AS v
+  FROM t, unnest(range(1, 65)) AS u(i)
+),
+sil AS (
+  SELECT media_id, pos,
+         pos - row_number() OVER (PARTITION BY media_id ORDER BY pos)
+           AS island
+  FROM sm WHERE abs(v) < {_SILENCE_ABS}
+),
+runs AS (
+  SELECT media_id, island, CAST(count(*) AS BIGINT) AS run_len
+  FROM sil GROUP BY 1, 2
+)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(run_len) AS BIGINT) AS n_silent,
+       CAST(max(run_len) AS BIGINT) AS longest_run,
+       CAST(floor(CAST(sum(run_len) AS DOUBLE) / 64 * 1000000 + 0.5)
+            AS BIGINT) AS silence_frac_micro
+FROM runs GROUP BY 1
+HAVING max(run_len) >= 4
+""",
+)
+def multimodal_wav_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-run detection over REAL decoded audio — the
+    gaps-and-islands sweep an audio curation pipeline uses to drop or
+    trim dead clips: contiguous low-amplitude runs (|sample| under 10%
+    of the byte-span amplitude) per clip, reporting run count, total
+    silent samples, the longest run and the silence fraction for clips
+    with a run of 4+ samples. The islands come from the classic
+    ``pos - row_number()`` trick over the silent rows only — windows
+    are partitioned per clip (64 rows each, bounded), decode is the
+    Arrow-batched WAV path (Python only decodes), and every statistic
+    is an exact integer. The oracle replays the identical island
+    arithmetic from the source bytes."""
+    docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
+    media = multimodal.documents_as_wav_media(docs, n_samples=64)
+    sm = multimodal.wav_sample_rows(media)
+    w = Window.partitionBy("media_id").orderBy("pos")
+    sil = sm.filter(F.abs(F.col("v")) < _SILENCE_ABS).select(
+        "media_id",
+        (F.col("pos") - F.row_number().over(w)).alias("island"),
+    )
+    runs = sil.groupBy("media_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return (
+        runs.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.sum("run_len").cast("long").alias("n_silent"),
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.floor(
+                F.sum("run_len").cast("double") / 64 * 1000000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("silence_frac_micro"),
+        )
+        .filter(F.col("longest_run") >= 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram equalization over real PNG decode (relational pixel transform)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_png_equalize",
+    tags=("LLM-multimodal",),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS media_id,
+         substr({_MEDIA_TEXT_SQL} || repeat(' ', 64), 1, 64) AS s
+  FROM documents
+),
+px AS (
+  SELECT media_id, ascii(substr(s, CAST(u.i AS INT), 1)) AS v
+  FROM t, unnest(range(1, 65)) AS u(i)
+),
+hist AS (
+  SELECT media_id, v, CAST(count(*) AS BIGINT) AS c FROM px GROUP BY 1, 2
+),
+cdf AS (
+  SELECT media_id, v, c,
+         CAST(sum(c) OVER (PARTITION BY media_id ORDER BY v) AS BIGINT)
+           AS cle
+  FROM hist
+),
+mn AS (
+  SELECT media_id, CAST(min(cle) AS BIGINT) AS cmin FROM cdf GROUP BY 1
+),
+eq AS (
+  SELECT cdf.media_id, cdf.c,
+         CAST(floor(CAST((cle - cmin) AS DOUBLE) * 255 / (64 - cmin) + 0.5)
+              AS BIGINT) AS nv
+  FROM cdf JOIN mn ON mn.media_id = cdf.media_id
+  WHERE cmin < 64
+)
+SELECT media_id,
+       CAST(min(nv) AS BIGINT) AS min_eq,
+       CAST(max(nv) AS BIGINT) AS max_eq,
+       CAST(sum(c * nv) AS BIGINT) AS sum_eq,
+       CAST(count(*) AS BIGINT) AS n_levels
+FROM eq GROUP BY 1
+""",
+)
+def multimodal_png_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization over REAL decoded images, computed
+    RELATIONALLY: the classic contrast transform
+    ``nv = round((cdf(v) - cdf_min) * 255 / (n - cdf_min))`` runs as a
+    per-image groupBy histogram (<=256 rows per image by construction)
+    + a partitioned cumulative window + one exact integer remap — the
+    pixel payload never re-enters Python after the Arrow-batched
+    decode. Reports the equalized dynamic range (min/max stretch to
+    0..255 is the transform's defining property), the equalized pixel
+    sum and the distinct-level count per image; every value is an
+    exact integer, so the text-byte-replaying oracle matches
+    bit-for-bit. Scale shape: decode is payload-local; everything
+    after is bounded by 256 levels x images."""
+    docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
+    media = multimodal.documents_as_png_media(docs, width=8, height=8)
+    px = multimodal.png_pixel_rows(media)
+    hist = px.groupBy("media_id", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("media_id").orderBy("v")
+    cdf = hist.select(
+        "media_id", "v", "c", F.sum("c").over(w).cast("long").alias("cle")
+    )
+    mn = cdf.groupBy("media_id").agg(F.min("cle").cast("long").alias("cmin"))
+    # constant images (cmin = 64, e.g. all-padding texts) have no
+    # dynamic range to stretch — excluded in BOTH engines (div-by-zero)
+    eq = cdf.join(mn, "media_id").filter(F.col("cmin") < 64).select(
+        "media_id",
+        "c",
+        F.floor(
+            (F.col("cle") - F.col("cmin")).cast("double")
+            * 255
+            / (64 - F.col("cmin"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nv"),
+    )
+    return eq.groupBy("media_id").agg(
+        F.min("nv").cast("long").alias("min_eq"),
+        F.max("nv").cast("long").alias("max_eq"),
+        F.sum(F.col("c") * F.col("nv")).cast("long").alias("sum_eq"),
+        F.count(F.lit(1)).cast("long").alias("n_levels"),
+    )

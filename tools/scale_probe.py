@@ -59,6 +59,15 @@ QUERIES = [
     "retrieval_rrf_fusion",
     "dsir_importance_weights",
     "text_unigram_train",
+    # round-6 additions: the generator-only integer Gram (one corpus
+    # pass, all iterations on the 4096-row covariance — should be near
+    # the corpus-scan line), the posting-list containment twin, the
+    # single-pass sufficient-statistics OLS, and the salted-prefix
+    # Mann-Whitney (the KS machinery under a second statistic).
+    "pca_top_component",
+    "dedup_containment",
+    "ols_price_model",
+    "mann_whitney_u_drift",
 ]
 
 
