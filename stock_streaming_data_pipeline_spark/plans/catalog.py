@@ -220,6 +220,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "streaming_ams_f2",
     "multimodal_wav_silence_runs",
     "multimodal_png_equalize",
+    "multimodal_phash_hamming_pairs",
 )
 
 

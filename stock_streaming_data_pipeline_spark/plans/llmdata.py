@@ -3310,11 +3310,8 @@ _PHASH_VALUES = ", ".join(
 )
 
 
-@register(
-    "multimodal_phash_neardup",
-    tags=("LLM-multimodal", "LLM-dedup"),
-    oracle=f"""
-WITH t AS (
+# The full pixel->DCT->sign-pack CTE chain, shared by every pHash oracle.
+_PHASH_CTES = f"""t AS (
   SELECT doc_id AS media_id,
          substr({_MEDIA_TEXT_SQL} || repeat(' ', 64), 1, 64) AS s
   FROM documents
@@ -3344,27 +3341,12 @@ ph AS (
   SELECT media_id,
          CAST(sum(CASE WHEN dd > 0 THEN w ELSE 0 END) AS BIGINT) AS phash
   FROM d GROUP BY 1
-)
-SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
-       min(media_id) AS min_doc, max(media_id) AS max_doc
-FROM ph GROUP BY 1 HAVING count(*) >= 2
-""",
-)
-def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DCT-sign perceptual hash over REAL decoded images, bucketed for
-    near-duplicate detection: each document's 8x8 grayscale PNG (real
-    zlib encode) is REALLY decoded back to pixels (mapInPandas — the
-    Python side only decodes), then the 15 lowest-frequency 2D-DCT
-    coefficients are computed RELATIONALLY with frozen integer
-    micro-cosine tables (no in-engine transcendentals), mean-centering
-    folded in exactly via ``64*S_uv - sum_px * csum_u*csum_v``, and the
-    coefficient SIGNS packed into a 15-bit pHash. Images whose hashes
-    collide are perceptual near-dups — robust to brightness scaling and
-    small noise in a way byte-exact dedup is not. The oracle recomputes
-    pixels straight from the text bytes and replays the identical
-    integer DCT. Scale shape: decode is Arrow-batched and payload-local;
-    the DCT is a 32-row broadcast join + map-combined groupBy onto
-    15 rows per image; bucketing is one groupBy on the hash."""
+)"""
+
+
+def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, phash) via real PNG decode + relational integer DCT —
+    the shared front end of the pHash query family."""
     docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
     media = multimodal.documents_as_png_media(docs, width=8, height=8)
     px = multimodal.png_pixel_rows(media)
@@ -3402,11 +3384,40 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dd"),
         )
     )
-    ph = d.groupBy("media_id").agg(
+    return d.groupBy("media_id").agg(
         F.sum(F.when(F.col("dd") > 0, F.col("w")).otherwise(F.lit(0)))
         .cast("long")
         .alias("phash")
     )
+
+
+@register(
+    "multimodal_phash_neardup",
+    tags=("LLM-multimodal", "LLM-dedup"),
+    oracle=f"""
+WITH {_PHASH_CTES}
+SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
+       min(media_id) AS min_doc, max(media_id) AS max_doc
+FROM ph GROUP BY 1 HAVING count(*) >= 2
+""",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT-sign perceptual hash over REAL decoded images, bucketed for
+    near-duplicate detection: each document's 8x8 grayscale PNG (real
+    zlib encode) is REALLY decoded back to pixels (mapInPandas — the
+    Python side only decodes), then the 15 lowest-frequency 2D-DCT
+    coefficients are computed RELATIONALLY with frozen integer
+    micro-cosine tables (no in-engine transcendentals), mean-centering
+    folded in exactly via ``64*S_uv - sum_px * csum_u*csum_v``, and the
+    coefficient SIGNS packed into a 15-bit pHash. Images whose hashes
+    collide are perceptual near-dups — robust to brightness scaling and
+    small noise in a way byte-exact dedup is not. The oracle recomputes
+    pixels straight from the text bytes and replays the identical
+    integer DCT. Scale shape: decode is Arrow-batched and payload-local;
+    the DCT is a 32-row broadcast join + map-combined groupBy onto
+    15 rows per image; bucketing is one groupBy on the hash.
+    (Shared front end: `_phash_frame`.)"""
+    ph = _phash_frame(spark, sf_dir)
     return (
         ph.groupBy("phash")
         .agg(
@@ -3983,3 +3994,62 @@ def multimodal_png_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("nv")).cast("long").alias("sum_eq"),
         F.count(F.lit(1)).cast("long").alias("n_levels"),
     )
+
+
+@register(
+    "multimodal_phash_hamming_pairs",
+    tags=("LLM-multimodal", "LLM-dedup"),
+    oracle=f"""
+WITH {_PHASH_CTES},
+bands AS (
+  SELECT media_id, phash, 0 AS band, phash % 256 AS bkey FROM ph
+  UNION ALL
+  SELECT media_id, phash, 1 AS band, phash // 256 AS bkey FROM ph
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS doc_a, a.phash AS ph_a,
+                  b.media_id AS doc_b, b.phash AS ph_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= 1
+""",
+)
+def multimodal_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash near-dup pairs with 1-bit tolerance — the hamming-distance
+    relaxation of multimodal_phash_neardup's exact-collision buckets:
+    two images whose 15-bit DCT-sign hashes differ in AT MOST one bit
+    are paired, catching near-dups where a single coefficient sits on
+    the sign boundary. The scale trick is the pigeonhole BAND JOIN (the
+    LSH banding idea applied to hamming space): the hash splits into an
+    8-bit and a 7-bit band, and any pair within hamming 1 must agree
+    EXACTLY on at least one band — so candidates come from two
+    equi-joins on band keys (never an all-pairs hash comparison), then
+    one bit_count(xor) verifies. Same exact-integer pipeline and shared
+    oracle CTEs as the bucket query; deterministic end-to-end."""
+    ph = _phash_frame(spark, sf_dir).localCheckpoint(eager=False)
+    bands = ph.selectExpr(
+        "media_id", "phash", "0 AS band", "phash % 256 AS bkey"
+    ).unionByName(
+        ph.selectExpr("media_id", "phash", "1 AS band", "phash div 256 AS bkey")
+    )
+    a = bands.selectExpr(
+        "media_id AS doc_a", "phash AS ph_a", "band", "bkey"
+    )
+    b = bands.selectExpr(
+        "media_id AS doc_b", "phash AS ph_b", "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "ph_a", "doc_b", "ph_b")
+        .distinct()
+    )
+    return cand.selectExpr(
+        "doc_a",
+        "doc_b",
+        "CAST(bit_count(ph_a ^ ph_b) AS BIGINT) AS hamming",
+    ).filter(F.col("hamming") <= 1)
