@@ -3348,6 +3348,13 @@ def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, phash) via real PNG decode + relational integer DCT —
     the shared front end of the pHash query family."""
     docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
+    return phash_from_docs(spark, docs)
+
+
+def phash_from_docs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """pHash pipeline over any (doc_id, text) frame — split out so tests
+    can assert perceptual properties (e.g. brightness invariance) on
+    constructed inputs."""
     media = multimodal.documents_as_png_media(docs, width=8, height=8)
     px = multimodal.png_pixel_rows(media)
     px2 = px.selectExpr("media_id", "i % 8 AS x", "i div 8 AS y", "v")
