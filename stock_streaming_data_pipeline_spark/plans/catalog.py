@@ -221,6 +221,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "multimodal_wav_silence_runs",
     "multimodal_png_equalize",
     "multimodal_phash_hamming_pairs",
+    "corr_matrix_lineitem",
 )
 
 

@@ -3578,3 +3578,79 @@ def mann_whitney_u_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tt"),
     )
     return s.selectExpr(*_MWU_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix over line-item measures (one pass)
+# ---------------------------------------------------------------------------
+
+_CORR_VARS = ("q", "d", "p", "t")  # quantity, discount%, price-cents, tax%
+_CORR_PAIRS = [
+    (a, b) for ai, a in enumerate(_CORR_VARS) for b in _CORR_VARS[ai + 1 :]
+]
+_CORR_OUT = ["n"] + [
+    f"CAST(floor((n * s_{a}{b} - s_{a} * s_{b})"
+    f" / sqrt((n * s_{a}{a} - s_{a} * s_{a}) * (n * s_{b}{b} - s_{b} * s_{b}))"
+    f" * 1000000 + 0.5) AS BIGINT) AS corr_{a}{b}_micro"
+    for a, b in _CORR_PAIRS
+]
+_CORR_SUMS_SQL = ", ".join(
+    [f"CAST(count(*) AS DOUBLE) AS n"]
+    + [f"CAST(sum(CAST({v} AS HUGEINT)) AS DOUBLE) AS s_{v}" for v in _CORR_VARS]
+    + [
+        f"CAST(sum(CAST({a} AS HUGEINT) * {b}) AS DOUBLE) AS s_{a}{b}"
+        for ai, a in enumerate(_CORR_VARS)
+        for b in _CORR_VARS[ai:]
+    ]
+)
+
+
+@register(
+    "corr_matrix_lineitem",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH xm AS (
+  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t
+  FROM lineitem
+),
+s AS (SELECT {_CORR_SUMS_SQL} FROM xm)
+SELECT {", ".join(_CORR_OUT)}
+FROM s
+""",
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Pearson correlation matrix over the four line-item measures
+    (quantity, discount, extended price, tax) in ONE aggregation pass —
+    the feature-screening matrix every modeling pipeline computes before
+    training (near-|1| pairs are redundant features; the strong
+    quantity-price correlation is the sanity signal). All 14 sufficient
+    statistics (4 sums, 10 cross-moments) are exact integers through
+    HUGEINT/DECIMAL(38,0) collected by a single map-combined aggregate;
+    the six correlations are rendered from one shared double template,
+    so the micro values are engine-identical. Scale shape: one scan,
+    one 1-row shuffle — the canonical 'sufficient statistics, never
+    the data' pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    xm = li.select(
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("d"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("p"),
+        F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long").alias("t"),
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [
+        F.sum(dec(F.col(v))).cast("double").alias(f"s_{v}") for v in _CORR_VARS
+    ]
+    aggs += [
+        F.sum(dec(F.col(a)) * dec(F.col(b))).cast("double").alias(f"s_{a}{b}")
+        for ai, a in enumerate(_CORR_VARS)
+        for b in _CORR_VARS[ai:]
+    ]
+    s = xm.agg(*aggs)
+    return s.selectExpr(*_CORR_OUT)
