@@ -222,6 +222,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "multimodal_png_equalize",
     "multimodal_phash_hamming_pairs",
     "corr_matrix_lineitem",
+    "text_readability",
 )
 
 

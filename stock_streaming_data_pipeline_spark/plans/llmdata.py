@@ -4060,3 +4060,71 @@ def multimodal_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_b",
         "CAST(bit_count(ph_a ^ ph_b) AS BIGINT) AS hamming",
     ).filter(F.col("hamming") <= 1)
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease, heuristic syllables)
+# ---------------------------------------------------------------------------
+
+# Shared template; constants spelled as CAST(int)/int so neither engine
+# parses a fractional literal as DECIMAL (the Spark literal trap).
+_FLESCH = (
+    "CAST(floor((CAST(206835 AS DOUBLE) / 1000"
+    " - CAST(1015 AS DOUBLE) / 1000 * nw / ns"
+    " - CAST(846 AS DOUBLE) / 10 * sy / nw) * 1000000 + 0.5)"
+    " AS BIGINT) AS flesch_micro"
+)
+
+
+@register(
+    "text_readability",
+    tags=("LLM-text",),
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len({dedup.SQL_TOKENS.format(text="text")}) AS BIGINT) AS nw,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS ns,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS sy
+  FROM documents
+)
+SELECT doc_id, nw AS n_words, ns AS n_sentences, sy AS n_syllables,
+       {_FLESCH}
+FROM m WHERE nw > 0
+""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with the standard distributed
+    heuristics: words from the shared tokenizer, sentences as
+    terminal-punctuation runs (floored at 1), syllables as vowel-group
+    runs — the readability gate a curation pipeline uses beside the
+    C4/Gopher filters (very low scores flag legalese/boilerplate; very
+    high ones flag fragment spam). Every count is a native regex
+    expression inside whole-stage codegen (no UDFs); the score is one
+    shared double template over exact integers with the fractional
+    constants spelled CAST(int)/int so neither engine parses a DECIMAL
+    literal. Scale: map-only — no shuffle at all beyond the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.size(dedup.tokens(F.col("text"))).cast("long").alias("nw"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"))),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("ns"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+        )
+        .cast("long")
+        .alias("sy"),
+    )
+    return m.filter(F.col("nw") > 0).selectExpr(
+        "doc_id",
+        "nw AS n_words",
+        "ns AS n_sentences",
+        "sy AS n_syllables",
+        _FLESCH,
+    )
