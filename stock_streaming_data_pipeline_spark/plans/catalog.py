@@ -223,6 +223,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "multimodal_phash_hamming_pairs",
     "corr_matrix_lineitem",
     "text_readability",
+    "streaming_token_entropy",
+    "customer_reorder_intervals",
 )
 
 

@@ -2542,3 +2542,77 @@ def revenue_rollup_year_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer reorder-interval distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_reorder_intervals",
+    tags=("W4", "A1"),
+    oracle=f"""
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST((epoch_us(o_orderdate)
+               - lag(epoch_us(o_orderdate)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey))
+              // {86_400_000_000} AS BIGINT) AS gap_days
+  FROM orders
+),
+cust AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_days) AS BIGINT) AS total_days
+  FROM gaps WHERE gap_days IS NOT NULL GROUP BY 1
+),
+bucketed AS (
+  SELECT CAST(total_days // n_gaps // 30 AS BIGINT) AS mean_gap_months,
+         n_gaps
+  FROM cust
+)
+SELECT mean_gap_months,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(n_gaps) AS BIGINT) AS n_intervals
+FROM bucketed GROUP BY 1
+""",
+)
+def customer_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-cadence distribution: per customer, the gaps between
+    consecutive orders (one lag() pass partitioned by customer), the
+    integer mean gap bucketed into months, then the population histogram
+    — the repeat-purchase rhythm segmentation that complements RFM's
+    recency view. All arithmetic is exact integer division (epoch-day
+    gaps, floor-divided means), so there is no rounding boundary at
+    all. Scale shape: one partitioned window over the orders table, two
+    map-combined groupBys, output bounded by the month-bucket domain."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.expr(
+            "CAST((unix_micros(o_orderdate)"
+            " - lag(unix_micros(o_orderdate)) OVER ("
+            "     PARTITION BY o_custkey"
+            "     ORDER BY o_orderdate, o_orderkey))"
+            f" DIV {86_400_000_000} AS BIGINT)"
+        ).alias("gap_days"),
+    )
+    cust = (
+        gaps.filter(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap_days").cast("long").alias("total_days"),
+        )
+    )
+    bucketed = cust.selectExpr(
+        "CAST(total_days DIV n_gaps DIV 30 AS BIGINT) AS mean_gap_months",
+        "n_gaps",
+    )
+    return bucketed.groupBy("mean_gap_months").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("n_gaps").cast("long").alias("n_intervals"),
+    )

@@ -973,3 +973,46 @@ def streaming_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.crossJoin(F.broadcast(ex)).selectExpr(*_AMS_OUT)
+
+
+@register(
+    "streaming_token_entropy",
+    tags=("T6", "LLM-text"),
+    oracle=_REGISTRY["corpus_token_entropy"].oracle,
+)
+def streaming_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING lexical-diversity monitor: per-source token counts fold
+    under a complete-mode groupBy as documents arrive, and the settled
+    vocabulary relation feeds the same order-free micro-ln entropy
+    finalization as the batch query — bit-identical output, shared
+    oracle. State is the (source, term) count relation: vocabulary-
+    bounded (the streaming_dsir honesty note applies — vocabularies
+    grow sublinearly in corpus size, and an UPDATE-mode drain into the
+    keyed-upsert sink is the unbounded-stream form). The entropy math
+    never runs inside the stream: micro-ln quantization happens on the
+    settled counts, so arrival order and batch boundaries cannot
+    perturb a single bit."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import tokens
+    from stock_streaming_data_pipeline_spark.plans.mlstats import _ENTROPY_OUT
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tk = stream_documents(spark, sf_dir).select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    cnts = tk.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    settled = settle(cnts, "complete")
+    s = settled.groupBy("source").agg(
+        F.sum("f").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("vv"),
+        F.sum(
+            dec(F.col("f"))
+            * dec(
+                F.floor(
+                    F.log(F.col("f").cast("double")) * 1000000 + F.lit(0.5)
+                ).cast("long")
+            )
+        ).alias("sfl"),
+    )
+    return s.selectExpr(*_ENTROPY_OUT)
