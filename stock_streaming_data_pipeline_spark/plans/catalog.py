@@ -225,6 +225,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "text_readability",
     "streaming_token_entropy",
     "customer_reorder_intervals",
+    "lr_gains_deciles",
 )
 
 

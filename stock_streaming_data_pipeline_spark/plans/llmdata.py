@@ -4128,3 +4128,106 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sy AS n_syllables",
         _FLESCH,
     )
+
+
+# ---------------------------------------------------------------------------
+# Gains / lift decile table for the learned quality classifier
+# ---------------------------------------------------------------------------
+
+_GAINS_OUT = (
+    "decile",
+    "n_docs",
+    "n_pos",
+    "cum_pos",
+    "CAST(floor(CAST(cum_pos AS DOUBLE) / total_pos * 1000000 + 0.5)"
+    " AS BIGINT) AS gain_micro",
+    "CAST(floor(CAST(cum_pos AS DOUBLE) / cum_n"
+    " / (CAST(total_pos AS DOUBLE) / total_n) * 1000000 + 0.5)"
+    " AS BIGINT) AS lift_micro",
+)
+
+
+@register(
+    "lr_gains_deciles",
+    tags=("LLM-text", "ML-stats"),
+    oracle=f"""
+WITH scored AS (
+  SELECT doc, label, prob FROM (
+    {_lrq.sql_train_score(label_sql=_LRQ_LABELS_SQL, iters=8, lr=0.1)}
+  )
+),
+nt AS (
+  SELECT CAST(count(*) AS BIGINT) AS total_n,
+         CAST(sum(label) AS BIGINT) AS total_pos
+  FROM scored
+),
+ranked AS (
+  SELECT label,
+         row_number() OVER (ORDER BY prob DESC, doc) AS rnk
+  FROM scored
+),
+byd AS (
+  SELECT CAST((rnk - 1) * 10 // total_n AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(label) AS BIGINT) AS n_pos
+  FROM ranked, nt GROUP BY 1
+),
+cum AS (
+  SELECT decile, n_docs, n_pos,
+         CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+         CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cum_n
+  FROM byd
+)
+SELECT {", ".join(_GAINS_OUT)}
+FROM cum, nt
+""",
+)
+def lr_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift decile table for the distilled LR quality classifier —
+    the model-evaluation report a targeting pipeline reads before
+    setting a score threshold: rank all docs by predicted quality, cut
+    into population deciles, and report the cumulative share of true
+    keeps captured (gains) and the capture rate vs random (lift). The
+    ranking is the range-partitioned global_rank (operators/running.py
+    — never a single-task global window over the corpus); deciles come
+    from exact integer rank arithmetic; the cumulative window runs over
+    the 10-row decile relation (SF-independent, allowlisted); gains and
+    lift are one shared double template over exact counts. The oracle
+    unrolls the same 8 training steps and replays the identical decile
+    arithmetic."""
+    from stock_streaming_data_pipeline_spark.operators import running, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = text.c4_gopher_filters(
+        docs, id_col="doc_id", text_col="text"
+    ).select("doc", F.col("keep").cast("long").alias("label"))
+    scored = _lrq.train_score(
+        docs, labels, id_col="doc_id", text_col="text", iters=8, lr=0.1
+    ).select("doc", "label", (-F.col("prob")).alias("negp"))
+    nt = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("total_n"),
+        F.sum("label").cast("long").alias("total_pos"),
+    )
+    ranked = running.global_rank(
+        scored, order_col="negp", id_col="doc", out="rnk"
+    )
+    byd = (
+        ranked.crossJoin(F.broadcast(nt))
+        .selectExpr(
+            "label", "CAST((rnk - 1) * 10 DIV total_n AS BIGINT) AS decile"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("label").cast("long").alias("n_pos"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byd.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        F.sum("n_pos").over(w).cast("long").alias("cum_pos"),
+        F.sum("n_docs").over(w).cast("long").alias("cum_n"),
+    )
+    return cum.crossJoin(F.broadcast(nt)).selectExpr(*_GAINS_OUT)

@@ -154,6 +154,10 @@ UNPARTITIONED_WINDOW_ALLOW = {
                                     # the corpus-sized sort is range-partitioned.
     "classifier_auc_roc",           # cumulative ROC window over the fixed 1024-bin
                                     # score histogram (SF-independent bound)
+    "lr_gains_deciles",             # global_rank offsets window (n_part rows) +
+                                    # cumulative window over the 10-row decile
+                                    # relation — both SF-independent; the corpus
+                                    # ranking itself is range-partitioned.
     "orders_backlog_weekly",        # cumulative window over the calendar-week
                                     # grid (~345 rows, bounded by the date SPAN,
                                     # SF-independent) — the fact table only ever
