@@ -226,6 +226,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "streaming_token_entropy",
     "customer_reorder_intervals",
     "lr_gains_deciles",
+    "supplier_hhi_by_nation",
 )
 
 

@@ -2616,3 +2616,82 @@ def customer_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("n_gaps").cast("long").alias("n_intervals"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration: Herfindahl-Hirschman index per supplier nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_hhi_by_nation",
+    tags=("A1", "J2"),
+    oracle="""
+WITH rev AS (
+  SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT nationkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS ss,
+         CAST(sum(cents) AS DOUBLE) AS st
+  FROM rev GROUP BY 1
+)
+SELECT n.n_name AS nation, a.n_suppliers,
+       CAST(floor(ss / st / st * 1000000 + 0.5) AS BIGINT) AS hhi_micro
+FROM agg a JOIN nation n ON n.n_nationkey = a.nationkey
+""",
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index of supplier
+    revenue within each nation — the antitrust-style concentration
+    statistic a marketplace health dashboard tracks (1e6 = monopoly,
+    ->1/n = perfectly fragmented). The key identity makes it one
+    aggregation tree: HHI = sum(share^2) = sum(rev^2) / total^2, so the
+    per-supplier revenue groupBy feeds a per-nation aggregate of exact
+    integer cents and squared cents (HUGEINT/DECIMAL), and the only
+    floating-point op is the final shared-template division. The
+    25-row nation dim joins broadcast. Scale shape: one fact-dim join,
+    two map-combined groupBys, no windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # no broadcast hint on supplier (SF-scaled) — stats/AQE decide
+    rev = (
+        li.join(s.select("s_suppkey", "s_nationkey"),
+                li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                    0,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    agg = rev.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(dec(F.col("cents")) * dec(F.col("cents")))
+        .cast("double")
+        .alias("ss"),
+        F.sum("cents").cast("double").alias("st"),
+    )
+    return (
+        agg.join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            agg["nationkey"] == n["n_nationkey"],
+        )
+        .selectExpr(
+            "n_name AS nation",
+            "n_suppliers",
+            "CAST(floor(ss / st / st * 1000000 + 0.5) AS BIGINT) AS hhi_micro",
+        )
+    )
