@@ -227,6 +227,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "customer_reorder_intervals",
     "lr_gains_deciles",
     "supplier_hhi_by_nation",
+    "ts_dominant_period",
 )
 
 

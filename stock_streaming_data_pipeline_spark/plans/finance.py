@@ -1678,3 +1678,143 @@ def ts_periodogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("vn"),
     )
     return d.selectExpr(*_PG_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Dominant-cycle detection: periodogram argmax over periods 2..48 h
+# ---------------------------------------------------------------------------
+
+_DP_PERIODS = tuple(range(2, 49))
+_DP_TABLE = [
+    (
+        P,
+        p,
+        int(_math.floor(_math.cos(2 * _math.pi * p / P) * 1e6 + 0.5)),
+        int(_math.floor(_math.sin(2 * _math.pi * p / P) * 1e6 + 0.5)),
+    )
+    for P in _DP_PERIODS
+    for p in range(P)
+]
+_DP_VALUES = ", ".join(f"({P}, {p}, {c}, {s})" for P, p, c, s in _DP_TABLE)
+_DP_REL = (
+    "CAST(floor((cn * cn + sn * sn) / (1000000000000.0 * nn * vn) * 1000000"
+    " + 0.5) AS BIGINT) AS rel_micro"
+)
+
+
+@register(
+    "ts_dominant_period",
+    tags=("ML-stats", "A1"),
+    oracle=f"""
+WITH ht AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+tbl(period, phase, cq, sq) AS (VALUES {_DP_VALUES}),
+j AS (
+  SELECT event_type, period, x, cq, sq
+  FROM ht JOIN tbl ON tbl.phase = ht.h % tbl.period
+),
+s AS (
+  SELECT event_type, period,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * cq) AS HUGEINT) AS sxc,
+         CAST(sum(CAST(x AS HUGEINT) * sq) AS HUGEINT) AS sxs,
+         CAST(sum(CAST(cq AS HUGEINT)) AS HUGEINT) AS csum,
+         CAST(sum(CAST(sq AS HUGEINT)) AS HUGEINT) AS ssum
+  FROM j GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, period,
+         CAST(n_hours AS DOUBLE) AS nn,
+         CAST(n_hours * sxc - sx * csum AS DOUBLE) AS cn,
+         CAST(n_hours * sxs - sx * ssum AS DOUBLE) AS sn,
+         CAST(n_hours * sxx - sx * sx AS DOUBLE) AS vn
+  FROM s
+),
+scored AS (SELECT event_type, period, {_DP_REL} FROM d),
+best AS (
+  SELECT event_type,
+         (min({{'nr': -rel_micro, 'period': period}})) AS b
+  FROM scored GROUP BY 1
+)
+SELECT s.event_type, s.period AS dominant_period, s.rel_micro
+FROM scored s JOIN best
+  ON best.event_type = s.event_type
+ AND s.period = best.b.period AND s.rel_micro = -best.b.nr
+""",
+)
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-cycle detection per event type: the full periodogram
+    sweep over every candidate period from 2 to 48 hours (the
+    ts_periodogram_fixed machinery generalized from 2 frozen frequencies
+    to 47), electing the period with the highest mean-removed projection
+    power by one min(struct) argmax with deterministic micro-int
+    tie-breaks. Every cos/sin is a frozen integer literal (1175-row
+    phase table, computed once in Python — no in-engine
+    transcendentals); all accumulators are exact integers. Scale shape:
+    one hourly groupBy, a 1175-row broadcast theta-join fan (bounded
+    fan-out of 47 rows per hour bucket), one aggregate to
+    |event_types| x 47, and a 47-row election per type."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ht = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    tbl = spark.createDataFrame(
+        _DP_TABLE, schema="period INT, phase INT, cq BIGINT, sq BIGINT"
+    )
+    j = ht.join(
+        F.broadcast(tbl),
+        F.pmod(F.col("h"), F.col("period")) == F.col("phase"),
+    ).select("event_type", "period", "x", "cq", "sq")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = j.groupBy("event_type", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("x")) * dec(F.col("cq"))).alias("sxc"),
+        F.sum(dec(F.col("x")) * dec(F.col("sq"))).alias("sxs"),
+        F.sum(dec(F.col("cq"))).alias("csum"),
+        F.sum(dec(F.col("sq"))).alias("ssum"),
+    )
+    d = s.select(
+        "event_type",
+        "period",
+        F.col("n_hours").cast("double").alias("nn"),
+        (dec(F.col("n_hours")) * F.col("sxc") - F.col("sx") * F.col("csum"))
+        .cast("double")
+        .alias("cn"),
+        (dec(F.col("n_hours")) * F.col("sxs") - F.col("sx") * F.col("ssum"))
+        .cast("double")
+        .alias("sn"),
+        (dec(F.col("n_hours")) * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("vn"),
+    )
+    scored = d.selectExpr("event_type", "period", _DP_REL)
+    best = scored.groupBy("event_type").agg(
+        F.min(
+            F.struct(
+                (-F.col("rel_micro")).alias("nr"),
+                F.col("period").alias("period"),
+            )
+        ).alias("b")
+    )
+    return (
+        scored.join(best, "event_type")
+        .filter(
+            (F.col("period") == F.col("b.period"))
+            & (F.col("rel_micro") == -F.col("b.nr"))
+        )
+        .select(
+            "event_type",
+            F.col("period").alias("dominant_period"),
+            "rel_micro",
+        )
+    )
