@@ -228,6 +228,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "lr_gains_deciles",
     "supplier_hhi_by_nation",
     "ts_dominant_period",
+    "churn_rate_by_activity",
 )
 
 

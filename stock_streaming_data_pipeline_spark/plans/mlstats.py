@@ -3654,3 +3654,73 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     s = xm.agg(*aggs)
     return s.selectExpr(*_CORR_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Churn-risk report: inactivity label vs activity-frequency bucket
+# ---------------------------------------------------------------------------
+
+# Integer-width frequency buckets (pure integer division — no floating
+# bucketer, no rounding boundary; width 8 matches the testdata's
+# per-user event-count spread so the curve has real resolution).
+_CHURN_BUCKET = "n_events // 8"
+_CHURN_BUCKET_SPARK = "n_events DIV 8"
+
+
+@register(
+    "churn_rate_by_activity",
+    tags=("ML-stats", "A1"),
+    oracle=f"""
+WITH bounds AS (SELECT epoch_us(max(ts)) AS t1_us FROM events),
+users AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         epoch_us(max(ts)) AS last_us
+  FROM events GROUP BY 1
+),
+labeled AS (
+  SELECT CAST({_CHURN_BUCKET} AS BIGINT) AS freq_bucket,
+         CASE WHEN last_us < t1_us - 14 * {_US_PER_DAY}
+              THEN 1 ELSE 0 END AS churned
+  FROM users, bounds
+)
+SELECT freq_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(churned) AS BIGINT) AS n_churned,
+       CAST(floor(CAST(sum(churned) AS DOUBLE) / count(*) * 1000000 + 0.5)
+            AS BIGINT) AS churn_rate_micro
+FROM labeled GROUP BY 1
+""",
+)
+def churn_rate_by_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn analysis: label every user churned if silent for the last
+    14 days of the observation window, bucket users by lifetime
+    activity (fixed-width integer-division buckets — no floating
+    bucketer, no rounding boundary), and report the churn rate per
+    bucket —
+    the activity-vs-retention curve a lifecycle team reads before
+    choosing an engagement threshold. One groupBy(user) pass over the
+    fact table, a 1-row bounds broadcast, then a bounded 7-bucket
+    aggregate; the rate is a single deterministic int->double
+    division."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.unix_micros(F.max("ts")).alias("t1_us"))
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+    )
+    labeled = users.crossJoin(F.broadcast(bounds)).selectExpr(
+        f"CAST({_CHURN_BUCKET_SPARK} AS BIGINT) AS freq_bucket",
+        "CASE WHEN last_us < t1_us - 14 * "
+        f"{_US_PER_DAY} THEN 1 ELSE 0 END AS churned",
+    )
+    return labeled.groupBy("freq_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("churned").cast("long").alias("n_churned"),
+        F.floor(
+            F.sum("churned").cast("double") / F.count(F.lit(1)) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("churn_rate_micro"),
+    )
