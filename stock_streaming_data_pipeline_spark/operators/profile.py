@@ -79,3 +79,86 @@ def minmax_scale(
             F.when(span == 0, F.lit(0.0)).otherwise((F.col(c) - lo) / span),
         )
     return out
+
+
+def exact_median_two_scan(
+    df: DataFrame, *, key: str, value: str, bins: int = 1024
+) -> DataFrame:
+    """EXACT per-key lower median without a global sort — the classic
+    two-scan selection pattern for data that cannot be sorted in one
+    task:
+
+    1. scan 1 histograms each key's values into ``bins`` equi-width
+       buckets (map-combined groupBy; bin windows run over <= ``bins``
+       rows per key) and locates the bucket containing the k-th
+       smallest element (k = (n+1) div 2, the lower median — an actual
+       data element, so both engines return the SAME bits);
+    2. scan 2 touches ONLY the target bucket's rows (expected n/bins of
+       the data), counts distinct values, and elects the smallest value
+       whose running count reaches k with one min(struct) per key.
+
+    Determinism: bucket ids are a shared double expression of (value,
+    min, max); elections are struct-min with value tie-breaks; no
+    floating accumulation anywhere. Worst case (all values in one
+    bucket) degrades to a per-key distinct-value window — the
+    running_sum_salted escape hatch applies if a key's within-bucket
+    value domain is itself hot.
+
+    Returns (key, n, median) with median the selected element.
+    """
+    base = df.select(F.col(key).alias("k"), F.col(value).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    bounds = base.groupBy("k").agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    binned = base.join(F.broadcast(bounds), "k").withColumn(
+        "b",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("vmin"))
+                    / ((F.col("vmax") - F.col("vmin")) / bins)
+                ).cast("long"),
+                F.lit(bins - 1),
+            )
+        ),
+    )
+    hist = binned.groupBy("k", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wb = Window.partitionBy("k").orderBy("b")
+    cum = hist.select(
+        "k", "b", "c", F.sum("c").over(wb).cast("long").alias("cle")
+    )
+    kth = bounds.select(
+        "k", "n", ((F.col("n") + 1) / 2).cast("long").alias("kk")
+    )
+    target = (
+        cum.join(F.broadcast(kth), "k")
+        .filter(F.col("cle") >= F.col("kk"))
+        .groupBy("k")
+        .agg(F.min(F.struct(F.col("b"), (F.col("cle") - F.col("c")).alias("before"))).alias("t"))
+        .select("k", F.col("t.b").alias("tb"), F.col("t.before").alias("before"))
+    )
+    inbin = (
+        binned.join(F.broadcast(target), "k")
+        .filter(F.col("b") == F.col("tb"))
+        .groupBy("k", "before", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cv"))
+    )
+    wv = Window.partitionBy("k").orderBy("v")
+    ranked = inbin.select(
+        "k",
+        "v",
+        (F.col("before") + F.sum("cv").over(wv)).cast("long").alias("reach"),
+    )
+    elected = (
+        ranked.join(F.broadcast(kth), "k")
+        .filter(F.col("reach") >= F.col("kk"))
+        .groupBy("k", "n")
+        .agg(F.min("v").alias("median"))
+    )
+    return elected.select(F.col("k").alias(key), "n", "median")

@@ -229,6 +229,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "supplier_hhi_by_nation",
     "ts_dominant_period",
     "churn_rate_by_activity",
+    "exact_median_two_scan",
 )
 
 

@@ -3724,3 +3724,49 @@ def churn_rate_by_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("churn_rate_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-key median by the two-scan selection pattern
+# ---------------------------------------------------------------------------
+
+from stock_streaming_data_pipeline_spark.operators import profile  # noqa: E402
+
+
+@register(
+    "exact_median_two_scan",
+    tags=("ML-stats", "A1"),
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS median_micro
+FROM ranked WHERE rn = (n + 1) // 2
+""",
+)
+def exact_median_two_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-event-type median of the value column WITHOUT a global
+    sort (operators/profile.py:exact_median_two_scan): scan 1 builds a
+    1024-bucket histogram per key and locates the bucket holding the
+    k-th element, scan 2 selects within that bucket only (~n/1024 of
+    the data) — the two-scan selection pattern that replaces the
+    sort-everything median at any scale. The result is an actual data
+    ELEMENT (lower median), so the oracle's brute-force
+    row_number()-selection returns the identical bits and the
+    comparison is exact, unlike interpolated percentile definitions.
+    Complements the sketched approx_percentile profile with an exact,
+    oracle-checkable twin."""
+    ev = load_table(spark, sf_dir, "events")
+    out = profile.exact_median_two_scan(
+        ev, key="event_type", value="value", bins=1024
+    )
+    return out.selectExpr(
+        "event_type",
+        "n",
+        "CAST(floor(median * 1000000 + 0.5) AS BIGINT) AS median_micro",
+    )
