@@ -230,6 +230,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ts_dominant_period",
     "churn_rate_by_activity",
     "exact_median_two_scan",
+    "twap_daily",
 )
 
 

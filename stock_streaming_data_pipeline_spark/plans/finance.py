@@ -1818,3 +1818,85 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TWAP: time-weighted average price per key and day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "twap_daily",
+    tags=("A1", "W4", "C1"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+px AS (
+  SELECT event_type AS key,
+         epoch_us(ts) // 86400000000 AS day,
+         epoch_us(ts) AS t_us,
+         {_CENTS} AS cents
+  FROM trades WHERE value IS NOT NULL
+),
+held AS (
+  SELECT key, day, cents,
+         lead(t_us) OVER (PARTITION BY key, day ORDER BY t_us, cents)
+           - t_us AS hold_us
+  FROM px
+),
+agg AS (
+  SELECT key, day,
+         CAST(sum(CAST(cents AS HUGEINT) * hold_us) AS HUGEINT) AS pw,
+         CAST(sum(hold_us) AS BIGINT) AS w,
+         CAST(count(*) AS BIGINT) AS n_ticks
+  FROM held WHERE hold_us IS NOT NULL GROUP BY 1, 2
+)
+SELECT key, day, n_ticks,
+       CAST(floor(CAST(pw AS DOUBLE) / w * 10000 + 0.5) AS BIGINT)
+         AS twap_microdollar
+FROM agg WHERE w > 0
+""",
+)
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP — time-weighted average price per key and day, the
+    duration-weighted twin of vwap_hourly: each tick's price is held
+    until the NEXT tick (one lead() pass partitioned by key+day gives
+    the holding interval), and the average weights prices by holding
+    micros instead of traded volume — the benchmark execution desks
+    compare fills against when volume data is unreliable. The final
+    day's last tick has no successor and drops (standard open-interval
+    TWAP; identical in both engines). All weights are exact integer
+    micros, prices exact cents; one shared double division ends it.
+    Scale shape: one partitioned window pass + one map-combined
+    groupBy; ties at identical timestamps break on price for a
+    deterministic interval assignment."""
+    t = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())
+    px = t.select(
+        F.col("event_type").alias("key"),
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        F.unix_micros("ts").alias("t_us"),
+        finance.to_scaled_long("value", 2).alias("cents"),
+    )
+    w = Window.partitionBy("key", "day").orderBy("t_us", "cents")
+    held = px.select(
+        "key",
+        "day",
+        "cents",
+        (F.lead("t_us").over(w) - F.col("t_us")).alias("hold_us"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        held.filter(F.col("hold_us").isNotNull())
+        .groupBy("key", "day")
+        .agg(
+            F.sum(dec(F.col("cents")) * dec(F.col("hold_us"))).alias("pw"),
+            F.sum("hold_us").cast("long").alias("w"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+    )
+    return agg.filter(F.col("w") > 0).selectExpr(
+        "key",
+        "day",
+        "n_ticks",
+        "CAST(floor(CAST(pw AS DOUBLE) / w * 10000 + 0.5) AS BIGINT)"
+        " AS twap_microdollar",
+    )
