@@ -231,6 +231,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "churn_rate_by_activity",
     "exact_median_two_scan",
     "twap_daily",
+    "kendall_tau_corr",
 )
 
 

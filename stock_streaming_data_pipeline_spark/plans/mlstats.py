@@ -3770,3 +3770,154 @@ def exact_median_two_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "CAST(floor(median * 1000000 + 0.5) AS BIGINT) AS median_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b rank correlation (exact pair concordance over cells)
+# ---------------------------------------------------------------------------
+
+_TAU_B = (
+    "CAST(floor(CAST(cc - dd AS DOUBLE)"
+    " / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))"
+    " * 1000000 + 0.5) AS BIGINT) AS tau_b_micro"
+)
+
+
+@register(
+    "kendall_tau_corr",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH xm AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+  FROM lineitem
+),
+cells AS (
+  SELECT flag, q, d, CAST(count(*) AS BIGINT) AS cnt FROM xm GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT a.flag AS flag,
+         CAST(sum(CASE WHEN a.d < b.d
+                       THEN CAST(a.cnt AS HUGEINT) * b.cnt ELSE 0 END)
+              AS HUGEINT) AS cc,
+         CAST(sum(CASE WHEN a.d > b.d
+                       THEN CAST(a.cnt AS HUGEINT) * b.cnt ELSE 0 END)
+              AS HUGEINT) AS dd
+  FROM cells a JOIN cells b ON a.flag = b.flag AND a.q < b.q
+  GROUP BY 1
+),
+tot AS (
+  SELECT flag, CAST(sum(cnt) AS HUGEINT) AS n FROM cells GROUP BY 1
+),
+tq AS (
+  SELECT flag,
+         CAST(sum(CAST(tc AS HUGEINT) * (tc - 1) / 2) AS HUGEINT) AS n1
+  FROM (SELECT flag, q, sum(cnt) AS tc FROM cells GROUP BY 1, 2)
+  GROUP BY 1
+),
+td AS (
+  SELECT flag,
+         CAST(sum(CAST(tc AS HUGEINT) * (tc - 1) / 2) AS HUGEINT) AS n2
+  FROM (SELECT flag, d, sum(cnt) AS tc FROM cells GROUP BY 1, 2)
+  GROUP BY 1
+),
+s AS (
+  SELECT p.flag, p.cc, p.dd,
+         t.n * (t.n - 1) / 2 AS n0, tq.n1 AS n1, td.n2 AS n2,
+         CAST(t.n AS BIGINT) AS n
+  FROM pairs p
+  JOIN tot t ON t.flag = p.flag
+  JOIN tq ON tq.flag = p.flag
+  JOIN td ON td.flag = p.flag
+)
+SELECT flag, n, {_TAU_B}
+FROM s
+""",
+)
+def kendall_tau_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between line-item quantity and discount per return
+    flag — the pair-concordance rank correlation beside
+    spearman_rank_corr (tau is the probability-scale statistic:
+    (concordant - discordant) / adjusted pairs, more robust to extreme
+    ties). Naively quadratic in ROWS, but both variables live on
+    bounded domains, so all n^2/2 pair comparisons collapse to a
+    <=550x550 CELL self-join per flag: C and D are weighted sums of
+    cnt_a * cnt_b over cell pairs, tie corrections come from the
+    marginals, and the fact table is scanned ONCE. Every accumulator is
+    an exact integer through HUGEINT/DECIMAL; tau-b is one shared
+    double template. Scale shape: one map-combined groupBy to cells,
+    then everything runs on bounded relations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xm = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("d"),
+    )
+    cells = xm.groupBy("flag", "q", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = cells.selectExpr("flag", "q AS qa", "d AS da", "cnt AS ca")
+    b = cells.selectExpr("flag AS flag_b", "q AS qb", "d AS db", "cnt AS cb")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("flag") == F.col("flag_b")) & (F.col("qa") < F.col("qb")),
+        )
+        .groupBy("flag")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("da") < F.col("db"),
+                    dec(F.col("ca")) * dec(F.col("cb")),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("cc"),
+            F.sum(
+                F.when(
+                    F.col("da") > F.col("db"),
+                    dec(F.col("ca")) * dec(F.col("cb")),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("dd"),
+        )
+    )
+    tot = cells.groupBy("flag").agg(F.sum("cnt").cast("long").alias("n"))
+    tq = (
+        cells.groupBy("flag", "q")
+        .agg(F.sum("cnt").cast("long").alias("tc"))
+        .groupBy("flag")
+        .agg(
+            F.sum(dec(F.col("tc")) * dec(F.col("tc") - 1) / 2)
+            .cast("decimal(38,0)")
+            .alias("n1")
+        )
+    )
+    td = (
+        cells.groupBy("flag", "d")
+        .agg(F.sum("cnt").cast("long").alias("tc"))
+        .groupBy("flag")
+        .agg(
+            F.sum(dec(F.col("tc")) * dec(F.col("tc") - 1) / 2)
+            .cast("decimal(38,0)")
+            .alias("n2")
+        )
+    )
+    s = (
+        pairs.join(F.broadcast(tot), "flag")
+        .join(F.broadcast(tq), "flag")
+        .join(F.broadcast(td), "flag")
+        .select(
+            "flag",
+            "n",
+            "cc",
+            "dd",
+            (dec(F.col("n")) * dec(F.col("n") - 1) / 2)
+            .cast("decimal(38,0)")
+            .alias("n0"),
+            "n1",
+            "n2",
+        )
+    )
+    return s.selectExpr("flag", "n", _TAU_B)
