@@ -232,6 +232,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "exact_median_two_scan",
     "twap_daily",
     "kendall_tau_corr",
+    "knn_classifier_eval",
+    "ts_seasonal_naive_mase",
 )
 
 

@@ -1900,3 +1900,88 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(CAST(pw AS DOUBLE) / w * 10000 + 0.5) AS BIGINT)"
         " AS twap_microdollar",
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast evaluation (MASE)
+# ---------------------------------------------------------------------------
+
+_MASE = (
+    "CAST(floor(CAST(sae_model AS DOUBLE) / n_model"
+    " / (CAST(sae_naive AS DOUBLE) / n_naive) * 1000000 + 0.5)"
+    " AS BIGINT) AS mase_micro"
+)
+
+
+@register(
+    "ts_seasonal_naive_mase",
+    tags=("ML-stats", "W4"),
+    oracle=f"""
+WITH ht AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+lagd AS (
+  SELECT event_type, slot, x,
+         lag(x, 24) OVER w AS x24,
+         lag(x, 1) OVER w AS x1
+  FROM ht WINDOW w AS (PARTITION BY event_type ORDER BY slot)
+),
+s AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN x24 IS NOT NULL THEN abs(x - x24) END) AS BIGINT)
+           AS sae_model,
+         CAST(count(x24) AS BIGINT) AS n_model,
+         CAST(sum(CASE WHEN x1 IS NOT NULL THEN abs(x - x1) END) AS BIGINT)
+           AS sae_naive,
+         CAST(count(x1) AS BIGINT) AS n_naive
+  FROM lagd GROUP BY 1
+)
+SELECT event_type, n_model, sae_model, sae_naive, {_MASE}
+FROM s WHERE sae_naive > 0
+""",
+)
+def ts_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each hour's event
+    volume as the SAME HOUR YESTERDAY (lag 24) and score it with MASE —
+    mean absolute error scaled by the one-step random-walk error, the
+    scale-free forecast metric (< 1e6 micro = beats the naive walk,
+    i.e. the series HAS exploitable daily structure; the companion
+    number to ts_periodogram_fixed's spectral view). Both error sums
+    are exact integer sums from one two-lag window pass over the
+    bounded hourly series (positions misaligned across engines are
+    impossible: slot order is total), and the ratio is one shared
+    double template. Scale shape: one hourly groupBy + one partitioned
+    window + one aggregate to |event_types| rows."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ht = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("slot"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("slot")
+    lagd = ht.select(
+        "event_type",
+        "x",
+        F.lag("x", 24).over(w).alias("x24"),
+        F.lag("x", 1).over(w).alias("x1"),
+    )
+    s = lagd.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("x24").isNotNull(), F.abs(F.col("x") - F.col("x24")))
+        )
+        .cast("long")
+        .alias("sae_model"),
+        F.count("x24").cast("long").alias("n_model"),
+        F.sum(
+            F.when(F.col("x1").isNotNull(), F.abs(F.col("x") - F.col("x1")))
+        )
+        .cast("long")
+        .alias("sae_naive"),
+        F.count("x1").cast("long").alias("n_naive"),
+    )
+    return s.filter(F.col("sae_naive") > 0).selectExpr(
+        "event_type", "n_model", "sae_model", "sae_naive", _MASE
+    )

@@ -4231,3 +4231,88 @@ def lr_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").over(w).cast("long").alias("cum_n"),
     )
     return cum.crossJoin(F.broadcast(nt)).selectExpr(*_GAINS_OUT)
+
+
+# ---------------------------------------------------------------------------
+# k-NN classifier evaluation over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_classifier_eval",
+    tags=("LLM-sim", "ML-stats"),
+    oracle=f"""
+WITH topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(({_SQL_DOT_AB}) / (({_SQL_NORM_A}) * ({_SQL_NORM_B})), 6)
+             AS cosine,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(({_SQL_DOT_AB})
+                            / (({_SQL_NORM_A}) * ({_SQL_NORM_B})), 6) DESC,
+                      b.vec_id
+           ) AS rank
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT t.query_id, e.label, CAST(count(*) AS BIGINT) AS v
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id,
+         (min({{'nv': -v, 'label': label}})).label AS pred_label
+  FROM votes GROUP BY 1
+)
+SELECT p.query_id, q.label AS true_label, p.pred_label,
+       CASE WHEN q.label = p.pred_label THEN 1 ELSE 0 END AS correct
+FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+""",
+)
+def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN (k=5, cosine) label prediction for the 20 query vectors,
+    scored against their true labels — the zero-training classifier
+    every embedding space gets sanity-checked with (if 5-NN can't
+    recover labels, the space is not linearly usable). Retrieval is the
+    broadcast-queries exact top-k; the majority vote is one
+    min(struct(-votes, label)) election per query (deterministic
+    smallest-label tie-break); the verdict joins back the query's own
+    label. Scale shape: the corpus is scanned once by the scoring pass;
+    everything else is <=20x5 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    topk = similarity.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(
+            labels.withColumnsRenamed({"vec_id": "neighbor_id"}), "neighbor_id"
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    pred = (
+        votes.groupBy("query_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("v")).alias("nv"), F.col("label").alias("label"))
+            ).alias("w")
+        )
+        .select("query_id", F.col("w.label").alias("pred_label"))
+    )
+    qlab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )  # key-bounded (vec_id < 20)
+    return (
+        pred.join(F.broadcast(qlab), "query_id")
+        .selectExpr(
+            "query_id",
+            "true_label",
+            "pred_label",
+            "CASE WHEN true_label = pred_label THEN 1 ELSE 0 END AS correct",
+        )
+    )
