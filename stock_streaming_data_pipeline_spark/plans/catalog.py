@@ -234,6 +234,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "kendall_tau_corr",
     "knn_classifier_eval",
     "ts_seasonal_naive_mase",
+    "rsi_hourly",
 )
 
 

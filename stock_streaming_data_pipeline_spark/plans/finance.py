@@ -1985,3 +1985,94 @@ def ts_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(F.col("sae_naive") > 0).selectExpr(
         "event_type", "n_model", "sae_model", "sae_naive", _MASE
     )
+
+
+# ---------------------------------------------------------------------------
+# RSI (relative strength index, SMA-14 form) over hourly closes
+# ---------------------------------------------------------------------------
+
+_RSI = (
+    "CAST(floor(CAST(1000000 AS DOUBLE) * sg / (sg + sl) + 0.5)"
+    " AS BIGINT) AS rsi_micro"
+)
+
+
+@register(
+    "rsi_hourly",
+    tags=("W2", "W4", "A1"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+hourly AS (
+  SELECT event_type AS key, epoch_us(ts) // 3600000000 AS slot,
+         (max({{'t': epoch_us(ts), 'c': {_CENTS}}})).c AS close
+  FROM trades WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+diffs AS (
+  SELECT key, slot,
+         close - lag(close) OVER w AS d,
+         row_number() OVER w AS rn
+  FROM hourly WINDOW w AS (PARTITION BY key ORDER BY slot)
+),
+sums AS (
+  SELECT key, slot, rn,
+         CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END)
+              OVER f AS BIGINT) AS sg,
+         CAST(sum(CASE WHEN d < 0 THEN -d ELSE 0 END)
+              OVER f AS BIGINT) AS sl
+  FROM diffs
+  WINDOW f AS (PARTITION BY key ORDER BY slot
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT key, slot, sg, sl, {_RSI}
+FROM sums WHERE rn >= 15 AND sg + sl > 0
+""",
+)
+def rsi_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI(14) over hourly closes per key — the classic momentum
+    oscillator in its SMA form (Cutler's RSI: simple 14-period sums of
+    gains and losses rather than Wilder's recursive smoothing, which
+    keeps every accumulator an EXACT integer window sum over cents;
+    rsi = 1e6 * gains / (gains + losses), the algebraically identical
+    form of 100 - 100/(1+RS) that needs one division instead of two).
+    Emitted only where the 14-diff frame is full (rn >= 15) and moves
+    exist. The hourly close is a deterministic arg_max on
+    (ts, cents). Scale shape: one hourly groupBy over the fact table,
+    two partitioned window passes over the bounded hourly series, no
+    joins."""
+    t = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())
+    hourly = t.groupBy(
+        F.col("event_type").alias("key"),
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("slot"),
+    ).agg(
+        F.max(
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                finance.to_scaled_long("value", 2).alias("c"),
+            )
+        )["c"].alias("close")
+    )
+    w = Window.partitionBy("key").orderBy("slot")
+    diffs = hourly.select(
+        "key",
+        "slot",
+        (F.col("close") - F.lag("close").over(w)).alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    f = Window.partitionBy("key").orderBy("slot").rowsBetween(-13, 0)
+    sums = diffs.select(
+        "key",
+        "slot",
+        "rn",
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(F.lit(0)))
+        .over(f)
+        .cast("long")
+        .alias("sg"),
+        F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(F.lit(0)))
+        .over(f)
+        .cast("long")
+        .alias("sl"),
+    )
+    return sums.filter(
+        (F.col("rn") >= 15) & (F.col("sg") + F.col("sl") > 0)
+    ).selectExpr("key", "slot", "sg", "sl", _RSI)
