@@ -235,6 +235,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "knn_classifier_eval",
     "ts_seasonal_naive_mase",
     "rsi_hourly",
+    "pca_second_component",
 )
 
 

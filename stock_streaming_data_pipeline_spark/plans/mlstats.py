@@ -2769,7 +2769,9 @@ _PCA_EVR = (
 )
 
 
-def _pca_oracle(rounds: int, dim: int) -> str:
+def _pca_cte_parts(rounds: int, dim: int) -> list:
+    """CTE prefix shared by every PCA oracle: quantize -> Gram -> cov ->
+    power-iteration rounds, ending at v{rounds}."""
     parts = [
         """xq AS MATERIALIZED (
   SELECT list_transform(embedding,
@@ -2805,6 +2807,11 @@ v{r} AS MATERIALIZED (
   SELECT i AS j, {_PCA_NORM} AS v FROM r{r}, m{r}
 )"""
         )
+    return parts
+
+
+def _pca_oracle(rounds: int, dim: int) -> str:
+    parts = _pca_cte_parts(rounds, dim)
     parts.append(
         f"""rf AS MATERIALIZED (
   SELECT c.i, CAST(sum(c.c * v.v) AS HUGEINT) AS raw
@@ -3921,3 +3928,126 @@ def kendall_tau_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.selectExpr("flag", "n", _TAU_B)
+
+
+# ---------------------------------------------------------------------------
+# Second principal component via integer-exact deflation
+# ---------------------------------------------------------------------------
+
+_PCA2_ORTHO = (
+    "CAST(floor(CAST(dp AS DOUBLE)"
+    " / sqrt(CAST(w1 AS DOUBLE) * CAST(w2 AS DOUBLE)) * 1000000 + 0.5)"
+    " AS BIGINT) AS ortho_micro"
+)
+
+
+def _pca2_oracle(rounds: int, dim: int) -> str:
+    parts = _pca_cte_parts(rounds, dim)
+    parts.append(
+        f"""vtv AS (
+  SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS w FROM v{rounds}
+),
+cv AS MATERIALIZED (
+  SELECT c.i, CAST(sum(c.c * v.v) AS HUGEINT) AS raw
+  FROM cov c JOIN v{rounds} v ON v.j = c.j GROUP BY 1
+),
+cov2 AS MATERIALIZED (
+  SELECT c.i, c.j, vtv.w * c.c - cv.raw * CAST(v.v AS HUGEINT) AS c
+  FROM cov c
+  JOIN cv ON cv.i = c.i
+  JOIN v{rounds} v ON v.j = c.j
+  CROSS JOIN vtv
+),
+w0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS v FROM idx)"""
+    )
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""q{r} AS MATERIALIZED (
+  SELECT c.i, CAST(sum(c.c * v.v) AS HUGEINT) AS raw
+  FROM cov2 c JOIN w{r - 1} v ON v.j = c.j GROUP BY 1
+),
+mm{r} AS (SELECT CAST(max(abs(raw)) AS DOUBLE) AS m FROM q{r}),
+w{r} AS MATERIALIZED (
+  SELECT i AS j, {_PCA_NORM} AS v FROM q{r}, mm{r}
+)"""
+        )
+    parts.append(
+        f"""dp_t AS (
+  SELECT CAST(sum(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS dp
+  FROM v{rounds} a JOIN w{rounds} b ON b.j = a.j
+),
+n1_t AS (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS w1
+         FROM v{rounds}),
+n2_t AS (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS w2
+         FROM w{rounds})"""
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT j AS dim_idx, v AS loading2_micro, {_PCA2_ORTHO}
+FROM w{rounds}, dp_t, n1_t, n2_t
+"""
+
+
+@register(
+    "pca_second_component",
+    tags=("ML-stats", "LLM-embedding"),
+    oracle=_pca2_oracle(_PCA_ROUNDS, _PCA_DIM),
+)
+def pca_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal component by INTEGER-EXACT deflation: with PC1's
+    micro-vector v1 in hand (the pca_top_component subplan), the
+    deflated matrix C' = (v1'v1)*C - (C v1) v1' is still an all-integer
+    relation — scaling by v1'v1 instead of dividing by it keeps the
+    projector exact, no rational eigenvalue ever enters — and 8 more
+    power-iteration rounds on C' converge to PC2. Reports the loadings
+    plus the cosine between PC1 and PC2 (ortho_micro ~ 0 is the
+    self-check that deflation worked; nonzero bounded by the micro
+    quantization). Everything is joins + integer aggregates over d^2
+    rows; the oracle unrolls BOTH iteration phases (16 matvec rounds)
+    in HUGEINT. Integer headroom: C' entries gain a factor of
+    v1'v1 <= d*1e12 over C — inside DECIMAL(38,0) through sf1-scale
+    corpora; past that, pre-scale C by a power of two (the
+    operators/pca.py contract)."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = pca.covariance_rows(emb, id_col="vec_id", vec_col="embedding")
+    cov = cov.localCheckpoint(eager=False)
+    v1 = pca.power_iteration(cov, rounds=_PCA_ROUNDS).localCheckpoint(
+        eager=False
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    vtv = v1.agg(F.sum(dec(F.col("v")) * dec(F.col("v"))).alias("w"))
+    cv = (
+        cov.join(v1.withColumnsRenamed({"i": "j"}), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * dec(F.col("v"))).alias("raw"))
+    )
+    cov2 = (
+        cov.join(F.broadcast(cv), "i")
+        .join(
+            F.broadcast(v1.withColumnsRenamed({"i": "j", "v": "vj"})), "j"
+        )
+        .crossJoin(F.broadcast(vtv))
+        .select(
+            "i",
+            "j",
+            (F.col("w") * F.col("c") - F.col("raw") * dec(F.col("vj")))
+            .cast("decimal(38,0)")
+            .alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v2 = pca.power_iteration(cov2, rounds=_PCA_ROUNDS)
+    dp_t = (
+        v1.join(v2.withColumnsRenamed({"v": "v2"}), "i")
+        .agg(F.sum(dec(F.col("v")) * dec(F.col("v2"))).alias("dp"))
+    )
+    n1_t = v1.agg(F.sum(dec(F.col("v")) * dec(F.col("v"))).alias("w1"))
+    n2_t = v2.agg(F.sum(dec(F.col("v")) * dec(F.col("v"))).alias("w2"))
+    return (
+        v2.crossJoin(F.broadcast(dp_t))
+        .crossJoin(F.broadcast(n1_t))
+        .crossJoin(F.broadcast(n2_t))
+        .selectExpr("i AS dim_idx", "v AS loading2_micro", _PCA2_ORTHO)
+    )
