@@ -236,6 +236,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ts_seasonal_naive_mase",
     "rsi_hourly",
     "pca_second_component",
+    "text_zipf_fit",
 )
 
 

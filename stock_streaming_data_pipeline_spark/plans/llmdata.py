@@ -4316,3 +4316,101 @@ def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN true_label = pred_label THEN 1 ELSE 0 END AS correct",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit of the token frequency distribution
+# ---------------------------------------------------------------------------
+
+# OLS of ln(freq) on ln(rank) over the vocabulary, every logarithm
+# micro-quantized to an exact integer BEFORE the cross-token sums (the
+# order-free float discipline); slope/r2 from the shared Cramer-free
+# simple-regression template.
+_ZIPF_OUT = (
+    "vocab_size",
+    "CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000 + 0.5)"
+    " AS BIGINT) AS zipf_slope_micro",
+    "CAST(floor((n * sxy - sx * sy) * (n * sxy - sx * sy)"
+    " / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1000000 + 0.5)"
+    " AS BIGINT) AS r2_micro",
+)
+
+
+@register(
+    "text_zipf_fit",
+    tags=("LLM-text", "ML-stats"),
+    oracle="""
+WITH tk AS (
+  SELECT unnest({toks}) AS term FROM documents
+),
+freq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY 1
+),
+ranked AS (
+  SELECT f,
+         row_number() OVER (ORDER BY f DESC, term) AS rnk
+  FROM freq
+),
+pts AS (
+  SELECT CAST(floor(ln(rnk) * 1000000 + 0.5) AS BIGINT) AS lx,
+         CAST(floor(ln(f) * 1000000 + 0.5) AS BIGINT) AS ly
+  FROM ranked
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(lx AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ly AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(lx AS HUGEINT) * lx) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(ly AS HUGEINT) * ly) AS DOUBLE) AS syy,
+         CAST(sum(CAST(lx AS HUGEINT) * ly) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT {out}
+FROM s
+""".format(
+        toks=dedup.SQL_TOKENS.format(text="text"),
+        out=", ".join(_ZIPF_OUT),
+    ),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token distribution: OLS slope of
+    ln(frequency) on ln(rank) over the whole vocabulary, with R^2 — the
+    corpus-health number (natural text sits near slope -1; templated or
+    synthetic corpora drift toward 0 or collapse R^2), the regression
+    companion to heavy_hitter_tokens' head view. The ranking is the
+    range-partitioned global_rank (operators/running.py — never a
+    single-task window over the vocabulary); both logarithms are
+    micro-quantized per token BEFORE the sums so the regression moments
+    are exact integers; slope and R^2 come from one shared double
+    template. Scale shape: one token groupBy, the two-phase rank pass,
+    one scalar aggregate."""
+    from stock_streaming_data_pipeline_spark.operators import running
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(dedup.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .withColumn("negf", -F.col("f"))
+    )
+    ranked = running.global_rank(freq, order_col="negf", id_col="term", out="rnk")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pts = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("lx"),
+        F.floor(F.log(F.col("f").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("ly"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("lx"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("ly"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("lx")) * dec(F.col("lx"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("ly")) * dec(F.col("ly"))).cast("double").alias("syy"),
+        F.sum(dec(F.col("lx")) * dec(F.col("ly"))).cast("double").alias("sxy"),
+    )
+    return s.selectExpr(*_ZIPF_OUT)

@@ -154,6 +154,9 @@ UNPARTITIONED_WINDOW_ALLOW = {
                                     # the corpus-sized sort is range-partitioned.
     "classifier_auc_roc",           # cumulative ROC window over the fixed 1024-bin
                                     # score histogram (SF-independent bound)
+    "text_zipf_fit",                # global_rank offsets window (n_part rows,
+                                    # SF-independent); the vocabulary ranking
+                                    # itself is range-partitioned.
     "lr_gains_deciles",             # global_rank offsets window (n_part rows) +
                                     # cumulative window over the 10-row decile
                                     # relation — both SF-independent; the corpus
