@@ -237,6 +237,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "rsi_hourly",
     "pca_second_component",
     "text_zipf_fit",
+    "multimodal_consistency_audit",
 )
 
 

@@ -4414,3 +4414,83 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec(F.col("lx")) * dec(F.col("ly"))).cast("double").alias("sxy"),
     )
     return s.selectExpr(*_ZIPF_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal consistency audit: decoded pixel mass vs text metadata
+# ---------------------------------------------------------------------------
+
+_XMODAL_CORR = (
+    "CAST(floor((n * sxy - sx * sy)"
+    " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1000000 + 0.5)"
+    " AS BIGINT) AS corr_micro"
+)
+
+
+@register(
+    "multimodal_consistency_audit",
+    tags=("LLM-multimodal", "ML-stats"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS media_id, n_chars,
+         substr({_MEDIA_TEXT_SQL} || repeat(' ', 64), 1, 64) AS s
+  FROM documents
+),
+px AS (
+  SELECT media_id, n_chars,
+         CAST(sum(ascii(substr(s, CAST(u.i AS INT), 1))) AS BIGINT) AS sum_px
+  FROM t, unnest(range(1, 65)) AS u(i)
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(sum_px AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(sum_px AS HUGEINT) * sum_px) AS DOUBLE) AS syy,
+         CAST(sum(CAST(n_chars AS HUGEINT) * sum_px) AS DOUBLE) AS sxy
+  FROM px
+)
+SELECT n_docs, {_XMODAL_CORR}
+FROM s
+""",
+)
+def multimodal_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency audit: Pearson correlation between each
+    document's metadata length (n_chars) and the pixel mass of its
+    REALLY-decoded image rendition — the pairing-integrity check a
+    multimodal pipeline runs to catch payload/metadata mix-ups at scale
+    (shuffled pairings collapse the correlation; an intact pipeline
+    keeps it strongly positive because padding pixels are uniform). The
+    decode is the Arrow-batched PNG path; the correlation runs on exact
+    integer moments through the shared rho template. Scale shape:
+    decode payload-local, one per-image pixel-sum aggregate, one scalar
+    moment aggregate."""
+    docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
+    media = multimodal.documents_as_png_media(docs, width=8, height=8)
+    px = multimodal.png_pixel_rows(media)
+    sums = px.groupBy("media_id").agg(
+        F.sum("v").cast("long").alias("sum_px")
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "n_chars"
+    )
+    j = sums.join(meta, "media_id")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("n_chars"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("sum_px"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("n_chars")) * dec(F.col("n_chars")))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(dec(F.col("sum_px")) * dec(F.col("sum_px")))
+        .cast("double")
+        .alias("syy"),
+        F.sum(dec(F.col("n_chars")) * dec(F.col("sum_px")))
+        .cast("double")
+        .alias("sxy"),
+    )
+    return s.selectExpr("n_docs", _XMODAL_CORR)
