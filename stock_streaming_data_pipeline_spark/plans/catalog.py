@@ -238,6 +238,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "pca_second_component",
     "text_zipf_fit",
     "multimodal_consistency_audit",
+    "streaming_heavy_hitters",
 )
 
 

@@ -1016,3 +1016,35 @@ def streaming_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sfl"),
     )
     return s.selectExpr(*_ENTROPY_OUT)
+
+
+@register(
+    "streaming_heavy_hitters",
+    tags=("T6", "LLM-text", "A4"),
+    oracle=_REGISTRY["heavy_hitter_tokens"].oracle,
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING heavy hitters: the >=2%-of-stream token report
+    maintained as documents arrive — per-term counts fold under a
+    complete-mode groupBy (the exact space-bounded alternative to a
+    Misra-Gries sketch when, as here and in most curation corpora, the
+    vocabulary is itself bounded; the sketch_countmin query is the
+    fixed-memory path for unbounded vocabularies), the settled counts
+    join the settled total, and the 2% support filter reproduces the
+    batch heavy_hitter_tokens result row-for-row — shared oracle.
+    Arrival order and batch boundaries cannot perturb integer counts."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import tokens
+
+    tk = stream_documents(spark, sf_dir).select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    cnt = tk.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("occurrences")
+    )
+    settled = settle(cnt, "complete")
+    tot = settled.agg(F.sum("occurrences").alias("n"))
+    return (
+        settled.crossJoin(F.broadcast(tot))
+        .filter(F.col("occurrences") * 50 >= F.col("n"))
+        .select("term", "occurrences")
+    )
