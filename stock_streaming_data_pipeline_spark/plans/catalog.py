@@ -239,6 +239,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "text_zipf_fit",
     "multimodal_consistency_audit",
     "streaming_heavy_hitters",
+    "stratified_treatment_effect",
 )
 
 

@@ -4051,3 +4051,105 @@ def pca_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n2_t))
         .selectExpr("i AS dim_idx", "v AS loading2_micro", _PCA2_ORTHO)
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified treatment-effect estimate (discount -> returns)
+# ---------------------------------------------------------------------------
+
+# Per-stratum contributions are micro-quantized BEFORE the cross-stratum
+# sum (float addition across rows is order-dependent; integer sums are
+# order-free) — the same discipline as the NB log-probs.
+_ATE_CONTRIB = (
+    "CAST(floor((n1 + n0) * (CAST(p1 AS DOUBLE) / n1"
+    " - CAST(p0 AS DOUBLE) / n0) * 1000000 + 0.5) AS BIGINT)"
+)
+_ATE = (
+    "CAST(floor(CAST(num AS DOUBLE) / den + 0.5) AS BIGINT) AS ate_micro"
+)
+
+
+@register(
+    "stratified_treatment_effect",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH xm AS (
+  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS stratum,
+         CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS treated,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+cells AS (
+  SELECT stratum, treated,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM xm GROUP BY 1, 2
+),
+strata AS (
+  SELECT stratum,
+         max(CASE WHEN treated = 1 THEN n END) AS n1,
+         max(CASE WHEN treated = 1 THEN pos END) AS p1,
+         max(CASE WHEN treated = 0 THEN n END) AS n0,
+         max(CASE WHEN treated = 0 THEN pos END) AS p0
+  FROM cells GROUP BY 1
+  HAVING n1 IS NOT NULL AND n0 IS NOT NULL
+),
+contrib AS (
+  SELECT n1 + n0 AS w, {_ATE_CONTRIB} AS c_micro FROM strata
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+         CAST(sum(CAST(c_micro AS HUGEINT)) AS BIGINT) AS num,
+         CAST(sum(w) AS DOUBLE) AS den
+  FROM contrib
+)
+SELECT n_strata, {_ATE}
+FROM agg
+""",
+)
+def stratified_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (standardized) treatment-effect estimate: does a deep
+    discount (>=5%) change the probability a line item is returned,
+    adjusting for quantity as the confounder? Classic epidemiology-style
+    direct standardization — the observational-causal primitive every
+    experimentation platform needs when randomization isn't available:
+    within each quantity stratum compute the treated-vs-control return-
+    rate difference, then average the differences weighted by stratum
+    size (strata missing either arm drop, per the estimand's
+    definition). The per-stratum rates are single deterministic
+    int->double divisions over exact counts; the weighted sum runs over
+    the <=50-row strata relation, so no cross-row float addition ever
+    touches unbounded data. Scale shape: ONE groupBy pass to <=100
+    cells, then bounded-relation arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xm = li.select(
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("stratum"),
+        F.when(F.col("l_discount") >= 0.05, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("treated"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    cells = xm.groupBy("stratum", "treated").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    strata = (
+        cells.groupBy("stratum")
+        .agg(
+            F.max(F.when(F.col("treated") == 1, F.col("n"))).alias("n1"),
+            F.max(F.when(F.col("treated") == 1, F.col("pos"))).alias("p1"),
+            F.max(F.when(F.col("treated") == 0, F.col("n"))).alias("n0"),
+            F.max(F.when(F.col("treated") == 0, F.col("pos"))).alias("p0"),
+        )
+        .filter(F.col("n1").isNotNull() & F.col("n0").isNotNull())
+    )
+    contrib = strata.selectExpr(
+        "n1 + n0 AS w", f"{_ATE_CONTRIB} AS c_micro"
+    )
+    agg = contrib.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("c_micro").cast("long").alias("num"),
+        F.sum("w").cast("double").alias("den"),
+    )
+    return agg.selectExpr("n_strata", _ATE)
