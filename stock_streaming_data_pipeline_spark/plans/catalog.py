@@ -240,6 +240,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "multimodal_consistency_audit",
     "streaming_heavy_hitters",
     "stratified_treatment_effect",
+    "corpus_hapax_ratio",
 )
 
 

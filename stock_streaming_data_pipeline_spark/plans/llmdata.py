@@ -4494,3 +4494,69 @@ def multimodal_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxy"),
     )
     return s.selectExpr("n_docs", _XMODAL_CORR)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary richness: hapax ratio + type-token ratio per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_hapax_ratio",
+    tags=("LLM-text",),
+    oracle="""
+WITH tk AS (
+  SELECT source, unnest({toks}) AS term FROM documents
+),
+cnts AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(f) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(floor(CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*) * 1000000 + 0.5) AS BIGINT) AS hapax_ratio_micro,
+       CAST(floor(CAST(count(*) AS DOUBLE) / sum(f) * 1000000 + 0.5)
+            AS BIGINT) AS ttr_micro
+FROM cnts GROUP BY 1
+""".format(toks=dedup.SQL_TOKENS.format(text="text")),
+)
+def corpus_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness card per source: hapax-legomena ratio (share
+    of the vocabulary appearing exactly once — near 0 flags templated
+    text, the fastest boilerplate tell) and type-token ratio, the two
+    classic lexical-richness statistics beside corpus_token_entropy's
+    information view. One (source, term) groupBy then one per-source
+    aggregate; both ratios are single deterministic int->double
+    divisions over exact counts — no cross-row float ever. Scale:
+    token explode + two map-combined groupBys."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = (
+        docs.select(
+            "source", F.explode(dedup.tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    return cnts.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.floor(
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("hapax_ratio_micro"),
+        F.floor(
+            F.count(F.lit(1)).cast("double") / F.sum("f") * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ttr_micro"),
+    )
