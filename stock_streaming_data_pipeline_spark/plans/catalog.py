@@ -241,6 +241,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "streaming_heavy_hitters",
     "stratified_treatment_effect",
     "corpus_hapax_ratio",
+    "embedding_space_health",
 )
 
 

@@ -4560,3 +4560,80 @@ def corpus_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ttr_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space health: norm distribution + anisotropy
+# ---------------------------------------------------------------------------
+
+_ESH_OUT = (
+    "n_vectors",
+    # mean squared norm, micro^2 units -> report in 1e-6 units of x^2
+    "CAST(floor(CAST(ssq AS DOUBLE) / n / 1000000.0 + 0.5) AS BIGINT)"
+    " AS mean_sq_norm_micro",
+    # anisotropy = |mean vector|^2 / mean(|x|^2)  (0 = centered cloud,
+    # -> 1 = all vectors share a dominant common direction)
+    "CAST(floor(CAST(csq AS DOUBLE) / n / n / (CAST(ssq AS DOUBLE) / n)"
+    " * 1000000 + 0.5) AS BIGINT) AS anisotropy_micro",
+)
+
+
+@register(
+    "embedding_space_health",
+    tags=("LLM-embedding", "ML-stats"),
+    oracle=f"""
+WITH xq AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+           AS xq
+  FROM embeddings
+),
+idx AS (SELECT range AS i FROM range(64)),
+percomp AS (
+  SELECT a.i AS i,
+         CAST(sum(xq[a.i + 1]) AS HUGEINT) AS sx,
+         CAST(sum(CAST(xq[a.i + 1] AS HUGEINT) * xq[a.i + 1]) AS HUGEINT)
+           AS sxx
+  FROM xq, idx a GROUP BY 1
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+              CAST(count(*) AS BIGINT) AS n FROM xq),
+agg AS (
+  SELECT CAST(sum(sxx) AS HUGEINT) AS ssq,
+         CAST(sum(sx * sx) AS HUGEINT) AS csq
+  FROM percomp
+)
+SELECT {", ".join(_ESH_OUT)}
+FROM agg, nn
+""",
+)
+def embedding_space_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health card: the mean squared norm (collapsed or
+    exploded magnitude scales break cosine math downstream) and the
+    ANISOTROPY ratio |mean vector|^2 / mean |x|^2 — the well-known
+    representation-degeneration diagnostic (a healthy space sits near
+    0; near 1 means every vector shares one dominant direction and
+    cosine similarity stops discriminating). Both are pure quadratics
+    in the per-dimension sums, so ONE generator pass collapses the
+    corpus to 64 (sum, sum-of-squares) rows in exact integers —
+    |mean|^2 = sum_i (Sx_i)^2 / n^2 never materializes the mean vector,
+    and no float crosses rows. Scale shape: one map-combined groupBy
+    onto d keys, then 64-row arithmetic."""
+    from stock_streaming_data_pipeline_spark.operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = pca.quantized_components(emb, id_col="vec_id", vec_col="embedding")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    percomp = comps.groupBy("i").agg(
+        F.sum(dec(F.col("xi"))).alias("sx"),
+        F.sum(dec(F.col("xi")) * dec(F.col("xi"))).alias("sxx"),
+    )
+    nn = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    agg = percomp.agg(
+        F.sum("sxx").cast("decimal(38,0)").alias("ssq"),
+        F.sum(F.col("sx") * F.col("sx")).cast("decimal(38,0)").alias("csq"),
+    )
+    return agg.crossJoin(F.broadcast(nn)).selectExpr(*_ESH_OUT)
