@@ -242,6 +242,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "stratified_treatment_effect",
     "corpus_hapax_ratio",
     "embedding_space_health",
+    "curation_pipeline_v3",
 )
 
 

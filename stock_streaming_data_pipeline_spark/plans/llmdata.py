@@ -4637,3 +4637,154 @@ def embedding_space_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("sx") * F.col("sx")).cast("decimal(38,0)").alias("csq"),
     )
     return agg.crossJoin(F.broadcast(nn)).selectExpr(*_ESH_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v3: perceptual dedup -> readability -> quality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_pipeline_v3",
+    tags=("LLM-dedup", "LLM-multimodal", "LLM-text", "LLM-mixing"),
+    oracle=f"""
+WITH {_PHASH_CTES},
+dupdrop AS (
+  SELECT DISTINCT p1.media_id AS doc_id
+  FROM ph p1 JOIN ph p2
+    ON p2.phash = p1.phash AND p2.media_id < p1.media_id
+),
+m AS (
+  SELECT doc_id,
+         CAST(len({dedup.SQL_TOKENS.format(text="text")}) AS BIGINT) AS nw,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS ns,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS sy
+  FROM documents
+),
+rd AS (
+  SELECT doc_id, CASE WHEN nw = 0 THEN NULL ELSE {_FLESCH.replace(" AS flesch_micro", "")} END AS fl
+  FROM m
+),
+quality AS ({text.sql_quality_scores("doc_id", "text", table="documents")}),
+flags AS (
+  SELECT d.source, d.n_chars,
+         (d.doc_id IN (SELECT doc_id FROM dupdrop)) AS is_dup,
+         coalesce(rd.fl < 10000000, TRUE) AS low_read,
+         q.quality < 0.40 AS low_quality
+  FROM documents d
+  JOIN rd ON rd.doc_id = d.doc_id
+  JOIN quality q ON q.doc = d.doc_id
+)
+SELECT source,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_neardup,
+       CAST(sum(CASE WHEN NOT is_dup AND low_read THEN 1 ELSE 0 END)
+            AS BIGINT) AS dropped_readability,
+       CAST(sum(CASE WHEN NOT is_dup AND NOT low_read AND low_quality
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped_quality,
+       CAST(sum(CASE WHEN NOT is_dup AND NOT low_read AND NOT low_quality
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(sum(CASE WHEN NOT is_dup AND NOT low_read AND NOT low_quality
+                     THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM flags GROUP BY 1
+""",
+)
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline composing the round-6 signals: (1)
+    PERCEPTUAL near-dup removal — every image-rendition pHash collision
+    bucket keeps only its smallest doc_id (the DCT-sign pipeline over
+    real PNG decode); (2) readability gate — Flesch >= 10 (drops
+    fragment spam and run-on legalese); (3) the heuristic quality-score
+    gate at 0.40. Per source, reports the waterfall: docs dropped at
+    each stage (first-failing-stage attribution, the accounting shape
+    data-governance reviews ask for) and the surviving corpus size.
+    Every stage is the already-oracle-checked operator; the composition
+    itself is one pass per signal plus a flag join — no stage rescans
+    another's output. Scale: three map-combined signal plans + one
+    doc-keyed join tree, aggregated to |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    ph = _phash_frame(spark, sf_dir)
+    p2 = ph.withColumnsRenamed({"media_id": "m2", "phash": "ph2"})
+    dupdrop = (
+        ph.join(
+            p2,
+            (F.col("ph2") == F.col("phash")) & (F.col("m2") < F.col("media_id")),
+        )
+        .select(F.col("media_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    m = docs.select(
+        "doc_id",
+        F.size(dedup.tokens(F.col("text"))).cast("long").alias("nw"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("ns"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+        )
+        .cast("long")
+        .alias("sy"),
+    )
+    rd = m.selectExpr(
+        "doc_id",
+        "CASE WHEN nw = 0 THEN NULL ELSE "
+        + _FLESCH.replace(" AS flesch_micro", "")
+        + " END AS fl",
+    )
+    q = text.quality_scores(docs, id_col="doc_id", text_col="text").select(
+        F.col("doc").alias("doc_id"), "quality"
+    )
+    flags = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(rd, "doc_id")
+        .join(q, "doc_id")
+        .join(dupdrop, "doc_id", "left")
+        .select(
+            "source",
+            "n_chars",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+            F.coalesce(F.col("fl") < 10_000_000, F.lit(True)).alias(
+                "low_read"
+            ),
+            (F.col("quality") < 0.40).alias("low_quality"),
+        )
+    )
+    t, f_ = F.lit(1), F.lit(0)
+    return flags.groupBy("source").agg(
+        F.sum(F.when(F.col("is_dup"), t).otherwise(f_))
+        .cast("long")
+        .alias("dropped_neardup"),
+        F.sum(F.when(~F.col("is_dup") & F.col("low_read"), t).otherwise(f_))
+        .cast("long")
+        .alias("dropped_readability"),
+        F.sum(
+            F.when(
+                ~F.col("is_dup") & ~F.col("low_read") & F.col("low_quality"),
+                t,
+            ).otherwise(f_)
+        )
+        .cast("long")
+        .alias("dropped_quality"),
+        F.sum(
+            F.when(
+                ~F.col("is_dup") & ~F.col("low_read") & ~F.col("low_quality"),
+                t,
+            ).otherwise(f_)
+        )
+        .cast("long")
+        .alias("kept"),
+        F.sum(
+            F.when(
+                ~F.col("is_dup") & ~F.col("low_read") & ~F.col("low_quality"),
+                F.col("n_chars"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("kept_chars"),
+    )
