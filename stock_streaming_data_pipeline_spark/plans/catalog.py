@@ -243,6 +243,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "corpus_hapax_ratio",
     "embedding_space_health",
     "curation_pipeline_v3",
+    "time_to_convert_days",
 )
 
 

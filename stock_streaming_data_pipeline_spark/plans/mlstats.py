@@ -4153,3 +4153,57 @@ def stratified_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("double").alias("den"),
     )
     return agg.selectExpr("n_strata", _ATE)
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert distribution (first view -> first purchase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_to_convert_days",
+    tags=("ML-stats", "A1"),
+    oracle=f"""
+WITH firsts AS (
+  SELECT user_id,
+         epoch_us(min(CASE WHEN event_type = 'view' THEN ts END)) AS v_us,
+         epoch_us(min(CASE WHEN event_type = 'purchase' THEN ts END)) AS p_us
+  FROM events GROUP BY 1
+),
+conv AS (
+  SELECT CAST((p_us - v_us) // {_US_PER_DAY} AS BIGINT) AS days
+  FROM firsts WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= v_us
+)
+SELECT days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM conv GROUP BY 1
+""",
+)
+def time_to_convert_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for every user who both viewed
+    and later purchased, the whole-day gap between FIRST view and FIRST
+    purchase, histogrammed — the activation-funnel timing curve growth
+    teams tune onboarding against (mass at day 0 = same-session
+    converters; a long tail argues for re-engagement campaigns). One
+    conditional-min groupBy per user collapses the fact table (no
+    window, no self-join — the two firsts come from the same pass),
+    exact integer epoch-day arithmetic, then a bounded histogram
+    groupBy. Users purchasing before ever viewing are excluded (not a
+    view-driven conversion; same predicate both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.unix_micros(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        ).alias("v_us"),
+        F.unix_micros(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("p_us"),
+    )
+    conv = firsts.filter(
+        F.col("v_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") >= F.col("v_us"))
+    ).selectExpr(f"CAST((p_us - v_us) DIV {_US_PER_DAY} AS BIGINT) AS days")
+    return conv.groupBy("days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
