@@ -244,6 +244,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_space_health",
     "curation_pipeline_v3",
     "time_to_convert_days",
+    "reverse_search_alerts",
 )
 
 

@@ -4788,3 +4788,94 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Percolator-style reverse search: stored queries over the doc stream
+# ---------------------------------------------------------------------------
+
+# Stored alert queries: conjunctive term sets, frozen in both engines.
+_PERC_QUERIES = [
+    (1, ["hash", "join"]),
+    (2, ["sort", "merge", "join"]),
+    (3, ["window", "agg"]),
+    (4, ["slow", "query", "scan"]),
+    (5, ["stream", "batch"]),
+]
+_PERC_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _PERC_QUERIES for t in terms
+)
+_PERC_SIZES = ", ".join(
+    f"({qid}, {len(terms)})" for qid, terms in _PERC_QUERIES
+)
+
+
+@register(
+    "reverse_search_alerts",
+    tags=("LLM-retrieval",),
+    oracle=f"""
+WITH tk AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest({dedup.SQL_TOKENS.format(text="text")}) AS term
+    FROM documents
+  )
+),
+q(query_id, term) AS (VALUES {_PERC_VALUES}),
+qs(query_id, n_terms) AS (VALUES {_PERC_SIZES}),
+hits AS (
+  SELECT q.query_id, tk.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM tk JOIN q ON q.term = tk.term
+  GROUP BY 1, 2
+),
+matched AS (
+  SELECT h.query_id, h.doc_id
+  FROM hits h JOIN qs ON qs.query_id = h.query_id
+  WHERE h.n_hit = qs.n_terms
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_matching_docs,
+       min(doc_id) AS first_doc
+FROM matched GROUP BY 1
+""",
+)
+def reverse_search_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator-style REVERSE search: a fixed set of stored
+    conjunctive term queries (the alerting/routing primitive — saved
+    searches, compliance watchlists, topic routers) is matched against
+    every document in ONE pass, inverted from the usual direction: the
+    distinct (doc, term) relation joins the broadcast stored-term table,
+    and a doc matches a query when its per-query hit count equals the
+    query's term count (conjunction via counting — no per-query rescans,
+    no OR-chain predicate explosion; 1000 stored queries cost the same
+    single join). Reports match volume and the first matching doc per
+    alert. Scale shape: token explode + distinct, one broadcast join,
+    two map-combined groupBys."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = (
+        docs.select(
+            "doc_id", F.explode(dedup.tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .select("doc_id", "term")
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _PERC_QUERIES for t in terms],
+        schema="query_id INT, term STRING",
+    )
+    qs = spark.createDataFrame(
+        [(qid, len(terms)) for qid, terms in _PERC_QUERIES],
+        schema="query_id INT, n_terms INT",
+    )
+    hits = (
+        tk.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    matched = hits.join(F.broadcast(qs), "query_id").filter(
+        F.col("n_hit") == F.col("n_terms")
+    )
+    return matched.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matching_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
