@@ -162,3 +162,101 @@ def exact_median_two_scan(
         .agg(F.min("v").alias("median"))
     )
     return elected.select(F.col("k").alias(key), "n", "median")
+
+
+def exact_quantiles_two_scan(
+    df: DataFrame,
+    *,
+    key: str,
+    value: str,
+    quantiles: tuple = (0.5, 0.95, 0.99),
+    bins: int = 1024,
+) -> DataFrame:
+    """EXACT per-key quantiles (lower / type-1 definition: the element at
+    position ceil(q*n)) for SEVERAL q at once, still in TWO scans — the
+    :func:`exact_median_two_scan` pattern generalized: scan 1's
+    histogram locates every quantile's target bucket simultaneously,
+    scan 2 touches only the union of target buckets (a few n/bins
+    slices). The p99 of a latency column at any scale without a sort is
+    the canonical use. Returns (key, q_pct, n, value) — q_pct is the
+    quantile in integer percent (50, 95, 99: exact-integer group keys,
+    no float keys in a groupBy).
+    """
+    qs = [(int(round(q * 100)), q) for q in quantiles]
+    base = df.select(F.col(key).alias("k"), F.col(value).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    bounds = base.groupBy("k").agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    binned = base.join(F.broadcast(bounds), "k").withColumn(
+        "b",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("vmin"))
+                    / ((F.col("vmax") - F.col("vmin")) / bins)
+                ).cast("long"),
+                F.lit(bins - 1),
+            )
+        ),
+    )
+    hist = binned.groupBy("k", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wb = Window.partitionBy("k").orderBy("b")
+    cum = hist.select(
+        "k", "b", "c", F.sum("c").over(wb).cast("long").alias("cle")
+    )
+    # one (key, q) target row per quantile: kk = ceil(q*n) in exact
+    # integer arithmetic ((n*pct + 99) div 100)
+    qdf = F.explode(
+        F.array(*[F.lit(p) for p, _ in qs])
+    ).alias("q_pct")
+    kth = bounds.select("k", "n", qdf).withColumn(
+        "kk", ((F.col("n") * F.col("q_pct") + 99) / 100).cast("long")
+    )
+    target = (
+        cum.join(F.broadcast(kth), "k")
+        .filter(F.col("cle") >= F.col("kk"))
+        .groupBy("k", "q_pct", "n", "kk")
+        .agg(
+            F.min(
+                F.struct(F.col("b"), (F.col("cle") - F.col("c")).alias("before"))
+            ).alias("t")
+        )
+        .select(
+            "k",
+            "q_pct",
+            "n",
+            "kk",
+            F.col("t.b").alias("tb"),
+            F.col("t.before").alias("before"),
+        )
+    )
+    inbin = (
+        binned.join(
+            F.broadcast(target.select("k", "q_pct", "kk", "tb", "before")),
+            "k",
+        )
+        .filter(F.col("b") == F.col("tb"))
+        .groupBy("k", "q_pct", "kk", "before", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cv"))
+    )
+    wv = Window.partitionBy("k", "q_pct").orderBy("v")
+    ranked = inbin.select(
+        "k",
+        "q_pct",
+        "kk",
+        "v",
+        (F.col("before") + F.sum("cv").over(wv)).cast("long").alias("reach"),
+    )
+    return (
+        ranked.filter(F.col("reach") >= F.col("kk"))
+        .groupBy("k", "q_pct")
+        .agg(F.min("v").alias("qv"))
+        .join(F.broadcast(bounds.select("k", "n")), "k")
+        .select(F.col("k").alias(key), "q_pct", "n", F.col("qv").alias("value"))
+    )

@@ -245,6 +245,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "curation_pipeline_v3",
     "time_to_convert_days",
     "reverse_search_alerts",
+    "exact_tail_latency_quantiles",
 )
 
 

@@ -4207,3 +4207,40 @@ def time_to_convert_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv.groupBy("days").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+@register(
+    "exact_tail_latency_quantiles",
+    tags=("ML-stats", "A1"),
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+qk(q_pct) AS (VALUES (50), (95), (99))
+SELECT event_type, q_pct, CAST(n AS BIGINT) AS n,
+       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_micro
+FROM ranked JOIN qk ON rn = (n * q_pct + 99) // 100
+""",
+)
+def exact_tail_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p95/p99 of the value column per event type in TWO
+    scans and no sort (operators/profile.py:exact_quantiles_two_scan —
+    the two-scan median generalized to locate every quantile's
+    histogram bucket simultaneously; scan 2 touches only the union of
+    target buckets). The tail is where approx_percentile's error
+    concentrates and where SLOs live — this is the exact twin the
+    sketch-based profile defers to. Type-1 (element) quantiles, so the
+    brute-force row_number oracle returns identical bits."""
+    ev = load_table(spark, sf_dir, "events")
+    out = profile.exact_quantiles_two_scan(
+        ev, key="event_type", value="value", quantiles=(0.5, 0.95, 0.99)
+    )
+    return out.selectExpr(
+        "event_type",
+        "q_pct",
+        "n",
+        "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_micro",
+    )
