@@ -246,6 +246,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "time_to_convert_days",
     "reverse_search_alerts",
     "exact_tail_latency_quantiles",
+    "streaming_reverse_search",
 )
 
 

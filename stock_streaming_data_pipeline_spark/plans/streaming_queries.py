@@ -1048,3 +1048,53 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("occurrences") * 50 >= F.col("n"))
         .select("term", "occurrences")
     )
+
+
+@register(
+    "streaming_reverse_search",
+    tags=("T6", "LLM-retrieval"),
+    oracle=_REGISTRY["reverse_search_alerts"].oracle,
+)
+def streaming_reverse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING percolation — the reverse-search alerts maintained as
+    documents arrive, which is how percolators actually deploy (stored
+    queries are the static side; the stream is the data): each
+    micro-batch's docs tokenize, distinct per doc, join the broadcast
+    stored-term table, and per-(query, doc) hit counts fold under a
+    complete-mode groupBy; the settled counts reduce to the alert
+    report batch-exactly (shared oracle). State is one row per
+    (stored query, matching-candidate doc) — bounded by match volume,
+    not the corpus (only docs sharing at least one stored term enter
+    state); the unbounded-stream form drains matches through the
+    keyed-upsert sink per the streaming_dsir note."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import tokens
+    from stock_streaming_data_pipeline_spark.plans.llmdata import (
+        _PERC_QUERIES,
+    )
+
+    tk = (
+        stream_documents(spark, sf_dir)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .dropDuplicates(["doc_id", "term"])
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _PERC_QUERIES for t in terms],
+        schema="query_id INT, term STRING",
+    )
+    qs = spark.createDataFrame(
+        [(qid, len(terms)) for qid, terms in _PERC_QUERIES],
+        schema="query_id INT, n_terms INT",
+    )
+    hits = (
+        tk.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    settled = settle(hits, "complete")
+    matched = settled.join(F.broadcast(qs), "query_id").filter(
+        F.col("n_hit") == F.col("n_terms")
+    )
+    return matched.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matching_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
