@@ -247,6 +247,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "reverse_search_alerts",
     "exact_tail_latency_quantiles",
     "streaming_reverse_search",
+    "bitmap_type_overlap",
 )
 
 

@@ -2695,3 +2695,59 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(floor(ss / st / st * 1000000 + 0.5) AS BIGINT) AS hhi_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Word-aligned bitmap intersection: users active in BOTH event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bitmap_type_overlap",
+    tags=("A4", "U1"),
+    oracle="""
+WITH ub AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_both
+FROM ub a JOIN ub b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+""",
+)
+def bitmap_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix — how many users are active in BOTH of
+    each pair of event types — computed with WORD-ALIGNED BITMAPS (the
+    roaring-bitmap idea as pure DataFrame ops) instead of a user-level
+    self-join: each type's user set folds into 64-bit words keyed by
+    user_id div 64 (one bit_or aggregate; the set shrinks 64x), pairs
+    of types join on the WORD index, and the intersection size is a sum
+    of bit_count(a & b) — the shuffle carries |users|/64 rows per type
+    instead of |users|, and the same bitmaps answer any number of pair
+    queries. The oracle counts the same overlap by plain distinct-join
+    semantics (value-equal by definition). Deterministic: bit positions
+    are exact integer arithmetic. Scale shape: one distinct + one
+    bit_or groupBy per type, then a word-keyed equi-join over the
+    compressed relation."""
+    ev = load_table(spark, sf_dir, "events")
+    ub = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .selectExpr(
+            "event_type",
+            "CAST(user_id DIV 64 AS BIGINT) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT)) AS bit",
+        )
+    )
+    bm = ub.groupBy("event_type", "w").agg(
+        F.expr("bit_or(bit)").alias("bits")
+    )
+    a = bm.selectExpr("event_type AS type_a", "w", "bits AS ba")
+    b = bm.selectExpr("event_type AS type_b", "w", "bits AS bb")
+    return (
+        a.join(b, "w")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.expr("bit_count(ba & bb)")).cast("long").alias("n_both")
+        )
+    )
