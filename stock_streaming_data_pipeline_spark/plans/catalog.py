@@ -248,6 +248,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "exact_tail_latency_quantiles",
     "streaming_reverse_search",
     "bitmap_type_overlap",
+    "top_sources_with_other",
 )
 
 

@@ -2751,3 +2751,61 @@ def bitmap_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("bit_count(ba & bb)")).cast("long").alias("n_both")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-N with OTHERS rollup (the BI "top 5 + other" report shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_sources_with_other",
+    tags=("A1", "O2"),
+    oracle="""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY chars DESC, source) AS rnk
+  FROM per
+)
+SELECT CASE WHEN rnk <= 5 THEN source ELSE 'OTHER' END AS source_label,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(min(rnk) AS BIGINT) AS best_rank
+FROM ranked GROUP BY 1
+""",
+)
+def top_sources_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BI staple 'top 5 plus OTHER' report: sources ranked by total
+    characters, the head kept by name and the tail folded into one
+    OTHER row — the legend-budget shape every dashboard needs and naive
+    LIMIT queries get wrong (LIMIT drops the tail instead of
+    aggregating it). The ranking window runs over the per-source
+    ROLLUP (bounded by |sources|, never the fact table — that's the
+    scale discipline; the fact scan ends at the first groupBy); the
+    head/tail fold is a CASE relabel + re-aggregate, all exact
+    integers. Deterministic (chars, source) tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    w = Window.orderBy(F.desc("chars"), F.asc("source"))
+    ranked = per.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.withColumn(
+            "source_label",
+            F.when(F.col("rnk") <= 5, F.col("source")).otherwise(
+                F.lit("OTHER")
+            ),
+        )
+        .groupBy("source_label")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("total_chars"),
+            F.min("rnk").cast("long").alias("best_rank"),
+        )
+    )

@@ -154,6 +154,9 @@ UNPARTITIONED_WINDOW_ALLOW = {
                                     # the corpus-sized sort is range-partitioned.
     "classifier_auc_roc",           # cumulative ROC window over the fixed 1024-bin
                                     # score histogram (SF-independent bound)
+    "top_sources_with_other",       # rank window over the per-source rollup —
+                                    # bounded by |sources| (20), SF-independent;
+                                    # the fact scan ends at the first groupBy.
     "text_zipf_fit",                # global_rank offsets window (n_part rows,
                                     # SF-independent); the vocabulary ranking
                                     # itself is range-partitioned.
