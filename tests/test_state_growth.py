@@ -175,3 +175,60 @@ def test_windowed_distinct_state_evicts_under_watermark(spark, replay_dir, duck)
         f"windowed_distinct: {len(progress)} batches, peak={peak}, "
         f"final={final}, horizon bound={bound:.0f}, history={total_triples}"
     )
+
+
+@pytest.fixture(scope="module")
+def doc_replay_dir(tmp_path_factory):
+    """documents re-materialized as 20 chunks for token-state replays."""
+    import duckdb
+
+    out = tmp_path_factory.mktemp("doc_replay")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW d AS SELECT * FROM "
+        f"read_parquet('{SF_CORRECT}/documents.parquet') ORDER BY doc_id"
+    )
+    n = con.execute("SELECT count(*) FROM d").fetchone()[0]
+    files = 20
+    per = (n + files - 1) // files
+    base = time.time() - files * 2
+    for i in range(files):
+        path = str(out / f"chunk-{i:02d}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM d ORDER BY doc_id LIMIT {per} OFFSET {i * per}) "
+            f"TO '{path}' (FORMAT parquet)"
+        )
+        os.utime(path, (base + i, base + i))
+    return str(out)
+
+
+def test_streaming_heavy_hitter_state_is_vocab_bounded(spark, doc_replay_dir):
+    """The complete-mode per-term count fold's state must equal the
+    VOCABULARY size — flat across the replay, never the token count
+    (the mergeable-count property streaming_heavy_hitters claims)."""
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.operators.dedup import tokens
+    from stock_streaming_data_pipeline_spark.sources.streams import (
+        DOCUMENTS_SCHEMA,
+    )
+
+    vocab = duckdb.sql(
+        "SELECT count(DISTINCT term) FROM (SELECT unnest(list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS term "
+        f"FROM read_parquet('{SF_CORRECT}/documents.parquet'))"
+    ).fetchone()[0]
+    raw = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(doc_replay_dir)
+    )
+    cnt = raw.select(F.explode(tokens(F.col("text"))).alias("term")).groupBy(
+        "term"
+    ).agg(F.count(F.lit(1)).alias("occ"))
+    progress = _drive(spark, cnt, "complete")
+    rows = [r["state_rows"] for r in progress if r["state_rows"] > 0]
+    assert rows, "no stateful progress recorded"
+    # state never exceeds the vocabulary, and settles exactly on it
+    assert max(rows) <= vocab
+    assert rows[-1] == vocab
