@@ -249,6 +249,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "streaming_reverse_search",
     "bitmap_type_overlap",
     "top_sources_with_other",
+    "dup_cluster_size_histogram",
 )
 
 
