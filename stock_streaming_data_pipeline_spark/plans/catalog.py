@@ -250,6 +250,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "bitmap_type_overlap",
     "top_sources_with_other",
     "dup_cluster_size_histogram",
+    "order_fill_mix",
 )
 
 

@@ -2809,3 +2809,69 @@ def top_sources_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("rnk").cast("long").alias("best_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Order fulfillment mix: per-order finished-line share distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_fill_mix",
+    tags=("A1", "A4"),
+    oracle="""
+WITH per AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_finished
+  FROM lineitem GROUP BY 1
+),
+labeled AS (
+  SELECT CASE WHEN n_finished = n_lines THEN 'complete'
+              WHEN n_finished = 0 THEN 'open'
+              ELSE 'partial' END AS fill_state,
+         n_lines
+  FROM per
+)
+SELECT fill_state,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       CAST(floor(CAST(sum(n_lines) AS DOUBLE) / count(*) * 1000000 + 0.5)
+            AS BIGINT) AS avg_lines_micro
+FROM labeled GROUP BY 1
+""",
+)
+def order_fill_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-mix report: each order classified complete / partial /
+    open by comparing its finished-line count to its line count (one
+    conditional-sum groupBy — the all-vs-any-vs-none classification
+    every fulfillment dashboard leads with), then the population counts
+    and average order width per state. Partial orders are the
+    operationally expensive ones (split shipments); their share is the
+    headline number. Exact integers throughout; one fact-table groupBy
+    plus a 3-row rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_finished"),
+    )
+    labeled = per.select(
+        F.when(F.col("n_finished") == F.col("n_lines"), F.lit("complete"))
+        .when(F.col("n_finished") == 0, F.lit("open"))
+        .otherwise(F.lit("partial"))
+        .alias("fill_state"),
+        "n_lines",
+    )
+    return labeled.groupBy("fill_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.floor(
+            F.sum("n_lines").cast("double") / F.count(F.lit(1)) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("avg_lines_micro"),
+    )
