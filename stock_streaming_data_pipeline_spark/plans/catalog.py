@@ -251,6 +251,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "top_sources_with_other",
     "dup_cluster_size_histogram",
     "order_fill_mix",
+    "kmv_set_operations",
 )
 
 

@@ -1487,3 +1487,96 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(within, F.col("asof_value")).alias("touch_value"),
     )
+
+
+@register(
+    "kmv_set_operations",
+    tags=("A4", "U1", "LLM-profile"),
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, user_id FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+{_kmv.sql_kmv_sketch(table="base", group_expr="event_type",
+                     key_expr="user_id", k=_KMV_K)},
+ab AS (
+  SELECT a.sketch AS sa, b.sketch AS sb,
+         list_sort(list_distinct(a.sketch || b.sketch))[1:{_KMV_K}] AS su
+  FROM kmv_sk a, kmv_sk b
+  WHERE a.grp = 'click' AND b.grp = 'purchase'
+),
+est AS (
+  SELECT round({_kmv.sql_kmv_estimate('sa', k=_KMV_K)}, 6) AS est_a,
+         round({_kmv.sql_kmv_estimate('sb', k=_KMV_K)}, 6) AS est_b,
+         round({_kmv.sql_kmv_estimate('su', k=_KMV_K)}, 6) AS est_union
+  FROM ab
+),
+exact AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union,
+         CAST((SELECT count(*) FROM (
+            SELECT user_id FROM base WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM base WHERE event_type = 'purchase'))
+           AS BIGINT) AS exact_inter
+  FROM base
+)
+SELECT est_a, est_b, est_union,
+       round(est_a + est_b - est_union, 6) AS est_inter,
+       exact_union, exact_inter
+FROM est, exact
+""",
+)
+def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA: union by lossless sketch merge (the k
+    smallest of the combined hash sets — the property that makes KMV
+    shard- and stream-mergeable), intersection by inclusion-exclusion —
+    the approximate audience-overlap path that stays fixed-size when
+    the exact bitmap form (bitmap_type_overlap) outgrows memory, audited
+    against exact union/intersection counts. Every hash is the portable
+    md5, so the DuckDB oracle replays sketches, merge and estimates
+    bit-for-bit — approximate by design, deterministic in execution.
+    Scale shape: one dedup + rank-bounded sketch pass per side; the set
+    algebra runs on two k-length arrays."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sk = _kmv.kmv_sketch(ev, group_col="event_type", key_col="user_id", k=_KMV_K)
+    a = sk.filter(F.col("grp") == "click").select(F.col("sketch").alias("sa"))
+    b = sk.filter(F.col("grp") == "purchase").select(
+        F.col("sketch").alias("sb")
+    )
+    ab = a.crossJoin(F.broadcast(b)).withColumn(
+        "su", _kmv.kmv_merge(F.col("sa"), F.col("sb"), k=_KMV_K)
+    )
+    est = ab.select(
+        F.round(_kmv.kmv_estimate(F.col("sa"), k=_KMV_K), 6).alias("est_a"),
+        F.round(_kmv.kmv_estimate(F.col("sb"), k=_KMV_K), 6).alias("est_b"),
+        F.round(_kmv.kmv_estimate(F.col("su"), k=_KMV_K), 6).alias(
+            "est_union"
+        ),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        ev.agg(F.countDistinct("user_id").cast("long").alias("exact_union"))
+        .crossJoin(
+            F.broadcast(
+                clicks.intersect(purch).agg(
+                    F.count(F.lit(1)).cast("long").alias("exact_inter")
+                )
+            )
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 6
+            ).alias("est_inter"),
+            "exact_union",
+            "exact_inter",
+        )
+    )
