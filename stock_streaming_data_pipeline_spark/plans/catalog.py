@@ -252,6 +252,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "dup_cluster_size_histogram",
     "order_fill_mix",
     "kmv_set_operations",
+    "survival_logrank_test",
 )
 
 

@@ -4244,3 +4244,168 @@ def exact_tail_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test between two survival cohorts
+# ---------------------------------------------------------------------------
+
+# Per-event-time expectation and variance micro-quantized BEFORE the
+# cross-time sums (order-free discipline); z from the exact micro sums.
+_LOGRANK_E = (
+    "CAST(floor(CAST(d AS DOUBLE) * na / n * 1000000 + 0.5) AS BIGINT)"
+)
+_LOGRANK_V = (
+    "CAST(floor(CAST(d AS DOUBLE) * na / n * (n - na) / n"
+    " * (n - d) / (n - 1) * 1000000 + 0.5) AS BIGINT)"
+)
+_LOGRANK_Z = (
+    "CAST(floor((oa * 1000000 - se) / (sqrt(CAST(sv AS DOUBLE)) * 1000)"
+    " * 1000 + 0.5) AS BIGINT) AS z_milli"
+)
+
+
+@register(
+    "survival_logrank_test",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH bounds AS (
+  SELECT epoch_us(min(ts)) AS t0_us, epoch_us(max(ts)) AS t1_us FROM events
+),
+users AS (
+  SELECT user_id, epoch_us(min(ts)) AS f_us,
+         epoch_us(max(CASE WHEN event_type = 'purchase' THEN ts END)) AS l_us
+  FROM events GROUP BY 1
+  HAVING l_us IS NOT NULL
+),
+lives AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+         CAST((l_us - f_us) // {_US_PER_DAY} AS BIGINT) AS t_days,
+         (l_us >= t1_us - 7 * {_US_PER_DAY}) AS censored
+  FROM users, bounds
+),
+byt AS (
+  SELECT t_days,
+         CAST(sum(CASE WHEN arm = 0 AND NOT censored THEN 1 ELSE 0 END)
+              AS BIGINT) AS da,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+         CAST(sum(CASE WHEN arm = 1 AND NOT censored THEN 1 ELSE 0 END)
+              AS BIGINT) AS db,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS xb
+  FROM lives GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(xa) AS BIGINT) AS tot_a, CAST(sum(xb) AS BIGINT) AS tot_b
+  FROM byt
+),
+risk AS (
+  SELECT t_days, da, db,
+         tot_a - coalesce(sum(xa) OVER (ORDER BY t_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na,
+         tot_a + tot_b
+           - coalesce(sum(xa + xb) OVER (ORDER BY t_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM byt, tot
+),
+terms AS (
+  SELECT da, {_LOGRANK_E} AS e_micro, {_LOGRANK_V} AS v_micro
+  FROM (SELECT t_days, da + db AS d, da, na, n FROM risk)
+  WHERE d > 0 AND n > 1
+),
+s AS (
+  SELECT CAST(sum(da) AS BIGINT) AS oa,
+         CAST(sum(e_micro) AS BIGINT) AS se,
+         CAST(sum(v_micro) AS BIGINT) AS sv
+  FROM terms
+)
+SELECT oa, se, sv, {_LOGRANK_Z},
+       abs((oa * 1000000 - se) / (sqrt(CAST(sv AS DOUBLE)) * 1000))
+         > 1959.964 AS reject_05
+FROM s
+""",
+)
+def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between two survival cohorts (user_id parity as
+    the A/B arms, lifetimes and censoring exactly as
+    survival_kaplan_meier) — the hypothesis test that belongs beside a
+    KM plot: at every distinct event time, the observed arm-A churns
+    are compared against the expectation under the shared-hazard null
+    (d * nA/n), variances hypergeometric, and z = (O-E)/sqrt(V). The
+    at-risk counts come from ONE prefix-sum window over the bounded
+    day-grid relation (allowlisted: day-span rows, SF-independent);
+    every per-time expectation/variance is micro-quantized BEFORE the
+    cross-time sums so no float crosses rows. Scale shape: one
+    groupBy(user) pass, then day-grid arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.unix_micros(F.min("ts")).alias("t0_us"),
+        F.unix_micros(F.max("ts")).alias("t1_us"),
+    )
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("f_us"),
+            F.unix_micros(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            ).alias("l_us"),
+        )
+        .filter(F.col("l_us").isNotNull())
+    )
+    lives = users.crossJoin(F.broadcast(bounds)).selectExpr(
+        "CAST(user_id % 2 AS BIGINT) AS arm",
+        f"CAST((l_us - f_us) DIV {_US_PER_DAY} AS BIGINT) AS t_days",
+        f"l_us >= t1_us - 7 * {_US_PER_DAY} AS censored",
+    )
+    byt = lives.groupBy("t_days").agg(
+        F.sum(F.when((F.col("arm") == 0) & ~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("da"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("xa"),
+        F.sum(F.when((F.col("arm") == 1) & ~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("db"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("xb"),
+    )
+    tot = byt.agg(
+        F.sum("xa").cast("long").alias("tot_a"),
+        F.sum("xb").cast("long").alias("tot_b"),
+    )
+    w = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byt.crossJoin(F.broadcast(tot)).select(
+        "t_days",
+        "da",
+        "db",
+        (
+            F.col("tot_a")
+            - F.coalesce(F.sum("xa").over(w), F.lit(0))
+        ).alias("na"),
+        (
+            F.col("tot_a")
+            + F.col("tot_b")
+            - F.coalesce(F.sum(F.col("xa") + F.col("xb")).over(w), F.lit(0))
+        ).alias("n"),
+    )
+    terms = (
+        risk.select(
+            "da", (F.col("da") + F.col("db")).alias("d"), "na", "n"
+        )
+        .filter((F.col("d") > 0) & (F.col("n") > 1))
+        .selectExpr("da", f"{_LOGRANK_E} AS e_micro", f"{_LOGRANK_V} AS v_micro")
+    )
+    s = terms.agg(
+        F.sum("da").cast("long").alias("oa"),
+        F.sum("e_micro").cast("long").alias("se"),
+        F.sum("v_micro").cast("long").alias("sv"),
+    )
+    return s.selectExpr(
+        "oa",
+        "se",
+        "sv",
+        _LOGRANK_Z,
+        "abs((oa * 1000000 - se) / (sqrt(CAST(sv AS DOUBLE)) * 1000))"
+        " > 1959.964 AS reject_05",
+    )

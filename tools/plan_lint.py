@@ -154,6 +154,9 @@ UNPARTITIONED_WINDOW_ALLOW = {
                                     # the corpus-sized sort is range-partitioned.
     "classifier_auc_roc",           # cumulative ROC window over the fixed 1024-bin
                                     # score histogram (SF-independent bound)
+    "survival_logrank_test",        # at-risk prefix window over the day-grid
+                                    # relation (bounded by the observation
+                                    # span, SF-independent — the KM discipline).
     "top_sources_with_other",       # rank window over the per-source rollup —
                                     # bounded by |sources| (20), SF-independent;
                                     # the fact scan ends at the first groupBy.
