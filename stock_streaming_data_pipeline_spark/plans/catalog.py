@@ -253,6 +253,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "order_fill_mix",
     "kmv_set_operations",
     "survival_logrank_test",
+    "cohort_ltv_curve",
 )
 
 

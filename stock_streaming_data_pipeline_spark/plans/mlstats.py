@@ -4409,3 +4409,106 @@ def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "abs((oa * 1000000 - se) / (sqrt(CAST(sv AS DOUBLE)) * 1000))"
         " > 1959.964 AS reject_05",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: cumulative purchase value per user by account age
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_ltv_curve",
+    tags=("ML-stats", "A1", "W1"),
+    oracle=f"""
+WITH bounds AS (SELECT epoch_us(min(ts)) AS t0_us FROM events),
+firsts AS (
+  SELECT user_id, epoch_us(min(ts)) AS f_us FROM events GROUP BY 1
+),
+cohorts AS (
+  SELECT user_id, f_us,
+         CAST((f_us - t0_us) // (7 * {_US_PER_DAY}) AS BIGINT) AS cohort_week
+  FROM firsts, bounds
+),
+csize AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+  FROM cohorts GROUP BY 1
+),
+purch AS (
+  SELECT c.cohort_week,
+         CAST((epoch_us(e.ts) - c.f_us) // (7 * {_US_PER_DAY}) AS BIGINT)
+           AS age_week,
+         CAST(round(e.value * 100, 0) AS BIGINT) AS cents
+  FROM events e JOIN cohorts c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+),
+wk AS (
+  SELECT cohort_week, age_week, CAST(sum(cents) AS BIGINT) AS rev
+  FROM purch GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_week, age_week,
+         CAST(sum(rev) OVER (PARTITION BY cohort_week ORDER BY age_week)
+              AS BIGINT) AS cum_rev
+  FROM wk
+)
+SELECT c.cohort_week, c.age_week, s.n_users, c.cum_rev,
+       CAST(c.cum_rev // s.n_users AS BIGINT) AS ltv_cents_per_user
+FROM cum c JOIN csize s ON s.cohort_week = c.cohort_week
+""",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: for each signup-week cohort, the
+    cumulative purchase value per user as a function of ACCOUNT AGE in
+    weeks — the triangle chart every growth model is calibrated
+    against (cohort quality = curve height; product change impact =
+    curve separation). One groupBy(user) pass anchors each user's
+    cohort and age clock; purchase cents aggregate onto the bounded
+    (cohort, age) grid; the cumulative window and the per-user
+    normalization (exact integer floor division) run over that grid
+    only. Scale shape: the fact table is touched twice (firsts,
+    purchases — both map-combined), windows never see SF-scaled
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.unix_micros(F.min("ts")).alias("t0_us"))
+    firsts = ev.groupBy("user_id").agg(
+        F.unix_micros(F.min("ts")).alias("f_us")
+    )
+    cohorts = firsts.crossJoin(F.broadcast(bounds)).selectExpr(
+        "user_id",
+        "f_us",
+        f"CAST((f_us - t0_us) DIV (7 * {_US_PER_DAY}) AS BIGINT)"
+        " AS cohort_week",
+    )
+    csize = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    purch = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .join(cohorts, "user_id")
+        .selectExpr(
+            "cohort_week",
+            f"CAST((unix_micros(ts) - f_us) DIV (7 * {_US_PER_DAY})"
+            " AS BIGINT) AS age_week",
+            "CAST(round(value * 100, 0) AS BIGINT) AS cents",
+        )
+    )
+    wk = purch.groupBy("cohort_week", "age_week").agg(
+        F.sum("cents").cast("long").alias("rev")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_week").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = wk.select(
+        "cohort_week",
+        "age_week",
+        F.sum("rev").over(w).cast("long").alias("cum_rev"),
+    )
+    return cum.join(F.broadcast(csize), "cohort_week").selectExpr(
+        "cohort_week",
+        "age_week",
+        "n_users",
+        "cum_rev",
+        "CAST(cum_rev DIV n_users AS BIGINT) AS ltv_cents_per_user",
+    )
