@@ -254,6 +254,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "kmv_set_operations",
     "survival_logrank_test",
     "cohort_ltv_curve",
+    "demand_curve_price_bands",
 )
 
 

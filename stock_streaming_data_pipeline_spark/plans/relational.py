@@ -2875,3 +2875,66 @@ def order_fill_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("avg_lines_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Demand curve: quantity response across part price bands
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "demand_curve_price_bands",
+    tags=("A1", "J2"),
+    oracle="""
+WITH pr AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice / 10) AS BIGINT) AS price_band
+  FROM part
+),
+j AS (
+  SELECT pr.price_band,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+           AS cents
+  FROM lineitem l JOIN pr ON pr.p_partkey = l.l_partkey
+)
+SELECT price_band,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(q) AS BIGINT) AS total_qty,
+       CAST(floor(CAST(sum(q) AS DOUBLE) / count(*) * 1000000 + 0.5)
+            AS BIGINT) AS avg_qty_micro,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM j GROUP BY 1
+""",
+)
+def demand_curve_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand curve across part price bands: line-item quantity response
+    as retail price rises in fixed $10 bands (the testdata's 900-1000 price span gives 10 bands) — the empirical
+    price-sensitivity table a pricing team reads before a regression
+    (flat avg quantity across bands = inelastic catalog; a falling
+    staircase = real elasticity). The part dimension carries the band
+    (integer floor division, no float bucketer), the fact table joins
+    on partkey and aggregates once; the only double is the final
+    per-band mean. Scale shape: one dim join + one map-combined
+    groupBy to the bounded band domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").selectExpr(
+        "p_partkey", "CAST(floor(p_retailprice / 10) AS BIGINT) AS price_band"
+    )
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).selectExpr(
+        "price_band",
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q",
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
+        " AS cents",
+    )
+    return j.groupBy("price_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("q").cast("long").alias("total_qty"),
+        F.floor(
+            F.sum("q").cast("double") / F.count(F.lit(1)) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("avg_qty_micro"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
