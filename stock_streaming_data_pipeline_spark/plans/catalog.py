@@ -255,6 +255,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "survival_logrank_test",
     "cohort_ltv_curve",
     "demand_curve_price_bands",
+    "streaming_bitmap_overlap",
 )
 
 

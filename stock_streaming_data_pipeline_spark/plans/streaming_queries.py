@@ -1098,3 +1098,39 @@ def streaming_reverse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_matching_docs"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "streaming_bitmap_overlap",
+    tags=("T6", "A4", "U1"),
+    oracle=_REGISTRY["bitmap_type_overlap"].oracle,
+)
+def streaming_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING audience bitmaps: the word-aligned 64-bit user bitmaps
+    fold in-stream under a complete-mode bit_or groupBy — bit_or is the
+    textbook mergeable state (commutative, associative, idempotent:
+    re-delivered events cannot corrupt it, the exactly-once property
+    for free), and state is |users|/64 words per event type, a 64x
+    compression of the distinct-user state an OR-less design would
+    carry. The settled bitmaps answer the pairwise-overlap report
+    batch-exactly (shared oracle with bitmap_type_overlap)."""
+    ev = stream_events(spark, sf_dir).select("event_type", "user_id")
+    ub = ev.selectExpr(
+        "event_type",
+        "CAST(user_id DIV 64 AS BIGINT) AS w",
+        "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT)) AS bit",
+    )
+    bm = ub.groupBy("event_type", "w").agg(
+        F.expr("bit_or(bit)").alias("bits")
+    )
+    settled = settle(bm, "complete")
+    a = settled.selectExpr("event_type AS type_a", "w", "bits AS ba")
+    b = settled.selectExpr("event_type AS type_b", "w", "bits AS bb")
+    return (
+        a.join(b, "w")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.expr("bit_count(ba & bb)")).cast("long").alias("n_both")
+        )
+    )
