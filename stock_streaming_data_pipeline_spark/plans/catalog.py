@@ -256,6 +256,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "cohort_ltv_curve",
     "demand_curve_price_bands",
     "streaming_bitmap_overlap",
+    "ewma_control_chart",
 )
 
 

@@ -2076,3 +2076,86 @@ def rsi_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.filter(
         (F.col("rn") >= 15) & (F.col("sg") + F.col("sl") > 0)
     ).selectExpr("key", "slot", "sg", "sl", _RSI)
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart over hourly notional (breach detection)
+# ---------------------------------------------------------------------------
+
+# Steady-state EWMA control limit: L * sigma * sqrt(alpha / (2 - alpha))
+# with L = 3 and alpha = 1/2 -> 3 * sigma * sqrt(1/3) = sigma * sqrt(3).
+_EWMA_CHART = (
+    "CAST(sum(CASE WHEN abs(ew - CAST(sx AS DOUBLE) / n)"
+    " > sqrt((CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx)"
+    "        / n / n * CAST(3 AS DOUBLE))"
+    " THEN 1 ELSE 0 END) AS BIGINT) AS n_breach"
+)
+
+
+@register(
+    "ewma_control_chart",
+    tags=("W1", "T11", "ML-stats"),
+    oracle=f"""
+WITH RECURSIVE trades AS ({SQL_TRADES}),
+hourly AS (
+  SELECT event_type AS key, epoch_us(ts) // 3600000000 AS slot,
+         CAST(sum({_CENTS}) AS BIGINT) AS x
+  FROM trades WHERE value IS NOT NULL GROUP BY 1, 2
+),
+ordered AS (
+  SELECT key, slot, x,
+         row_number() OVER (PARTITION BY key ORDER BY slot) AS rn
+  FROM hourly
+),
+rec AS (
+  SELECT key, slot, rn, CAST(x AS DOUBLE) AS ew FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.slot, o.rn, 0.5 * o.x + 0.5 * r.ew
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+),
+stats AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM hourly GROUP BY 1
+)
+SELECT r.key, s.n AS n_hours, {_EWMA_CHART}
+FROM rec r JOIN stats s ON s.key = r.key
+GROUP BY 1, 2
+""",
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (the SPC workhorse for detecting small
+    sustained shifts a Shewhart chart misses): the hourly notional per
+    key smoothed by the bitwise-reproducible EWMA fold
+    (operators/running.py — alpha = 1/2, so every smoothed value is a
+    dyadic rational and both engines' IEEE sequences agree exactly),
+    then counted against the steady-state 3-sigma EWMA limit
+    sigma*sqrt(3) derived from exact integer moments. Reports breach
+    counts per key — the alert volume a monitoring rollout is sized
+    by. Scale shape: one hourly groupBy over the fact table, the
+    per-key applyInPandas fold over the bounded hourly series, one
+    moment aggregate; the oracle unrolls the recursion as a recursive
+    CTE."""
+    from stock_streaming_data_pipeline_spark.operators import running
+
+    t = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())
+    hourly = t.groupBy(
+        F.col("event_type").alias("key"),
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("slot"),
+    ).agg(F.sum(finance.to_scaled_long("value", 2)).cast("long").alias("x"))
+    ew = running.ewma(
+        hourly, key="key", order=("slot",), value_col="x", alpha=0.5
+    ).withColumnRenamed("ewma_raw", "ew")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = hourly.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+    )
+    return (
+        ew.join(F.broadcast(stats), "key")
+        .groupBy("key", F.col("n").alias("n_hours"))
+        .agg(F.expr(_EWMA_CHART.replace(" AS n_breach", "")).alias("n_breach"))
+        .select("key", "n_hours", "n_breach")
+    )
