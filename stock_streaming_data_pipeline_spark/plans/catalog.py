@@ -257,6 +257,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "demand_curve_price_bands",
     "streaming_bitmap_overlap",
     "ewma_control_chart",
+    "sma_crossover_pnl",
 )
 
 

@@ -2159,3 +2159,113 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr(_EWMA_CHART.replace(" AS n_breach", "")).alias("n_breach"))
         .select("key", "n_hours", "n_breach")
     )
+
+
+# ---------------------------------------------------------------------------
+# Crossover strategy PnL backtest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sma_crossover_pnl",
+    tags=("W2", "W4", "A1"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+means AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
+         CAST(round(sum({_CENTS})::DOUBLE / count(*)::DOUBLE * 10, 0)
+              AS BIGINT) AS mean_milli
+  FROM trades WHERE value IS NOT NULL GROUP BY 1, 2
+),
+sma AS (
+  SELECT key, bucket_ts, mean_milli,
+         count(*) OVER wf AS nf, sum(mean_milli) OVER wf AS sf,
+         count(*) OVER ws AS ns, sum(mean_milli) OVER ws AS ss
+  FROM means
+  WINDOW wf AS (PARTITION BY key ORDER BY bucket_ts
+                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+         ws AS (PARTITION BY key ORDER BY bucket_ts
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+),
+state AS (
+  SELECT key, bucket_ts, mean_milli,
+         CASE WHEN sf * ns > ss * nf THEN 1 ELSE -1 END AS side
+  FROM sma WHERE ns = 24
+),
+pnl AS (
+  SELECT key,
+         CAST(lag(side) OVER w
+              * (mean_milli - lag(mean_milli) OVER w) AS BIGINT) AS step
+  FROM state WINDOW w AS (PARTITION BY key ORDER BY bucket_ts)
+)
+SELECT key,
+       CAST(count(step) AS BIGINT) AS n_periods,
+       CAST(sum(step) AS BIGINT) AS pnl_milli,
+       CAST(sum(CASE WHEN step > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_winning
+FROM pnl GROUP BY 1
+""",
+)
+def sma_crossover_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest PnL of the SMA-crossover strategy: hold the PREVIOUS
+    hour's signal side (long after a golden state, short after a death
+    state — position lags signal by one bar, the no-lookahead
+    discipline every honest backtest needs) and accrue side *
+    price-change each hour. All accounting is exact integer
+    milli-cents (the same milli-mean series sma_crossover_signals
+    derives its states from), so total PnL, period count and hit rate
+    are bit-portable. Scale shape: the signals plan plus one more
+    lag window over the bounded hourly series and one aggregate to
+    |keys| rows."""
+    t = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())
+    means = t.groupBy(
+        F.col("event_type").alias("key"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(
+        F.round(
+            F.sum(finance.to_scaled_long("value", 2)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * 10,
+            0,
+        )
+        .cast("long")
+        .alias("mean_milli")
+    )
+    wf = Window.partitionBy("key").orderBy("bucket_ts").rowsBetween(-5, 0)
+    ws = Window.partitionBy("key").orderBy("bucket_ts").rowsBetween(-23, 0)
+    sma = means.select(
+        "key",
+        "bucket_ts",
+        "mean_milli",
+        F.count(F.lit(1)).over(wf).alias("nf"),
+        F.sum("mean_milli").over(wf).alias("sf"),
+        F.count(F.lit(1)).over(ws).alias("ns"),
+        F.sum("mean_milli").over(ws).alias("ss"),
+    )
+    state = sma.filter(F.col("ns") == 24).select(
+        "key",
+        "bucket_ts",
+        "mean_milli",
+        F.when(
+            F.col("sf") * F.col("ns") > F.col("ss") * F.col("nf"), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("side"),
+    )
+    w = Window.partitionBy("key").orderBy("bucket_ts")
+    pnl = state.select(
+        "key",
+        (
+            F.lag("side").over(w)
+            * (F.col("mean_milli") - F.lag("mean_milli").over(w))
+        )
+        .cast("long")
+        .alias("step"),
+    )
+    return pnl.groupBy("key").agg(
+        F.count("step").cast("long").alias("n_periods"),
+        F.sum("step").cast("long").alias("pnl_milli"),
+        F.sum(F.when(F.col("step") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_winning"),
+    )
