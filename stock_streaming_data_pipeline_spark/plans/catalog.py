@@ -258,6 +258,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "streaming_bitmap_overlap",
     "ewma_control_chart",
     "sma_crossover_pnl",
+    "drawdown_duration",
 )
 
 

@@ -2269,3 +2269,80 @@ def sma_crossover_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_winning"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Underwater analysis: longest drawdown duration per key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "drawdown_duration",
+    tags=("W1", "W4", "A1"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+px AS (
+  SELECT event_type AS key, epoch_us(ts) AS t_us, {_CENTS} AS cents
+  FROM trades WHERE value IS NOT NULL
+),
+runmax AS (
+  SELECT key, t_us, cents,
+         max(cents) OVER (PARTITION BY key ORDER BY t_us, cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak,
+         row_number() OVER (PARTITION BY key ORDER BY t_us, cents) AS rn
+  FROM px
+),
+uw AS (
+  SELECT key, rn,
+         rn - row_number() OVER (PARTITION BY key ORDER BY rn) AS island
+  FROM runmax WHERE cents < peak
+),
+runs AS (
+  SELECT key, island, CAST(count(*) AS BIGINT) AS run_len
+  FROM uw GROUP BY 1, 2
+)
+SELECT key,
+       CAST(count(*) AS BIGINT) AS n_underwater_runs,
+       CAST(max(run_len) AS BIGINT) AS longest_run_ticks,
+       CAST(sum(run_len) AS BIGINT) AS total_underwater_ticks
+FROM runs GROUP BY 1
+""",
+)
+def drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Underwater-duration analysis — the TIME dimension of drawdown
+    that max_drawdown's depth number misses (a shallow but months-long
+    underwater stretch is a different risk than a deep flash dip):
+    ticks strictly below the running peak form islands via the classic
+    rn - row_number() trick, and the report counts runs, the longest
+    run, and total ticks underwater per key. The running peak is an
+    integer MAX window (exact); island arithmetic is pure integers;
+    deterministic (ts, cents) ordering. Scale shape: two partitioned
+    window passes + two map-combined groupBys, no joins."""
+    t = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())
+    px = t.select(
+        F.col("event_type").alias("key"),
+        F.unix_micros("ts").alias("t_us"),
+        finance.to_scaled_long("value", 2).alias("cents"),
+    )
+    w = Window.partitionBy("key").orderBy("t_us", "cents")
+    runmax = px.select(
+        "key",
+        "cents",
+        F.max("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("peak"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wi = Window.partitionBy("key").orderBy("rn")
+    uw = runmax.filter(F.col("cents") < F.col("peak")).select(
+        "key", (F.col("rn") - F.row_number().over(wi)).alias("island")
+    )
+    runs = uw.groupBy("key", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return runs.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_underwater_runs"),
+        F.max("run_len").cast("long").alias("longest_run_ticks"),
+        F.sum("run_len").cast("long").alias("total_underwater_ticks"),
+    )
