@@ -259,6 +259,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ewma_control_chart",
     "sma_crossover_pnl",
     "drawdown_duration",
+    "capture_recapture_users",
 )
 
 

@@ -4512,3 +4512,81 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_rev",
         "CAST(cum_rev DIV n_users AS BIGINT) AS ltv_cents_per_user",
     )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture (Lincoln-Petersen) population estimate
+# ---------------------------------------------------------------------------
+
+# Chapman's bias-corrected estimator, shared template over exact counts.
+_LP_OUT = (
+    "n_click",
+    "n_purchase",
+    "n_both",
+    "n_true",
+    "CAST(floor(CAST(n_click + 1 AS DOUBLE) * (n_purchase + 1)"
+    " / (n_both + 1) - 1 + 0.5) AS BIGINT) AS n_hat",
+    "CAST(floor((CAST(n_click + 1 AS DOUBLE) * (n_purchase + 1)"
+    " / (n_both + 1) - 1) / n_true * 1000000 + 0.5) AS BIGINT)"
+    " AS coverage_ratio_micro",
+)
+
+
+@register(
+    "capture_recapture_users",
+    tags=("ML-stats", "A4"),
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+s AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_click,
+         (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_purchase,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM a JOIN b ON a.user_id = b.user_id) AS n_both,
+         (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+           AS n_true
+)
+SELECT {out}
+FROM s
+""".format(out=", ".join(_LP_OUT)),
+)
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimate (Chapman's bias-corrected
+    Lincoln-Petersen): treat the click and purchase audiences as two
+    independent 'captures' and estimate the TOTAL user population from
+    their sizes and overlap — the completeness-estimation trick for
+    populations nobody observes directly (how many users exist that we
+    never see in EITHER channel?). Here the true count exists, so the
+    estimate ships with its audited coverage ratio — near 1e6 validates
+    the independence assumption on this data; far off quantifies the
+    channel correlation. Three distinct-count aggregates + one
+    key-equi overlap join; one shared double template. Scale shape:
+    per-channel dedup groupBys, one join on the deduped (already
+    shrunk) relations."""
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_x"))
+        .select("user_id")
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_x"))
+        .select("user_id")
+    )
+    na = a.agg(F.count(F.lit(1)).cast("long").alias("n_click"))
+    nb = b.agg(F.count(F.lit(1)).cast("long").alias("n_purchase"))
+    nboth = a.join(b, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
+    )
+    ntrue = ev.agg(F.countDistinct("user_id").cast("long").alias("n_true"))
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nboth))
+        .crossJoin(F.broadcast(ntrue))
+        .selectExpr(*_LP_OUT)
+    )
