@@ -260,6 +260,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "sma_crossover_pnl",
     "drawdown_duration",
     "capture_recapture_users",
+    "corpus_chao1_richness",
+    "text_good_turing",
 )
 
 

@@ -4947,3 +4947,120 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chao1 unseen-species richness estimate per source
+# ---------------------------------------------------------------------------
+
+_CHAO1 = (
+    "CAST(floor(n_types + CAST(n1 AS DOUBLE) * n1"
+    " / (CAST(2 AS DOUBLE) * greatest(n2, 1)) + 0.5) AS BIGINT)"
+    " AS chao1_types"
+)
+
+
+@register(
+    "corpus_chao1_richness",
+    tags=("LLM-text", "ML-stats"),
+    oracle="""
+WITH cnts AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT source, unnest({toks}) AS term FROM documents)
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       {chao1}
+FROM cnts GROUP BY 1
+""".format(toks=dedup.SQL_TOKENS.format(text="text"), chao1=_CHAO1),
+)
+def corpus_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate per source: observed types plus
+    n1^2/(2*n2) from the singleton/doubleton counts — the
+    how-much-vocabulary-have-we-NOT-seen-yet estimator that tells a
+    crawl planner whether more of a source is worth fetching (chao1 ~
+    observed = saturated; chao1 >> observed = keep crawling). One
+    (source, term) groupBy and one per-source aggregate; the only
+    double is the final shared template (n2 floored at 1, the standard
+    bias guard). Scale: token explode + two map-combined groupBys."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = (
+        docs.select(
+            "source", F.explode(dedup.tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    return cnts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    ).selectExpr("source", "n_types", "n1", "n2", _CHAO1)
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency discounts over the frequency-of-frequencies
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_good_turing",
+    tags=("LLM-text", "ML-stats"),
+    oracle="""
+WITH cnts AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+fof AS (
+  SELECT f AS r, CAST(count(*) AS BIGINT) AS n_r FROM cnts GROUP BY 1
+)
+SELECT a.r, a.n_r,
+       CAST(floor((a.r + 1) * CAST(b.n_r AS DOUBLE) / a.n_r * 1000000 + 0.5)
+            AS BIGINT) AS r_star_micro
+FROM fof a JOIN fof b ON b.r = a.r + 1
+WHERE a.r <= 10
+""".format(toks=dedup.SQL_TOKENS.format(text="text")),
+)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing adjusted counts r* = (r+1) * N_{{r+1}} / N_r for the
+    low frequencies (r <= 10) — the smoothing table that reallocates
+    probability mass to unseen events, the classical foundation under
+    Kneser-Ney (text_kneser_ney_bigram's discount is its fixed-D
+    approximation). Built entirely on the frequency-of-frequencies
+    relation over WITHIN-DOCUMENT term counts (the event unit a per-doc
+    LM smooths over; corpus-level counts in this synthetic vocabulary
+    are all huge, leaving N_r empty below r=26): one (doc, term)
+    groupBy, one count-of-counts groupBy, one self-join on r+1 over the
+    tiny N_r table. Exact integers to the single shared-template
+    division. Scale: the corpus is touched once; everything after is
+    bounded by max observed within-doc frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = (
+        docs.select(
+            "doc_id", F.explode(dedup.tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    fof = cnts.groupBy(F.col("f").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    b = fof.selectExpr("r - 1 AS r", "n_r AS n_r1")
+    return (
+        fof.join(b, "r")
+        .filter(F.col("r") <= 10)
+        .selectExpr(
+            "r",
+            "n_r",
+            "CAST(floor((r + 1) * CAST(n_r1 AS DOUBLE) / n_r * 1000000"
+            " + 0.5) AS BIGINT) AS r_star_micro",
+        )
+    )
