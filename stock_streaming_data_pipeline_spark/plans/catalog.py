@@ -262,6 +262,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "capture_recapture_users",
     "corpus_chao1_richness",
     "text_good_turing",
+    "arrival_burstiness",
+    "runs_test_price_moves",
 )
 
 

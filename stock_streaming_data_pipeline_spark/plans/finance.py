@@ -2346,3 +2346,102 @@ def drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("long").alias("longest_run_ticks"),
         F.sum("run_len").cast("long").alias("total_underwater_ticks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on price-move signs
+# ---------------------------------------------------------------------------
+
+_RUNS_Z = (
+    "CAST(floor((r - (CAST(2 AS DOUBLE) * np * nm / (np + nm) + 1))"
+    " / sqrt(CAST(2 AS DOUBLE) * np * nm"
+    "        * (CAST(2 AS DOUBLE) * np * nm - np - nm)"
+    "        / ((np + nm) * (np + nm) * (np + nm - 1)))"
+    " * 1000 + 0.5) AS BIGINT) AS z_milli"
+)
+
+
+@register(
+    "runs_test_price_moves",
+    tags=("ML-stats", "W4"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+px AS (
+  SELECT event_type AS key, epoch_us(ts) AS t_us, {_CENTS} AS cents
+  FROM trades WHERE value IS NOT NULL
+),
+mv AS (
+  SELECT key,
+         CASE WHEN cents > lag(cents) OVER w THEN 1
+              WHEN cents < lag(cents) OVER w THEN -1 END AS s,
+         row_number() OVER w AS rn
+  FROM px WINDOW w AS (PARTITION BY key ORDER BY t_us, cents)
+),
+signs AS (
+  SELECT key, s,
+         lag(s) OVER (PARTITION BY key ORDER BY rn) AS prev
+  FROM (SELECT key, s, rn FROM mv WHERE s IS NOT NULL)
+       t (key, s, rn)
+),
+s AS (
+  SELECT key,
+         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+         CAST(1 + sum(CASE WHEN prev IS NOT NULL AND s != prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM signs GROUP BY 1
+)
+SELECT key, np, nm, r, {_RUNS_Z}
+FROM s WHERE np > 0 AND nm > 0 AND np + nm > 1
+""",
+)
+def runs_test_price_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the SIGNS of tick-to-tick price
+    moves per key: too few runs of consecutive ups/downs means
+    momentum (trending), too many means mean-reversion, and z ~ 0 is
+    the random-walk null every market-microstructure analysis starts
+    from. Signs from one lag window (ties dropped — no sign), the run
+    count from a second lag pass (sign changes + 1), np/nm/r exact
+    integers into the standard normal approximation via one shared
+    double-led template (CAST(2 AS DOUBLE) guards the Spark
+    DECIMAL-literal trap). Scale shape: two partitioned window passes
+    over per-key tick order, one aggregate to |keys| rows."""
+    t = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())
+    px = t.select(
+        F.col("event_type").alias("key"),
+        F.unix_micros("ts").alias("t_us"),
+        finance.to_scaled_long("value", 2).alias("cents"),
+    )
+    w = Window.partitionBy("key").orderBy("t_us", "cents")
+    mv = px.select(
+        "key",
+        F.when(F.col("cents") > F.lag("cents").over(w), F.lit(1))
+        .when(F.col("cents") < F.lag("cents").over(w), F.lit(-1))
+        .alias("s"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("s").isNotNull())
+    w2 = Window.partitionBy("key").orderBy("rn")
+    signs = mv.select("key", "s", F.lag("s").over(w2).alias("prev"))
+    s = signs.groupBy("key").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("nm"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("s") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    return s.filter(
+        (F.col("np") > 0) & (F.col("nm") > 0) & (F.col("np") + F.col("nm") > 1)
+    ).selectExpr("key", "np", "nm", "r", _RUNS_Z)

@@ -4590,3 +4590,61 @@ def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ntrue))
         .selectExpr(*_LP_OUT)
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrival burstiness: index of dispersion of hourly counts
+# ---------------------------------------------------------------------------
+
+_FANO = (
+    "CAST(floor((CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx)"
+    " / n / (n - 1) / (CAST(sx AS DOUBLE) / n) * 1000000 + 0.5)"
+    " AS BIGINT) AS fano_micro"
+)
+
+
+@register(
+    "arrival_burstiness",
+    tags=("ML-stats", "A1"),
+    oracle=f"""
+WITH ht AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM ht GROUP BY 1
+)
+SELECT event_type, n_hours, {_FANO}
+FROM s WHERE n > 1
+""",
+)
+def arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of event arrivals: the Fano factor (index of
+    dispersion, sample-variance / mean of hourly counts) per event
+    type — the point-process diagnostic that separates Poisson traffic
+    (fano ~ 1e6) from bursty traffic (>> 1e6, sizing retry storms and
+    queue headroom) and over-regular traffic (<< 1e6, usually a bot or
+    a scheduler). One hourly groupBy then one exact-moment aggregate;
+    variance from the n-scaled integer identity, one shared double
+    template. Scale: two map-combined aggregations, nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    ht = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = ht.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+    )
+    return s.filter(F.col("n") > 1).selectExpr(
+        "event_type", "n_hours", _FANO
+    )
