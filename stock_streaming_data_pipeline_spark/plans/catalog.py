@@ -264,6 +264,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "text_good_turing",
     "arrival_burstiness",
     "runs_test_price_moves",
+    "amihud_illiquidity",
+    "powerlaw_alpha_basket",
 )
 
 

@@ -2445,3 +2445,84 @@ def runs_test_price_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(
         (F.col("np") > 0) & (F.col("nm") > 0) & (F.col("np") + F.col("nm") > 1)
     ).selectExpr("key", "np", "nm", "r", _RUNS_Z)
+
+
+# ---------------------------------------------------------------------------
+# Amihud illiquidity: |return| per unit notional
+# ---------------------------------------------------------------------------
+
+# Per-tick ratio micro-quantized BEFORE the cross-tick mean (order-free
+# discipline); the ratio itself is exact-int inputs -> one double divide.
+_AMIHUD_TICK = (
+    "CAST(floor(CAST(abs(dc) AS DOUBLE) / cents / (CAST(q AS DOUBLE)"
+    " / 1000000.0) * 1000000000 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "amihud_illiquidity",
+    tags=("ML-stats", "W4"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+px AS (
+  SELECT event_type AS key, epoch_us(ts) AS t_us,
+         {_CENTS} AS cents, {_QMICRO} AS q
+  FROM trades WHERE value IS NOT NULL AND volume IS NOT NULL
+),
+mv AS (
+  SELECT key, cents, q,
+         cents - lag(cents) OVER (PARTITION BY key ORDER BY t_us, cents)
+           AS dc
+  FROM px
+),
+ticks AS (
+  SELECT key, {_AMIHUD_TICK} AS illiq_nano
+  FROM mv WHERE dc IS NOT NULL AND q > 0
+)
+SELECT key,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(floor(CAST(sum(CAST(illiq_nano AS HUGEINT)) AS DOUBLE)
+            / count(*) + 0.5) AS BIGINT) AS amihud_nano
+FROM ticks GROUP BY 1
+""",
+)
+def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud illiquidity per key: the mean of |relative price move| per
+    unit traded quantity across ticks — the standard price-impact proxy
+    (high = thin book, a unit of flow moves the price a lot; the
+    cross-sectional liquidity ranking risk teams size positions with).
+    Each tick's ratio is built from exact integers (cent move, cent
+    level, micro quantity) and nano-quantized BEFORE the cross-tick
+    mean, so no float crosses rows; the mean is one integer sum + one
+    deterministic division. Scale shape: one lag window per key, one
+    map-combined aggregate."""
+    t = trades_view(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("volume").isNotNull()
+    )
+    px = t.select(
+        F.col("event_type").alias("key"),
+        F.unix_micros("ts").alias("t_us"),
+        finance.to_scaled_long("value", 2).alias("cents"),
+        finance.to_scaled_long("volume", 6).alias("q"),
+    )
+    w = Window.partitionBy("key").orderBy("t_us", "cents")
+    mv = px.select(
+        "key",
+        "cents",
+        "q",
+        (F.col("cents") - F.lag("cents").over(w)).alias("dc"),
+    )
+    ticks = mv.filter(F.col("dc").isNotNull() & (F.col("q") > 0)).selectExpr(
+        "key", f"{_AMIHUD_TICK} AS illiq_nano"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return ticks.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        F.floor(
+            F.sum(dec(F.col("illiq_nano"))).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("amihud_nano"),
+    )

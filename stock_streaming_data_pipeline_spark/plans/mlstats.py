@@ -4648,3 +4648,68 @@ def arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(F.col("n") > 1).selectExpr(
         "event_type", "n_hours", _FANO
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-law exponent (MLE) of basket-size distribution
+# ---------------------------------------------------------------------------
+
+_PL_ALPHA = (
+    "CAST(floor((CAST(1 AS DOUBLE) + CAST(n AS DOUBLE)"
+    " / (CAST(sl AS DOUBLE) / 1000000.0)) * 1000000 + 0.5) AS BIGINT)"
+    " AS alpha_micro"
+)
+
+
+@register(
+    "powerlaw_alpha_basket",
+    tags=("ML-stats", "A1"),
+    oracle=f"""
+WITH baskets AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+  FROM lineitem GROUP BY 1
+),
+terms AS (
+  SELECT CAST(floor(ln(CAST(k AS DOUBLE) / 1) * 1000000 + 0.5) AS BIGINT)
+           AS lq
+  FROM baskets WHERE k >= 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(lq AS HUGEINT)) AS BIGINT) AS sl
+  FROM terms WHERE lq > 0
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM terms) AS n_baskets,
+       n AS n_tail, {_PL_ALPHA}
+FROM s
+""",
+)
+def powerlaw_alpha_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law (Pareto) exponent of the basket-size distribution by
+    the Clauset-style continuous MLE alpha = 1 + n / sum ln(k/k_min)
+    with k_min = 1 — the heavy-tail summary that decides whether
+    'average basket size' is even a meaningful number (alpha <= 2 means
+    the mean is tail-dominated and capacity planning must use
+    quantiles). Each basket's ln(k) is micro-quantized BEFORE the
+    cross-basket sum (order-free discipline); k = k_min baskets
+    contribute zero and drop from the tail sum, as the estimator
+    prescribes. One groupBy(order) pass then scalar arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    terms = baskets.filter(F.col("k") >= 1).select(
+        F.floor(F.log(F.col("k").cast("double") / 1) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("lq")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nb = terms.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    s = terms.filter(F.col("lq") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("lq"))).cast("long").alias("sl"),
+    )
+    return (
+        s.crossJoin(F.broadcast(nb))
+        .selectExpr("n_baskets", "n AS n_tail", _PL_ALPHA)
+    )
