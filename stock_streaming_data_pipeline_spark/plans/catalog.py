@@ -266,6 +266,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "runs_test_price_moves",
     "amihud_illiquidity",
     "powerlaw_alpha_basket",
+    "brand_diversity_leaders",
+    "peak_hour_concentration",
 )
 
 

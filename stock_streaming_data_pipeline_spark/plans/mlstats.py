@@ -4713,3 +4713,69 @@ def powerlaw_alpha_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.crossJoin(F.broadcast(nb))
         .selectExpr("n_baskets", "n AS n_tail", _PL_ALPHA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak-hour concentration of daily traffic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "peak_hour_concentration",
+    tags=("ML-stats", "A1"),
+    oracle="""
+WITH ht AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         epoch_us(ts) // 3600000000 AS slot,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2, 3
+),
+daily AS (
+  SELECT event_type, day,
+         CAST(floor(CAST(max(x) AS DOUBLE) / sum(x) * 1000000 + 0.5)
+              AS BIGINT) AS share_micro
+  FROM ht GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(floor(CAST(sum(CAST(share_micro AS HUGEINT)) AS DOUBLE)
+            / count(*) + 0.5) AS BIGINT) AS avg_peak_share_micro,
+       CAST(max(share_micro) AS BIGINT) AS max_peak_share_micro
+FROM daily GROUP BY 1
+""",
+)
+def peak_hour_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-hour concentration: what share of each day's traffic lands
+    in its single busiest hour, averaged per event type — the capacity
+    number autoscaling is provisioned against (1/24 ~ 41667 micro =
+    perfectly flat load; high values mean provisioning for the mean
+    guarantees a daily brownout). Per-day shares are micro-quantized
+    BEFORE the cross-day mean (order-free discipline); everything else
+    is exact integer counts. Scale shape: one (type, day, hour) groupBy
+    over the fact table, two bounded rollups."""
+    ev = load_table(spark, sf_dir, "events")
+    ht = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("slot"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    daily = ht.groupBy("event_type", "day").agg(
+        F.floor(
+            F.max("x").cast("double") / F.sum("x") * 1000000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("share_micro")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.floor(
+            F.sum(dec(F.col("share_micro"))).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("avg_peak_share_micro"),
+        F.max("share_micro").cast("long").alias("max_peak_share_micro"),
+    )

@@ -2938,3 +2938,81 @@ def demand_curve_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_qty_micro"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brand-diversity leaders: per-customer purchase entropy
+# ---------------------------------------------------------------------------
+
+_BRAND_H = (
+    "CAST(floor((ln(nn) - CAST(sfl AS DOUBLE) / 1000000.0 / nn) * 1000000"
+    " + 0.5) AS BIGINT) AS entropy_micro"
+)
+
+
+@register(
+    "brand_diversity_leaders",
+    tags=("A1", "O2", "J2"),
+    oracle=f"""
+WITH cb AS (
+  SELECT o.o_custkey AS cust, p.p_brand AS brand,
+         CAST(count(*) AS BIGINT) AS f
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT cust,
+         CAST(sum(f) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS n_brands,
+         CAST(sum(CAST(f AS HUGEINT)
+              * CAST(floor(ln(f) * 1000000 + 0.5) AS BIGINT)) AS HUGEINT)
+           AS sfl
+  FROM cb GROUP BY 1
+),
+scored AS (SELECT cust, nn, n_brands, {_BRAND_H} FROM s WHERE nn >= 20)
+SELECT cust, nn AS n_items, n_brands, entropy_micro
+FROM scored
+ORDER BY entropy_micro DESC, cust LIMIT 15
+""",
+)
+def brand_diversity_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 15 most brand-diverse heavy buyers: per-customer Shannon
+    entropy of purchased-brand frequencies (the corpus_token_entropy
+    micro-ln discipline applied to shopping behavior), restricted to
+    customers with >= 20 line items so the entropy is estimated from
+    real support — the seed list a cross-sell model trains its
+    'explorer' segment on. Two dim joins + one (customer, brand)
+    groupBy, per-customer exact-integer entropy, TakeOrderedAndProject
+    head with deterministic tie-breaks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = cb.groupBy("cust").agg(
+        F.sum("f").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+        F.sum(
+            dec(F.col("f"))
+            * dec(
+                F.floor(
+                    F.log(F.col("f").cast("double")) * 1000000 + F.lit(0.5)
+                ).cast("long")
+            )
+        ).alias("sfl"),
+    )
+    scored = s.filter(F.col("nn") >= 20).selectExpr(
+        "cust", "nn", "n_brands", _BRAND_H
+    )
+    return (
+        scored.orderBy(F.desc("entropy_micro"), F.asc("cust"))
+        .limit(15)
+        .selectExpr("cust", "nn AS n_items", "n_brands", "entropy_micro")
+    )
