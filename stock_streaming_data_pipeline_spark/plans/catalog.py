@@ -268,6 +268,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "powerlaw_alpha_basket",
     "brand_diversity_leaders",
     "peak_hour_concentration",
+    "expected_shortfall",
 )
 
 

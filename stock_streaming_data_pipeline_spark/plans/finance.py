@@ -2526,3 +2526,106 @@ def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("amihud_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Expected shortfall (CVaR) of hourly returns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "expected_shortfall",
+    tags=("ML-stats", "W4", "A1"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+hourly AS (
+  SELECT event_type AS key, epoch_us(ts) // 3600000000 AS slot,
+         (max({{'t': epoch_us(ts), 'c': {_CENTS}}})).c AS close
+  FROM trades WHERE value IS NOT NULL GROUP BY 1, 2
+),
+rets AS (
+  SELECT key, close - lag(close) OVER (PARTITION BY key ORDER BY slot)
+           AS r
+  FROM hourly
+),
+ranked AS (
+  SELECT key, r,
+         row_number() OVER (PARTITION BY key ORDER BY r) AS rn,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM rets WHERE r IS NOT NULL
+),
+var_t AS (
+  SELECT key, r AS var_cents, n FROM ranked
+  WHERE rn = (n * 5 + 99) // 100
+),
+tail AS (
+  SELECT rk.key, v.var_cents, v.n,
+         CAST(count(*) AS BIGINT) AS n_tail,
+         CAST(sum(rk.r) AS BIGINT) AS tail_sum
+  FROM ranked rk JOIN var_t v ON v.key = rk.key
+  WHERE rk.r <= v.var_cents
+  GROUP BY 1, 2, 3
+)
+SELECT key, CAST(n AS BIGINT) AS n_returns, var_cents, n_tail,
+       CAST(floor(CAST(tail_sum AS DOUBLE) / n_tail * 1000 + 0.5)
+            AS BIGINT) AS es_milli
+FROM tail
+""",
+)
+def expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected shortfall (CVaR-95) of hourly price changes per key:
+    the 5th-percentile loss threshold (a type-1 element quantile, so
+    both engines pick the same tick) and the MEAN of everything at or
+    below it — the coherent tail-risk measure Basel moved to because
+    VaR alone ignores how bad the tail is. The threshold comes from the
+    brute ranked definition here (the hourly return series is
+    calendar-bounded; the two-scan operator is the unbounded-data
+    path); the tail mean is an exact integer sum over the <=5% slice
+    with one deterministic division. Scale shape: hourly rollup, one
+    lag pass, per-key rank over the bounded return series, one
+    filtered aggregate."""
+    t = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())
+    hourly = t.groupBy(
+        F.col("event_type").alias("key"),
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("slot"),
+    ).agg(
+        F.max(
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                finance.to_scaled_long("value", 2).alias("c"),
+            )
+        )["c"].alias("close")
+    )
+    w = Window.partitionBy("key").orderBy("slot")
+    rets = hourly.select(
+        "key", (F.col("close") - F.lag("close").over(w)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    wr = Window.partitionBy("key").orderBy("r")
+    ranked = rets.select(
+        "key",
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("key")).alias("n"),
+    )
+    # NB: Column `/` is DOUBLE division in Spark — the quantile index
+    # needs integer DIV or the equality never matches.
+    var_t = ranked.filter(
+        F.expr("rn = (n * 5 + 99) DIV 100")
+    ).select("key", F.col("r").alias("var_cents"), F.col("n").alias("n_ret"))
+    tail = (
+        ranked.select("key", "r").join(F.broadcast(var_t), "key")
+        .filter(F.col("r") <= F.col("var_cents"))
+        .groupBy("key", "var_cents", "n_ret")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tail"),
+            F.sum("r").cast("long").alias("tail_sum"),
+        )
+    )
+    return tail.selectExpr(
+        "key",
+        "CAST(n_ret AS BIGINT) AS n_returns",
+        "var_cents",
+        "n_tail",
+        "CAST(floor(CAST(tail_sum AS DOUBLE) / n_tail * 1000 + 0.5)"
+        " AS BIGINT) AS es_milli",
+    )
