@@ -269,6 +269,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "brand_diversity_leaders",
     "peak_hour_concentration",
     "expected_shortfall",
+    "weekly_topk_stability",
 )
 
 

@@ -3016,3 +3016,96 @@ def brand_diversity_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .selectExpr("cust", "nn AS n_items", "n_brands", "entropy_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week top-20 stability (rank-set churn)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekly_topk_stability",
+    tags=("A1", "O2", "W4"),
+    oracle="""
+WITH wk AS (
+  SELECT epoch_us(l_shipdate) // 604800000000 AS week, l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT week, l_partkey,
+         row_number() OVER (PARTITION BY week
+                            ORDER BY cents DESC, l_partkey) AS rnk
+  FROM wk
+),
+topk AS (SELECT week, l_partkey FROM ranked WHERE rnk <= 20),
+ov AS (
+  SELECT a.week AS week,
+         CAST(count(b.l_partkey) AS BIGINT) AS n_kept
+  FROM topk a
+  LEFT JOIN topk b
+    ON b.week = a.week - 1 AND b.l_partkey = a.l_partkey
+  GROUP BY 1
+)
+SELECT week, n_kept,
+       CAST(floor(CAST(n_kept AS DOUBLE) / (40 - n_kept) * 1000000 + 0.5)
+            AS BIGINT) AS jaccard_micro
+FROM ov WHERE week > (SELECT min(week) FROM topk)
+""",
+)
+def weekly_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week stability of the top-20 revenue parts: how many of
+    this week's leaders were leaders LAST week, as a count and a
+    set-Jaccard — the leaderboard-churn series that separates stable
+    catalogs (merchandising can plan) from fashion-driven ones (it
+    can't). Weekly revenue rollup, per-week rank window (partitioned by
+    week over the part rollup), top-20 head, one self-join on
+    (week-1, part) — Jaccard simplifies to kept/(40-kept) because both
+    sets have exactly 20 members. Exact integers to one shared
+    division. Scale: fact scan ends at the first groupBy; everything
+    after is 20 rows per week."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        (F.unix_micros("l_shipdate") / F.lit(604_800_000_000))
+        .cast("long")
+        .alias("week"),
+        "l_partkey",
+    ).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    wr = Window.partitionBy("week").orderBy(F.desc("cents"), F.asc("l_partkey"))
+    topk = (
+        wk.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 20)
+        .select("week", "l_partkey")
+    )
+    prev = topk.selectExpr("week + 1 AS week", "l_partkey AS prev_part")
+    ov = (
+        topk.join(
+            prev,
+            (topk["week"] == prev["week"])
+            & (topk["l_partkey"] == prev["prev_part"]),
+            "left",
+        )
+        .select(topk["week"].alias("wk2"), "prev_part")
+        .groupBy("wk2")
+        .agg(F.count("prev_part").cast("long").alias("n_kept"))
+    )
+    first_week = topk.agg(F.min("week").alias("w0"))
+    return (
+        ov.crossJoin(F.broadcast(first_week))
+        .filter(F.col("wk2") > F.col("w0"))
+        .selectExpr(
+            "wk2 AS week",
+            "n_kept",
+            "CAST(floor(CAST(n_kept AS DOUBLE) / (40 - n_kept) * 1000000"
+            " + 0.5) AS BIGINT) AS jaccard_micro",
+        )
+    )
