@@ -270,6 +270,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "peak_hour_concentration",
     "expected_shortfall",
     "weekly_topk_stability",
+    "mann_kendall_trend",
 )
 
 

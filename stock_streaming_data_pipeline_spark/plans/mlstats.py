@@ -4779,3 +4779,124 @@ def peak_hour_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_peak_share_micro"),
         F.max("share_micro").cast("long").alias("max_peak_share_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test over the hourly series
+# ---------------------------------------------------------------------------
+
+_MK_Z = (
+    "CAST(floor(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sd"
+    " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sd"
+    " ELSE CAST(0 AS DOUBLE) END * 1000 + 0.5) AS BIGINT) AS z_milli"
+)
+
+
+@register(
+    "mann_kendall_trend",
+    tags=("ML-stats", "A1"),
+    oracle=f"""
+WITH ht AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM ht a JOIN ht b
+    ON b.event_type = a.event_type AND b.h > a.h
+  GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(sum(CAST(tc AS HUGEINT) * (tc - 1) * (2 * tc + 5)) AS HUGEINT)
+           AS tt
+  FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS tc
+        FROM ht GROUP BY 1, 2)
+  GROUP BY 1
+),
+nn AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ht GROUP BY 1
+),
+v AS (
+  SELECT p.event_type, p.s, nn.n,
+         sqrt((CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5)
+               - CAST(t.tt AS DOUBLE)) / 18) AS sd
+  FROM pairs p JOIN ties t ON t.event_type = p.event_type
+  JOIN nn ON nn.event_type = p.event_type
+)
+SELECT event_type, n AS n_hours, s, {_MK_Z},
+       abs(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sd
+                WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sd
+                ELSE CAST(0 AS DOUBLE) END) > 1.959964 AS reject_05
+FROM v
+""",
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the hourly volume series per
+    event type — the nonparametric significance companion to
+    trend_theil_sen's slope (is the drift REAL, without assuming
+    normality or linearity?): S = sum of pairwise sign comparisons, the
+    tie-corrected variance n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18, and
+    the continuity-corrected z. The pair sum runs as a self-join ON THE
+    BOUNDED HOURLY GRID (calendar-span rows, never the fact table —
+    quadratic in hours is a constant at any SF); all accumulators exact
+    integers; z from one shared double-led template. Scale shape: one
+    hourly groupBy, one bounded self-join, three bounded rollups."""
+    ev = load_table(spark, sf_dir, "events")
+    ht = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    a = ht.selectExpr("event_type", "h AS ha", "x AS xa")
+    b = ht.selectExpr("event_type AS et_b", "h AS hb", "x AS xb")
+    pairs = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et_b")) & (F.col("hb") > F.col("ha")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ties = (
+        ht.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                dec(F.col("tc")) * dec(F.col("tc") - 1) * dec(2 * F.col("tc") + 5)
+            ).alias("tt")
+        )
+    )
+    nn = ht.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    v = (
+        pairs.join(F.broadcast(ties), "event_type")
+        .join(F.broadcast(nn), "event_type")
+        .selectExpr(
+            "event_type",
+            "s",
+            "n",
+            "sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)"
+            " - CAST(tt AS DOUBLE)) / 18) AS sd",
+        )
+    )
+    return v.selectExpr(
+        "event_type",
+        "n AS n_hours",
+        "s",
+        _MK_Z,
+        "abs(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sd"
+        " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sd"
+        " ELSE CAST(0 AS DOUBLE) END) > 1.959964 AS reject_05",
+    )
