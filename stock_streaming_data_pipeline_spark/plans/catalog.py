@@ -271,6 +271,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "expected_shortfall",
     "weekly_topk_stability",
     "mann_kendall_trend",
+    "corpus_simpson_diversity",
 )
 
 

@@ -5064,3 +5064,64 @@ def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 0.5) AS BIGINT) AS r_star_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity index per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_simpson_diversity",
+    tags=("LLM-text", "ML-stats"),
+    oracle="""
+WITH cnts AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT source, unnest({toks}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT source,
+         CAST(sum(f) AS BIGINT) AS nn,
+         CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS sf2
+  FROM cnts GROUP BY 1
+)
+SELECT source, nn AS n_tokens,
+       CAST(floor((CAST(1 AS DOUBLE)
+            - CAST(sf2 AS DOUBLE) / nn / nn) * 1000000 + 0.5) AS BIGINT)
+         AS simpson_micro,
+       CAST(floor(CAST(nn AS DOUBLE) * nn / CAST(sf2 AS DOUBLE) * 1000
+            + 0.5) AS BIGINT) AS effective_types_milli
+FROM s
+""".format(toks=dedup.SQL_TOKENS.format(text="text")),
+)
+def corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity per source: 1 - sum(p^2), the probability two
+    random tokens differ, plus its inverse (Hill number of order 2 —
+    'effective vocabulary size', the how-many-equally-common-types
+    equivalent). Complements the entropy card with the
+    collision-probability view that weights common types more (the same
+    F2 = sum f^2 quantity the AMS sketch estimates — this is its exact
+    per-source twin). One groupBy chain, exact integers to two shared
+    template divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = (
+        docs.select(
+            "source", F.explode(dedup.tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = cnts.groupBy("source").agg(
+        F.sum("f").cast("long").alias("nn"),
+        F.sum(dec(F.col("f")) * dec(F.col("f"))).alias("sf2"),
+    )
+    return s.selectExpr(
+        "source",
+        "nn AS n_tokens",
+        "CAST(floor((CAST(1 AS DOUBLE) - CAST(sf2 AS DOUBLE) / nn / nn)"
+        " * 1000000 + 0.5) AS BIGINT) AS simpson_micro",
+        "CAST(floor(CAST(nn AS DOUBLE) * nn / CAST(sf2 AS DOUBLE) * 1000"
+        " + 0.5) AS BIGINT) AS effective_types_milli",
+    )
