@@ -272,6 +272,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "weekly_topk_stability",
     "mann_kendall_trend",
     "corpus_simpson_diversity",
+    "hurst_exponent_rs",
 )
 
 

@@ -4900,3 +4900,178 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sd"
         " ELSE CAST(0 AS DOUBLE) END) > 1.959964 AS reject_05",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent by rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+import math as _math  # noqa: E402
+
+_HURST_WS = (16, 32, 64)
+# Frozen 3-point log-regression coefficients: slope = sum c_i * ln(m_i)
+# (computed once in Python — the x-axis ln(W) never evaluates in-engine;
+# the micro scaling of m_i adds a constant to every ln and cancels).
+_lx = [_math.log(w) for w in _HURST_WS]
+_lxm = sum(_lx) / 3
+_den = sum((v - _lxm) ** 2 for v in _lx)
+_HURST_C = [repr((v - _lxm) / _den) for v in _lx]
+# Per-block R/S from exact integers: cumdev extremes are W-scaled ints,
+# S is the population std of the block.
+_RS_BLOCK = (
+    "CAST(floor((CAST(maxc - minc AS DOUBLE) / w)"
+    " / sqrt((CAST(w AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / w / w)"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+def _hurst_oracle() -> str:
+    per_w = []
+    for w in _HURST_WS:
+        per_w.append(
+            f"""b{w} AS (
+  SELECT event_type, (seq - 1) // {w} AS blk, x,
+         sum(x) OVER (PARTITION BY event_type, (seq - 1) // {w}
+                      ORDER BY seq) AS cum,
+         sum(x) OVER (PARTITION BY event_type, (seq - 1) // {w}) AS tot,
+         row_number() OVER (PARTITION BY event_type, (seq - 1) // {w}
+                            ORDER BY seq) AS rn
+  FROM seqd
+),
+s{w} AS (
+  SELECT event_type, blk, {w} AS w,
+         CAST(max({w} * cum - rn * tot) AS BIGINT) AS maxc,
+         CAST(min({w} * cum - rn * tot) AS BIGINT) AS minc,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM b{w} GROUP BY 1, 2
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT event_type, w, {_RS_BLOCK} AS rs_micro FROM s{w} "
+        f"WHERE cnt = w AND maxc > minc AND w * sxx > sx * sx"
+        for w in _HURST_WS
+    )
+    cases = " + ".join(
+        f"{c} * ln(m{w})" for c, w in zip(_HURST_C, _HURST_WS)
+    )
+    return f"""WITH ht AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+seqd AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS seq
+  FROM ht
+),
+{", ".join(per_w)},
+rs AS ({union}),
+m AS (
+  SELECT event_type, w,
+         CAST(sum(CAST(rs_micro AS HUGEINT)) // count(*) AS BIGINT)
+           AS m_micro
+  FROM rs GROUP BY 1, 2
+),
+piv AS (
+  SELECT event_type,
+         {", ".join(f"max(CASE WHEN w = {w} THEN m_micro END) AS m{w}"
+                    for w in _HURST_WS)}
+  FROM m GROUP BY 1
+)
+SELECT event_type, {", ".join(f"m{w}" for w in _HURST_WS)},
+       CAST(floor(({cases}) * 1000 + 0.5) AS BIGINT) AS hurst_milli
+FROM piv
+WHERE {" AND ".join(f"m{w} IS NOT NULL" for w in _HURST_WS)}
+"""
+
+
+@register(
+    "hurst_exponent_rs",
+    tags=("ML-stats", "W1"),
+    oracle=_hurst_oracle(),
+)
+def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly volume series by classical
+    rescaled-range analysis: chunk each series into blocks of 16/32/64
+    consecutive observations, compute each block's R/S (range of cumulative mean
+    deviations over the block std — W-scaled so the deviations stay
+    exact integers), average per block size, and fit ln(R/S) ~ ln(W)
+    with FROZEN regression coefficients (the x-axis never evaluates a
+    log in-engine; micro scaling cancels in the slope). H ~ 0.5 is a
+    memoryless walk, > 0.5 persistent (trends feed themselves), < 0.5
+    mean-reverting — the long-memory diagnostic behind volatility
+    persistence. Per-block R/S values are micro-quantized BEFORE the
+    cross-block mean (order-free); blocks are windows over <= 64 rows
+    partitioned by (key, block). Scale: one hourly groupBy, bounded
+    windows, bounded rollups."""
+    ev = load_table(spark, sf_dir, "events")
+    ht = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    wseq = Window.partitionBy("event_type").orderBy("h")
+    seqd = ht.select(
+        "event_type", "x", F.row_number().over(wseq).alias("seq")
+    )
+    parts = []
+    for wsz in _HURST_WS:
+        blk = F.expr(f"(seq - 1) DIV {wsz}")
+        wcum = (
+            Window.partitionBy("event_type", blk)
+            .orderBy("seq")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wall = Window.partitionBy("event_type", blk)
+        worder = Window.partitionBy("event_type", blk).orderBy("seq")
+        b = seqd.select(
+            "event_type",
+            blk.alias("blk"),
+            "x",
+            F.sum("x").over(wcum).alias("cum"),
+            F.sum("x").over(wall).alias("tot"),
+            F.row_number().over(worder).alias("rn"),
+        )
+        s = b.groupBy("event_type", "blk").agg(
+            F.max(wsz * F.col("cum") - F.col("rn") * F.col("tot"))
+            .cast("long")
+            .alias("maxc"),
+            F.min(wsz * F.col("cum") - F.col("rn") * F.col("tot"))
+            .cast("long")
+            .alias("minc"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(dec(F.col("x")) * dec(F.col("x"))).cast("long").alias("sxx"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        parts.append(
+            s.filter(
+                (F.col("cnt") == wsz)
+                & (F.col("maxc") > F.col("minc"))
+                & (wsz * F.col("sxx") > F.col("sx") * F.col("sx"))
+            )
+            .withColumn("w", F.lit(wsz).cast("long"))
+            .selectExpr("event_type", "w", f"{_RS_BLOCK} AS rs_micro")
+        )
+    rs = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    m = rs.groupBy("event_type", "w").agg(
+        F.expr("CAST(sum(CAST(rs_micro AS DECIMAL(38,0))) DIV count(*)"
+               " AS BIGINT)").alias("m_micro")
+    )
+    piv = m.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("w") == wsz, F.col("m_micro"))).alias(f"m{wsz}")
+            for wsz in _HURST_WS
+        ]
+    )
+    cases = " + ".join(
+        f"{c} * ln(m{w})" for c, w in zip(_HURST_C, _HURST_WS)
+    )
+    return piv.filter(
+        " AND ".join(f"m{w} IS NOT NULL" for w in _HURST_WS)
+    ).selectExpr(
+        "event_type",
+        *[f"m{w}" for w in _HURST_WS],
+        f"CAST(floor(({cases}) * 1000 + 0.5) AS BIGINT) AS hurst_milli",
+    )
