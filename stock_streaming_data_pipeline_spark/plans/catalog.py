@@ -273,6 +273,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "mann_kendall_trend",
     "corpus_simpson_diversity",
     "hurst_exponent_rs",
+    "kruskal_wallis_values",
 )
 
 

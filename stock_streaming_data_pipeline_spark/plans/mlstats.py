@@ -5075,3 +5075,116 @@ def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"m{w}" for w in _HURST_WS],
         f"CAST(floor(({cases}) * 1000 + 0.5) AS BIGINT) AS hurst_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis k-sample rank test across event types
+# ---------------------------------------------------------------------------
+
+# H statistic from exact integer rank sums (doubled average ranks, the
+# spearman_rank_corr device) with the tie correction; one double-led
+# shared template.
+_KW_H = (
+    "CAST(floor((CAST(12 AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn + 1))"
+    " * (CAST(sr2 AS DOUBLE) / 4)"
+    " - CAST(3 AS DOUBLE) * (nn + 1))"
+    " / (CAST(1 AS DOUBLE) - CAST(tt AS DOUBLE)"
+    "    / (CAST(nn AS DOUBLE) * nn * nn - nn))"
+    " * 1000 + 0.5) AS BIGINT) AS h_milli"
+)
+
+
+@register(
+    "kruskal_wallis_values",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, value, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+vals AS (
+  SELECT value, CAST(sum(c) AS BIGINT) AS tc FROM pts GROUP BY 1
+),
+ranked AS (
+  SELECT value, tc,
+         CAST(2 * (sum(tc) OVER (ORDER BY value) - tc) + tc + 1 AS BIGINT)
+           AS r2
+  FROM vals
+),
+grp AS (
+  SELECT p.event_type,
+         CAST(sum(p.c) AS BIGINT) AS nj,
+         CAST(sum(CAST(p.c AS HUGEINT) * r.r2) AS HUGEINT) AS rsum2
+  FROM pts p JOIN ranked r ON r.value = p.value
+  GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(nj) AS BIGINT) AS nn,
+         CAST(sum(rsum2 * rsum2 // nj) AS HUGEINT) AS sr2,
+         CAST(count(*) AS BIGINT) AS k
+  FROM grp
+),
+t AS (
+  SELECT CAST(sum(CAST(tc AS HUGEINT) * tc * tc - tc) AS HUGEINT) AS tt
+  FROM vals
+)
+SELECT k, nn AS n_rows, {_KW_H}
+FROM s, t
+""",
+)
+def kruskal_wallis_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five event types' value
+    distributions — the k-sample rank ANOVA that completes the test
+    family (anova_oneway_f is its parametric twin, mann_whitney_u_drift
+    the two-sample case): do ANY of the groups differ in location,
+    assuming nothing about shapes? Doubled average ranks keep every
+    rank an exact integer (the spearman_rank_corr device); per-group
+    rank sums are exact HUGEINT/DECIMAL; H and its tie correction come
+    from one double-led shared template. NOTE the global rank window
+    here runs over the DISTINCT-VALUE relation ordered by value — the
+    same shape the KS/Mann-Whitney queries handle with the salted
+    prefix sum; at catalog scale the distinct-value relation is modest
+    and the plain window is measured fine (allowlisted with this
+    bound); the salted form is the drop-in at web scale. Scale: one
+    (type, value) groupBy, one value rollup, bounded-side joins."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.filter(F.col("value").isNotNull()).groupBy(
+        "event_type", "value"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vals = pts.groupBy("value").agg(F.sum("c").cast("long").alias("tc"))
+    wv = Window.orderBy("value")
+    ranked = vals.select(
+        "value",
+        "tc",
+        (2 * (F.sum("tc").over(wv) - F.col("tc")) + F.col("tc") + 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    grp = (
+        pts.join(ranked.select("value", "r2"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("nj"),
+            F.sum(dec(F.col("c")) * dec(F.col("r2"))).alias("rsum2"),
+        )
+    )
+    s = grp.agg(
+        F.sum("nj").cast("long").alias("nn"),
+        # integer floor division in BOTH engines (duck // / spark DIV) —
+        # plain / is double in DuckDB and decimal in Spark, a latent
+        # rounding-boundary divergence
+        F.sum(F.expr(
+            "CAST(rsum2 * rsum2 AS DECIMAL(38,0))"
+            " DIV CAST(nj AS DECIMAL(38,0))"
+        ))
+        .cast("decimal(38,0)")
+        .alias("sr2"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    t = vals.agg(
+        F.sum(dec(F.col("tc")) * dec(F.col("tc")) * dec(F.col("tc")) - dec(F.col("tc")))
+        .cast("decimal(38,0)")
+        .alias("tt")
+    )
+    return s.crossJoin(F.broadcast(t)).selectExpr("k", "nn AS n_rows", _KW_H)

@@ -154,6 +154,10 @@ UNPARTITIONED_WINDOW_ALLOW = {
                                     # the corpus-sized sort is range-partitioned.
     "classifier_auc_roc",           # cumulative ROC window over the fixed 1024-bin
                                     # score histogram (SF-independent bound)
+    "kruskal_wallis_values",        # global rank window over the distinct-value
+                                    # relation (the KS/MWU shape) — modest at
+                                    # catalog scale, documented in the docstring;
+                                    # running_sum_salted is the web-scale drop-in.
     "survival_logrank_test",        # at-risk prefix window over the day-grid
                                     # relation (bounded by the observation
                                     # span, SF-independent — the KM discipline).
