@@ -274,6 +274,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "corpus_simpson_diversity",
     "hurst_exponent_rs",
     "kruskal_wallis_values",
+    "multimodal_wav_spectral_flatness",
 )
 
 

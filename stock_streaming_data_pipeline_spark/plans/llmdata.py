@@ -5125,3 +5125,110 @@ def corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(CAST(nn AS DOUBLE) * nn / CAST(sf2 AS DOUBLE) * 1000"
         " + 0.5) AS BIGINT) AS effective_types_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral flatness (Wiener entropy) over the framed DFT
+# ---------------------------------------------------------------------------
+
+_SFM = (
+    "CAST(floor(exp(CAST(slnp AS DOUBLE) / 1000000.0 / nb)"
+    " / (CAST(sp AS DOUBLE) / nb) * 1000000 + 0.5) AS BIGINT)"
+    " AS flatness_micro"
+)
+
+
+@register(
+    "multimodal_wav_spectral_flatness",
+    tags=("LLM-multimodal",),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS media_id,
+         substr({_MEDIA_TEXT_SQL} || repeat(' ', 64), 1, 64) AS s
+  FROM documents
+),
+sm AS (
+  SELECT media_id, CAST(u.i AS INT) - 1 AS pos,
+         (ascii(substr(s, CAST(u.i AS INT), 1)) - 100) * 128 AS v
+  FROM t, unnest(range(1, 65)) AS u(i)
+),
+fr AS (
+  SELECT media_id, pos // {_SPG_N} AS frame, pos % {_SPG_N} AS ph, v
+  FROM sm
+),
+tab(k, ph, cq, sq) AS (VALUES {_SPG_VALUES}),
+acc AS (
+  SELECT f.media_id, f.frame, tab.k,
+         CAST(sum(CAST(f.v AS HUGEINT) * tab.cq) AS BIGINT) AS c,
+         CAST(sum(CAST(f.v AS HUGEINT) * tab.sq) AS BIGINT) AS s
+  FROM fr f JOIN tab ON tab.ph = f.ph
+  GROUP BY 1, 2, 3
+),
+mag AS (
+  SELECT media_id, {_SPG_MAG.replace(" AS mag2", "")} AS p
+  FROM acc
+),
+agg AS (
+  SELECT media_id,
+         CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(CAST(p AS HUGEINT)) AS BIGINT) AS sp,
+         CAST(sum(CAST(floor(ln(p) * 1000000 + 0.5) AS HUGEINT)) AS BIGINT)
+           AS slnp
+  FROM mag WHERE p > 0 GROUP BY 1
+)
+SELECT media_id, nb AS n_bins, {_SFM}
+FROM agg WHERE nb = 16
+""",
+)
+def multimodal_wav_spectral_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral flatness (Wiener entropy) per clip over the REAL-decode
+    framed DFT: geometric mean of the 16 (frame, bin) powers over their
+    arithmetic mean — the tonality gate an audio curation pipeline uses
+    to separate noise-like clips (flatness -> 1) from tonal/structured
+    ones (-> 0). The geometric mean rides the order-free micro-ln
+    discipline (each bin's ln(power) quantized to an exact integer
+    BEFORE the cross-bin sum); zero-power bins drop and clips missing
+    any of the 16 cells are excluded (same predicate both engines).
+    Reuses the frozen-trig spectrogram pipeline end to end."""
+    docs = _ascii_text_docs(load_table(spark, sf_dir, "documents"))
+    media = multimodal.documents_as_wav_media(docs, n_samples=64)
+    sm = multimodal.wav_sample_rows(media)
+    fr = sm.selectExpr(
+        "media_id", f"pos div {_SPG_N} AS frame", f"pos % {_SPG_N} AS ph", "v"
+    )
+    tab = spark.createDataFrame(
+        _SPG_TAB, schema="k INT, ph INT, cq BIGINT, sq BIGINT"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    acc = (
+        fr.join(F.broadcast(tab), "ph")
+        .groupBy("media_id", "frame", "k")
+        .agg(
+            F.sum(dec(F.col("v")) * dec(F.col("cq"))).cast("long").alias("c"),
+            F.sum(dec(F.col("v")) * dec(F.col("sq"))).cast("long").alias("s"),
+        )
+    )
+    mag = acc.selectExpr(
+        "media_id", _SPG_MAG.replace(" AS mag2", "") + " AS p"
+    )
+    agg = (
+        mag.filter(F.col("p") > 0)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.sum(dec(F.col("p"))).cast("long").alias("sp"),
+            F.sum(
+                dec(
+                    F.floor(
+                        F.log(F.col("p").cast("double")) * 1000000
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("slnp"),
+        )
+    )
+    return agg.filter(F.col("nb") == 16).selectExpr(
+        "media_id", "nb AS n_bins", _SFM
+    )
