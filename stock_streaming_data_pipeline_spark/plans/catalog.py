@@ -275,6 +275,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "hurst_exponent_rs",
     "kruskal_wallis_values",
     "multimodal_wav_spectral_flatness",
+    "embedding_pair_distance_hist",
 )
 
 

@@ -5232,3 +5232,87 @@ def multimodal_wav_spectral_flatness(spark: SparkSession, sf_dir: str) -> DataFr
     return agg.filter(F.col("nb") == 16).selectExpr(
         "media_id", "nb AS n_bins", _SFM
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-distance calibration histogram (deterministic offset pairs)
+# ---------------------------------------------------------------------------
+
+_PAIR_OFFSETS = (1, 17, 97)
+
+
+@register(
+    "embedding_pair_distance_hist",
+    tags=("LLM-sim", "ML-stats"),
+    oracle=f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+offs(o) AS (VALUES {", ".join(f"({o})" for o in _PAIR_OFFSETS)}),
+pairs AS (
+  SELECT a.vec_id AS ia, (a.vec_id + offs.o) % nn.n AS ib,
+         a.embedding AS ea
+  FROM embeddings a, offs, nn
+),
+scored AS (
+  SELECT round(({similarity.SQL_DOT.format(a="p.ea", b="b.embedding")})
+          / (({similarity.SQL_NORM.format(a="p.ea")})
+             * ({similarity.SQL_NORM.format(a="b.embedding")})), 6)
+           AS cosine
+  FROM pairs p JOIN embeddings b ON b.vec_id = p.ib
+  WHERE p.ib <> p.ia
+),
+binned AS (
+  SELECT CAST(floor((cosine + 1) * 10) AS BIGINT) AS bin FROM scored
+)
+SELECT CAST(least(bin, 19) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM binned GROUP BY 1
+""",
+)
+def embedding_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine calibration histogram for the embedding space:
+    3n deterministic pairs (each vector against its id+1 / id+17 /
+    id+97 neighbors mod n — a fixed design, not sampling, so both
+    engines and reruns see identical pairs) binned into 20 cosine
+    buckets — the distribution every similarity THRESHOLD is calibrated
+    against (where does 'random pair' mass sit, how fat is the
+    high-cosine tail the dedup thresholds cut into?). Avoids the n^2
+    all-pairs join entirely: a 3-row offset fan + one id-equi join.
+    Cosines use the order-fixed left-fold dot product; binning is
+    integer floor on the round-6 lattice. Scale: linear in n at any
+    SF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    offs = spark.createDataFrame(
+        [(o,) for o in _PAIR_OFFSETS], schema="o LONG"
+    )
+    pairs = (
+        emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+        .crossJoin(F.broadcast(offs))
+        .crossJoin(F.broadcast(nn))
+        .selectExpr("ia", "(ia + o) % n AS ib", "ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
+    )
+    scored = (
+        pairs.join(b, "ib")
+        .filter(F.col("ib") != F.col("ia"))
+        .withColumn(
+            "cosine",
+            F.round(
+                similarity.cosine(
+                    similarity.as_double(F.col("ea")),
+                    similarity.as_double(F.col("eb")),
+                ),
+                6,
+            ),
+        )
+    )
+    binned = scored.selectExpr(
+        "CAST(floor((cosine + 1) * 10) AS BIGINT) AS bin"
+    )
+    return (
+        binned.selectExpr("CAST(least(bin, 19) AS BIGINT) AS bin")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
