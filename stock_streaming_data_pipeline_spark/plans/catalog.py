@@ -276,6 +276,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "kruskal_wallis_values",
     "multimodal_wav_spectral_flatness",
     "embedding_pair_distance_hist",
+    "stylometry_burrows_delta",
 )
 
 

@@ -5316,3 +5316,150 @@ def embedding_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+_DELTA_K = 20  # most-frequent terms used as the style fingerprint
+
+
+@register(
+    "stylometry_burrows_delta",
+    tags=("LLM-text", "ML-stats"),
+    oracle=f"""
+WITH tk AS (
+  SELECT source, unnest({dedup.SQL_TOKENS.format(text="text")}) AS term
+  FROM documents
+),
+topk AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS f FROM tk GROUP BY 1
+    ORDER BY f DESC, term LIMIT {_DELTA_K}
+  )
+),
+cell AS (
+  SELECT tk.source, tk.term, CAST(count(*) AS BIGINT) AS f
+  FROM tk JOIN topk ON topk.term = tk.term
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+rf AS (
+  SELECT c.source, c.term,
+         CAST(floor(CAST(c.f AS DOUBLE) / t.n * 1000000 + 0.5) AS BIGINT)
+           AS rfm
+  FROM cell c JOIN tot t ON t.source = c.source
+),
+ts AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS ns,
+         CAST(sum(rfm) AS BIGINT) AS sr,
+         CAST(sum(CAST(rfm AS HUGEINT) * rfm) AS HUGEINT) AS srr
+  FROM rf GROUP BY 1
+),
+z AS (
+  SELECT rf.source, rf.term,
+         CAST(floor((rf.rfm - CAST(ts.sr AS DOUBLE) / ts.ns)
+              / sqrt((CAST(ts.srr AS DOUBLE) * ts.ns
+                      - CAST(ts.sr AS DOUBLE) * ts.sr)
+                     / ts.ns / (ts.ns - 1))
+              * 1000000 + 0.5) AS BIGINT) AS zm
+  FROM rf JOIN ts ON ts.term = rf.term
+  WHERE ts.ns > 1
+    AND ts.srr * ts.ns > CAST(ts.sr AS HUGEINT) * ts.sr
+),
+d AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(abs(a.zm - b.zm)) AS BIGINT) AS sad
+  FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT src_a, src_b, n_terms,
+         CAST(sad // n_terms AS BIGINT) AS delta_micro
+  FROM d WHERE n_terms = {_DELTA_K}
+)
+SELECT src_a, src_b, delta_micro
+FROM scored ORDER BY delta_micro, src_a, src_b LIMIT 10
+""",
+)
+def stylometry_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between sources — the classical stylometry
+    distance (authorship attribution's workhorse): z-score each
+    source's relative frequency of the 20 most common terms against the
+    cross-source distribution, then Delta = mean |z difference| per
+    source pair; the 10 closest pairs are the style-twin report (two
+    'independent' sources writing identically is a provenance red
+    flag, the lexical sibling of corpus_vocab_overlap). Relative
+    frequencies and z-scores are micro-quantized per cell (order-free
+    sums); every relation after the first groupBys is bounded by
+    20 terms x sources. Scale: token explode, two map-combined
+    groupBys, bounded joins, TakeOrderedAndProject head."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "source", F.explode(dedup.tokens(F.col("text"))).alias("term")
+    )
+    topk = (
+        tk.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), F.asc("term"))
+        .limit(_DELTA_K)
+        .select("term")
+    )
+    cell = (
+        tk.join(F.broadcast(topk), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    tot = tk.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rf = cell.join(F.broadcast(tot), "source").selectExpr(
+        "source",
+        "term",
+        "CAST(floor(CAST(f AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT)"
+        " AS rfm",
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ts = rf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("rfm").cast("long").alias("sr"),
+        F.sum(dec(F.col("rfm")) * dec(F.col("rfm"))).alias("srr"),
+    )
+    z = (
+        rf.join(F.broadcast(ts), "term")
+        .filter(
+            (F.col("ns") > 1)
+            & (
+                F.col("srr") * dec(F.col("ns"))
+                > dec(F.col("sr")) * dec(F.col("sr"))
+            )
+        )
+        .selectExpr(
+            "source",
+            "term",
+            "CAST(floor((rfm - CAST(sr AS DOUBLE) / ns)"
+            " / sqrt((CAST(srr AS DOUBLE) * ns - CAST(sr AS DOUBLE) * sr)"
+            "        / ns / (ns - 1))"
+            " * 1000000 + 0.5) AS BIGINT) AS zm",
+        )
+    )
+    a = z.selectExpr("source AS src_a", "term", "zm AS za")
+    b = z.selectExpr("source AS src_b", "term", "zm AS zb")
+    d = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.abs(F.col("za") - F.col("zb"))).cast("long").alias("sad"),
+        )
+    )
+    return (
+        d.filter(F.col("n_terms") == _DELTA_K)
+        .selectExpr(
+            "src_a", "src_b", "CAST(sad DIV n_terms AS BIGINT) AS delta_micro"
+        )
+        .orderBy(F.asc("delta_micro"), F.asc("src_a"), F.asc("src_b"))
+        .limit(10)
+    )
