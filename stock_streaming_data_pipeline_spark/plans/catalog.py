@@ -277,6 +277,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "multimodal_wav_spectral_flatness",
     "embedding_pair_distance_hist",
     "stylometry_burrows_delta",
+    "priority_mix_by_quarter",
 )
 
 

@@ -3109,3 +3109,53 @@ def weekly_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 0.5) AS BIGINT) AS jaccard_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority-mix drift: order-priority composition by quarter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_mix_by_quarter",
+    tags=("A1", "A4"),
+    oracle="""
+WITH q AS (
+  SELECT (year(o_orderdate) * 4 + (month(o_orderdate) - 1) // 3) AS quarter,
+         o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT quarter, CAST(sum(n) AS BIGINT) AS total FROM q GROUP BY 1
+)
+SELECT q.quarter, q.priority, q.n,
+       CAST(floor(CAST(q.n AS DOUBLE) / t.total * 1000000 + 0.5) AS BIGINT)
+         AS share_micro
+FROM q JOIN tot t ON t.quarter = q.quarter
+""",
+)
+def priority_mix_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority composition per quarter — the mix-shift monitor
+    that catches upstream process changes (a sudden URGENT share jump
+    usually means a client integration changed defaults, not real
+    urgency). Integer quarter keys (year*4 + zero-based quarter — no
+    date truncation semantics to disagree on), exact counts, one
+    deterministic share division. One groupBy over the fact table plus
+    a bounded rollup join."""
+    o = load_table(spark, sf_dir, "orders")
+    q = o.groupBy(
+        (
+            F.year("o_orderdate") * 4
+            + F.expr("(month(o_orderdate) - 1) DIV 3")
+        ).alias("quarter"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = q.groupBy("quarter").agg(F.sum("n").cast("long").alias("total"))
+    return q.join(F.broadcast(tot), "quarter").selectExpr(
+        "quarter",
+        "priority",
+        "n",
+        "CAST(floor(CAST(n AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT)"
+        " AS share_micro",
+    )
