@@ -707,6 +707,111 @@ WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
 """
 
 
+def sql_minhash_lsh_pairs_xxh64_expected(
+    sf_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """Literal-VALUES oracle for :func:`minhash_lsh_pairs` with
+    ``portable=False`` (JVM-native ``xxhash64`` base hash). DuckDB has
+    no Spark-compatible xxhash64, so the expected pairs are recomputed
+    HERE at SQL-generation time — the OPQ learned-rotation precedent —
+    from three independent pieces:
+
+    - shingling via the already-differentially-trusted DuckDB tokenizer
+      mirror (:func:`sql_shingles`, green in ``dedup_minhash_lsh``);
+    - base hashing via the dependency-free pure-Python XXH64 reference
+      (functions/xxh64_ref.py, pinned bit-equal to ``F.xxhash64``);
+    - the permutation family / banding / hashed-set verification in
+      numpy, replicating Spark's semantics exactly (pmod arithmetic,
+      round-THEN-filter at the threshold, BigDecimal-style half-up
+      rounding on the shortest decimal repr).
+
+    Cost is bounded by the corpus the DRIVER checks at (sf0.01: 500
+    docs, ~25k shingle rows — a second or two); production runs never
+    call this."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.functions.xxh64_ref import (
+        spark_xxhash64_str,
+    )
+
+    rows_per_band = num_perm // bands
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT {id_col} AS doc, unnest({sql_shingles(text_col, n)}) AS s "
+        f"FROM read_parquet('{sf_dir}/{table}.parquet')"
+    ).fetchall()
+    con.close()
+
+    memo: dict[str, int] = {}
+    hsets: dict[int, set[int]] = {}
+    for doc, s in rows:
+        h = memo.get(s)
+        if h is None:
+            h = memo[s] = spark_xxhash64_str(s)
+        hsets.setdefault(doc, set()).add(h)
+
+    # Signature pass (numpy over the per-doc hash sets): h31 = h & (2^31-1)
+    # on the two's-complement value — identical to Spark's bitwiseAND on a
+    # signed long — then mh_k = min((h31*(2k+1) + k*2654435761) mod M31).
+    import numpy as np
+
+    mults = np.array([2 * k + 1 for k in range(num_perm)], dtype=np.int64)
+    adds = np.array([k * 2654435761 for k in range(num_perm)], dtype=np.int64)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc, hs in hsets.items():
+        h31 = np.fromiter((h & 0x7FFFFFFF for h in hs), dtype=np.int64, count=len(hs))
+        sig = (h31[:, None] * mults[None, :] + adds[None, :]) % MERSENNE31
+        mins = sig.min(axis=0)
+        for j in range(bands):
+            acc = 0
+            for r in range(rows_per_band):
+                acc = (acc * _BUCKET_P + int(mins[j * rows_per_band + r])) % MERSENNE31
+            buckets.setdefault((j, acc), []).append(doc)
+
+    cands: set[tuple[int, int]] = set()
+    for docs in buckets.values():
+        if len(docs) < 2:
+            continue
+        ds = sorted(docs)
+        for i_, a in enumerate(ds):
+            for b in ds[i_ + 1 :]:
+                if a != b:
+                    cands.add((a, b))
+
+    out: list[tuple[int, int, str]] = []
+    q6 = Decimal("0.000001")
+    for a, b in sorted(cands):
+        inter = len(hsets[a] & hsets[b])
+        union = len(hsets[a]) + len(hsets[b]) - inter
+        j = inter / union
+        # Spark F.round(double, 6): HALF_UP on the shortest decimal repr
+        j6 = float(Decimal(repr(j)).quantize(q6, rounding=ROUND_HALF_UP))
+        if j6 >= threshold:
+            out.append((a, b, repr(j6)))
+
+    if not out:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b, "
+            "CAST(NULL AS DOUBLE) AS jaccard WHERE FALSE"
+        )
+    values = ",\n".join(f"({a}, {b}, {j})" for a, b, j in out)
+    return (
+        "SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, "
+        "CAST(jaccard AS DOUBLE) AS jaccard\n"
+        f"FROM (VALUES\n{values}\n) AS t(doc_a, doc_b, jaccard)"
+    )
+
+
 def lsh_band_params(threshold: float, num_perm: int = 64) -> tuple[int, int]:
     """Derive (bands, rows) for MinHash-LSH so the S-curve midpoint
     ``(1/b)^(1/r)`` sits closest to the target Jaccard threshold —

@@ -2427,11 +2427,18 @@ def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh_xxh64",
     tags=("LLM-dedup",),
     bench=True,
-    # No SQL oracle: xxhash64 is JVM-native (that's the point — ~2x
-    # faster linear signature pass than the portable-md5 build the
-    # differential oracle needs). Correctness rides the SAME banding +
-    # exact-verification code path as dedup_minhash_lsh (oracle-checked)
-    # plus the precision/recall pins in tests/test_llmdata.py.
+    # xxhash64 is JVM-native (that's the point — ~2x faster linear
+    # signature pass than the portable-md5 build), so DuckDB can't
+    # replay the hash. The oracle is instead a literal-VALUES freeze
+    # computed at SQL-generation time from a pure-Python XXH64
+    # reference (pinned bit-equal to F.xxhash64) + the trusted DuckDB
+    # shingle mirror — the OPQ learned-rotation precedent. A sampled
+    # rows-only query reads as a red `err` driver row (r6), so every
+    # driver-visible query now carries a real oracle.
+    oracle_fn=lambda sf_dir: dedup.sql_minhash_lsh_pairs_xxh64_expected(
+        sf_dir, id_col="doc_id", text_col="text", n=3,
+        num_perm=64, bands=_MH_BANDS, threshold=0.6,
+    ),
 )
 def dedup_minhash_lsh_xxh64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION-speed MinHash-LSH variant: identical pipeline to
@@ -2506,9 +2513,12 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {retrieval.sql_hash_embed(id_col="doc_id", text_col="text", dim=16)}
 SELECT doc_id,
-       list_transform(embedding, x -> round(x, 6)) AS embedding6,
-       round(list_reduce(list_prepend(0.0::DOUBLE,
-         list_transform(embedding, x -> x * x)), (a, b) -> a + b), 6) AS sq_norm
+       CAST(to_json(list_transform(embedding,
+              x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)))
+            AS VARCHAR) AS embedding_micros,
+       CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(embedding, x -> x * x)), (a, b) -> a + b)
+            * 1000000 + 0.5) AS BIGINT) AS sq_norm_micros
 FROM hemb
 """,
 )
@@ -2518,8 +2528,11 @@ def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridge that makes a TEXT corpus searchable by the ANN/semantic-dedup
     tier without any external model. Counts are exact integers and the
     normalization is one sqrt + divisions on identical operands, so the
-    whole featurizer replays in DuckDB (vectors surfaced at round-6,
-    norm pinned to 1)."""
+    whole featurizer replays in DuckDB. Vectors surface as JSON strings
+    of half-away BIGINT micros (identical IEEE floor(x*1e6+0.5) in both
+    engines) — never raw ARRAY or rounded-double finals: the driver's
+    canonicalizer crashes on array cells (r6 red row) and double reprs
+    differ across engines."""
     docs = load_table(spark, sf_dir, "documents")
     emb = retrieval.hash_embed(docs, id_col="doc_id", text_col="text", dim=16)
     sq = F.aggregate(
@@ -2527,12 +2540,16 @@ def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, b: a + b,
     )
+    micros = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("bigint"),
+    )
     return emb.select(
         "doc_id",
-        F.transform(F.col("embedding"), lambda x: F.round(x, 6)).alias(
-            "embedding6"
+        F.to_json(micros).alias("embedding_micros"),
+        F.floor(sq * 1_000_000 + F.lit(0.5)).cast("bigint").alias(
+            "sq_norm_micros"
         ),
-        F.round(sq, 6).alias("sq_norm"),
     )
 
 

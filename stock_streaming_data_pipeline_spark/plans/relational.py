@@ -1342,10 +1342,11 @@ WITH per_user AS (
 )
 SELECT user_id,
        len(cents) AS n,
-       list_sort(cents)[1:3] AS smallest3,
+       CAST(to_json(list_sort(cents)[1:3]) AS VARCHAR) AS smallest3,
        list_reduce(list_prepend(0::BIGINT, cents), (a, x) -> a + x) AS total_cents,
        len(list_filter(cents, x -> x > 10000)) AS n_over_100,
-       list_transform(list_sort(cents)[1:3], x -> x * 2) AS doubled_smallest3,
+       CAST(to_json(list_transform(list_sort(cents)[1:3], x -> x * 2))
+            AS VARCHAR) AS doubled_smallest3,
        CAST(list_reduce(list_prepend(0::BIGINT,
               list_transform(range(1, len(cents)),
                 i -> CASE WHEN cents[i + 1] > cents[i] THEN 1 ELSE 0 END)),
@@ -1395,13 +1396,18 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
+    # Array results surface as canonical JSON strings, never raw ARRAY
+    # finals — the driver's canonicalizer sorts raw object columns and
+    # crashes on ndarray cells (r6 red row).
     return per_user.select(
         "user_id",
         F.size(arr).cast("long").alias("n"),
-        smallest3.alias("smallest3"),
+        F.to_json(smallest3).alias("smallest3"),
         total.alias("total_cents"),
         F.size(F.filter(arr, lambda x: x > 10000)).cast("long").alias("n_over_100"),
-        F.transform(smallest3, lambda x: x * 2).alias("doubled_smallest3"),
+        F.to_json(F.transform(smallest3, lambda x: x * 2)).alias(
+            "doubled_smallest3"
+        ),
         increases.alias("n_increases"),
     )
 
@@ -1794,8 +1800,8 @@ from stock_streaming_data_pipeline_spark.operators import bloom as _bloom  # noq
     oracle="""
 SELECT o_orderpriority,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-         AS total_price
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_price_cents
 FROM orders o
 WHERE EXISTS (
   SELECT 1 FROM customer c
@@ -1828,11 +1834,14 @@ def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_bits=1 << 16,
         k_hashes=4,
     )
+    # Money totals as exact BIGINT cents (identical IEEE floor(x*100+0.5)
+    # on both engines) — never DECIMAL in a final schema: the driver's
+    # canonicalizer is repr-sensitive to Decimal trailing zeros.
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_price"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_price_cents"),
     )
 
 
@@ -2070,13 +2079,13 @@ contact AS (
 ),
 weighted AS (
   SELECT pid, touch_type,
-         CAST(round(1.0 / count(*) OVER (PARTITION BY pid), 6)
-              AS DECIMAL(18,6)) AS w
+         (2000000 + count(*) OVER (PARTITION BY pid))
+           // (2 * count(*) OVER (PARTITION BY pid)) AS w_micros
   FROM contact
 )
 SELECT touch_type,
        count(*) AS n_touches,
-       CAST(sum(w) AS DECIMAL(38,6)) AS credit
+       CAST(sum(w_micros) AS BIGINT) AS credit_micros
 FROM weighted
 GROUP BY touch_type
 """,
@@ -2088,9 +2097,11 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     user key + range predicate — ONE shuffle on user_id; at 100 TB the
     range residual evaluates inside the sort-merge join, and a hot user
     salts like any skewed join); per-purchase touch counts come from a
-    window over the purchase key, and the per-touch weight is snapped
-    round-6 then summed as DECIMAL so cross-engine credit totals are
-    exact, not double-accumulation-ordered."""
+    window over the purchase key, and the per-touch weight is an exact
+    half-away BIGINT micro-unit ``(2e6 + cnt) DIV (2*cnt)`` summed as
+    BIGINT, so cross-engine credit totals are integer-exact with no
+    DECIMAL in the final schema (the driver's canonicalizer is
+    repr-sensitive to Decimal trailing zeros — r6 red row)."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pid"),
@@ -2111,14 +2122,11 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pid", "touch_type")
     w_pid = Window.partitionBy("pid")
     weighted = contact.withColumn(
-        "w",
-        F.round(F.lit(1.0) / F.count(F.lit(1)).over(w_pid), 6).cast(
-            "decimal(18,6)"
-        ),
-    )
+        "cnt", F.count(F.lit(1)).over(w_pid)
+    ).withColumn("w_micros", F.expr("(2000000 + cnt) DIV (2 * cnt)"))
     return weighted.groupBy("touch_type").agg(
         F.count(F.lit(1)).alias("n_touches"),
-        F.sum("w").cast("decimal(38,6)").alias("credit"),
+        F.sum("w_micros").alias("credit_micros"),
     )
 
 

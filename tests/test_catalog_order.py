@@ -40,16 +40,13 @@ def test_prefix_starts_with_priority_list():
 
 
 def test_driver_prefix_is_checkable():
-    """Each of the first 50 queries has a builder and (unless documented
-    rows-only) a resolvable oracle, so the driver's sample yields full
-    rows+schema+hash rows, not weaker rows-only checks."""
+    """Every one of the first 50 queries must resolve to a REAL oracle:
+    a sampled rows-only query grades as a red `err` row in the driver
+    artifact (r6: dedup_minhash_lsh_xxh64 — since given a literal-VALUES
+    oracle_fn from the pure-Python XXH64 reference). Rows-only queries
+    (approx_distinct_profile, approx_quantile_sketch) must stay behind
+    the 50-query boundary permanently."""
     c = cat.catalog()
     prefix = list(c)[:50]
     rows_only = {n for n in prefix if cat.resolve_oracle(c[n], cat.DRIVER_SF_DIR) is None}
-    # streaming state internals that are not SQL-expressible may be
-    # rows-only, as may documented engine-internal hash twins (xxhash64
-    # has no DuckDB equivalent); everything else must carry an oracle
-    documented_rows_only = {"dedup_minhash_lsh_xxh64"}
-    assert all(
-        n.startswith("streaming_") or n in documented_rows_only for n in rows_only
-    ), rows_only
+    assert rows_only == set()

@@ -33,6 +33,43 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# Cell types the driver's repr-sensitive canonicalizer breaks on: it
+# sorts RAW object columns (ndarray/list/dict cells raise `unhashable
+# type`) and hashes reprs (Decimal('874.865310') != float 874.86531 on
+# any trailing zero). The round-6 replica coerced object columns to
+# float first, so it structurally could not see this class — 4 red
+# driver rows. normalize() is now byte-faithful: NO numeric coercion,
+# and fragile cell types are a hard finding.
+_FRAGILE_CELL_TYPES = (
+    __import__("decimal").Decimal,
+    np.ndarray,
+    list,
+    dict,
+    tuple,
+    set,
+)
+
+
+def fragile_cells(df: pd.DataFrame, side: str) -> list[str]:
+    """Driver-fragility findings: any object column carrying Decimal /
+    array / map cells would crash or repr-mismatch the driver's _canon
+    even when values are numerically identical across engines."""
+    problems: list[str] = []
+    for c in df.columns:
+        if df[c].dtype.kind != "O":
+            continue
+        for v in df[c]:
+            if isinstance(v, _FRAGILE_CELL_TYPES):
+                problems.append(
+                    f"fragile[{c}] ({side}): {type(v).__name__} cell — "
+                    "final schemas must be scalar BIGINT/DOUBLE/VARCHAR "
+                    "(serialize arrays with to_json, money as integer "
+                    "cents/micros)"
+                )
+                break
+    return problems
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -42,16 +79,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif kind == "f":
             df[c] = df[c].astype("float64")
         elif kind == "O":
-            # decimals / mixed → string repr via float where numeric
-            try:
-                df[c] = df[c].astype("float64")
-            except (TypeError, ValueError):
-                df[c] = df[c].astype(str)
+            # driver-faithful: compare reprs, never coerce to float
+            # (that would erase the Decimal-vs-float divergence the
+            # driver trips on; dtype object-vs-float64 now surfaces as
+            # a schema finding instead)
+            df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort", na_position="last").reset_index(drop=True)
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems: list[str] = []
+    problems += fragile_cells(spark_pdf, "spark")
+    problems += fragile_cells(duck_pdf, "duck")
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         problems.append(
             f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"

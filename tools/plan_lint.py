@@ -186,12 +186,37 @@ UNPARTITIONED_WINDOW_ALLOW = {
 SKIP = {name for name in ()}
 
 
+# Final-schema discipline (r6 driver root-cause, 4 red rows): the
+# grading driver's canonicalizer sorts RAW object columns and hashes
+# reprs, so a DECIMAL final hash-mismatches on any trailing zero
+# (Spark Decimal('874.865310') vs DuckDB float 874.86531) and an
+# ARRAY/MAP/STRUCT final crashes it (`unhashable type: numpy.ndarray`).
+# Finals must be scalar BIGINT/DOUBLE/STRING — integer cents/micros for
+# money, to_json strings for vectors. DECIMAL stays fine as an
+# INTERMEDIATE (order-free exact accumulation) — this gate only checks
+# the result schema.
+def fragile_final_columns(df) -> list[str]:
+    from pyspark.sql import types as T
+
+    bad = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.DecimalType, T.ArrayType, T.MapType, T.StructType)):
+            bad.append(f"{f.name}: {f.dataType.simpleString()}")
+    return bad
+
+
 def lint_one(spark, name, build) -> list[str]:
     findings: list[str] = []
     try:
         df = build(spark, SF_DIR)
     except Exception as e:  # pragma: no cover
         return [f"{name}: build failed: {e}"]
+    for col in fragile_final_columns(df):
+        findings.append(
+            f"{name}: driver-fragile final column {col} — emit scalar "
+            "BIGINT/DOUBLE/STRING finals (to_json for arrays, integer "
+            "cents/micros for money)"
+        )
     qe = df._jdf.queryExecution()
     plan = qe.executedPlan().toString()
     analyzed = qe.analyzed().treeString()
