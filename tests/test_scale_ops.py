@@ -652,3 +652,87 @@ def test_attribution_splits_credit_exactly(spark, tmp_path):
         "view": (2, 0.666666),
         "click": (1, 0.333333),
     }
+
+
+def test_asof_salted_equals_plain_both_directions(spark):
+    """The segmented as-of join must equal the single-window form
+    row-for-row in both directions, including rows with no match and
+    segments containing no right rows (the cross-segment carry)."""
+    from stock_streaming_data_pipeline_spark.operators import asof
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    # left: hourly points over 6 days; right: sparse quotes with whole
+    # days empty (days 2 and 4 have no right rows at all) + one exact-ts
+    # collision to pin inclusive semantics
+    left = spark.createDataFrame(
+        [(i, 1 + i % 3, base + dt.timedelta(hours=i)) for i in range(144)],
+        ["lid", "k", "ts"],
+    )
+    right_rows = [
+        (100 + j, 1 + j % 3, base + dt.timedelta(hours=5 * j + 1), float(j))
+        for j in range(29)
+        if (5 * j + 1) // 24 not in (2, 4)
+    ]
+    right_rows.append((999, 1, base + dt.timedelta(hours=7), 777.0))
+    right = spark.createDataFrame(right_rows, ["rid", "k", "ts", "px"])
+
+    for direction in ("backward", "forward"):
+        plain = asof.asof_join(
+            left, right, by="k", on="ts",
+            right_values=["rid", "px"], direction=direction,
+        )
+        salted = asof.asof_join_salted(
+            left, right, by="k", on="ts",
+            right_values=["rid", "px"], direction=direction,
+        )
+        cols = ["lid", "k", "asof_rid", "asof_px"]
+        assert plain.select(cols).exceptAll(salted.select(cols)).count() == 0, direction
+        assert salted.select(cols).exceptAll(plain.select(cols)).count() == 0, direction
+        assert plain.count() == salted.count() == 144
+
+
+def test_asof_salted_spreads_hot_key(spark):
+    """Planted 90%-skew key over 20 days: the salted as-of's big-side
+    window must partition on (key, segment), and the largest (key,
+    segment) task must stay far below the hot key's row total."""
+    from stock_streaming_data_pipeline_spark.operators import asof
+
+    base_epoch = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    n = 10_000
+    left = spark.range(n).select(
+        F.col("id").alias("lid"),
+        F.when(F.col("id") % 10 != 0, F.lit(7))
+        .otherwise(F.col("id") % 100).cast("long").alias("k"),
+        F.timestamp_seconds(
+            F.lit(base_epoch) + F.col("id") * 173 % (86400 * 20)
+        ).alias("ts"),
+    )
+    right = spark.range(200).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 100).cast("long").alias("k"),
+        F.timestamp_seconds(
+            F.lit(base_epoch) + F.col("id") * 9973 % (86400 * 20)
+        ).alias("ts"),
+        (F.col("id") * 2).cast("double").alias("px"),
+    )
+    out = asof.asof_join_salted(
+        left, right, by="k", on="ts", right_values=["rid", "px"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(k" in plan
+    assert "_seg" in plan.split("hashpartitioning(k", 1)[1][:80]
+    seg_max = (
+        left.withColumn("_seg", F.to_date("ts"))
+        .groupBy("k", "_seg").count().agg(F.max("count")).collect()[0][0]
+    )
+    hot_total = left.filter(F.col("k") == 7).count()
+    assert hot_total >= 0.89 * n
+    assert seg_max <= hot_total / 10
+    # spot-check correctness against the plain form on the hot key
+    plain = asof.asof_join(
+        left, right, by="k", on="ts", right_values=["rid", "px"]
+    )
+    cols = ["lid", "asof_rid", "asof_px"]
+    a = plain.filter(F.col("k") == 7).select(cols)
+    b = out.filter(F.col("k") == 7).select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -68,6 +68,10 @@ QUERIES = [
     "dedup_containment",
     "ols_price_model",
     "mann_whitney_u_drift",
+    # round-7 addition: the interval-join + per-purchase window shape
+    # whose final schema was hardened this round (one shuffle on
+    # user_id; the r7 skew probe covers its zipfian behavior).
+    "attribution_linear",
 ]
 
 

@@ -25,10 +25,21 @@ Probes, each min-of-two passes after a warm-up:
    happened — wall-clock on local[32] understates the win because every
    "straggler" still runs on the same box.
 
+Round-7 additions (verdict item #6 — the join-shaped operators that
+claim hot-key safety in their docstrings):
+
+3. AS-OF JOIN SKEW — `asof_join` (single carry-forward window per key)
+   vs `asof_join_salted` (two-phase segmented carry), result-equality
+   asserted on the matched right-row ids.
+
+4. INTERVAL-JOIN SKEW — the attribution_linear shape (equi on the hot
+   key + time-range residual inside the sort-merge join), AQE skew
+   split on vs off, `skew=true` marker required in the final plan.
+
 Writes one JSON object (skew_probe key) suitable for merging into
 SCALING_r{N}.json; numbers are quoted in SCALE.md.
 
-Usage: python tools/skew_probe.py [--out SKEW_r6.json] [--copies 20]
+Usage: python tools/skew_probe.py [--out SKEW_r7.json] [--copies 60]
 """
 
 from __future__ import annotations
@@ -70,7 +81,7 @@ def gen_zipf(copies: int) -> None:
 
 
 def main() -> int:
-    out_path = "SKEW_r6.json"
+    out_path = "SKEW_r7.json"
     copies = 60  # 6M rows, 4.8M on the hot key: the single hot window
     # task must dominate the job (at 20 copies the scan+shuffle overhead
     # hid it and plain-vs-salted measured even)
@@ -190,6 +201,122 @@ def main() -> int:
         report["join_skew_off_sec"] / max(report["join_skew_on_sec"], 1e-9), 2
     )
 
+    # ---- as-of join skew: plain single-window vs segmented carry -----
+    # (round-7 verdict item #6: asof_join claims hot-key safety in its
+    # docstring; measure it. Right side = sparse per-user quotes.)
+    from stock_streaming_data_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_salted,
+    )
+
+    right = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .select(
+            F.col("event_id").alias("rid"),
+            "user_id",
+            "ts",
+            F.col("value").alias("px"),
+        )
+    )
+
+    def asof_plain():
+        return asof_join(
+            ev.select("event_id", "user_id", "ts"), right,
+            by="user_id", on="ts", right_values=["rid", "px"],
+        )
+
+    def asof_salted():
+        return asof_join_salted(
+            ev.select("event_id", "user_id", "ts"), right,
+            by="user_id", on="ts", right_values=["rid", "px"],
+        )
+
+    timed(asof_plain, passes=1)  # warm-up
+    report["asof_plain_sec"] = timed(asof_plain)
+    report["asof_salted_sec"] = timed(asof_salted)
+    report["asof_speedup"] = round(
+        report["asof_plain_sec"] / max(report["asof_salted_sec"], 1e-9), 2
+    )
+    asof_diff = (
+        asof_plain()
+        .select("event_id", "asof_rid")
+        .join(
+            asof_salted().select(
+                "event_id", F.col("asof_rid").alias("asof_rid2")
+            ),
+            "event_id",
+        )
+        .filter(
+            ~(
+                F.col("asof_rid").eqNullSafe(F.col("asof_rid2"))
+            )
+        )
+        .count()
+    )
+    report["asof_salted_equals_plain"] = asof_diff == 0
+
+    # ---- interval-join skew: the attribution_linear shape ------------
+    # equi on the zipf key + time-range residual inside the sort-merge
+    # join; AQE skew split on/off. Purchases are a sampled slice so the
+    # probe measures the HOT TOUCH side's shuffle partition, not an
+    # unbounded pair explosion (a 4.8M-touch user against 1h windows).
+    purch = ev.filter(F.col("event_id") % 6000 == 0).select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.unix_micros("ts").alias("ts_p"),
+    )
+    purch.write.mode("overwrite").parquet(".scaletier/zipf_purch.parquet")
+    purchr = spark.read.parquet(".scaletier/zipf_purch.parquet")
+    touches = ev.select(
+        F.col("user_id").alias("tuser"), F.unix_micros("ts").alias("ts_t")
+    )
+    hour_us = 3_600_000_000
+
+    def interval_join():
+        return (
+            touches.join(
+                purchr,
+                (F.col("tuser") == F.col("puser"))
+                & (F.col("ts_t") < F.col("ts_p"))
+                & (F.col("ts_t") >= F.col("ts_p") - F.lit(hour_us)),
+            )
+            .groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("np"), F.sum("n").alias("pairs"))
+        )
+
+    def run_interval(skew_enabled: bool) -> tuple[float, bool]:
+        conf = spark.conf
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_enabled).lower())
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+        try:
+            best, saw_skew = float("inf"), False
+            for _ in range(2):
+                df = interval_join()
+                t0 = time.time()
+                df.collect()
+                best = min(best, time.time() - t0)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                saw_skew = saw_skew or ("skew=true" in plan)
+            return round(best, 3), saw_skew
+        finally:
+            conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            conf.unset("spark.sql.adaptive.skewJoin.enabled")
+            conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+            conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+            conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+
+    run_interval(False)  # warm-up
+    report["interval_skew_off_sec"], _ = run_interval(False)
+    report["interval_skew_on_sec"], report["interval_skew_split_in_plan"] = run_interval(True)
+    report["interval_speedup"] = round(
+        report["interval_skew_off_sec"] / max(report["interval_skew_on_sec"], 1e-9), 2
+    )
+
     # correctness guard: salted == plain on this skewed data (exact ints)
     cents = (F.col("value") * 100).cast("long")
     a = running_sum(
@@ -209,7 +336,8 @@ def main() -> int:
     with open(out_path, "w") as fh:
         json.dump({"skew_probe": report}, fh, indent=2)
     print(json.dumps({"skew_probe": report}))
-    return 0 if report["salted_equals_plain"] else 1
+    ok = report["salted_equals_plain"] and report["asof_salted_equals_plain"]
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
