@@ -263,12 +263,15 @@ def main() -> int:
     purch = ev.filter(F.col("event_id") % 6000 == 0).select(
         F.col("event_id").alias("pid"),
         F.col("user_id").alias("puser"),
-        F.unix_micros("ts").alias("ts_p"),
+        # zipf tier parquet surfaces ts as TIMESTAMP_NTZ — cast before
+        # unix_micros (Spark 4 rejects NTZ input)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_p"),
     )
     purch.write.mode("overwrite").parquet(".scaletier/zipf_purch.parquet")
     purchr = spark.read.parquet(".scaletier/zipf_purch.parquet")
     touches = ev.select(
-        F.col("user_id").alias("tuser"), F.unix_micros("ts").alias("ts_t")
+        F.col("user_id").alias("tuser"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_t"),
     )
     hour_us = 3_600_000_000
 
