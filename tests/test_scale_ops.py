@@ -643,14 +643,15 @@ def test_attribution_splits_credit_exactly(spark, tmp_path):
     from stock_streaming_data_pipeline_spark.plans.catalog import queries
 
     got = {
-        r["touch_type"]: (r["n_touches"], float(r["credit"]))
+        r["touch_type"]: (r["n_touches"], int(r["credit_micros"]))
         for r in queries()["attribution_linear"](spark, d).collect()
     }
-    # per-touch weight snaps to round-6 BEFORE summation (documented
-    # exactness rule), so two thirds accumulate as 2 x 0.333333
+    # per-touch weight is an exact half-away BIGINT micro-unit
+    # (2e6 + cnt) DIV (2*cnt) BEFORE summation, so two thirds
+    # accumulate as 2 x 333333 micros
     assert got == {
-        "view": (2, 0.666666),
-        "click": (1, 0.333333),
+        "view": (2, 666666),
+        "click": (1, 333333),
     }
 
 
