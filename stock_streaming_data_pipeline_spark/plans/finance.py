@@ -2477,7 +2477,7 @@ mv AS (
 ),
 ticks AS (
   SELECT key, {_AMIHUD_TICK} AS illiq_nano
-  FROM mv WHERE dc IS NOT NULL AND q > 0
+  FROM mv WHERE dc IS NOT NULL AND q > 0 AND cents > 0
 )
 SELECT key,
        CAST(count(*) AS BIGINT) AS n_ticks,
@@ -2512,9 +2512,11 @@ def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q",
         (F.col("cents") - F.lag("cents").over(w)).alias("dc"),
     )
-    ticks = mv.filter(F.col("dc").isNotNull() & (F.col("q") > 0)).selectExpr(
-        "key", f"{_AMIHUD_TICK} AS illiq_nano"
-    )
+    # cents > 0: a zero price level makes the impact ratio undefined
+    # (ANSI divide-by-zero — surfaced by a zero-price tick at sf0.1)
+    ticks = mv.filter(
+        F.col("dc").isNotNull() & (F.col("q") > 0) & (F.col("cents") > 0)
+    ).selectExpr("key", f"{_AMIHUD_TICK} AS illiq_nano")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     return ticks.groupBy("key").agg(
         F.count(F.lit(1)).cast("long").alias("n_ticks"),
