@@ -744,11 +744,13 @@ def sql_minhash_lsh_pairs_xxh64_expected(
         spark_xxhash64_str,
     )
 
+    from stock_streaming_data_pipeline_spark.tables import duck_glob
+
     rows_per_band = num_perm // bands
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT {id_col} AS doc, unnest({sql_shingles(text_col, n)}) AS s "
-        f"FROM read_parquet('{sf_dir}/{table}.parquet')"
+        f"FROM read_parquet('{duck_glob(sf_dir, table)}')"
     ).fetchall()
     con.close()
 

@@ -1514,10 +1514,12 @@ def sql_opq_topk(
 
     assert dim % num_sub == 0
     dsub = dim // num_sub
+    from stock_streaming_data_pipeline_spark.tables import duck_glob
+
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW {table} AS SELECT * "
-        f"FROM read_parquet('{sf_dir}/{table}.parquet')"
+        f"FROM read_parquet('{duck_glob(sf_dir, table)}')"
     )
 
     def round_M(R) -> "np.ndarray":

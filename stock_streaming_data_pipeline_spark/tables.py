@@ -32,6 +32,15 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def duck_glob(sf_dir: str, name: str) -> str:
+    """read_parquet pattern for a table: Spark reads a `<t>.parquet`
+    directory of part files transparently, DuckDB needs the glob. The
+    driver's testdata tables are single files; the locally generated
+    .scaletier tiers are directories."""
+    p = table_path(sf_dir, name)
+    return os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+
+
 def _timestamp_read_confs(spark: SparkSession) -> None:
     """Pin timestamp semantics across testdata generations.
 

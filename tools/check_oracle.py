@@ -21,14 +21,14 @@ import pandas as pd
 
 sys.path.insert(0, ".")
 
-from stock_streaming_data_pipeline_spark.tables import TABLES  # noqa: E402
+from stock_streaming_data_pipeline_spark.tables import TABLES, duck_glob  # noqa: E402
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{duck_glob(sf_dir, t)}')"
         )
     return con
 
@@ -131,6 +131,13 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="query names (default: all)")
     ap.add_argument("--sf", default="0.01")
     ap.add_argument(
+        "--dir",
+        default=None,
+        help="explicit table directory (overrides --sf) — e.g. the "
+        "locally generated .scaletier/sf1 tier for 10x-scale "
+        "data-dependent-error sweeps",
+    )
+    ap.add_argument(
         "--hostile",
         action="store_true",
         help="driver-like session: foreign timezone, stock confs — catches "
@@ -154,7 +161,7 @@ def main() -> int:
         "query to have a row in the newest CORRECTNESS_SELF artifact)",
     )
     args = ap.parse_args()
-    sf_dir = f"/root/testdata/sf{args.sf}"
+    sf_dir = args.dir or f"/root/testdata/sf{args.sf}"
 
     import __spark_entry__ as entrymod
 
