@@ -42,11 +42,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(build) for name, build in _catalog.queries().items()}
 
 
-def oracle_sql(sf_dir: str = _catalog.DRIVER_SF_DIR) -> dict[str, str]:
+def oracle_sql(
+    sf_dir: str = _catalog.DRIVER_SF_DIR, names: list[str] | None = None
+) -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents, aligned column-for-column.
 
     The driver calls this with no arguments and runs the SQL at sf0.01;
     lazily-generated oracles (whose text depends on the data, e.g. OPQ's
     frozen rotation literals) resolve against that scale factor by
-    default. Local tooling may pass another sf_dir."""
-    return _catalog.oracle_sql(sf_dir)
+    default. Local tooling may pass another sf_dir and/or restrict to
+    `names` to skip paying for data-dependent oracle resolution it
+    won't use."""
+    return _catalog.oracle_sql(sf_dir, names)

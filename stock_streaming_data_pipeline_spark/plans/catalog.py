@@ -298,9 +298,18 @@ def queries() -> dict[str, Builder]:
     return {name: q.build for name, q in catalog().items()}
 
 
-def oracle_sql(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
+def oracle_sql(
+    sf_dir: str = DRIVER_SF_DIR, names: list[str] | None = None
+) -> dict[str, str]:
+    """All oracles (the driver's call shape), or just `names` — literal
+    VALUES oracles (xxh64 LSH, OPQ) run real data-dependent computation
+    at resolve time, so a filtered sweep shouldn't pay for oracles it
+    won't compare against."""
+    want = None if names is None else set(names)
     out: dict[str, str] = {}
     for name, q in catalog().items():
+        if want is not None and name not in want:
+            continue
         sql = resolve_oracle(q, sf_dir)
         if sql is not None:
             out[name] = sql

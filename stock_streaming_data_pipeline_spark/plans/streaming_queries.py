@@ -210,26 +210,35 @@ def streaming_upsert_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kafka_payload_shape",
     tags=("C3", "C4", "K3"),
     oracle="""
+WITH agg AS (
+  SELECT event_type, count(*) AS num_trades,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY event_type
+)
 SELECT event_type AS key,
        to_json(struct_pack(
          symbol := event_type,
-         num_trades := count(*),
-         total_value := round(sum(value), 2)
+         num_trades := num_trades,
+         total_value := printf('%d.%02d', c // 100, c % 100)
        )) AS value
-FROM events
-GROUP BY event_type
+FROM agg
 """,
 )
 def kafka_payload_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Kafka message contract (key=symbol, value=to_json(named_struct))
     the reference publishes (ProcessStockStream.py:163-172) — JSON
-    serialization parity across engines."""
+    serialization parity across engines. total_value rides inside the
+    JSON as a fixed two-decimal STRING built from exact BIGINT cents:
+    a raw DOUBLE field diverges across engines' JSON encoders the
+    moment it crosses 1e7 (Spark's Jackson writes 1.00292592E7,
+    DuckDB 10029259.2 — caught by the sf1 sweep)."""
     from stock_streaming_data_pipeline_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("num_trades"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum(cents).alias("c"),
     )
     return agg.select(
         F.col("event_type").alias("key"),
@@ -237,7 +246,9 @@ def kafka_payload_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.col("event_type").alias("symbol"),
                 F.col("num_trades"),
-                F.col("total_value"),
+                F.expr("format_string('%d.%02d', c DIV 100, c % 100)").alias(
+                    "total_value"
+                ),
             )
         ).alias("value"),
     )

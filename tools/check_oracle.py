@@ -26,6 +26,11 @@ from stock_streaming_data_pipeline_spark.tables import TABLES, duck_glob  # noqa
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bounded memory: a runaway oracle (unrolled k-means at a generated
+    # 10x tier) should fail with a DuckDB OOM error on its own row, not
+    # SIGKILL the whole sweep. Oracles are test-scale constructs; the
+    # product plans' scale story is measured Spark-side (SCALING_r*).
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{duck_glob(sf_dir, t)}')"
@@ -180,8 +185,8 @@ def main() -> int:
 
         spark = get_spark("check_oracle")
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql(sf_dir=sf_dir)
     names = args.names or sorted(qs)
+    oracles = entrymod.oracle_sql(sf_dir=sf_dir, names=names)
     con = duck_connection(sf_dir)
 
     failed = []
