@@ -53,21 +53,30 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     _timestamp_read_confs(spark)
     # Streaming reads need an explicit schema; probe the batch reader for
     # the testdata generation's physical ts type (raw nano-long vs micros).
-    stored = spark.read.parquet(table_path(sf_dir, "events")).schema["ts"].dataType
-    # The file stream source requires a directory; events.parquet is a
-    # single file inside the sf dir, so scope the listing with a glob.
+    import os
+
+    p = table_path(sf_dir, "events")
+    stored = spark.read.parquet(p).schema["ts"].dataType
+    # The file stream source requires a directory. The driver's testdata
+    # ships events.parquet as a single FILE inside the sf dir (scope the
+    # listing with a glob); generated tiers (.scaletier) ship it as a
+    # DIRECTORY of part files (stream that directory itself — a filename
+    # glob on the parent would match no files and replay nothing).
+    if os.path.isdir(p):
+        read_dir, glob = p, None
+    else:
+        read_dir, glob = sf_dir, "events.parquet"
+
+    def reader(schema: T.StructType):
+        r = spark.readStream.schema(schema)
+        if glob is not None:
+            r = r.option("pathGlobFilter", glob)
+        return r.parquet(read_dir)
+
     if isinstance(stored, T.LongType):
-        raw = (
-            spark.readStream.schema(EVENTS_NANOS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        raw = reader(EVENTS_NANOS_SCHEMA)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return (
-        spark.readStream.schema(_events_schema(T.TimestampType()))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    return reader(_events_schema(T.TimestampType()))
 
 
 def stream_trades(spark: SparkSession, trades_dir: str) -> DataFrame:
@@ -101,6 +110,12 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming view of the documents table (file source) — the
     ingest-time shape of a curation pipeline: documents arrive as files
     land, and scoring/filter stages run per micro-batch."""
+    import os
+
+    p = table_path(sf_dir, "documents")
+    if os.path.isdir(p):
+        # generated tiers ship the table as a directory of part files
+        return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(p)
     return (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("pathGlobFilter", "documents.parquet")
