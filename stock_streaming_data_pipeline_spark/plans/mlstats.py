@@ -3944,16 +3944,26 @@ _PCA2_ORTHO = (
 def _pca2_oracle(rounds: int, dim: int) -> str:
     parts = _pca_cte_parts(rounds, dim)
     parts.append(
-        f"""vtv AS (
+        f"""mx2 AS (SELECT CAST(max(abs(c)) AS HUGEINT) AS m FROM cov),
+sc2 AS (SELECT CAST(rpad('1',
+          CAST(greatest(1, length(CAST(m AS VARCHAR)) - 14) AS INTEGER),
+          '0') AS HUGEINT) AS s
+        FROM mx2),
+cov_s AS MATERIALIZED (
+  SELECT i, j,
+         (CASE WHEN c < 0 THEN -1 ELSE 1 END) * (abs(c) // s) AS c
+  FROM cov CROSS JOIN sc2
+),
+vtv AS (
   SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS w FROM v{rounds}
 ),
 cv AS MATERIALIZED (
   SELECT c.i, CAST(sum(c.c * v.v) AS HUGEINT) AS raw
-  FROM cov c JOIN v{rounds} v ON v.j = c.j GROUP BY 1
+  FROM cov_s c JOIN v{rounds} v ON v.j = c.j GROUP BY 1
 ),
 cov2 AS MATERIALIZED (
   SELECT c.i, c.j, vtv.w * c.c - cv.raw * CAST(v.v AS HUGEINT) AS c
-  FROM cov c
+  FROM cov_s c
   JOIN cv ON cv.i = c.i
   JOIN v{rounds} v ON v.j = c.j
   CROSS JOIN vtv
@@ -4004,10 +4014,14 @@ def pca_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-check that deflation worked; nonzero bounded by the micro
     quantization). Everything is joins + integer aggregates over d^2
     rows; the oracle unrolls BOTH iteration phases (16 matvec rounds)
-    in HUGEINT. Integer headroom: C' entries gain a factor of
-    v1'v1 <= d*1e12 over C — inside DECIMAL(38,0) through sf1-scale
-    corpora; past that, pre-scale C by a power of two (the
-    operators/pca.py contract)."""
+    in HUGEINT. Integer headroom is made N-INDEPENDENT by pre-scaling
+    the deflation's copy of C to <= 1e15: the scale divisor is a power
+    of ten derived from the DIGIT COUNT of max|C| (exact integer
+    arithmetic, bit-identical across engines; the divisor is 1 at
+    driver scale so small-SF results are unchanged), which caps the
+    deflated matvec at ~8e36 regardless of corpus size — the un-scaled
+    form overflowed DECIMAL(38,0) at the generated sf1 tier because C
+    itself grows as N^2."""
     from stock_streaming_data_pipeline_spark.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4017,14 +4031,27 @@ def pca_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mx = cov.agg(F.max(F.abs(F.col("c"))).cast("decimal(38,0)").alias("m"))
+    cov_s = (
+        cov.crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "i",
+            "j",
+            "CAST((CASE WHEN c < 0 THEN -1 ELSE 1 END)"
+            " * (abs(c) DIV CAST(rpad('1',"
+            " greatest(1, length(CAST(m AS STRING)) - 14), '0')"
+            " AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS c",
+        )
+        .localCheckpoint(eager=False)
+    )
     vtv = v1.agg(F.sum(dec(F.col("v")) * dec(F.col("v"))).alias("w"))
     cv = (
-        cov.join(v1.withColumnsRenamed({"i": "j"}), "j")
+        cov_s.join(v1.withColumnsRenamed({"i": "j"}), "j")
         .groupBy("i")
         .agg(F.sum(F.col("c") * dec(F.col("v"))).alias("raw"))
     )
     cov2 = (
-        cov.join(F.broadcast(cv), "i")
+        cov_s.join(F.broadcast(cv), "i")
         .join(
             F.broadcast(v1.withColumnsRenamed({"i": "j", "v": "vj"})), "j"
         )
