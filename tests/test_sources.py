@@ -83,3 +83,46 @@ def test_json_malformed_record_modes(spark, tmp_path):
             .json(str(p))
             .collect()
         )
+
+
+def test_stream_events_directory_shaped_table(spark, tmp_path):
+    """The streaming file source must replay a table shipped as a
+    DIRECTORY of part files (the normal production layout and the
+    generated .scaletier shape) — the filename-glob listing used for
+    the driver's single-file layout matches nothing there and silently
+    replays an empty stream (caught by the sf1 full-catalog sweep)."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from stock_streaming_data_pipeline_spark.sources.streams import (
+        stream_events,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1 + i % 3, "view", 1.0, "{}")
+        for i in range(10)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path / "sf")
+    part_dir = os.path.join(d, "events.parquet")
+    os.makedirs(part_dir)
+    pdf.iloc[:5].to_parquet(os.path.join(part_dir, "part-00.parquet"))
+    pdf.iloc[5:].to_parquet(os.path.join(part_dir, "part-01.parquet"))
+
+    out = str(tmp_path / "ckpt")
+    stream = stream_events(spark, d)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dirshaped_events")
+        .option("checkpointLocation", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n FROM dirshaped_events").first()["n"]
+    assert got == 10
