@@ -13,16 +13,30 @@ the gradient is one groupBy(idx). Nothing about the corpus ever sits on
 the driver — at 10^9 docs each iteration is two shuffles of bounded
 width (D+1 weight rows, one score row per doc).
 
-Determinism / cross-engine contract (the Lloyd discipline, extended to
-a model with transcendental math): weights live on the 1e-6 lattice
-(rounded every update), logits are rounded to 6 before the sigmoid, and
-probabilities are rounded to 6 after it — so the only cross-engine
-divergence sources (double-sum ordering, last-ulp libm exp) are crushed
-at every decision point, and the DuckDB oracle can unroll the training
-iterations into chained CTEs and match bit-for-bit.
+Determinism / cross-engine contract (round 8, replacing the round-6
+float lattice): EVERY model quantity is an exact integer in micro units
+(1e-6) — weights, logits, probabilities, gradients. Logits are exact
+BIGINT sums of cnt * w_micro (integer sums are order-free, so shuffle
+order cannot perturb them); the sigmoid never calls either engine's
+libm ``exp`` — it is a FROZEN integer-exp table product
+(:data:`_EXP_1`/:data:`_EXP_2`/:data:`_EXP_4`/:data:`_EXP_6`, 316
+double literals computed once in Python and embedded in both plans, the
+ts_periodogram_fixed discipline from plans/finance.py), so the only
+operations either engine performs are IEEE-exact +,*,/ on identical
+doubles; probability/gradient rounding is sign-uniform half-up on
+integers (no engine ``round`` call at all). This retires the round-7
+sf1 finding — a 1-ulp libm ``exp`` divergence flipping a round-6
+probability on 1/50,000 docs — by construction: there is no
+transcendental left to disagree on, and the DuckDB oracle unrolls the
+training iterations into chained CTEs built from the SAME expression
+text (:func:`sigmoid_micro_sql`, :func:`half_up_div_sql`), matching
+bit-for-bit.
 """
 
 from __future__ import annotations
+
+import math
+from fractions import Fraction
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,6 +49,74 @@ from stock_streaming_data_pipeline_spark.operators.dedup import (
 
 DIM = 64  # hashed feature buckets; idx DIM is the bias term
 _SALT = "lrq_"
+
+# |z_micro| >= 16e6 saturates the micro sigmoid: sigmoid(16) = 0.99999988...
+# rounds half-up to exactly 1.0 in micros, sigmoid(-16) to exactly 0.0 — so
+# the frozen tables only ever need the integer range [0, 16).
+SIG_SAT_MICRO = 16_000_000
+
+# Frozen exp tables over the micro lattice, computed ONCE here and embedded
+# as double literals in BOTH engines. abs(z_micro) < 16e6 decomposes as
+# a*1e6 + b*1e4 + c*1e2 + d with a in [0,16), b,c,d in [0,100), and
+# exp(abs(z)) = _EXP_1[a] * _EXP_2[b] * _EXP_4[c] * _EXP_6[d] (left-assoc,
+# identical multiply order in both plans). The product differs from true
+# exp by a few ulps — irrelevant: the table product IS the defined sigmoid,
+# and both engines evaluate the identical IEEE expression.
+_EXP_1 = tuple(math.exp(a) for a in range(16))  # step 1.0
+_EXP_2 = tuple(math.exp(b * 1e-2) for b in range(100))  # step 1e-2
+_EXP_4 = tuple(math.exp(c * 1e-4) for c in range(100))  # step 1e-4
+_EXP_6 = tuple(math.exp(d * 1e-6) for d in range(100))  # step 1e-6
+
+
+def _table_lookup(vals: tuple[float, ...], idx: str, *, spark: bool) -> str:
+    """1-based constant-array lookup, per engine dialect. Spark double
+    literals need the ``D`` suffix (bare decimals parse as DECIMAL and
+    would drag the arithmetic onto the truncating decimal path); DuckDB
+    takes a whole-list cast to DOUBLE[] (each shortest-repr decimal
+    literal casts to exactly the original double)."""
+    if spark:
+        lits = ", ".join(f"{v!r}D" for v in vals)
+        return f"element_at(array({lits}), CAST({idx} AS INT) + 1)"
+    lits = ", ".join(repr(v) for v in vals)
+    return f"list_extract(CAST([{lits}] AS DOUBLE[]), CAST({idx} AS INT) + 1)"
+
+
+def sigmoid_micro_sql(z: str, *, spark: bool) -> str:
+    """Micro-sigmoid expression: BIGINT micro logit ``z`` -> BIGINT micro
+    probability floor(1e6 * 1/(1+exp(-z*1e-6)) + 0.5), with exp from the
+    frozen tables and saturation outside [-16, 16]. The same text (modulo
+    integer-division token and list syntax) renders for both engines."""
+    dv = "DIV" if spark else "//"
+    am = f"abs({z})"
+    ea = _table_lookup(_EXP_1, f"({am}) {dv} 1000000", spark=spark)
+    eb = _table_lookup(_EXP_2, f"(({am}) {dv} 10000) % 100", spark=spark)
+    ec = _table_lookup(_EXP_4, f"(({am}) {dv} 100) % 100", spark=spark)
+    ed = _table_lookup(_EXP_6, f"({am}) % 100", spark=spark)
+    eabs = f"((({ea}) * ({eb})) * ({ec})) * ({ed})"
+    # exp(-z): z >= 0 -> 1/exp(|z|) (one IEEE division, exact-identical),
+    # z < 0 -> exp(|z|) directly.
+    enegz = (
+        f"CASE WHEN ({z}) >= 0 THEN CAST(1 AS DOUBLE) / ({eabs}) "
+        f"ELSE ({eabs}) END"
+    )
+    return (
+        f"CASE WHEN ({z}) >= {SIG_SAT_MICRO} THEN CAST(1000000 AS BIGINT) "
+        f"WHEN ({z}) <= -{SIG_SAT_MICRO} THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(floor((CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + ({enegz})))"
+        f" * 1000000.0 + 0.5) AS BIGINT) END"
+    )
+
+
+def half_up_div_sql(x: str, num, den, *, spark: bool) -> str:
+    """Sign-uniform half-up rational scaling on integers:
+    round(x * num / den) with ties away from zero, as exact BIGINT
+    arithmetic — floor(|v| + 1/2) = (2*|x|*num + den) DIV (2*den) on the
+    magnitude, sign re-applied. num/den must be positive integers; all
+    division operands are non-negative, so Spark ``DIV`` and DuckDB
+    ``//`` (both truncating) agree with floor."""
+    dv = "DIV" if spark else "//"
+    mag = f"((abs({x}) * 2 * ({num}) + ({den})) {dv} (2 * ({den})))"
+    return f"(CASE WHEN ({x}) < 0 THEN -{mag} ELSE {mag} END)"
 
 
 def _features(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
@@ -59,6 +141,13 @@ def _features(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     return counts.unionByName(bias)
 
 
+def _lr_fraction(lr: float) -> Fraction:
+    frac = Fraction(str(lr))
+    if frac <= 0:
+        raise ValueError(f"learning rate must be positive, got {lr!r}")
+    return frac
+
+
 def train_score(
     docs: DataFrame,
     labels: DataFrame,
@@ -71,8 +160,11 @@ def train_score(
     """Train ``iters`` full-batch gradient steps of logistic regression
     on hashed bag-of-words features against ``labels`` (columns
     ``doc, label`` with label in {0,1}), then score every doc. Returns
-    ``(doc, label, prob, pred)`` with prob on the round-6 lattice."""
+    ``(doc, label, prob, pred)`` with prob an exact micro-lattice double
+    (p_micro / 1e6). All internal state is integer micros — see the
+    module docstring for the cross-engine contract."""
     spark = docs.sparkSession
+    lr_frac = _lr_fraction(lr)
     feats = (
         _features(docs, id_col=id_col, text_col=text_col)
         .join(labels, "doc")
@@ -80,52 +172,57 @@ def train_score(
     )
     n_docs = labels.count()
 
+    sig = F.expr(sigmoid_micro_sql("z", spark=True))
     weights = spark.range(DIM + 1).select(
-        F.col("id").alias("idx"), F.lit(0.0).alias("w")
+        F.col("id").alias("idx"), F.lit(0).cast("long").alias("w")
     )
     for _ in range(iters):
         z = (
             feats.join(F.broadcast(weights), "idx")
             .groupBy("doc", "label")
-            .agg(F.round(F.sum(F.col("cnt") * F.col("w")), 6).alias("z"))
+            .agg(F.sum(F.col("cnt") * F.col("w")).cast("long").alias("z"))
         )
-        p = z.select(
-            "doc",
-            "label",
-            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("p"),
-        )
+        p = z.select("doc", "label", sig.alias("p"))
+        # gradient in micro units: s = sum((label - p) * cnt) exactly,
+        # then g = half_up(s / n), then the update half_up(g * lr).
         grad = (
             feats.select("doc", "idx", "cnt")
             .join(F.broadcast(p), "doc")
             .groupBy("idx")
             .agg(
-                F.round(
-                    F.sum((F.col("label") - F.col("p")) * F.col("cnt"))
-                    / F.lit(float(n_docs)),
-                    6,
-                ).alias("g")
+                F.sum(
+                    (F.col("label") * F.lit(1_000_000) - F.col("p"))
+                    * F.col("cnt")
+                )
+                .cast("long")
+                .alias("s")
             )
+            .select(
+                "idx",
+                F.expr(half_up_div_sql("s", 1, n_docs, spark=True)).alias("g"),
+            )
+        )
+        step = half_up_div_sql(
+            "coalesce(g, CAST(0 AS BIGINT))",
+            lr_frac.numerator,
+            lr_frac.denominator,
+            spark=True,
         )
         weights = (
             weights.join(grad, "idx", "left")
-            .select(
-                "idx",
-                F.round(
-                    F.col("w") + F.lit(lr) * F.coalesce(F.col("g"), F.lit(0.0)), 6
-                ).alias("w"),
-            )
+            .select("idx", F.expr(f"w + {step}").cast("long").alias("w"))
             .localCheckpoint(eager=True)
         )
 
     scored = (
         feats.join(F.broadcast(weights), "idx")
         .groupBy("doc", "label")
-        .agg(F.round(F.sum(F.col("cnt") * F.col("w")), 6).alias("z"))
+        .agg(F.sum(F.col("cnt") * F.col("w")).cast("long").alias("z"))
     )
     return scored.select(
         "doc",
         "label",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("prob"),
+        (sig.cast("double") / F.lit(1000000.0)).alias("prob"),
         (F.col("z") >= 0).alias("pred"),
     )
 
@@ -141,13 +238,17 @@ def sql_train_score(
 ) -> str:
     """DuckDB oracle: the same feature hash, the training loop unrolled
     into chained CTEs (one z/p/grad/w block per iteration), final scores.
-    ``label_sql`` must yield columns (doc, label)."""
+    ``label_sql`` must yield columns (doc, label). Built from the SAME
+    sigmoid/rounding expression text as the Spark plan
+    (:func:`sigmoid_micro_sql` / :func:`half_up_div_sql`)."""
+    lr_frac = _lr_fraction(lr)
     toks = (
         "list_filter(regexp_split_to_array(lower("
         + text_col
         + "), '\\s+'), t -> t <> '')"
     )
     h = sql_portable_hash("tok", salt=_SALT)
+    sig = sigmoid_micro_sql("z", spark=False)
     parts = [
         f"lab AS ({label_sql})",
         f"""tk AS (
@@ -163,41 +264,55 @@ def sql_train_score(
     FROM {table}
   ) f JOIN lab ON lab.doc = f.doc
 )""",
-        "ndocs AS (SELECT count(*)::DOUBLE AS n FROM lab)",
-        f"w0 AS (SELECT unnest(range(0, {DIM + 1})) AS idx, 0.0 AS w)",
+        "ndocs AS (SELECT count(*)::BIGINT AS n FROM lab)",
+        f"w0 AS (SELECT unnest(range(0, {DIM + 1}))::BIGINT AS idx,"
+        " 0::BIGINT AS w)",
     ]
+    g_expr = half_up_div_sql("s", 1, "n", spark=False)
+    step = half_up_div_sql(
+        "coalesce(g.g, 0::BIGINT)",
+        lr_frac.numerator,
+        lr_frac.denominator,
+        spark=False,
+    )
     for r in range(iters):
         parts.append(
             f"""z{r} AS MATERIALIZED (
-  SELECT f.doc, f.label, round(sum(f.cnt * w.w), 6) AS z
+  SELECT f.doc, f.label, CAST(sum(f.cnt * w.w) AS BIGINT) AS z
   FROM feats f JOIN w{r} w USING (idx)
   GROUP BY 1, 2
 )"""
         )
         parts.append(
             f"""p{r} AS (
-  SELECT doc, label, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z{r}
+  SELECT doc, label, {sig} AS p FROM z{r}
 )"""
         )
         parts.append(
             f"""g{r} AS (
-  SELECT f.idx, round(sum((p.label - p.p) * f.cnt) / (SELECT n FROM ndocs), 6) AS g
-  FROM feats f JOIN p{r} p ON p.doc = f.doc
-  GROUP BY 1
+  SELECT idx, {g_expr} AS g FROM (
+    SELECT f.idx,
+           CAST(sum((p.label * 1000000 - p.p) * f.cnt) AS BIGINT) AS s
+    FROM feats f JOIN p{r} p ON p.doc = f.doc
+    GROUP BY 1
+  ) CROSS JOIN ndocs
 )"""
         )
         parts.append(
             f"""w{r + 1} AS MATERIALIZED (
-  SELECT w.idx, round(w.w + {lr!r} * coalesce(g.g, 0.0), 6) AS w
+  SELECT w.idx, CAST(w.w + {step} AS BIGINT) AS w
   FROM w{r} w LEFT JOIN g{r} g USING (idx)
 )"""
         )
     body = ",\n".join(parts)
     return f"""
 WITH {body}
-SELECT f.doc, f.label,
-       round(1.0 / (1.0 + exp(-round(sum(f.cnt * w.w), 6))), 6) AS prob,
-       round(sum(f.cnt * w.w), 6) >= 0 AS pred
-FROM feats f JOIN w{iters} w USING (idx)
-GROUP BY 1, 2
+SELECT doc, label,
+       CAST(({sig}) AS DOUBLE) / 1000000.0 AS prob,
+       z >= 0 AS pred
+FROM (
+  SELECT f.doc, f.label, CAST(sum(f.cnt * w.w) AS BIGINT) AS z
+  FROM feats f JOIN w{iters} w USING (idx)
+  GROUP BY 1, 2
+)
 """

@@ -106,70 +106,24 @@ def _load_all() -> None:
 # row — r6 lesson); both pinned by tests/test_catalog_order.py and
 # tests/test_schema_gate.py.
 _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # --- round-7 rotation. The driver differential-checks the FIRST 50
-    # names of queries() each round. Front of the line:
-    # 1) the five queries whose FINAL SCHEMAS changed this round (the
-    #    four r6 red rows -- DECIMAL/ARRAY finals and the rows-only
-    #    xxh64 twin, all fixed/oracled now -- plus bloom_semi_join_orders,
-    #    whose DECIMAL final was green only by data luck and is now cents
-    #    BIGINT): a red-to-green transition the driver must witness;
-    # 2) three never-sampled streaming queries (r6 verdict stretch #8);
-    # 3) 42 of the remaining never-driver-sampled names in queue order
-    #    (the r6 mlstats/graph/multimodal additions).
-    # The rest keep queue order: never-sampled names first (they fill
-    # rounds 8-9), then the 201-name driver-green union last. Membership
-    # is pinned by tests/test_catalog_order.py.
-    "attribution_linear",
-    "bloom_semi_join_orders",
-    "array_functions_showcase",
-    "text_hash_embeddings",
-    "dedup_minhash_lsh_xxh64",
-    "streaming_ams_f2",
-    "streaming_token_entropy",
-    "streaming_heavy_hitters",
-    "graph_triangles_copurchase",
-    "text_wordpiece_segment",
-    "ts_seasonal_decompose",
-    "ts_cusum_changepoint",
-    "rfm_customer_segments",
-    "dq_benford_first_digit",
-    "holt_winters_seasonal",
-    "ab_test_two_proportion",
-    "ts_binary_segmentation",
-    "linkage_fellegi_sunter",
-    "basket_association_rules",
-    "multimodal_jpeg_progressive_color_decode",
-    "graph_kcore_copurchase",
-    "text_keywords_rake",
-    "ts_residual_anomalies",
-    "survival_kaplan_meier",
-    "drift_psi_report",
-    "drift_ks_two_sample",
-    "graph_label_propagation",
-    "item_item_cofilter",
-    "trend_theil_sen",
-    "calibration_isotonic_pav",
-    "text_kneser_ney_bigram",
-    "graph_bfs_reachability",
-    "bootstrap_ci_poisson",
-    "mi_chi2_independence",
-    "classifier_auc_roc",
-    "welch_t_test",
-    "anova_oneway_f",
-    "ts_acf_ljung_box",
-    "sketch_countmin_tokens",
-    "ols_price_model",
-    "spearman_rank_corr",
-    "dedup_containment",
-    "sketch_ams_f2_tokens",
-    "nb_language_classifier",
-    "ts_periodogram_fixed",
-    "graph_hits_authorities",
-    "pca_top_component",
-    "pca_projection_extremes",
-    "multimodal_phash_neardup",
-    "multimodal_wav_spectrogram",
-    # ---- 50-query driver-sample boundary ----
+    # --- round-8 rotation. The driver differential-checks the FIRST 50
+    # names of queries() each round. After round 7 the driver-green union
+    # is 250/322; 72 names have no green row (70 oracled + the 2
+    # permanently rows-only sketches). Front of the line:
+    # 1) embedding_opq_topk -- the one STALE verification row: its only
+    #    driver samples (r2/r3) predate its r3 literal-VALUES oracle, so
+    #    the driver has never witnessed it green;
+    # 2) the two never-sampled streaming queries
+    #    (streaming_bitmap_overlap, streaming_reverse_search);
+    # 3) 47 more of the never-driver-green names in queue order.
+    # Behind the boundary: the 20 leftover eligible names (round 9
+    # retires them) and the 2 rows-only sketches (permanently below the
+    # boundary -- a sampled no_oracle query grades as a red err row).
+    # The 250-name driver-green union follows in registry order.
+    # Membership is pinned by tests/test_catalog_order.py.
+    "embedding_opq_topk",
+    "streaming_bitmap_overlap",
+    "streaming_reverse_search",
     "markov_stationary_events",
     "retrieval_ndcg_eval",
     "decision_stump_train",
@@ -207,7 +161,6 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "time_to_convert_days",
     "reverse_search_alerts",
     "exact_tail_latency_quantiles",
-    "streaming_reverse_search",
     "bitmap_type_overlap",
     "top_sources_with_other",
     "dup_cluster_size_histogram",
@@ -216,9 +169,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "survival_logrank_test",
     "cohort_ltv_curve",
     "demand_curve_price_bands",
-    "streaming_bitmap_overlap",
     "ewma_control_chart",
     "sma_crossover_pnl",
+    # ---- 50-query driver-sample boundary ----
     "drawdown_duration",
     "capture_recapture_users",
     "corpus_chao1_richness",
@@ -239,51 +192,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_pair_distance_hist",
     "stylometry_burrows_delta",
     "priority_mix_by_quarter",
-    "multimodal_wav_decode",
-    "multimodal_wav_resample",
-    "multimodal_video_keyframe",
-    "split_train_eval",
-    "heavy_hitter_tokens",
-    "sample_weighted_quality",
-    "text_semantic_search",
-    "embedding_coreset",
-    "price_histogram",
-    "scd2_user_state",
-    "interval_join_order_periods",
-    "quantile_hash_sampled",
-    "fuzzy_part_match",
-    "window_function_showcase",
-    "incremental_agg_refresh",
-    "funnel_conversion",
-    "cohort_retention",
-    "event_cooccurrence_lift",
-    "event_transition_matrix",
-    "pareto_abc_parts",
-    "revenue_gini_by_brand",
-    "linear_trend_by_key",
-    "ts_shape_search",
-    "ts_sax_symbols",
-    "ts_motif_discovery",
-    "candlestick_patterns",
-    "ts_dtw_similarity",
-    "holt_linear_trend",
-    "text_unigram_train",
-    "text_unigram_pruned",
-    "text_unigram_segment",
-    "multimodal_jpeg_color_decode",
-    "multimodal_jpeg_444_decode",
-    "retrieval_rrf_fusion",
-    "dsir_importance_weights",
-    "corpus_datacard",
-    "golden_record_consolidation",
-    "dedup_sorted_neighborhood",
-    "data_quality_report",
-    "snapshot_table_diff",
-    "streaming_dsir",
-    "asof_nearest_duck_oracle",
-    "asof_forward_next_error",
-    "attribution_last_touch",
-    "multimodal_jpeg_progressive_decode",
+    "approx_distinct_profile",
+    "approx_quantile_sketch",
 )
 
 

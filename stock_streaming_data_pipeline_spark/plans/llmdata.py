@@ -1553,10 +1553,11 @@ def quality_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.62 majority base rate, pinned in tests), then scoring every doc.
     Training is fully distributed (features never leave executors;
     weights are a 65-row broadcast); the DuckDB oracle unrolls the EIGHT
-    gradient
-    steps into chained CTEs and matches bit-for-bit thanks to the
-    round-6-lattice weight/logit/probability discipline — an iterative
-    ML trainer under a full differential check, like the Lloyd/PageRank/
+    gradient steps into chained CTEs and matches bit-for-bit thanks to
+    the integer-micro model state (exact BIGINT logit sums — order-free
+    — and a frozen-table sigmoid that never calls either engine's libm
+    exp; operators/lrquality.py module docstring) — an iterative ML
+    trainer under a full differential check, like the Lloyd/PageRank/
     BPE loops before it."""
     docs = load_table(spark, sf_dir, "documents")
     labels = text.c4_gopher_filters(docs, id_col="doc_id", text_col="text").select(

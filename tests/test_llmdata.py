@@ -784,6 +784,70 @@ def test_quality_lr_classifier_learns_past_base_rate(spark):
     assert r["acc"] >= base_majority + 0.1
 
 
+def test_lrquality_frozen_sigmoid_pinned(spark):
+    """Pin the frozen integer-exp sigmoid (operators/lrquality.py) against
+    a literal vector: the round-8 fix for the sf1 libm-ulp finding only
+    retires the class if the table product itself can never drift. Three
+    layers: (1) spot literal values of the frozen tables (a rebuilt table
+    from a different libm would fail here), (2) the Spark expression on a
+    literal z vector equals hand-frozen micro outputs, (3) DuckDB renders
+    the identical outputs from the same expression text."""
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.operators import lrquality as lrq
+
+    # (1) frozen table spot pins — literal doubles, not math.exp calls.
+    assert lrq._EXP_1[0] == 1.0
+    assert lrq._EXP_1[1] == 2.718281828459045
+    assert lrq._EXP_1[15] == 3269017.3724721107
+    assert lrq._EXP_2[1] == 1.010050167084168
+    assert lrq._EXP_2[99] == 2.691234472349262
+    assert lrq._EXP_4[1] == 1.0001000050001667
+    assert lrq._EXP_6[1] == 1.0000010000005
+    assert lrq._EXP_6[99] == 1.0000990049006617
+    assert (len(lrq._EXP_1), len(lrq._EXP_2), len(lrq._EXP_4), len(lrq._EXP_6)) == (
+        16, 100, 100, 100,
+    )
+
+    # (2)+(3) sigmoid on a literal z-micro vector: saturation boundaries,
+    # sign symmetry, and interior points — expected values FROZEN here.
+    cases = [
+        (-123_456_789, 0),
+        (-16_000_000, 0),
+        (-15_999_999, 0),
+        (-2_718_281, 61903),
+        (-1_000_000, 268941),
+        (-500_000, 377541),
+        (-1, 500000),
+        (0, 500000),
+        (1, 500000),
+        (314_159, 577900),
+        (693_147, 666667),  # sigmoid(ln 2) = 2/3
+        (1_000_000, 731059),
+        (4_200_000, 985226),
+        (15_999_999, 1000000),
+        (16_000_000, 1000000),
+        (123_456_789, 1000000),
+    ]
+    df = spark.createDataFrame([(z, e) for z, e in cases], "z LONG, want LONG")
+    got = df.select(
+        "z", "want", F.expr(lrq.sigmoid_micro_sql("z", spark=True)).alias("p")
+    ).collect()
+    bad = [(r["z"], r["p"], r["want"]) for r in got if r["p"] != r["want"]]
+    assert not bad, f"spark sigmoid drifted from frozen vector: {bad}"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(?::BIGINT[]) AS z, unnest(?::BIGINT[]) AS want",
+        [[z for z, _ in cases], [e for _, e in cases]],
+    )
+    rows = con.sql(
+        f"SELECT z, want, {lrq.sigmoid_micro_sql('z', spark=False)} AS p FROM t"
+    ).fetchall()
+    bad = [(z, p, w) for z, w, p in rows if p != w]
+    assert not bad, f"duckdb sigmoid drifted from frozen vector: {bad}"
+
+
 def test_ivf2_topk_finds_planted_neighbor(spark):
     """Two-level IVF with a planted near-copy: the copy shares both the
     query's coarse cell and its sub-cell (cosine ~1), so even 2x2 probes
