@@ -2530,8 +2530,10 @@ def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier without any external model. Counts are exact integers and the
     normalization is one sqrt + divisions on identical operands, so the
     whole featurizer replays in DuckDB. Vectors surface as JSON strings
-    of half-away BIGINT micros (identical IEEE floor(x*1e6+0.5) in both
-    engines) — never raw ARRAY or rounded-double finals: the driver's
+    of half-up (toward +inf) BIGINT micros — identical IEEE
+    floor(x*1e6+0.5) in both engines; note floor(-1.5+0.5) = -1, so for
+    negative components this is half-up, NOT half-away-from-zero — and
+    never raw ARRAY or rounded-double finals: the driver's
     canonicalizer crashes on array cells (r6 red row) and double reprs
     differ across engines."""
     docs = load_table(spark, sf_dir, "documents")

@@ -2098,7 +2098,8 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     range residual evaluates inside the sort-merge join, and a hot user
     salts like any skewed join); per-purchase touch counts come from a
     window over the purchase key, and the per-touch weight is an exact
-    half-away BIGINT micro-unit ``(2e6 + cnt) DIV (2*cnt)`` summed as
+    half-up BIGINT micro-unit ``(2e6 + cnt) DIV (2*cnt)`` (operands are
+    positive, so half-up and half-away coincide here) summed as
     BIGINT, so cross-engine credit totals are integer-exact with no
     DECIMAL in the final schema (the driver's canonicalizer is
     repr-sensitive to Decimal trailing zeros — r6 red row)."""

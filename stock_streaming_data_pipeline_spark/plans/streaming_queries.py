@@ -33,9 +33,21 @@ from stock_streaming_data_pipeline_spark.sources.streams import (
 from stock_streaming_data_pipeline_spark.streaming import state as stream_state
 
 
+# settle() drains a memory sink through the driver, so it is ONLY for
+# aggregate-sized results (windowed rollups, sketches, top-k). A streaming
+# query whose settled output grows with the fact table must drain through
+# a file sink (streaming/sinks.py partitioned_file_sink) instead — this
+# cap turns that mistake into a loud error rather than a silent
+# corpus-sized driver collect.
+SETTLE_MAX_ROWS = 100_000
+
+
 def settle(sdf: DataFrame, mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
-    sink; return the settled rows as a stable batch DataFrame."""
+    sink; return the settled rows as a stable batch DataFrame. Refuses
+    (raises ValueError) if the settled table exceeds ``SETTLE_MAX_ROWS`` —
+    fact-grained streaming output belongs in a file sink, never a
+    driver-side memory sink."""
     spark = sdf.sparkSession
     name = "settle_" + uuid.uuid4().hex[:12]
     with tempfile.TemporaryDirectory(prefix="chk_") as chk:
@@ -57,6 +69,17 @@ def settle(sdf: DataFrame, mode: str) -> DataFrame:
         finally:
             q.stop()
         sink = spark.table(name)
+        # memory-sink rows already sit in driver memory; the guard bounds
+        # what settle() re-materializes and hands back as a batch frame.
+        n = sink.count()
+        if n > SETTLE_MAX_ROWS:
+            spark.catalog.dropTempView(name)
+            raise ValueError(
+                f"settle(): streaming query {name} settled {n} rows "
+                f"(> SETTLE_MAX_ROWS={SETTLE_MAX_ROWS}) — fact-grained "
+                "streaming output must drain through a file sink "
+                "(streaming/sinks.py), not a driver-side memory sink"
+            )
         rows = sink.collect()
         out = spark.createDataFrame(rows, sink.schema)
     spark.catalog.dropTempView(name)
@@ -206,10 +229,24 @@ def streaming_upsert_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sign-safe fixed-two-decimal rendering of a BIGINT cents column `c`:
+# formatted sign-first from abs(c), because '%d.%02d' on raw negative
+# cents emits malformed strings ('-2.-5' for -205; '0.-5' for -99..-1,
+# losing the sign). Same text both engines modulo printf name/IF.
+CENTS_FMT_SPARK = (
+    "format_string('%s%d.%02d', IF(c < 0, '-', ''),"
+    " abs(c) DIV 100, abs(c) % 100)"
+)
+CENTS_FMT_DUCK = (
+    "printf('%s%d.%02d', CASE WHEN c < 0 THEN '-' ELSE '' END,"
+    " abs(c) // 100, abs(c) % 100)"
+)
+
+
 @register(
     "kafka_payload_shape",
     tags=("C3", "C4", "K3"),
-    oracle="""
+    oracle=f"""
 WITH agg AS (
   SELECT event_type, count(*) AS num_trades,
          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
@@ -219,7 +256,7 @@ SELECT event_type AS key,
        to_json(struct_pack(
          symbol := event_type,
          num_trades := num_trades,
-         total_value := printf('%d.%02d', c // 100, c % 100)
+         total_value := {CENTS_FMT_DUCK}
        )) AS value
 FROM agg
 """,
@@ -231,7 +268,11 @@ def kafka_payload_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON as a fixed two-decimal STRING built from exact BIGINT cents:
     a raw DOUBLE field diverges across engines' JSON encoders the
     moment it crosses 1e7 (Spark's Jackson writes 1.00292592E7,
-    DuckDB 10029259.2 — caught by the sf1 sweep)."""
+    DuckDB 10029259.2 — caught by the sf1 sweep). The string is formatted
+    sign-first from abs(cents) — '%d.%02d' on raw negative cents would
+    emit malformed values like '-2.-5' for -205 (and lose the sign
+    entirely for -99..-1), so the payload contract stays correct even if
+    summed event values ever go negative (refunds/adjustments)."""
     from stock_streaming_data_pipeline_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
@@ -246,9 +287,7 @@ def kafka_payload_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.col("event_type").alias("symbol"),
                 F.col("num_trades"),
-                F.expr("format_string('%d.%02d', c DIV 100, c % 100)").alias(
-                    "total_value"
-                ),
+                F.expr(CENTS_FMT_SPARK).alias("total_value"),
             )
         ).alias("value"),
     )

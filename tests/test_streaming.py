@@ -300,3 +300,65 @@ def test_progress_collector_captures_batches_and_watermark(spark, tmp_path):
         assert lag is not None and lag > 0  # 2024 data is far behind now
     finally:
         spark.streams.removeListener(col)
+
+
+def test_settle_refuses_fact_grained_output(spark, monkeypatch):
+    """settle() is a driver-side memory-sink drain and must stay bounded:
+    a streaming query whose settled output is fact-grained (here: a raw
+    per-event passthrough, with the cap pinched down to simulate corpus
+    scale) must raise instead of silently collecting the corpus onto the
+    driver. Aggregate-sized results still settle fine under the same cap."""
+    from stock_streaming_data_pipeline_spark.plans import catalog as cat
+
+    cat._load_all()  # plan modules register in dependency order
+    from stock_streaming_data_pipeline_spark.plans import streaming_queries as sq
+    from stock_streaming_data_pipeline_spark.sources.streams import stream_events
+    from tests.conftest import SF_SMOKE
+
+    monkeypatch.setattr(sq, "SETTLE_MAX_ROWS", 10)
+    passthrough = stream_events(spark, SF_SMOKE).select("event_id", "event_type")
+    with pytest.raises(ValueError, match="SETTLE_MAX_ROWS"):
+        sq.settle(passthrough, "append")
+
+    agg = stream_events(spark, SF_SMOKE).groupBy("event_type").count()
+    out = sq.settle(agg, "complete")
+    assert 0 < out.count() <= 10
+
+
+def test_kafka_payload_cents_format_handles_negatives(spark):
+    """The Kafka payload's fixed-two-decimal total_value must stay
+    well-formed for NEGATIVE cent totals (refunds/adjustments): the old
+    '%d.%02d' on raw cents emitted '-2.-5' for -205 and dropped the sign
+    for -99..-1. Pins the production expressions (CENTS_FMT_SPARK /
+    CENTS_FMT_DUCK) against a Python reference in both engines."""
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.plans import catalog as cat
+
+    cat._load_all()
+    from stock_streaming_data_pipeline_spark.plans.streaming_queries import (
+        CENTS_FMT_DUCK,
+        CENTS_FMT_SPARK,
+    )
+
+    cents = [-1002925921, -205, -100, -99, -10, -1, 0, 1, 9, 99, 100, 205, 1002925920]
+    want = [("-" if c < 0 else "") + f"{abs(c) // 100}.{abs(c) % 100:02d}" for c in cents]
+    assert want[1] == "-2.05" and want[3] == "-0.99" and want[5] == "-0.01"
+
+    df = spark.createDataFrame(list(enumerate(cents)), "i LONG, c LONG")
+    got_spark = [
+        r["s"]
+        for r in sorted(
+            df.selectExpr("i", f"{CENTS_FMT_SPARK} AS s").collect(),
+            key=lambda r: r["i"],
+        )
+    ]
+    assert got_spark == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(range(?))::BIGINT AS i, unnest(?::BIGINT[]) AS c",
+        [len(cents), cents],
+    )
+    got_duck = [r[0] for r in con.sql(f"SELECT {CENTS_FMT_DUCK} FROM t ORDER BY i").fetchall()]
+    assert got_duck == want
