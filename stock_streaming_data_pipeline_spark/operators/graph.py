@@ -145,6 +145,81 @@ FROM r{iters}
 """
 
 
+def sql_pagerank_expected(
+    sf_dir: str,
+    edges_cte: str,
+    *,
+    iters: int = 3,
+    damping: float = 0.85,
+    tables: tuple[str, ...] = ("documents",),
+) -> str:
+    """Literal-VALUES oracle for :func:`pagerank` — the bounded-memory
+    replacement for :func:`sql_pagerank` at large scale factors. The
+    unrolled-CTE oracle re-derives the (expensive) edge relation inside
+    every iteration CTE, which made DuckDB disk-bound at sf1; here the
+    edge list is computed ONCE in DuckDB (the same ``edges_cte`` SQL the
+    unrolled oracle used — a differentially trusted sub-plan) and the
+    rank fixed point runs in exact Python integers replicating the
+    operator's defined arithmetic: init/base = floor(x + 0.5) on the
+    positive doubles SCALE/n and (1-d)*SCALE/n, contributions r // deg
+    (both engines truncate; ranks are non-negative so trunc == floor),
+    exact integer sums, one double multiply d * s per node with
+    floor(+0.5) rounding — the identical IEEE operations Spark performs
+    (operators/graph.py:36 pagerank). Memory is O(edges + nodes); the
+    OPQ/xxh64 literal-oracle precedent."""
+    import math
+
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.tables import duck_glob
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{duck_glob(sf_dir, t)}')"
+        )
+    edges = con.execute(
+        f"WITH e AS ({edges_cte}) SELECT DISTINCT src, dst FROM e"
+    ).fetchall()
+    con.close()
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    if not nodes:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS node, "
+            "CAST(NULL AS BIGINT) AS rank_micro, "
+            "CAST(NULL AS DOUBLE) AS rank WHERE 1 = 0"
+        )
+    n = len(nodes)
+    deg: dict[int, int] = {}
+    out_adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        out_adj.setdefault(s, []).append(d)
+    base = math.floor((1.0 - damping) * SCALE / float(n) + 0.5)
+    r = {v: math.floor(float(SCALE) / float(n) + 0.5) for v in nodes}
+    for _ in range(iters):
+        s_acc = {v: 0 for v in nodes}
+        for u, dsts in out_adj.items():
+            c = r[u] // deg[u]
+            for v in dsts:
+                s_acc[v] += c
+        r = {
+            v: base + math.floor(damping * float(s_acc[v]) + 0.5)
+            for v in nodes
+        }
+    values = ",\n".join(
+        f"({v}, {r[v]}, {r[v] / float(SCALE)!r})" for v in nodes
+    )
+    return (
+        "SELECT CAST(node AS BIGINT) AS node, "
+        "CAST(rank_micro AS BIGINT) AS rank_micro, "
+        "CAST(rank AS DOUBLE) AS rank\n"
+        f"FROM (VALUES\n{values}\n) AS t(node, rank_micro, rank)"
+    )
+
+
 def triangles(
     pairs: DataFrame, *, a_col: str = "doc_a", b_col: str = "doc_b"
 ) -> DataFrame:

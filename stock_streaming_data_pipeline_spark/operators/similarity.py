@@ -473,6 +473,131 @@ QUALIFY rank <= {k}
 """
 
 
+def _round6_spark(x: float) -> float:
+    """Spark F.round(double, 6): BigDecimal.valueOf semantics — HALF_UP
+    on the SHORTEST DECIMAL REPR of the double (repr(x) in Python), the
+    documented cross-engine recipe pinned by the rounding tests."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def sql_ivf_topk_expected(
+    sf_dir: str,
+    *,
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 10",
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 3,
+    iters: int = 2,
+) -> str:
+    """Literal-VALUES oracle for :func:`ivf_topk` — the bounded-memory
+    replacement for :func:`sql_ivf_topk` at large scale factors (the
+    unrolled Lloyd CTEs re-derive corpus×centroid cross products per
+    iteration and made DuckDB disk-bound at sf1). Replays the exact
+    operator arithmetic in numpy/Python: float32→float64 embedding cast
+    (exact), ordered LEFT-FOLD dot products (np.cumsum accumulates
+    sequentially along the dim axis — the same add order as Spark's
+    F.aggregate fold and DuckDB's list_reduce), IEEE sqrt/divide, Spark
+    round-6 (:func:`_round6_spark`) before every argmin/rank decision
+    with cid/neighbor-id tie-breaks, per-cluster means summed in vec_id
+    order (order differences are absorbed by the round-6 decisions, the
+    same robustness contract the SQL oracle relied on), empty-cluster
+    retention. Memory is O(corpus × dim); the OPQ/xxh64 literal-oracle
+    precedent."""
+    import duckdb
+    import numpy as np
+
+    from stock_streaming_data_pipeline_spark.tables import duck_glob
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{duck_glob(sf_dir, table)}')"
+    )
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM {table} ORDER BY vec_id"
+    ).fetchall()
+    qids = [
+        r[0]
+        for r in con.execute(
+            f"SELECT vec_id FROM {table} WHERE {query_pred} ORDER BY vec_id"
+        ).fetchall()
+    ]
+    con.close()
+
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    vecs = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt(np.cumsum(vecs * vecs, axis=1)[:, -1])
+
+    def cos6_vs_centroid(c: np.ndarray) -> np.ndarray:
+        """round6(cosine(v, c)) for every corpus vector — ordered fold."""
+        dots = np.cumsum(vecs * c[None, :], axis=1)[:, -1]
+        cnorm = float(np.sqrt(np.cumsum(c * c)[-1]))
+        sims = dots / (norms * cnorm)
+        return np.array([_round6_spark(float(s)) for s in sims])
+
+    def rank_centroids(cents: list[np.ndarray]) -> np.ndarray:
+        """(N, nlist) round-6 sims, one column per cid."""
+        return np.stack([cos6_vs_centroid(c) for c in cents], axis=1)
+
+    # Seeds: the nlist lowest-id vectors, cid assigned in vec_id order.
+    cents = [vecs[i].copy() for i in range(nlist)]
+    for _ in range(iters):
+        sims = rank_centroids(cents)
+        # argmax by (sim desc, cid asc): np.argmax returns the FIRST
+        # maximal index — exactly the lowest-cid tie-break.
+        assign = np.argmax(sims, axis=1)
+        for cid in range(nlist):
+            mask = assign == cid
+            if not mask.any():
+                continue  # empty cluster retains its previous centroid
+            sub = vecs[mask]  # already in ascending vec_id order
+            cents[cid] = np.cumsum(sub, axis=0)[-1, :] / float(sub.shape[0])
+    sims = rank_centroids(cents)
+    assign = np.argmax(sims, axis=1)
+
+    id_to_ix = {int(v): i for i, v in enumerate(ids)}
+    out: list[tuple[int, int, float, int]] = []
+    for qid in qids:
+        qx = id_to_ix[int(qid)]
+        qsims = sims[qx]
+        probe_order = sorted(range(nlist), key=lambda c: (-qsims[c], c))
+        probed = set(probe_order[:nprobe])
+        cand_ix = [
+            i
+            for i in range(len(ids))
+            if int(assign[i]) in probed and int(ids[i]) != int(qid)
+        ]
+        qv = vecs[qx]
+        qn = float(norms[qx])
+        scored = []
+        for i in cand_ix:
+            d = float(np.cumsum(qv * vecs[i])[-1])
+            scored.append(
+                (_round6_spark(d / (qn * float(norms[i]))), int(ids[i]))
+            )
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (c6, nid) in enumerate(scored[:k], start=1):
+            out.append((int(qid), nid, c6, rank))
+
+    if not out:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS query_id, "
+            "CAST(NULL AS BIGINT) AS neighbor_id, "
+            "CAST(NULL AS DOUBLE) AS cosine, "
+            "CAST(NULL AS BIGINT) AS rank WHERE 1 = 0"
+        )
+    values = ",\n".join(f"({q}, {n}, {c!r}, {r})" for q, n, c, r in out)
+    return (
+        "SELECT CAST(query_id AS BIGINT) AS query_id, "
+        "CAST(neighbor_id AS BIGINT) AS neighbor_id, "
+        "CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS BIGINT) AS rank\n"
+        f"FROM (VALUES\n{values}\n) AS t(query_id, neighbor_id, cosine, rank)"
+    )
+
+
 def kmeans_profile(
     df: DataFrame,
     *,

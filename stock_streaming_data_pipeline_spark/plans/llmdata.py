@@ -328,8 +328,11 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_ivf_topk",
     tags=("LLM-sim",),
-    oracle=similarity.sql_ivf_topk(
-        query_pred="vec_id < 10", k=5, nlist=8, nprobe=3, iters=2
+    # Literal-VALUES oracle (bounded memory at any sf): the unrolled-CTE
+    # sql_ivf_topk replay was DuckDB-disk-bound at sf1. Verified equal to
+    # the CTE oracle at sf0.001/0.01/0.1 (tests/test_llmdata.py).
+    oracle_fn=lambda sf_dir: similarity.sql_ivf_topk_expected(
+        sf_dir, query_pred="vec_id < 10", k=5, nlist=8, nprobe=3, iters=2
     ),
 )
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,8 +354,10 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_ivf_index_topk",
     tags=("LLM-sim",),
-    oracle=similarity.sql_ivf_topk(
-        query_pred="vec_id < 10", k=5, nlist=8, nprobe=3, iters=2
+    # Shares embedding_ivf_topk's literal-VALUES oracle: the index path
+    # must be bit-identical to the retrain-per-query plan.
+    oracle_fn=lambda sf_dir: similarity.sql_ivf_topk_expected(
+        sf_dir, query_pred="vec_id < 10", k=5, nlist=8, nprobe=3, iters=2
     ),
 )
 def embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2196,7 +2201,14 @@ _PR_EDGES_SQL = f"""
 @register(
     "pagerank_dup_graph",
     tags=("LLM-dedup", "LLM-graph"),
-    oracle=graph.sql_pagerank(_PR_EDGES_SQL, iters=3, damping=0.85),
+    # Literal-VALUES oracle (bounded memory at any sf): the unrolled-CTE
+    # sql_pagerank replay re-derived the jaccard edge relation inside
+    # every iteration and was DuckDB-disk-bound at sf1. The edge SQL runs
+    # once; the integer fixed point replays in Python. Verified equal to
+    # the CTE oracle at sf0.001/0.01/0.1 (tests/test_llmdata.py).
+    oracle_fn=lambda sf_dir: graph.sql_pagerank_expected(
+        sf_dir, _PR_EDGES_SQL, iters=3, damping=0.85
+    ),
 )
 def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the exact 3-gram-Jaccard near-dup graph

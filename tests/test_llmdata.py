@@ -1057,3 +1057,43 @@ def test_rake_degree_rewards_phrase_members(spark, tmp_path):
     assert out["deep"]["score_micro"] == 2_000_000
     assert out["cat"]["score_micro"] == 1_000_000
     assert "the" not in out and "is" not in out  # stopwords excluded
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_values_oracles_match_cte_oracles(sf_dir):
+    """The round-8 bounded-memory literal-VALUES oracles (pagerank / IVF —
+    the sf1-disk-bound CTE replays' replacements) must produce EXACTLY the
+    rows of the unrolled-CTE oracles they replace, at every testdata tier:
+    same DuckDB engine, two independent derivations of the same defined
+    arithmetic."""
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.operators import graph, similarity
+    from stock_streaming_data_pipeline_spark.plans.llmdata import _PR_EDGES_SQL
+    from stock_streaming_data_pipeline_spark.tables import duck_glob
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{duck_glob(sf_dir, t)}')"
+        )
+
+    old_pr = con.sql(
+        graph.sql_pagerank(_PR_EDGES_SQL, iters=3, damping=0.85)
+    ).fetchall()
+    new_pr = con.sql(
+        graph.sql_pagerank_expected(sf_dir, _PR_EDGES_SQL, iters=3, damping=0.85)
+    ).fetchall()
+    assert sorted(old_pr) == sorted(new_pr)
+    assert len(new_pr) > 0
+
+    old_ivf = con.sql(
+        similarity.sql_ivf_topk(query_pred="vec_id < 10", k=5, nlist=8, nprobe=3, iters=2)
+    ).fetchall()
+    new_ivf = con.sql(
+        similarity.sql_ivf_topk_expected(
+            sf_dir, query_pred="vec_id < 10", k=5, nlist=8, nprobe=3, iters=2
+        )
+    ).fetchall()
+    assert sorted(old_ivf) == sorted(new_ivf)
+    assert len(new_ivf) > 0

@@ -23,6 +23,22 @@ sys.path.insert(0, ".")
 
 from stock_streaming_data_pipeline_spark.tables import TABLES, duck_glob  # noqa: E402
 
+# Queries whose ORACLE (never the Spark plan) is infeasible at the locally
+# generated 10x tier (.scaletier/sf1) — the documented out-of-scope list
+# the round-7 sweep kept in prose, now machine-readable. Applied only with
+# --skip-oos: the Spark side still runs (proving the plan completes at
+# scale) and the row records the skip reason in `err`, so the sweep
+# artifact enumerates exactly what was not differentially compared and
+# why. Everything here IS differentially green at sf0.001/0.01/0.1.
+ORACLE_OUT_OF_SCOPE: dict[str, str] = {
+    "linkage_fellegi_sunter": (
+        "oracle_oos: the generated tier's 10x key density makes blocking "
+        "~100x denser — the cross-engine diff materializes ~59M candidate "
+        "pairs and exceeds host memory; the Spark plan completes (~3 min "
+        "at sf1) and the query is differentially green at sf0.001-0.1"
+    ),
+}
+
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
@@ -165,6 +181,14 @@ def main() -> int:
         "gate tests/test_self_check_current.py requires every registered "
         "query to have a row in the newest CORRECTNESS_SELF artifact)",
     )
+    ap.add_argument(
+        "--skip-oos",
+        action="store_true",
+        help="big-tier sweeps: for the documented ORACLE_OUT_OF_SCOPE "
+        "names, run ONLY the Spark side (proving the plan completes) and "
+        "record the machine-readable skip reason in `err` instead of "
+        "attempting an oracle the host cannot hold",
+    )
     args = ap.parse_args()
     sf_dir = args.dir or f"/root/testdata/sf{args.sf}"
 
@@ -186,7 +210,10 @@ def main() -> int:
         spark = get_spark("check_oracle")
     qs = entrymod.queries()
     names = args.names or sorted(qs)
-    oracles = entrymod.oracle_sql(sf_dir=sf_dir, names=names)
+    skipped_oos = set(ORACLE_OUT_OF_SCOPE) if args.skip_oos else set()
+    oracles = entrymod.oracle_sql(
+        sf_dir=sf_dir, names=[n for n in names if n not in skipped_oos]
+    )
     con = duck_connection(sf_dir)
 
     failed = []
@@ -215,6 +242,14 @@ def main() -> int:
             continue
         t1 = time.time()
         rec["spark_rows"] = len(spark_pdf)
+        rec["spark_sec"] = round(t1 - t0, 2)
+        if name in skipped_oos:
+            print(
+                f"-- {name}: oracle out of scope at this tier "
+                f"(spark OK, rows={len(spark_pdf)}, {t1-t0:.1f}s)"
+            )
+            rec["err"] = ORACLE_OUT_OF_SCOPE[name]
+            continue
         if name not in oracles:
             print(f"-- {name}: no oracle (rows={len(spark_pdf)}) spark={t1-t0:.1f}s")
             rec["err"] = "no_oracle"
@@ -227,6 +262,7 @@ def main() -> int:
             failed.append(name)
             continue
         rec["oracle_rows"] = len(duck_pdf)
+        rec["oracle_sec"] = round(time.time() - t1, 2)
         problems = compare(name, spark_pdf, duck_pdf)
         rec["rows_match"] = len(spark_pdf) == len(duck_pdf)
         rec["schema_match"] = not any(
