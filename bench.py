@@ -86,6 +86,55 @@ def _spin_calibration() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _streaming_block(spark) -> dict:
+    """Streaming engine numbers alongside the batch wall clocks: replay
+    N synthetic trades through the four-query fan-out (decode → watermark
+    → windowed agg → sink, per-query checkpoints) and report end-to-end
+    rows/sec plus the p50 micro-batch latency read from the queries' own
+    progress history (durationMs.triggerExecution). Runs AFTER the batch
+    measurements so it never contends with them; generation is outside
+    the measured window (the producer is transport, not engine)."""
+    import shutil
+    import tempfile
+
+    from stock_streaming_data_pipeline_spark.sources import streams, trades
+    from stock_streaming_data_pipeline_spark.streaming.jobs import start_fanout
+
+    rows = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "200000"))
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = os.path.join(work, "src")
+        trades.write_trades_dir(spark, src, files=8, n_rows=rows, cadence_ms=50)
+        stream = streams.stream_trades(spark, src)
+        t0 = time.time()
+        fan = start_fanout(stream, os.path.join(work, "out"), available_now=True)
+        fan.await_all()
+        wall = time.time() - t0
+        batch_ms: list[int] = []
+        n_batches = 0
+        for q in fan.queries:
+            for p in q.recentProgress:
+                prog = p if isinstance(p, dict) else json.loads(p)
+                if int(prog.get("numInputRows", 0)) <= 0:
+                    continue
+                n_batches += 1
+                dur = prog.get("durationMs") or {}
+                batch_ms.append(int(dur.get("triggerExecution", 0)))
+        fan.stop_all()
+        batch_ms.sort()
+        p50 = batch_ms[len(batch_ms) // 2] if batch_ms else None
+        return {
+            "rows": rows,
+            "wall_s": round(wall, 3),
+            "rows_per_sec": round(rows / wall, 1),
+            "concurrent_queries": 4,
+            "batches": n_batches,
+            "p50_batch_ms": p50,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -175,6 +224,12 @@ def main() -> None:
         else 0.0
     )
 
+    # Streaming block last: outside the batch-timed region by design.
+    try:
+        streaming = _streaming_block(spark)
+    except Exception as e:  # the batch contract must survive regardless
+        streaming = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
     print(
         json.dumps(
             {
@@ -195,6 +250,7 @@ def main() -> None:
                 "max_spread": max(spread.values(), default=0.0),
                 "steal_pct": steal_pct,
                 "spin_sec": [spin_before, spin_after],
+                "streaming": streaming,
             }
         )
     )
