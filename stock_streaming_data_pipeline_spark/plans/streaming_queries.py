@@ -38,8 +38,17 @@ from stock_streaming_data_pipeline_spark.streaming import state as stream_state
 # query whose settled output grows with the fact table must drain through
 # a file sink (streaming/sinks.py partitioned_file_sink) instead — this
 # cap turns that mistake into a loud error rather than a silent
-# corpus-sized driver collect.
+# corpus-sized driver collect. Verification harnesses that legitimately
+# need full settled outputs for a differential compare (the sf1 sweep
+# replays 1M events through append-mode queries) raise the cap explicitly
+# via SPARK_GRAFT_SETTLE_MAX_ROWS instead of weakening the default.
 SETTLE_MAX_ROWS = 100_000
+
+
+def _settle_cap() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_SETTLE_MAX_ROWS", SETTLE_MAX_ROWS))
 
 
 def settle(sdf: DataFrame, mode: str) -> DataFrame:
@@ -72,13 +81,15 @@ def settle(sdf: DataFrame, mode: str) -> DataFrame:
         # memory-sink rows already sit in driver memory; the guard bounds
         # what settle() re-materializes and hands back as a batch frame.
         n = sink.count()
-        if n > SETTLE_MAX_ROWS:
+        cap = _settle_cap()
+        if n > cap:
             spark.catalog.dropTempView(name)
             raise ValueError(
                 f"settle(): streaming query {name} settled {n} rows "
-                f"(> SETTLE_MAX_ROWS={SETTLE_MAX_ROWS}) — fact-grained "
-                "streaming output must drain through a file sink "
-                "(streaming/sinks.py), not a driver-side memory sink"
+                f"(> settle cap {cap}) — fact-grained streaming output "
+                "must drain through a file sink (streaming/sinks.py), "
+                "not a driver-side memory sink; verification sweeps that "
+                "need the full output set SPARK_GRAFT_SETTLE_MAX_ROWS"
             )
         rows = sink.collect()
         out = spark.createDataFrame(rows, sink.schema)
@@ -372,10 +383,12 @@ def streaming_lookback_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "streaming_ewma_state",
-    tags=("T11", "W1", "UD1"),
-    oracle="""
+# Recursive-CTE form of the EWMA oracle: one iteration per row rank, so
+# DuckDB re-probes the ordered relation once per step — fine at driver
+# scale, O(n * max-key-depth) at a 1M-event tier (hours). Kept for the
+# pytest equivalence pin; the registered oracle is the bounded VALUES
+# form below.
+EWMA_CTE_SQL = """
 WITH RECURSIVE ordered AS (
   SELECT event_type, event_id, epoch_us(ts) AS ts_us, value,
          row_number() OVER (PARTITION BY event_type
@@ -391,7 +404,68 @@ WITH RECURSIVE ordered AS (
 SELECT event_type, event_id, ts_us,
        CAST(floor(y * 1000000 + 0.5) AS BIGINT) AS ewma_micro
 FROM rec
-""",
+"""
+
+
+def sql_ewma_expected(sf_dir: str, *, alpha: float = 0.5) -> str:
+    """Literal-VALUES oracle for streaming_ewma_state — the bounded
+    replacement for the recursive-CTE replay whose per-rank iteration
+    made DuckDB take hours at the 1M-event sf1 tier. The fold replays in
+    Python with the exact IEEE op order both engines use (first row
+    y = x, then y = a*x + (1-a)*y — two multiplies then one add,
+    matching streaming/state.py:ewma_state and the CTE's
+    0.5*value + 0.5*y), micro-snapped floor(y*1e6 + 0.5). Pinned equal
+    to the CTE form at sf0.001/0.01 in pytest (the pagerank/IVF
+    precedent). A 1M-row VALUES literal parses in ~30 s — measured."""
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.tables import duck_glob
+
+    a = float(alpha)
+    one_minus_a = 1.0 - a
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT event_type, event_id, epoch_us(ts) AS ts_us, value "
+        f"FROM read_parquet('{duck_glob(sf_dir, 'events')}') "
+        "WHERE value IS NOT NULL ORDER BY event_type, ts_us, event_id"
+    ).fetchall()
+    con.close()
+
+    import math
+
+    out = []
+    cur_key: str | None = None
+    y = 0.0
+    has = False
+    for et, eid, ts_us, v in rows:
+        if et != cur_key:
+            cur_key, has = et, False
+        if has:
+            y = a * v + one_minus_a * y
+        else:
+            y, has = v, True
+        et_sql = str(et).replace("'", "''")
+        out.append(f"('{et_sql}', {eid}, {ts_us}, {math.floor(y * 1_000_000 + 0.5)})")
+    if not out:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS event_type, "
+            "CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS ts_us, "
+            "CAST(NULL AS BIGINT) AS ewma_micro WHERE 1 = 0"
+        )
+    values = ",\n".join(out)
+    return (
+        "SELECT CAST(event_type AS VARCHAR) AS event_type, "
+        "CAST(event_id AS BIGINT) AS event_id, "
+        "CAST(ts_us AS BIGINT) AS ts_us, "
+        "CAST(ewma_micro AS BIGINT) AS ewma_micro\n"
+        f"FROM (VALUES\n{values}\n) AS t(event_type, event_id, ts_us, ewma_micro)"
+    )
+
+
+@register(
+    "streaming_ewma_state",
+    tags=("T11", "W1", "UD1"),
+    oracle_fn=sql_ewma_expected,
 )
 def streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch EWMA recursion (plans/stock.py:ewma_price) running as a

@@ -1097,3 +1097,29 @@ def test_values_oracles_match_cte_oracles(sf_dir):
     ).fetchall()
     assert sorted(old_ivf) == sorted(new_ivf)
     assert len(new_ivf) > 0
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_ewma_values_oracle_matches_cte(sf_dir):
+    """streaming_ewma_state's round-8 literal-VALUES oracle must equal the
+    recursive-CTE form it replaced (the CTE is O(rows * key-depth) in
+    DuckDB at the sf1 tier), at every testdata tier."""
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.plans import catalog as cat
+
+    cat._load_all()  # plan modules register in dependency order
+    from stock_streaming_data_pipeline_spark.plans.streaming_queries import (
+        EWMA_CTE_SQL,
+        sql_ewma_expected,
+    )
+    from stock_streaming_data_pipeline_spark.tables import duck_glob
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{duck_glob(sf_dir, 'events')}')"
+    )
+    old = sorted(con.sql(EWMA_CTE_SQL).fetchall())
+    new = sorted(con.sql(sql_ewma_expected(sf_dir)).fetchall())
+    assert len(old) > 0
+    assert old == new
