@@ -315,7 +315,11 @@ def test_settle_refuses_fact_grained_output(spark, monkeypatch):
     from stock_streaming_data_pipeline_spark.sources.streams import stream_events
     from tests.conftest import SF_SMOKE
 
+    # Pin BOTH cap sources: the module default AND the env override that
+    # tools/check_oracle exports at import (other tests import it, so in
+    # a full-suite run the env var is already set process-wide).
     monkeypatch.setattr(sq, "SETTLE_MAX_ROWS", 10)
+    monkeypatch.setenv("SPARK_GRAFT_SETTLE_MAX_ROWS", "10")
     passthrough = stream_events(spark, SF_SMOKE).select("event_id", "event_type")
     with pytest.raises(ValueError, match="SETTLE_MAX_ROWS"):
         sq.settle(passthrough, "append")
