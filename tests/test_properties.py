@@ -236,3 +236,90 @@ def test_vwap_mass_conservation(spark, rows):
         bts = _dt.datetime.utcfromtimestamp(r["bucket_s"])
         got_notional += r["vwap"] * qty_per[(r["key"], bts)]
     assert abs(got_notional - total_notional) < 1e-2
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-25_000_000, max_value=25_000_000),
+        min_size=1,
+        max_size=300,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_sigmoid_micro_sql_fuzz_duckdb_matches_reference(z_micros):
+    """Property fuzz over the frozen-exp-table sigmoid (the round-8
+    quality_lr determinism core): for ANY micro-lattice logit — interior,
+    saturated, negative, boundary-adjacent — the DuckDB rendering of
+    sigmoid_micro_sql must equal the pure-Python evaluation of the same
+    frozen tables (the Spark rendering is pinned on a literal vector in
+    tests/test_llmdata.py; Spark-in-hypothesis would be too slow)."""
+    import math
+
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.operators import lrquality as lrq
+
+    def ref(zm: int) -> int:
+        if zm >= lrq.SIG_SAT_MICRO:
+            return 1_000_000
+        if zm <= -lrq.SIG_SAT_MICRO:
+            return 0
+        am = abs(zm)
+        eabs = (
+            (lrq._EXP_1[am // 1_000_000] * lrq._EXP_2[(am // 10_000) % 100])
+            * lrq._EXP_4[(am // 100) % 100]
+        ) * lrq._EXP_6[am % 100]
+        enegz = 1.0 / eabs if zm >= 0 else eabs
+        return int(math.floor((1.0 / (1.0 + enegz)) * 1000000.0 + 0.5))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(range(?))::BIGINT AS i, "
+        "unnest(?::BIGINT[]) AS z",
+        [len(z_micros), z_micros],
+    )
+    got = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {lrq.sigmoid_micro_sql('z', spark=False)} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    want = [ref(z) for z in z_micros]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(10**15), max_value=10**15),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=1, max_value=1000),
+    st.integers(min_value=1, max_value=1000),
+)
+@settings(max_examples=50, deadline=None)
+def test_half_up_div_sql_fuzz_duckdb_matches_reference(xs, num, den):
+    """Property fuzz over the integer half-up rational scaler used by the
+    LR gradient/update steps: DuckDB rendering == the arithmetic
+    definition sign(x) * floor(|x|*num/den + 1/2) in exact rationals."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.operators import lrquality as lrq
+
+    def ref(x: int) -> int:
+        mag_q = Fraction(abs(x) * num, den) + Fraction(1, 2)
+        mag = mag_q.numerator // mag_q.denominator  # floor of the rational
+        return -mag if x < 0 else mag
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(range(?))::BIGINT AS i, "
+        "unnest(?::BIGINT[]) AS x",
+        [len(xs), xs],
+    )
+    expr = lrq.half_up_div_sql("x", num, den, spark=False)
+    got = [r[0] for r in con.sql(f"SELECT {expr} FROM t ORDER BY i").fetchall()]
+    want = [ref(x) for x in xs]
+    assert got == want
