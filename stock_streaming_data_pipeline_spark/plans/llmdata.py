@@ -329,8 +329,9 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_ivf_topk",
     tags=("LLM-sim",),
     # Literal-VALUES oracle (bounded memory at any sf): the unrolled-CTE
-    # sql_ivf_topk replay was DuckDB-disk-bound at sf1. Verified equal to
-    # the CTE oracle at sf0.001/0.01/0.1 (tests/test_llmdata.py).
+    # sql_ivf_topk replay was DuckDB-disk-bound at sf1. Pinned equal to
+    # the CTE oracle at sf0.001/0.01 in tests/test_llmdata.py; verified
+    # at sf0.1 manually and hash-exact at sf1 (CORRECTNESS_SF1_r8).
     oracle_fn=lambda sf_dir: similarity.sql_ivf_topk_expected(
         sf_dir, query_pred="vec_id < 10", k=5, nlist=8, nprobe=3, iters=2
     ),
@@ -2204,8 +2205,9 @@ _PR_EDGES_SQL = f"""
     # Literal-VALUES oracle (bounded memory at any sf): the unrolled-CTE
     # sql_pagerank replay re-derived the jaccard edge relation inside
     # every iteration and was DuckDB-disk-bound at sf1. The edge SQL runs
-    # once; the integer fixed point replays in Python. Verified equal to
-    # the CTE oracle at sf0.001/0.01/0.1 (tests/test_llmdata.py).
+    # once; the integer fixed point replays in Python. Pinned equal to
+    # the CTE oracle at sf0.001/0.01 in tests/test_llmdata.py; verified
+    # at sf0.1 manually and hash-exact at sf1 (CORRECTNESS_SF1_r8).
     oracle_fn=lambda sf_dir: graph.sql_pagerank_expected(
         sf_dir, _PR_EDGES_SQL, iters=3, damping=0.85
     ),
