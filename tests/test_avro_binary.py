@@ -284,3 +284,65 @@ def test_streaming_avro_topology_end_to_end(spark, tmp_path):
     want = sorted(map(tuple, batch.collect()))
     assert len(want) > 0
     assert got == want
+
+
+def test_avro_roundtrip_fuzz():
+    """Hypothesis round-trip over the full value domain the schema
+    admits: unicode symbols, full-range int64 timestamps, signed/denormal
+    /infinite doubles (NaN compared bitwise — NaN != NaN would fail a
+    naive equality even on a correct codec), conditions absent, empty, or
+    holding nulls. A hand-written binary codec earns trust from exactly
+    this kind of adversarial domain sweep on top of the golden bytes."""
+    import math
+    import struct as _s
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    doubles = st.one_of(
+        st.floats(allow_nan=False, allow_infinity=True, width=64),
+        st.just(float("nan")),
+        st.just(-0.0),
+        st.just(5e-324),  # smallest denormal
+    )
+    conditions = st.one_of(
+        st.none(),
+        st.lists(st.one_of(st.none(), st.text(max_size=8)), max_size=4),
+    )
+    trade = st.fixed_dictionaries(
+        {
+            "c": conditions,
+            "p": doubles,
+            "s": st.text(max_size=12),
+            "t": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "v": doubles,
+            "cv": doubles,
+        }
+    )
+    message = st.fixed_dictionaries(
+        {"data": st.lists(trade, max_size=6), "type": st.text(max_size=10)}
+    )
+
+    def eq(a, b):  # NaN-tolerant deep equality (bitwise on doubles)
+        if isinstance(a, float) and isinstance(b, float):
+            return _s.pack("<d", a) == _s.pack("<d", b)
+        if isinstance(a, list) and isinstance(b, list):
+            return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+        if isinstance(a, dict) and isinstance(b, dict):
+            return a.keys() == b.keys() and all(eq(a[k], b[k]) for k in a)
+        return a == b
+
+    @given(message)
+    @settings(max_examples=200, deadline=None)
+    def run(msg):
+        back = ab.decode_message(ab.encode_message(msg))
+        assert eq(back, msg), (msg, back)
+
+    run()
+    assert math.isnan(
+        ab.decode_message(
+            ab.encode_message({"data": [{"c": None, "p": float("nan"),
+                                         "s": "", "t": 0, "v": 0.0,
+                                         "cv": 0.0}], "type": ""})
+        )["data"][0]["p"]
+    )
