@@ -28,6 +28,7 @@ file store (:181-191). Here:
 from __future__ import annotations
 
 import json
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,9 +54,15 @@ def _hadoop_fs(spark: SparkSession, path: str):
 #
 #   - every commit writes its data files, then publishes
 #     `_manifests/manifest-<version>.json` holding the COMPLETE data-file
-#     list, via create-exclusive (HDFS/file atomic create-no-overwrite;
-#     the S3 analogue is a conditional PUT) — losers of a version race
-#     retry at the next number;
+#     list, via create-exclusive — losers of a version race retry at the
+#     next number. The primitive is Hadoop `FileSystem.create(path,
+#     overwrite=false)`, which IS the portable conditional-write surface:
+#     atomic create-no-overwrite on HDFS/posix here, and on S3A (Hadoop
+#     3.4.1+, `fs.s3a.create.conditional.enabled`) a conditional PUT with
+#     `If-None-Match: *` — so the same code path is transactional on a
+#     real object store; only the jar/credentials are absent in this
+#     sandbox. The loser-retries contention behavior is pinned by
+#     tests/test_manifest.py::test_concurrent_committers_never_lose_a_commit;
 #   - readers resolve the highest committed manifest and read EXACTLY its
 #     files: a crash between data-write and manifest-commit leaves the
 #     previous manifest (and therefore the previous state) in force, and
@@ -77,9 +84,40 @@ def _manifest_dir(path: str) -> str:
     return path.rstrip("/") + "/_manifests"
 
 
+def _read_manifest_doc(spark: SparkSession, fs, mfile: str):
+    """Parse one manifest through the Hadoop FS stream (no Spark job for
+    a tiny JSON — manifest reads happen once per micro-batch). Returns
+    None when the file is empty or torn: create-exclusive reserves the
+    version atomically, but on posix the CONTENT lands in a separate
+    write, so a reader racing the commit (or surviving a writer crash
+    between create and write) can observe an in-flight manifest — which
+    is, by the protocol's own semantics, not yet committed."""
+    jvm = spark._jvm
+    try:
+        stream = fs.open(jvm.org.apache.hadoop.fs.Path(mfile))
+        try:
+            raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+    except Exception:
+        # open/read failure on a listed manifest = in-flight or torn
+        # (e.g. the checksummed local FS rejects a mid-write read, S3
+        # returns 404 before the PUT completes) — not yet committed.
+        return None
+    try:
+        doc = json.loads(raw)
+    except ValueError:
+        return None
+    if not isinstance(doc, dict) or "files" not in doc:
+        return None
+    return doc
+
+
 def _latest_manifest(spark: SparkSession, path: str):
-    """(version, [file basenames]) of the highest committed manifest, or
-    None when the table predates the manifest protocol."""
+    """(version, [file basenames]) of the highest COMMITTED manifest —
+    in-flight/torn manifests are skipped (the previous manifest stays in
+    force, exactly the crash-window contract) — or None when the table
+    predates the manifest protocol."""
     fs, _ = _hadoop_fs(spark, path)
     jvm = spark._jvm
     mpath = jvm.org.apache.hadoop.fs.Path(_manifest_dir(path))
@@ -90,26 +128,74 @@ def _latest_manifest(spark: SparkSession, path: str):
         m = _MANIFEST_RE.match(st.getPath().getName())
         if m:
             entries.append((int(m.group(1)), st.getPath().toString()))
-    if not entries:
-        return None
-    version, mfile = max(entries)
-    doc = json.loads(
-        "".join(r["value"] for r in spark.read.text(mfile).collect())
-    )
-    return version, doc["files"]
+    for version, mfile in sorted(entries, reverse=True):
+        doc = _read_manifest_doc(spark, fs, mfile)
+        if doc is not None:
+            return version, doc["files"]
+    return None
+
+
+def _local_fs_path(uri_or_path: str) -> str | None:
+    """The local filesystem path when the sink lives on posix storage
+    (bare paths and file: URIs), else None."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(uri_or_path)
+    if parsed.scheme in ("", "file"):
+        return parsed.path or uri_or_path
+    return None
+
+
+def _put_if_absent_posix(final: str, payload: bytes) -> bool:
+    """True posix conditional-PUT: write a dot-prefixed temp file (the
+    manifest regex never matches it), fsync, then hard-LINK it to the
+    final name — link(2) fails with EEXIST when the name is taken, and
+    the linked content is COMPLETE the instant the name appears, so on
+    posix there is no torn-read window at all. This exists because
+    Hadoop's LocalFileSystem ``create(overwrite=false)`` is
+    check-then-act, NOT atomic — the concurrent-committer race test
+    caught every racer winning the same version through it."""
+    import uuid
+
+    d = os.path.dirname(final)
+    tmp = os.path.join(d, f".{os.path.basename(final)}.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "wb") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 def _commit_manifest(spark: SparkSession, path: str, files: list[str]) -> int:
-    """Publish the complete data-file list as the next numbered manifest.
-    The create is exclusive (create-no-overwrite), so concurrent
-    committers cannot both win a version; the loser retries above."""
+    """Publish the complete data-file list as the next numbered manifest
+    via each backend's own atomic conditional-write primitive, so
+    concurrent committers cannot both win a version (losers retry at the
+    next number): posix = temp-write + hard link (atomic name+content);
+    HDFS = namenode-atomic ``create(overwrite=false)``; S3A (Hadoop
+    3.4.1+) = the same create call compiled to a conditional PUT with
+    ``If-None-Match: *``. Pinned under real thread contention by
+    tests/test_manifest.py::test_concurrent_committers_never_lose_a_commit."""
     fs, _ = _hadoop_fs(spark, path)
     jvm = spark._jvm
     mdir = jvm.org.apache.hadoop.fs.Path(_manifest_dir(path))
     fs.mkdirs(mdir)
+    local_mdir = _local_fs_path(_manifest_dir(path))
     latest = _latest_manifest(spark, path)
     version = (latest[0] if latest else 0) + 1
     while True:
+        doc = json.dumps({"version": version, "files": sorted(files)})
+        if local_mdir is not None:
+            final = os.path.join(local_mdir, f"manifest-{version:012d}.json")
+            if _put_if_absent_posix(final, doc.encode("utf-8")):
+                return version
+            version += 1
+            continue
         name = f"{_manifest_dir(path)}/manifest-{version:012d}.json"
         mpath = jvm.org.apache.hadoop.fs.Path(name)
         try:
@@ -117,7 +203,6 @@ def _commit_manifest(spark: SparkSession, path: str, files: list[str]) -> int:
         except Exception:
             version += 1
             continue
-        doc = json.dumps({"version": version, "files": sorted(files)})
         out.write(bytearray(doc.encode("utf-8")))
         out.close()
         return version

@@ -82,3 +82,68 @@ def test_compact_directory_preserves_data_and_reduces_files(spark, tmp_path):
     assert len(after_files) == 1  # tiny test data bin-packs into one
     after = sorted(r["event_id"] for r in spark.read.parquet(path).collect())
     assert after == before
+
+
+def test_concurrent_committers_never_lose_a_commit(spark, tmp_path):
+    """The commit-manifest protocol's safety property under contention:
+    N racing committers (threads hammering create-exclusive on the same
+    version numbers) must ALL land, each at a DISTINCT version, with no
+    overwrite — the exact mechanism that makes the publish atomic on
+    HDFS create-no-overwrite and S3 conditional PUT alike. The loser
+    path (create fails -> bump version -> retry) only executes under a
+    real race, which sequential tests never produce."""
+    import json
+    import threading
+
+    from stock_streaming_data_pipeline_spark.streaming import sinks
+
+    path = str(tmp_path / "tbl")
+    fs, hpath = sinks._hadoop_fs(spark, path)
+    fs.mkdirs(hpath)
+
+    n_threads, commits_each = 8, 5
+    results: list[tuple[int, int]] = []
+    errors: list[BaseException] = []
+    lock = threading.Lock()
+    start = threading.Barrier(n_threads)
+
+    def committer(tid: int) -> None:
+        try:
+            start.wait()
+            for i in range(commits_each):
+                v = sinks._commit_manifest(
+                    spark, path, [f"writer{tid}-file{i}.parquet"]
+                )
+                with lock:
+                    results.append((tid, v))
+        except BaseException as e:  # noqa: BLE001
+            with lock:
+                errors.append(e)
+
+    threads = [
+        threading.Thread(target=committer, args=(t,)) for t in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    versions = [v for _, v in results]
+    assert len(versions) == n_threads * commits_each
+    # distinct versions: nobody overwrote anybody (a lost commit would
+    # surface as a duplicated version number)
+    assert len(set(versions)) == len(versions)
+    # every committed version is actually on disk with intact content
+    import os
+
+    mdir = os.path.join(path, "_manifests")
+    on_disk = sorted(os.listdir(mdir))
+    assert len(on_disk) == len(versions)
+    for name in on_disk:
+        with open(os.path.join(mdir, name)) as fh:
+            doc = json.load(fh)
+        assert doc["files"] and doc["version"]
+    # and the reader resolves the single highest one
+    latest = sinks._latest_manifest(spark, path)
+    assert latest is not None and latest[0] == max(versions)
