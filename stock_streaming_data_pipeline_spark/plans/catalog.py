@@ -117,8 +117,12 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     #    (streaming_bitmap_overlap, streaming_reverse_search);
     # 3) 47 more of the never-driver-green names in queue order.
     # Behind the boundary: the 20 leftover eligible names (round 9
-    # retires them) and the 2 rows-only sketches (permanently below the
-    # boundary -- a sampled no_oracle query grades as a red err row).
+    # retires them), approx_distinct_profile (got a bit-exact HLL++
+    # replica oracle AFTER this round's prefix was frozen+pre-verified;
+    # rotate it into the round-9 prefix), and approx_quantile_sketch
+    # (the one permanently rows-only query: Greenwald-Khanna merge is
+    # order-dependent, so the estimate is not a pure function of the
+    # value set -- a sampled no_oracle query grades as a red err row).
     # The 250-name driver-green union follows in registry order.
     # Membership is pinned by tests/test_catalog_order.py.
     "embedding_opq_topk",

@@ -369,12 +369,62 @@ def grouping_sets_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_approx_distinct_profile_expected(sf_dir: str) -> str:
+    """Literal-VALUES oracle for ``approx_distinct_profile``. HLL++
+    register merge is MAX (commutative/associative), so Spark's estimate
+    is a pure function of each group's value SET — partitioning-
+    independent, hence replayable: recompute the registers and Spark's
+    estimator in numpy (functions/hllpp_ref.py, pinned bit-exact in
+    tests/test_sketches.py) and freeze the expected counts. The exact
+    ``n_rows`` rides along as plain arithmetic. Cost is one duckdb
+    column scan + ~18M vectorized hashes at the sf1 sweep tier."""
+    import duckdb
+    import numpy as np
+
+    from stock_streaming_data_pipeline_spark.functions.hllpp_ref import (
+        approx_count_distinct_long,
+    )
+    from stock_streaming_data_pipeline_spark.tables import duck_glob
+
+    con = duckdb.connect()
+    tbl = con.execute(
+        "SELECT l_returnflag, l_partkey, l_suppkey, l_orderkey "
+        f"FROM read_parquet('{duck_glob(sf_dir, 'lineitem')}')"
+    ).fetchnumpy()
+    con.close()
+    flags = np.asarray(tbl["l_returnflag"], dtype=object)
+    rows = []
+    for flag in sorted(set(flags.tolist())):
+        sel = flags == flag
+        nds = [
+            approx_count_distinct_long(
+                np.asarray(tbl[c], dtype=np.int64)[sel], rsd=0.01
+            )
+            for c in ("l_partkey", "l_suppkey", "l_orderkey")
+        ]
+        rows.append((flag, *nds, int(sel.sum())))
+    values = ",\n".join(
+        f"('{f}', {p}, {s}, {o}, {n})" for f, p, s, o, n in rows
+    )
+    return (
+        "SELECT l_returnflag, CAST(nd_parts AS BIGINT) AS nd_parts,\n"
+        "       CAST(nd_suppliers AS BIGINT) AS nd_suppliers,\n"
+        "       CAST(nd_orders AS BIGINT) AS nd_orders,\n"
+        "       CAST(n_rows AS BIGINT) AS n_rows\n"
+        f"FROM (VALUES\n{values}\n"
+        ") AS t(l_returnflag, nd_parts, nd_suppliers, nd_orders, n_rows)"
+    )
+
+
 @register(
     "approx_distinct_profile",
     tags=("A4",),
-    # No oracle: HyperLogLog++ estimates are engine-specific by design.
-    # tests/test_sketches.py bounds the relative error against the exact
-    # distinct counts instead (rsd 0.01 -> observed error well under 5%).
+    # Oracle: HLL++ merge is MAX (order-independent), so the estimate is
+    # replayable off-engine — a numpy replica of Spark's registers +
+    # estimator (functions/hllpp_ref.py, bit-exact-pinned) freezes the
+    # expected counts as VALUES. tests/test_sketches.py additionally
+    # bounds the relative error against the exact distinct counts.
+    oracle_fn=_sql_approx_distinct_profile_expected,
 )
 def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier distinct counts: HyperLogLog++ per group. The 100 TB

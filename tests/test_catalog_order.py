@@ -43,9 +43,11 @@ def test_driver_prefix_is_checkable():
     """Every one of the first 50 queries must resolve to a REAL oracle:
     a sampled rows-only query grades as a red `err` row in the driver
     artifact (r6: dedup_minhash_lsh_xxh64 — since given a literal-VALUES
-    oracle_fn from the pure-Python XXH64 reference). Rows-only queries
-    (approx_distinct_profile, approx_quantile_sketch) must stay behind
-    the 50-query boundary permanently."""
+    oracle_fn from the pure-Python XXH64 reference). approx_quantile_sketch
+    (rows-only: GK merge is order-dependent) must stay behind the 50-query
+    boundary permanently; approx_distinct_profile gained a bit-exact HLL++
+    replica oracle after the round-8 prefix was frozen and joins the
+    round-9 rotation."""
     c = cat.catalog()
     prefix = list(c)[:50]
     rows_only = {n for n in prefix if cat.resolve_oracle(c[n], cat.DRIVER_SF_DIR) is None}

@@ -168,3 +168,138 @@ def test_hash_sampled_quantiles_close_to_exact(spark):
         assert abs(row["n_sampled"] - 0.25 * n) < 4 * (n * 0.25 * 0.75) ** 0.5
         # medians within 10% relative (value dist is heavy-tailed-ish)
         assert abs(row["p50"] - exact[et]["p50"]) / exact[et]["p50"] < 0.10
+
+
+# ---------------------------------------------------------------------------
+# HLL++ replica (functions/hllpp_ref.py): since round 8 the HLL++ query is
+# no longer rows-only — register merge is MAX (order-independent), so a
+# numpy replica of Spark's registers + estimator replays the estimate
+# bit-exactly off-engine and freezes it as a VALUES oracle. These tests pin
+# every layer of that replica against Spark itself.
+# ---------------------------------------------------------------------------
+
+
+def test_hllpp_frozen_tables_match_jvm(spark):
+    """The frozen correction tables must be bit-equal to the running
+    JVM's (Spark patches THRESHOLDS[p=14] to 15500 vs the paper's 11500,
+    so transcription from the paper would silently diverge)."""
+    import struct
+
+    from stock_streaming_data_pipeline_spark.functions import hllpp_tables as t
+
+    jvm = spark.sparkContext._jvm
+    comp = jvm.java.lang.Class.forName(
+        "org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper$"
+    )
+    mod = comp.getDeclaredField("MODULE$").get(None)
+
+    def bits(xs):
+        return [struct.pack("<d", float(x)) for x in xs]
+
+    assert bits(t.THRESHOLDS) == bits(mod.THRESHOLDS())
+    for p in t.RAW_ESTIMATE_DATA:
+        assert bits(t.RAW_ESTIMATE_DATA[p]) == bits(mod.RAW_ESTIMATE_DATA()[p - 4])
+        assert bits(t.BIAS_DATA[p]) == bits(mod.BIAS_DATA()[p - 4])
+
+
+def test_hllpp_xxh64_long_matches_spark(spark):
+    """Vectorized XXH64-of-BIGINT vs F.xxhash64 on edge values and a
+    random domain sweep."""
+    import numpy as np
+
+    from stock_streaming_data_pipeline_spark.functions.hllpp_ref import xxh64_long
+
+    rng = np.random.default_rng(8)
+    vals = np.concatenate(
+        [
+            np.array(
+                [0, 1, -1, 42, -42, 2**63 - 1, -(2**63), 2**31, -(2**31)],
+                dtype=np.int64,
+            ),
+            rng.integers(-(2**63), 2**63 - 1, size=500, dtype=np.int64),
+        ]
+    )
+    df = spark.createDataFrame([(int(v),) for v in vals.tolist()], "v long")
+    got = [r[0] for r in df.select(F.xxhash64("v")).collect()]
+    mine = xxh64_long(vals).view("int64").tolist()
+    assert got == mine
+
+
+def test_hllpp_estimate_bias_matches_jvm(spark):
+    """_estimate_bias vs the JVM helper's estimateBias, double-exact,
+    across the whole bias-corrected regime [m, 5m] including the table
+    boundaries and exact table values."""
+    import numpy as np
+
+    from stock_streaming_data_pipeline_spark.functions import hllpp_tables as t
+    from stock_streaming_data_pipeline_spark.functions.hllpp_ref import (
+        _estimate_bias,
+    )
+
+    jvm = spark.sparkContext._jvm
+    h = jvm.org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(0.01)
+    m = 1 << 14
+    rng = np.random.default_rng(14)
+    es = (
+        [float(x) for x in rng.uniform(m, 5.0 * m, size=400)]
+        + list(t.RAW_ESTIMATE_DATA[14][:8])
+        + [t.RAW_ESTIMATE_DATA[14][0] - 1.0, t.RAW_ESTIMATE_DATA[14][-1] + 1.0]
+    )
+    for e in es:
+        assert _estimate_bias(e, 14) == h.estimateBias(e), e
+
+
+def test_hllpp_estimate_matches_spark_all_regimes(spark):
+    """End-to-end: replica count == approx_count_distinct(rsd=0.01) on
+    cardinalities covering linear counting (small V), the bias-corrected
+    band (~m..5m), and the raw-estimate regime (>5m)."""
+    import numpy as np
+    import pandas as pd
+
+    from stock_streaming_data_pipeline_spark.functions.hllpp_ref import (
+        approx_count_distinct_long,
+    )
+
+    for n in (7, 3000, 20000, 60000, 120000, 500000):
+        rng = np.random.default_rng(n)
+        vals = rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+        df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+        got = df.select(
+            F.approx_count_distinct("v", rsd=0.01).alias("e")
+        ).collect()[0]["e"]
+        assert approx_count_distinct_long(vals, rsd=0.01) == got, n
+
+
+def test_hllpp_merge_is_partitioning_independent():
+    """The premise that makes the oracle sound: registers built from any
+    split of the data and merged with np.maximum equal the single-pass
+    registers (MAX is commutative/associative)."""
+    import numpy as np
+
+    from stock_streaming_data_pipeline_spark.functions.hllpp_ref import registers
+
+    rng = np.random.default_rng(99)
+    vals = rng.integers(-(2**62), 2**62, size=50000, dtype=np.int64)
+    whole = registers(vals, p=14)
+    parts = np.array_split(rng.permutation(vals), 7)
+    merged = np.zeros_like(whole)
+    for chunk in parts:
+        merged = np.maximum(merged, registers(chunk, p=14))
+    assert (whole == merged).all()
+
+
+def test_hllpp_oracle_values_match_duckdb_replay(spark):
+    """The generated VALUES oracle replays in DuckDB to exactly the rows
+    Spark produces at the driver's scale factor (the per-query commit
+    gate; the driver repeats this order-insensitively)."""
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.plans import catalog as cat
+
+    c = cat.catalog()["approx_distinct_profile"]
+    sql = cat.resolve_oracle(c, SF_CORRECT)
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    got = sorted(
+        tuple(r) for r in c.build(spark, SF_CORRECT).collect()
+    )
+    assert got == want
