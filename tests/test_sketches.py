@@ -303,3 +303,79 @@ def test_hllpp_oracle_values_match_duckdb_replay(spark):
         tuple(r) for r in c.build(spark, SF_CORRECT).collect()
     )
     assert got == want
+
+
+def test_hllpp_deep_registers_match_spark(spark):
+    """Adversarial deep-register pin: a register rank > 31 occurs with
+    probability 2^-32 per value, so no realistic dataset exercises the
+    estimator's large-rank path (`1.0 / (1L << M)` — exactly where an
+    int-vs-long shift bug would hide in either engine replica). XXH64 is
+    bijective (odd-constant multiplies, rotations, xor-shifts), so we
+    INVERT it to construct input values that hit chosen (idx, rank)
+    targets up to the maximum rank 51, then check registers and the
+    end-to-end estimate against Spark."""
+    import numpy as np
+    import pandas as pd
+
+    from stock_streaming_data_pipeline_spark.functions.hllpp_ref import (
+        approx_count_distinct_long,
+        registers,
+        xxh64_long,
+    )
+
+    m64 = (1 << 64) - 1
+    p1 = 11400714785074694791
+    p2 = 14029467366897019727
+    p3 = 1609587929392839161
+    p4 = 9650029242287828579
+    p5 = 2870177450012600261
+
+    def inv_odd(a):  # modular inverse mod 2^64 by Newton iteration
+        x = a
+        for _ in range(6):
+            x = (x * (2 - a * x)) & m64
+        assert (a * x) & m64 == 1
+        return x
+
+    def rotr(x, r):
+        return ((x >> r) | (x << (64 - r))) & m64
+
+    def inv_xorshift_r(y, k):  # invert x ^= x >> k
+        x = y
+        for _ in range(8):
+            x = y ^ (x >> k)
+        return x
+
+    inv_p1, inv_p2, inv_p3 = inv_odd(p1), inv_odd(p2), inv_odd(p3)
+
+    def xxh64_long_inverse(h, seed=42):
+        x = inv_xorshift_r(h, 32)
+        x = (x * inv_p3) & m64
+        x = inv_xorshift_r(x, 29)
+        x = (x * inv_p2) & m64
+        x = inv_xorshift_r(x, 33)
+        acc1 = rotr(((x - p4) * inv_p1) & m64, 27)
+        t = acc1 ^ ((seed + p5 + 8) & m64)
+        return (rotr((t * inv_p1) & m64, 31) * inv_p2) & m64
+
+    def value_for(idx, rank):  # p=14: idx = top 14 hash bits; rank from the rest
+        h = (idx << 50) if rank == 51 else (idx << 50) | (1 << (50 - rank))
+        v = xxh64_long_inverse(h)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    targets = [(0, 33), (1, 40), (12345, 45), (16383, 51), (7, 51), (99, 32), (100, 31)]
+    vals = np.array([value_for(i, r) for i, r in targets], dtype=np.int64)
+    # the constructed values really produce the target hashes...
+    assert [int(h >> np.uint64(50)) for h in xxh64_long(vals)] == [i for i, _ in targets]
+    # ...and the target register ranks
+    regs = registers(vals, p=14)
+    for idx, rank in targets:
+        assert regs[idx] == rank, (idx, rank, regs[idx])
+
+    rng = np.random.default_rng(1)
+    corpus = np.concatenate(
+        [vals, rng.integers(-(2**62), 2**62, size=30000, dtype=np.int64)]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"v": corpus}))
+    got = df.select(F.approx_count_distinct("v", rsd=0.01).alias("e")).collect()[0]["e"]
+    assert approx_count_distinct_long(corpus, rsd=0.01) == got
