@@ -444,9 +444,16 @@ def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "approx_quantile_sketch",
     tags=("A1", "A5"),
-    # No oracle: approx_percentile's accuracy parameter trades memory for
-    # rank error; tests/test_sketches.py bounds the rank error against the
-    # exact interpolated percentiles (``percentiles_by_group``).
+    # No oracle — MEASURED, not assumed (round-8 investigation): the GK
+    # summary's compression points depend on how rows were batched into
+    # partials, so the returned element is a function of the PARTITIONING
+    # above the raw domain (tests/test_sketches.py::
+    # test_gk_quantile_sketch_is_order_dependent_hence_rows_only pins a
+    # 32-vs-3-partition divergence), and the raw-exact boundary itself
+    # shifts with partitioning, so no crisp validity guard exists either.
+    # Contrast approx_distinct_profile, whose MAX register merge made an
+    # exact replica oracle possible. Rank-error quality is bounded by
+    # tests/test_sketches.py against the exact percentiles.
 )
 def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier percentiles per key (Greenwald-Khanna style summary).

@@ -379,3 +379,35 @@ def test_hllpp_deep_registers_match_spark(spark):
     df = spark.createDataFrame(pd.DataFrame({"v": corpus}))
     got = df.select(F.approx_count_distinct("v", rsd=0.01).alias("e")).collect()[0]["e"]
     assert approx_count_distinct_long(corpus, rsd=0.01) == got
+
+
+def test_gk_quantile_sketch_is_order_dependent_hence_rows_only(spark):
+    """Documents WHY approx_quantile_sketch is the one permanently
+    rows-only catalog query (round-8 investigation): Spark's
+    approx_percentile is a Greenwald-Khanna summary whose compression
+    points depend on how rows were batched into partials, so above the
+    raw-summary domain the returned element is a function of the
+    PARTITIONING, not just the value set — no engine-independent oracle
+    can exist. (Below ~5k rows the summary often stays raw and equals
+    sorted[ceil(q*n)-1], but the exact boundary shifts with partitioning
+    and data, so no crisp validity guard exists either — measured: n=5499
+    exact at 11 partitions, inexact at 1 and 32.) If this assertion ever
+    fails, Spark's implementation changed and oracle-ability deserves a
+    fresh look. Estimate QUALITY is pinned separately by
+    test_approx_quantiles_within_rank_bound."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(size=40000)
+    qs = [round(0.01 * k, 2) for k in range(1, 100)]
+
+    def quants(parts):
+        df = spark.createDataFrame(pd.DataFrame({"v": vals})).repartition(parts)
+        exprs = [
+            F.expr(f"approx_percentile(v, {q}, 10000)").alias(f"q{i}")
+            for i, q in enumerate(qs)
+        ]
+        return tuple(df.agg(*exprs).collect()[0])
+
+    assert quants(32) != quants(3)
