@@ -100,7 +100,12 @@ def _streaming_block(spark) -> dict:
     from stock_streaming_data_pipeline_spark.sources import streams, trades
     from stock_streaming_data_pipeline_spark.streaming.jobs import start_fanout
 
-    rows = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "200000"))
+    # 1M rows by default: the fan-out's fixed startup (4 streaming-query
+    # initializations + checkpoint dirs, ~3s on this host) dominates a
+    # 200k replay and under-reports steady-state throughput ~4x; at 1M
+    # the number converges to the topology's drain rate (SCALE.md
+    # "Measured throughput"). Costs ~4s more bench wall, once per run.
+    rows = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "1000000"))
     work = tempfile.mkdtemp(prefix="bench_stream_")
     try:
         src = os.path.join(work, "src")
