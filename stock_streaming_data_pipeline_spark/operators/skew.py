@@ -33,9 +33,10 @@ def salted_join(
 ) -> DataFrame:
     """Join fact⋈dim on key with S-way salting of the fact side.
 
-    fact gets a deterministic per-row salt in [0, S); dim is exploded to
-    all S salt values. The join key becomes (key, salt) — the hot key's
-    rows now land in S different shuffle partitions.
+    fact gets a per-row salt in [0, S) (partition-layout-dependent value,
+    result-invariant — see inline note); dim is exploded to all S salt
+    values. The join key becomes (key, salt) — the hot key's rows now
+    land in S different shuffle partitions.
 
     Only fact-preserving join types are supported: with the dim side
     replicated S-fold, a right/full outer join would emit every unmatched
@@ -51,8 +52,18 @@ def salted_join(
             "would duplicate unmatched dim rows. Use one of "
             "inner/left/left_semi/left_anti."
         )
+    # Per-row salt from monotonically_increasing_id, NOT a hash of the
+    # fact columns: hashing every column forced the scan to read the
+    # FULL fact row (defeating parquet column pruning — 11-wide lineitem
+    # read for a 2-column query; caught by the round-8 pruning lint).
+    # The id varies within a hot key (spreading it across salt buckets),
+    # reads zero data columns, and although its VALUE depends on the
+    # partition layout, the join RESULT is salt-assignment-invariant:
+    # the dim side carries every salt value, so any row joins its dim
+    # match under any salt — equality to the plain join is pinned in
+    # tests/test_scale_ops.py.
     salted_fact = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salts))
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salts))
     )
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(s) for s in range(salts)]))

@@ -18,7 +18,10 @@ kill 100 TB runs, so a new query can't regress the discipline silently:
   side (allowlisted where the cross side is a 1-row stats frame or a
   bounded centroid/query table);
 - row-at-a-time Python UDFs (BatchEvalPython) in batch plans — Arrow
-  paths (ArrowEvalPython, MapInPandas/FlatMapGroupsInPandas) are fine.
+  paths (ArrowEvalPython, MapInPandas/FlatMapGroupsInPandas) are fine;
+- unpruned full-width parquet scans of wide (>=5-column) tables —
+  column pruning must reach the ReadSchema (allowlisted where the
+  query genuinely consumes the whole row).
 
 Usage:
     python tools/plan_lint.py            # lint all batch queries @ sf0.001
@@ -195,6 +198,58 @@ SKIP = {name for name in ()}
 # money, to_json strings for vectors. DECIMAL stays fine as an
 # INTERMEDIATE (order-free exact accumulation) — this gate only checks
 # the result schema.
+# Queries whose semantics genuinely consume EVERY column of a wide
+# (>=5-column) table — the only legitimate full-width scans. Everything
+# else must let Catalyst prune the parquet ReadSchema: at 100 TB a scan
+# that reads 11 lineitem columns for a 2-column aggregate is a 5x I/O
+# regression the small tiers never surface. (This check caught
+# salted_join hashing ALL fact columns for its salt, round 8.)
+FULL_WIDTH_SCAN_ALLOW = {
+    "trade_ticks",  # projects event_id/ts/user_id/event_type/value/props — all 6
+}
+
+# Full table widths at the lint tier, read once (avoids re-reading
+# parquet footers per query).
+_TABLE_WIDTHS: dict[str, int] = {}
+
+
+def _table_widths() -> dict[str, int]:
+    if not _TABLE_WIDTHS:
+        import pyarrow.parquet as pq
+
+        from stock_streaming_data_pipeline_spark.tables import duck_glob
+        import glob as _glob
+
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            path = sorted(_glob.glob(duck_glob(SF_DIR, t)) or [f"{SF_DIR}/{t}.parquet"])[0]
+            _TABLE_WIDTHS[t] = len(pq.read_schema(path).names)
+    return _TABLE_WIDTHS
+
+
+def full_width_scans(executed_plan: str) -> list[str]:
+    """FileScan nodes that read EVERY column of a >=5-column table —
+    i.e. scans where Catalyst found nothing to prune. Narrow dims
+    (region/nation/supplier-width) are exempt: reading all of a 2-4
+    column table is usually the query's actual need and never the
+    I/O bottleneck."""
+    import re
+
+    widths = _table_widths()
+    hits = []
+    for m in re.finditer(
+        r"FileScan parquet \[([^\]]*)\][^\n]*Location:[^\n]*?/(\w+)\.parquet",
+        executed_plan,
+    ):
+        cols = [c.split("#")[0] for c in m.group(1).split(",") if c.strip()]
+        table = m.group(2)
+        if table in widths and widths[table] >= 5 and len(cols) >= widths[table]:
+            hits.append(f"{table} ({len(cols)}/{widths[table]} columns)")
+    return hits
+
+
 def fragile_final_columns(df) -> list[str]:
     from pyspark.sql import types as T
 
@@ -225,6 +280,13 @@ def lint_one(spark, name, build) -> list[str]:
         findings.append(f"{name}: broadcast hint over SF-scaled relation: {rel}")
     if "CartesianProduct" in plan:
         findings.append(f"{name}: CartesianProduct in physical plan")
+    if name not in FULL_WIDTH_SCAN_ALLOW:
+        for hit in full_width_scans(plan):
+            findings.append(
+                f"{name}: unpruned full-width parquet scan of {hit} — "
+                "project the needed columns (or allowlist if the query "
+                "genuinely consumes the whole row)"
+            )
     if "BatchEvalPython" in plan:
         findings.append(f"{name}: row-at-a-time Python UDF (BatchEvalPython)")
     if (
