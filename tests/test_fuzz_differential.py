@@ -1,0 +1,38 @@
+"""Per-commit slice of the generative differential fuzzer.
+
+tools/fuzz_differential.py generates random exact-typed SQL (BIGINT/
+string arithmetic, filters, joins, aggregates — the subset where
+cross-engine bit-equality is the contract) and runs it through Spark AND
+DuckDB over the same tables. Deep runs happen per-round from the CLI
+(round 8: 700 seeds across sf0.001/sf0.01, zero divergences); this test
+pins a fixed seed range so grammar or session regressions can't land
+silently.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from tests.conftest import SF_CORRECT  # noqa: E402
+
+
+def test_fuzz_seeds_0_to_39_match_duckdb(spark):
+    import fuzz_differential as fz
+
+    from stock_streaming_data_pipeline_spark.tables import duck_glob, load_table
+
+    sf_dir = SF_CORRECT.replace("0.01", "0.001")
+    con = duckdb.connect()
+    for t in fz.TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{duck_glob(sf_dir, t)}')"
+        )
+    errors = [e for e in (fz.run_one(spark, con, s) for s in range(40)) if e]
+    con.close()
+    assert errors == [], "\n".join(errors)

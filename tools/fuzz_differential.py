@@ -1,0 +1,268 @@
+"""Generative differential fuzzer: random exact-typed SQL vs DuckDB.
+
+The 322-query catalog differential pins FIXED plans; this tool extends
+the same oracle discipline to a GENERATED space — random query ASTs over
+the integer/string columns of the TPC-H-ish tables, rendered to both
+engines' dialects (identical text except integer division: Spark ``DIV``,
+DuckDB ``//``) and compared as row multisets. Any divergence is either an
+engine-semantics landmine worth excluding from the oracle grammar (and
+documenting) or a real bug in how this repo's sessions configure Spark.
+
+Grammar is deliberately EXACT-ONLY (BIGINT/INT arithmetic, strings,
+count/count-distinct/min/max/sum aggregates, inner/left equi-joins,
+filters, CASE, IN, DISTINCT) — the repo's parity rules exist precisely
+because float aggregation order diverges across engines; the fuzzer
+explores the space where bit-equality is the contract. Known dialect
+rules encoded here (probed before building):
+
+- integer division truncates toward zero in BOTH (`7 DIV 2`/`7 // 2`,
+  `-7 DIV 2 == -3`), remainder takes the dividend's sign in both;
+- `||`, upper/lower/substr (1-based)/length match;
+- CAST(double AS BIGINT) is NOT in the grammar: Spark truncates,
+  DuckDB rounds — a real landmine the catalog's money() discipline
+  already avoids (floor()/DECIMAL casts).
+
+Usage:
+    python tools/fuzz_differential.py --seeds 200            # sf0.001
+    python tools/fuzz_differential.py --seeds 50 --sf 0.01
+    python tools/fuzz_differential.py --seed 1234 --show     # one repro
+
+Exit code 1 on any mismatch; each mismatch prints the seed and the SQL
+for both engines. tests/test_fuzz_differential.py pins a fixed seed
+range per commit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import sys
+
+sys.path.insert(0, ".")
+
+# (table, [(col, kind)]) — exact-typed columns only (no doubles, no
+# timestamps: those go through the catalog's parity rules, not raw SQL).
+TABLES: dict[str, list[tuple[str, str]]] = {
+    "lineitem": [
+        ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+        ("l_linenumber", "int"), ("l_returnflag", "str"), ("l_linestatus", "str"),
+    ],
+    "orders": [
+        ("o_orderkey", "int"), ("o_custkey", "int"),
+        ("o_orderstatus", "str"), ("o_orderpriority", "str"),
+    ],
+    "customer": [
+        ("c_custkey", "int"), ("c_nationkey", "int"),
+        ("c_name", "str"), ("c_mktsegment", "str"),
+    ],
+    "part": [
+        ("p_partkey", "int"), ("p_size", "int"),
+        ("p_brand", "str"), ("p_type", "str"),
+    ],
+    "events": [
+        ("event_id", "int"), ("user_id", "int"), ("event_type", "str"),
+    ],
+    "documents": [
+        ("doc_id", "int"), ("n_chars", "int"), ("lang", "str"), ("source", "str"),
+    ],
+}
+
+# Inner/left equi-join edges that actually match rows in the data.
+JOINS: list[tuple[str, str, str, str]] = [
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+]
+
+STR_LITS = {
+    "l_returnflag": ["'A'", "'N'", "'R'"],
+    "l_linestatus": ["'O'", "'F'"],
+    "o_orderstatus": ["'O'", "'F'", "'P'"],
+    "o_orderpriority": ["'1-URGENT'", "'2-HIGH'", "'3-MEDIUM'"],
+    "c_mktsegment": ["'BUILDING'", "'AUTOMOBILE'", "'MACHINERY'"],
+    "event_type": ["'click'", "'view'", "'purchase'", "'error'", "'signup'"],
+    "lang": ["'en'", "'de'", "'fr'"],
+    "source": ["'web'", "'wiki'", "'forum'", "'code'"],
+    "p_brand": ["'Brand#11'", "'Brand#22'", "'Brand#33'"],
+}
+GENERIC_STR_LITS = ["'A'", "'x'", "''", "'zz'"]
+
+
+class Gen:
+    """One random query: an AST rendered per dialect (only integer
+    division differs). self.cols tracks the live output schema."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed)
+        self.seed = seed
+
+    # -- scalar expressions over a column pool ---------------------------
+    def int_expr(self, cols: list[tuple[str, str]], depth: int = 0) -> str:
+        ints = [c for c, k in cols if k == "int"]
+        r = self.rng
+        if depth >= 2 or not ints or r.random() < 0.35:
+            return r.choice(ints) if ints and r.random() < 0.8 else str(r.randint(-9, 99))
+        a = self.int_expr(cols, depth + 1)
+        b = self.int_expr(cols, depth + 1)
+        op = r.choice(["+", "-", "*", "INTDIV", "%"])
+        if op == "*":
+            return f"({a} * {r.randint(-5, 7)})"  # bounded multiplier: no overflow
+        if op in ("INTDIV", "%"):
+            lit = r.choice([2, 3, 5, 7, 11, -3])
+            return f"({a} {{intdiv}} {lit})" if op == "INTDIV" else f"({a} % {lit})"
+        return f"({a} {op} {b})"
+
+    def str_expr(self, cols: list[tuple[str, str]], depth: int = 0) -> str:
+        strs = [c for c, k in cols if k == "str"]
+        r = self.rng
+        if not strs:
+            return r.choice(GENERIC_STR_LITS)
+        c = r.choice(strs)
+        if depth >= 1:
+            return c
+        return r.choice([
+            c,
+            f"upper({c})",
+            f"lower({c})",
+            f"substr({c}, {r.randint(1, 3)}, {r.randint(1, 4)})",
+            f"({c} || {r.choice(STR_LITS.get(c, GENERIC_STR_LITS))})",
+            f"(CASE WHEN length({c}) > {r.randint(0, 6)} THEN {c} ELSE 'short' END)",
+        ])
+
+    def predicate(self, cols: list[tuple[str, str]]) -> str:
+        r = self.rng
+        kind = r.choice(["int", "str", "int", "and_or"])
+        if kind == "and_or":
+            a, b = self.predicate(cols), self.predicate(cols)
+            return f"({a} {r.choice(['AND', 'OR'])} {b})"
+        if kind == "int":
+            e = self.int_expr(cols)
+            op = r.choice(["<", "<=", ">", ">=", "=", "<>"])
+            return f"({e} {op} {r.randint(-5, 4000)})"
+        strs = [c for c, k in cols if k == "str"]
+        if not strs:
+            return "(1 = 1)"
+        c = r.choice(strs)
+        lits = STR_LITS.get(c, GENERIC_STR_LITS)
+        if r.random() < 0.3 and len(lits) >= 2:
+            return f"({c} IN ({', '.join(r.sample(lits, 2))}))"
+        return f"({c} {r.choice(['=', '<>', '<', '>='])} {r.choice(lits)})"
+
+    # -- relational pipeline ---------------------------------------------
+    def build(self) -> str:
+        """Returns a SQL template with {intdiv} placeholders."""
+        r = self.rng
+        if r.random() < 0.4:
+            base, other, lk, rk = r.choice(JOINS)
+            how = r.choice(["JOIN", "LEFT JOIN"])
+            frm = f"{base} {how} {other} ON {base}.{lk} = {other}.{rk}"
+            cols = TABLES[base] + TABLES[other]
+        else:
+            base = r.choice(list(TABLES))
+            frm = base
+            cols = TABLES[base]
+
+        where = f"WHERE {self.predicate(cols)}" if r.random() < 0.75 else ""
+
+        shape = r.choice(["agg", "agg", "select", "distinct"])
+        if shape == "agg":
+            n_keys = r.randint(0, 2)
+            keys = r.sample(cols, min(n_keys, len(cols)))
+            key_sql = [c for c, _ in keys]
+            aggs = []
+            for i in range(r.randint(1, 3)):
+                a = r.choice(["count", "countd", "min", "max", "sum"])
+                if a == "count":
+                    aggs.append(f"count(*) AS a{i}")
+                elif a == "countd":
+                    c, _ = r.choice(cols)
+                    aggs.append(f"count(DISTINCT {c}) AS a{i}")
+                elif a == "sum":
+                    aggs.append(f"sum({self.int_expr(cols)}) AS a{i}")
+                else:
+                    c, k = r.choice(cols)
+                    aggs.append(f"{a}({c}) AS a{i}")
+            sel = ", ".join(key_sql + aggs)
+            group = f"GROUP BY {', '.join(key_sql)}" if key_sql else ""
+            having = ""
+            if key_sql and r.random() < 0.3:
+                having = f"HAVING count(*) > {r.randint(0, 3)}"
+            return f"SELECT {sel} FROM {frm} {where} {group} {having}"
+
+        projs = []
+        for i in range(r.randint(2, 4)):
+            if r.random() < 0.5:
+                projs.append(f"{self.int_expr(cols)} AS c{i}")
+            else:
+                projs.append(f"{self.str_expr(cols)} AS c{i}")
+        distinct = "DISTINCT " if shape == "distinct" else ""
+        return f"SELECT {distinct}{', '.join(projs)} FROM {frm} {where}"
+
+
+def render(template: str, dialect: str) -> str:
+    return template.replace("{intdiv}", "DIV" if dialect == "spark" else "//")
+
+
+def run_one(spark, con, seed: int, show: bool = False) -> str | None:
+    """Returns an error description on mismatch, else None."""
+    template = Gen(seed).build()
+    spark_sql = render(template, "spark")
+    duck_sql = render(template, "duck")
+    if show:
+        print(f"-- seed {seed}\n{spark_sql}")
+    try:
+        got = sorted(tuple(r) for r in spark.sql(spark_sql).collect())
+    except Exception as e:
+        return f"seed {seed}: SPARK ERROR {type(e).__name__}: {str(e)[:200]}\n{spark_sql}"
+    try:
+        want = sorted(tuple(r) for r in con.execute(duck_sql).fetchall())
+    except Exception as e:
+        return f"seed {seed}: DUCKDB ERROR {type(e).__name__}: {str(e)[:200]}\n{duck_sql}"
+    if got != want:
+        diff_a = [r for r in got if r not in want][:3]
+        diff_b = [r for r in want if r not in got][:3]
+        return (
+            f"seed {seed}: MISMATCH spark_rows={len(got)} duck_rows={len(want)}\n"
+            f"  spark-only: {diff_a}\n  duck-only: {diff_b}\n  {spark_sql}"
+        )
+    return None
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=100, help="seeds 0..N-1")
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=None, help="run one seed")
+    ap.add_argument("--sf", default="0.001")
+    ap.add_argument("--show", action="store_true")
+    args = ap.parse_args(argv)
+    sf_dir = f"/root/testdata/sf{args.sf}"
+
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.session import get_spark
+    from stock_streaming_data_pipeline_spark.tables import duck_glob, load_table
+
+    spark = get_spark("fuzz-differential", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{duck_glob(sf_dir, t)}')"
+        )
+
+    seeds = [args.seed] if args.seed is not None else range(args.start, args.start + args.seeds)
+    bad = 0
+    for s in seeds:
+        err = run_one(spark, con, s, show=args.show)
+        if err:
+            bad += 1
+            print("FUZZ", err)
+    n = 1 if args.seed is not None else args.seeds
+    print(f"fuzzed {n} queries at sf{args.sf}: {bad} divergences")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
