@@ -104,12 +104,17 @@ class Gen:
             return r.choice(ints) if ints and r.random() < 0.8 else str(r.randint(-9, 99))
         a = self.int_expr(cols, depth + 1)
         b = self.int_expr(cols, depth + 1)
-        op = r.choice(["+", "-", "*", "INTDIV", "%"])
+        op = r.choice(["+", "-", "*", "INTDIV", "%", "abs", "gl"])
         if op == "*":
             return f"({a} * {r.randint(-5, 7)})"  # bounded multiplier: no overflow
         if op in ("INTDIV", "%"):
             lit = r.choice([2, 3, 5, 7, 11, -3])
             return f"({a} {{intdiv}} {lit})" if op == "INTDIV" else f"({a} % {lit})"
+        if op == "abs":
+            return f"abs({a})"
+        if op == "gl":
+            # both engines skip NULL args in greatest/least (probed)
+            return f"{r.choice(['greatest', 'least'])}({a}, {b})"
         return f"({a} {op} {b})"
 
     def str_expr(self, cols: list[tuple[str, str]], depth: int = 0) -> str:
@@ -129,11 +134,27 @@ class Gen:
             f"(CASE WHEN length({c}) > {r.randint(0, 6)} THEN {c} ELSE 'short' END)",
         ])
 
-    def predicate(self, cols: list[tuple[str, str]]) -> str:
+    def predicate(self, cols: list[tuple[str, str]], table: str | None = None) -> str:
         r = self.rng
-        kind = r.choice(["int", "str", "int", "and_or"])
+        kind = r.choice(["int", "str", "int", "and_or", "in_subquery"])
+        if kind == "in_subquery" and table is not None:
+            # key IN (SELECT other side's key WHERE simple pred) over a
+            # real join edge — semi-join semantics, both engines ANSI.
+            edges = [e for e in JOINS if table in (e[0], e[1])]
+            if edges:
+                lt, rt, lk, rk = r.choice(edges)
+                me, other = (lk, (rt, rk)) if table == lt else (rk, (lt, lk))
+                sub_pred = self.predicate(TABLES[other[0]])
+                neg = "NOT " if r.random() < 0.25 else ""
+                return (
+                    f"({me} {neg}IN (SELECT {other[1]} FROM {other[0]} "
+                    f"WHERE {sub_pred}))"
+                )
+            kind = "int"
+        if kind == "in_subquery":
+            kind = "str"
         if kind == "and_or":
-            a, b = self.predicate(cols), self.predicate(cols)
+            a, b = self.predicate(cols, table), self.predicate(cols, table)
             return f"({a} {r.choice(['AND', 'OR'])} {b})"
         if kind == "int":
             e = self.int_expr(cols)
@@ -149,20 +170,49 @@ class Gen:
         return f"({c} {r.choice(['=', '<>', '<', '>='])} {r.choice(lits)})"
 
     # -- relational pipeline ---------------------------------------------
+    def _typed_select(self, table: str, sig: list[str]) -> str:
+        """One SELECT over `table` with projections matching the type
+        signature — the aligned halves of a set operation."""
+        cols = TABLES[table]
+        projs = []
+        for i, kind in enumerate(sig):
+            e = self.int_expr(cols) if kind == "int" else self.str_expr(cols)
+            projs.append(f"{e} AS c{i}")
+        where = (
+            f"WHERE {self.predicate(cols, table)}"
+            if self.rng.random() < 0.8
+            else ""
+        )
+        return f"SELECT {', '.join(projs)} FROM {table} {where}"
+
     def build(self) -> str:
         """Returns a SQL template with {intdiv} placeholders."""
         r = self.rng
+        if r.random() < 0.18:
+            # set operation: two same-signature selects over one table.
+            # UNION/EXCEPT/INTERSECT are DISTINCT-semantics in both
+            # engines (probed); UNION ALL is bag semantics in both.
+            table = r.choice(list(TABLES))
+            sig = [r.choice(["int", "str"]) for _ in range(r.randint(1, 3))]
+            op = r.choice(["UNION ALL", "UNION", "EXCEPT", "INTERSECT"])
+            return f"{self._typed_select(table, sig)} {op} {self._typed_select(table, sig)}"
         if r.random() < 0.4:
             base, other, lk, rk = r.choice(JOINS)
             how = r.choice(["JOIN", "LEFT JOIN"])
             frm = f"{base} {how} {other} ON {base}.{lk} = {other}.{rk}"
             cols = TABLES[base] + TABLES[other]
+            pred_table = None  # IN-subquery keys could be ambiguous here
         else:
             base = r.choice(list(TABLES))
             frm = base
             cols = TABLES[base]
+            pred_table = base
 
-        where = f"WHERE {self.predicate(cols)}" if r.random() < 0.75 else ""
+        where = (
+            f"WHERE {self.predicate(cols, pred_table)}"
+            if r.random() < 0.75
+            else ""
+        )
 
         shape = r.choice(["agg", "agg", "select", "distinct"])
         if shape == "agg":
