@@ -67,6 +67,22 @@ TABLES: dict[str, list[tuple[str, str]]] = {
     ],
 }
 
+# VERIFIED-unique total-order key per table — window ORDER BY must be
+# total for the result to be deterministic (comparison is
+# order-insensitive, but frame CONTENTS must not depend on
+# tie-breaking). lineitem is deliberately absent: the SYNTHETIC
+# generator duplicates (l_orderkey, l_linenumber) — 4599 distinct pairs
+# for 6000 rows at sf0.001 — which the fuzzer itself discovered as 3
+# tie-break "divergences" before this restriction (both engines were
+# right; the order just wasn't total).
+UNIQUE_KEYS: dict[str, list[str]] = {
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+}
+
 # Inner/left equi-join edges that actually match rows in the data.
 JOINS: list[tuple[str, str, str, str]] = [
     ("lineitem", "orders", "l_orderkey", "o_orderkey"),
@@ -185,9 +201,55 @@ class Gen:
         )
         return f"SELECT {', '.join(projs)} FROM {table} {where}"
 
+    def _window_select(self) -> str:
+        """Window functions over a deterministic total order: rank/
+        dense_rank/row_number/lag/lead/framed sums ordered by (optional
+        non-unique prefix +) the table's unique key, optionally
+        partitioned by a category column. ROWS frames only — with a
+        TOTAL order their contents are deterministic; RANGE adds peer
+        semantics both engines share but needs numeric-order care."""
+        r = self.rng
+        table = r.choice(list(UNIQUE_KEYS))
+        cols = TABLES[table]
+        uniq = ", ".join(UNIQUE_KEYS[table])
+        strs = [c for c, k in cols if k == "str"]
+        part = f"PARTITION BY {r.choice(strs)} " if strs and r.random() < 0.6 else ""
+        prefix = ""
+        if r.random() < 0.5:
+            pc, _ = r.choice(cols)
+            prefix = f"{pc} {r.choice(['ASC', 'DESC'])}, "
+        order = f"ORDER BY {prefix}{uniq}"
+        projs = [c for c, _ in r.sample(cols, min(2, len(cols)))]
+        for i in range(r.randint(1, 2)):
+            fn = r.choice(["rank()", "dense_rank()", "row_number()",
+                           "lag", "lead", "sum", "count", "min"])
+            if fn in ("rank()", "dense_rank()", "row_number()"):
+                projs.append(f"{fn} OVER ({part}{order}) AS w{i}")
+            elif fn in ("lag", "lead"):
+                c = r.choice([c for c, k in cols if k == "int"])
+                projs.append(
+                    f"{fn}({c}, {r.randint(1, 3)}, {r.randint(-9, 9)}) "
+                    f"OVER ({part}{order}) AS w{i}"
+                )
+            else:
+                e = self.int_expr(cols)
+                frame = r.choice([
+                    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                    f"ROWS BETWEEN {r.randint(1, 4)} PRECEDING AND CURRENT ROW",
+                    f"ROWS BETWEEN 1 PRECEDING AND {r.randint(1, 3)} FOLLOWING",
+                ])
+                arg = "*" if fn == "count" else e
+                projs.append(f"{fn}({arg}) OVER ({part}{order} {frame}) AS w{i}")
+        where = (
+            f"WHERE {self.predicate(cols, table)}" if r.random() < 0.6 else ""
+        )
+        return f"SELECT {', '.join(projs)} FROM {table} {where}"
+
     def build(self) -> str:
         """Returns a SQL template with {intdiv} placeholders."""
         r = self.rng
+        if r.random() < 0.15:
+            return self._window_select()
         if r.random() < 0.18:
             # set operation: two same-signature selects over one table.
             # UNION/EXCEPT/INTERSECT are DISTINCT-semantics in both
