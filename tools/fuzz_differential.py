@@ -40,16 +40,20 @@ import sys
 
 sys.path.insert(0, ".")
 
-# (table, [(col, kind)]) — exact-typed columns only (no doubles, no
-# timestamps: those go through the catalog's parity rules, not raw SQL).
+# (table, [(col, kind)]) — exact-typed columns only (no doubles: float
+# aggregation order diverges across engines by design). Timestamps ride
+# the catalog's exact bridge: calendar fields + Spark unix_micros ==
+# DuckDB epoch_us; raw ts only in comparisons and min/max.
 TABLES: dict[str, list[tuple[str, str]]] = {
     "lineitem": [
         ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
         ("l_linenumber", "int"), ("l_returnflag", "str"), ("l_linestatus", "str"),
+        ("l_shipdate", "ts"),
     ],
     "orders": [
         ("o_orderkey", "int"), ("o_custkey", "int"),
         ("o_orderstatus", "str"), ("o_orderpriority", "str"),
+        ("o_orderdate", "ts"),
     ],
     "customer": [
         ("c_custkey", "int"), ("c_nationkey", "int"),
@@ -61,6 +65,7 @@ TABLES: dict[str, list[tuple[str, str]]] = {
     ],
     "events": [
         ("event_id", "int"), ("user_id", "int"), ("event_type", "str"),
+        ("ts", "ts"),
     ],
     "documents": [
         ("doc_id", "int"), ("n_chars", "int"), ("lang", "str"), ("source", "str"),
@@ -113,9 +118,26 @@ class Gen:
         self.seed = seed
 
     # -- scalar expressions over a column pool ---------------------------
+    def ts_int(self, cols: list[tuple[str, str]]) -> str | None:
+        """A ts column surfaced as an exact integer: calendar fields
+        (identical in both engines, probed) or epoch micros via the
+        repo's bridge (Spark unix_micros == DuckDB epoch_us — the
+        catalog-wide timestamp discipline). date_trunc is deliberately
+        absent: DuckDB returns DATE where Spark returns TIMESTAMP."""
+        tss = [c for c, k in cols if k == "ts"]
+        if not tss:
+            return None
+        c = self.rng.choice(tss)
+        fn = self.rng.choice(["year", "month", "day", "hour", "epoch"])
+        return f"{{epoch}}({c})" if fn == "epoch" else f"{fn}({c})"
+
     def int_expr(self, cols: list[tuple[str, str]], depth: int = 0) -> str:
         ints = [c for c, k in cols if k == "int"]
         r = self.rng
+        if r.random() < 0.12:
+            t = self.ts_int(cols)
+            if t is not None:
+                return t
         if depth >= 2 or not ints or r.random() < 0.35:
             return r.choice(ints) if ints and r.random() < 0.8 else str(r.randint(-9, 99))
         a = self.int_expr(cols, depth + 1)
@@ -173,6 +195,13 @@ class Gen:
             a, b = self.predicate(cols, table), self.predicate(cols, table)
             return f"({a} {r.choice(['AND', 'OR'])} {b})"
         if kind == "int":
+            tss = [c for c, k in cols if k == "ts"]
+            if tss and r.random() < 0.25:
+                c = r.choice(tss)
+                day = r.randint(1, 28)
+                mon = r.randint(1, 3)
+                op = r.choice(["<", "<=", ">", ">="])
+                return f"({c} {op} TIMESTAMP '2024-{mon:02d}-{day:02d} 12:00:00')"
             e = self.int_expr(cols)
             op = r.choice(["<", "<=", ">", ">=", "=", "<>"])
             return f"({e} {op} {r.randint(-5, 4000)})"
@@ -312,7 +341,10 @@ class Gen:
 
 
 def render(template: str, dialect: str) -> str:
-    return template.replace("{intdiv}", "DIV" if dialect == "spark" else "//")
+    spark = dialect == "spark"
+    return template.replace("{intdiv}", "DIV" if spark else "//").replace(
+        "{epoch}", "unix_micros" if spark else "epoch_us"
+    )
 
 
 def run_one(spark, con, seed: int, show: bool = False) -> str | None:
