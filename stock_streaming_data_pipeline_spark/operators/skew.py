@@ -18,6 +18,8 @@ small side anyway).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,13 +32,29 @@ def salted_join(
     dim_key: str,
     salts: int = 8,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Join fact⋈dim on key with S-way salting of the fact side.
 
-    fact gets a per-row salt in [0, S) (partition-layout-dependent value,
-    result-invariant — see inline note); dim is exploded to all S salt
+    fact gets a per-row salt in [0, S); dim is exploded to all S salt
     values. The join key becomes (key, salt) — the hot key's rows now
     land in S different shuffle partitions.
+
+    ``salt_cols``: columns whose hash assigns the salt. Pass a NARROW
+    subset the query reads anyway (e.g. the key plus one varying measure
+    column) — the salt is then a deterministic function of row content,
+    which matters under failure recovery: a salt from
+    ``monotonically_increasing_id`` depends on row order, so a fact
+    partition recomputed after a shuffle-fetch failure can re-salt the
+    same rows differently and duplicate/drop join rows (the SPARK-23207
+    bug class — routine at 100 TB where fetch failures are expected).
+    Hashing ALL fact columns instead would defeat parquet column pruning
+    (the round-8 lint catch), hence caller-chosen columns.
+
+    When ``salt_cols`` is None the salt falls back to
+    ``monotonically_increasing_id`` — only safe when every upstream
+    stage of ``fact`` is deterministic AND the caller accepts the retry
+    caveat above; prefer passing salt_cols.
 
     Only fact-preserving join types are supported: with the dim side
     replicated S-fold, a right/full outer join would emit every unmatched
@@ -52,19 +70,16 @@ def salted_join(
             "would duplicate unmatched dim rows. Use one of "
             "inner/left/left_semi/left_anti."
         )
-    # Per-row salt from monotonically_increasing_id, NOT a hash of the
-    # fact columns: hashing every column forced the scan to read the
-    # FULL fact row (defeating parquet column pruning — 11-wide lineitem
-    # read for a 2-column query; caught by the round-8 pruning lint).
-    # The id varies within a hot key (spreading it across salt buckets),
-    # reads zero data columns, and although its VALUE depends on the
-    # partition layout, the join RESULT is salt-assignment-invariant:
-    # the dim side carries every salt value, so any row joins its dim
-    # match under any salt — equality to the plain join is pinned in
-    # tests/test_scale_ops.py.
-    salted_fact = fact.withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salts))
-    )
+    # The join RESULT is salt-assignment-invariant (the dim side carries
+    # every salt value, so any row joins its dim match under any salt —
+    # equality to the plain join is pinned in tests/test_scale_ops.py);
+    # determinism of the assignment only matters for task-retry
+    # consistency, per the docstring.
+    if salt_cols:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salts))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(salts))
+    salted_fact = fact.withColumn("_salt", salt)
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(s) for s in range(salts)]))
     )

@@ -1045,7 +1045,12 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(load_table(spark, sf_dir, "nation")),
         F.col("c_nationkey") == F.col("n_nationkey"),
     ).select("c_custkey", "n_name")
-    joined = salted_join(orders, cust, fact_key="o_custkey", dim_key="c_custkey", salts=8)
+    # salt_cols: both columns the query already projects — deterministic
+    # retry-safe salt assignment without widening the parquet ReadSchema.
+    joined = salted_join(
+        orders, cust, fact_key="o_custkey", dim_key="c_custkey", salts=8,
+        salt_cols=("o_custkey", "o_totalprice"),
+    )
     return joined.groupBy("n_name").agg(
         F.sum(money(F.col("o_totalprice"))).cast("decimal(18,4)").cast("double")
         .alias("total_price"),

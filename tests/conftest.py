@@ -10,6 +10,10 @@ sys.path.insert(0, str(REPO))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
+# The differential fuzzer's pinned-seed tier — explicit, NOT derived by
+# string surgery on SF_CORRECT (a silent no-op if that ever changes
+# tier/format would rerun the pins against the wrong dataset; ADVICE r8).
+SF_FUZZ = SF_SMOKE
 
 
 @pytest.fixture(scope="session")

@@ -18,7 +18,7 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
-from tests.conftest import SF_CORRECT  # noqa: E402
+from tests.conftest import SF_FUZZ  # noqa: E402
 
 
 def test_fuzz_seeds_0_to_39_match_duckdb(spark):
@@ -26,7 +26,7 @@ def test_fuzz_seeds_0_to_39_match_duckdb(spark):
 
     from stock_streaming_data_pipeline_spark.tables import duck_glob, load_table
 
-    sf_dir = SF_CORRECT.replace("0.01", "0.001")
+    sf_dir = SF_FUZZ
     con = duckdb.connect()
     for t in fz.TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -54,6 +54,42 @@ def test_salted_join_left_variants_match_plain(spark):
         assert salted.exceptAll(plain).count() == 0, how
 
 
+def test_salted_join_salt_cols_deterministic_and_equal(spark):
+    """salt_cols makes the salt a pure function of row content (retry-safe
+    under recomputation — ADVICE r8: monotonically_increasing_id depends
+    on row order) and the result still equals the plain join on a skewed
+    fact table."""
+    fact = spark.range(20_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 100)
+        .cast("long").alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("dk"), F.concat(F.lit("name_"), F.col("id")).alias("name")
+    )
+    plain = fact.join(dim, fact.k == dim.dk, "inner").select("k", "payload", "name")
+    salted = salted_join(
+        fact, dim, fact_key="k", dim_key="dk", salts=8,
+        salt_cols=("k", "payload"),
+    ).select("k", "payload", "name")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    # determinism: the salt expression is content-hashed, so the salted
+    # fact side contains no nondeterministic expression
+    salted_plan = salted._jdf.queryExecution().analyzed().treeString()
+    assert "monotonically_increasing_id" not in salted_plan
+    assert "xxhash64" in salted_plan
+    # and the hot key really is spread across multiple salt buckets
+    n_buckets = (
+        fact.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("k"), F.col("payload")), F.lit(8))
+        )
+        .filter(F.col("k") == 7)
+        .select("_salt").distinct().count()
+    )
+    assert n_buckets == 8
+
+
 def test_salted_join_rejects_outer_on_dim(spark):
     """right/full would emit unmatched dim rows S times — refused
     (ADVICE r1)."""

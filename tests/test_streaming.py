@@ -315,9 +315,9 @@ def test_settle_refuses_fact_grained_output(spark, monkeypatch):
     from stock_streaming_data_pipeline_spark.sources.streams import stream_events
     from tests.conftest import SF_SMOKE
 
-    # Pin BOTH cap sources: the module default AND the env override that
-    # tools/check_oracle exports at import (other tests import it, so in
-    # a full-suite run the env var is already set process-wide).
+    # Pin BOTH cap sources: the module default AND the env override (a
+    # leaked SPARK_GRAFT_SETTLE_MAX_ROWS from a prior harness run would
+    # otherwise mask the guard).
     monkeypatch.setattr(sq, "SETTLE_MAX_ROWS", 10)
     monkeypatch.setenv("SPARK_GRAFT_SETTLE_MAX_ROWS", "10")
     passthrough = stream_events(spark, SF_SMOKE).select("event_id", "event_type")
@@ -327,6 +327,29 @@ def test_settle_refuses_fact_grained_output(spark, monkeypatch):
     agg = stream_events(spark, SF_SMOKE).groupBy("event_type").count()
     out = sq.settle(agg, "complete")
     assert 0 < out.count() <= 10
+
+
+def test_check_oracle_import_does_not_raise_settle_cap(monkeypatch):
+    """Importing tools/check_oracle (conftest and the schema-gate tests do,
+    for its compare/duck_connection helpers) must NOT export the raised
+    SPARK_GRAFT_SETTLE_MAX_ROWS into the process: the r8 import-time
+    setdefault silently disabled the production 100k settle() guard for
+    the rest of any session that imported the module (VERDICT r8 'What's
+    wrong' #3). The override now lives in check_oracle.main() only."""
+    import importlib
+    import os
+    import sys
+    from pathlib import Path
+
+    monkeypatch.delenv("SPARK_GRAFT_SETTLE_MAX_ROWS", raising=False)
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import check_oracle
+
+    importlib.reload(check_oracle)
+    assert "SPARK_GRAFT_SETTLE_MAX_ROWS" not in os.environ
+    from stock_streaming_data_pipeline_spark.plans import streaming_queries as sq
+
+    assert sq._settle_cap() == sq.SETTLE_MAX_ROWS == 100_000
 
 
 def test_kafka_payload_cents_format_handles_negatives(spark):

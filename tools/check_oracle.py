@@ -16,12 +16,6 @@ import os
 import sys
 import time
 
-# The checker compares FULL query outputs by design (it toPandas()es the
-# Spark side already, bounded by spark.driver.maxResultSize), so big-tier
-# sweeps must not trip the production settle() memory-sink cap when a
-# 1M-event replay legitimately settles a fact-grained differential result.
-os.environ.setdefault("SPARK_GRAFT_SETTLE_MAX_ROWS", "5000000")
-
 import duckdb
 import numpy as np
 import pandas as pd
@@ -198,6 +192,18 @@ def main() -> int:
     )
     args = ap.parse_args()
     sf_dir = args.dir or f"/root/testdata/sf{args.sf}"
+
+    # The checker compares FULL query outputs by design (it toPandas()es
+    # the Spark side already, bounded by spark.driver.maxResultSize), so
+    # big-tier sweeps must not trip the production settle() memory-sink
+    # cap when a 1M-event replay legitimately settles a fact-grained
+    # differential result. Set HERE (the CLI entry), never at import:
+    # tests/conftest and the schema-gate tests import this module for its
+    # helpers, and an import-time setdefault leaked the raised cap into
+    # the whole pytest session, silently disabling the production guard
+    # (r8 commit 2a23ec9 leak class; pinned by
+    # tests/test_streaming.py::test_check_oracle_import_does_not_raise_settle_cap).
+    os.environ.setdefault("SPARK_GRAFT_SETTLE_MAX_ROWS", "5000000")
 
     import __spark_entry__ as entrymod
 

@@ -118,30 +118,44 @@ class Gen:
         self.seed = seed
 
     # -- scalar expressions over a column pool ---------------------------
-    def ts_int(self, cols: list[tuple[str, str]]) -> str | None:
+    def ts_int(
+        self, cols: list[tuple[str, str]], calendar_only: bool = False
+    ) -> str | None:
         """A ts column surfaced as an exact integer: calendar fields
         (identical in both engines, probed) or epoch micros via the
         repo's bridge (Spark unix_micros == DuckDB epoch_us — the
         catalog-wide timestamp discipline). date_trunc is deliberately
-        absent: DuckDB returns DATE where Spark returns TIMESTAMP."""
+        absent: DuckDB returns DATE where Spark returns TIMESTAMP.
+
+        calendar_only excludes epoch: sum() over ~1.7e15-microsecond
+        epochs exceeds int64 at larger row counts, where Spark's ANSI
+        mode throws but DuckDB widens sum(BIGINT) to HUGEINT — a
+        false-positive 'divergence' on the engine-config axis the fuzzer
+        is not probing (ADVICE r8)."""
         tss = [c for c, k in cols if k == "ts"]
         if not tss:
             return None
         c = self.rng.choice(tss)
-        fn = self.rng.choice(["year", "month", "day", "hour", "epoch"])
+        fns = ["year", "month", "day", "hour"] + ([] if calendar_only else ["epoch"])
+        fn = self.rng.choice(fns)
         return f"{{epoch}}({c})" if fn == "epoch" else f"{fn}({c})"
 
-    def int_expr(self, cols: list[tuple[str, str]], depth: int = 0) -> str:
+    def int_expr(
+        self,
+        cols: list[tuple[str, str]],
+        depth: int = 0,
+        calendar_only: bool = False,
+    ) -> str:
         ints = [c for c, k in cols if k == "int"]
         r = self.rng
         if r.random() < 0.12:
-            t = self.ts_int(cols)
+            t = self.ts_int(cols, calendar_only=calendar_only)
             if t is not None:
                 return t
         if depth >= 2 or not ints or r.random() < 0.35:
             return r.choice(ints) if ints and r.random() < 0.8 else str(r.randint(-9, 99))
-        a = self.int_expr(cols, depth + 1)
-        b = self.int_expr(cols, depth + 1)
+        a = self.int_expr(cols, depth + 1, calendar_only=calendar_only)
+        b = self.int_expr(cols, depth + 1, calendar_only=calendar_only)
         op = r.choice(["+", "-", "*", "INTDIV", "%", "abs", "gl"])
         if op == "*":
             return f"({a} * {r.randint(-5, 7)})"  # bounded multiplier: no overflow
@@ -261,7 +275,10 @@ class Gen:
                     f"OVER ({part}{order}) AS w{i}"
                 )
             else:
-                e = self.int_expr(cols)
+                # calendar_only for the same reason as aggregate sum: an
+                # UNBOUNDED PRECEDING running sum of epoch micros
+                # overflows int64 once partitions grow past ~5k rows
+                e = self.int_expr(cols, calendar_only=True)
                 frame = r.choice([
                     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
                     f"ROWS BETWEEN {r.randint(1, 4)} PRECEDING AND CURRENT ROW",
@@ -319,7 +336,11 @@ class Gen:
                     c, _ = r.choice(cols)
                     aggs.append(f"count(DISTINCT {c}) AS a{i}")
                 elif a == "sum":
-                    aggs.append(f"sum({self.int_expr(cols)}) AS a{i}")
+                    # calendar_only: an unfiltered sum over epoch micros
+                    # overflows int64 (Spark ANSI throws, DuckDB widens)
+                    aggs.append(
+                        f"sum({self.int_expr(cols, calendar_only=True)}) AS a{i}"
+                    )
                 else:
                     c, k = r.choice(cols)
                     aggs.append(f"{a}({c}) AS a{i}")

@@ -229,24 +229,65 @@ def _table_widths() -> dict[str, int]:
     return _TABLE_WIDTHS
 
 
+def _count_top_level_fields(struct_body: str) -> int:
+    """Top-level field count of a `struct<...>` body (commas at nesting
+    depth 0 only — array<float>/struct<...> members don't split)."""
+    if not struct_body.strip():
+        return 0
+    depth, n = 0, 1
+    for ch in struct_body:
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n += 1
+    return n
+
+
 def full_width_scans(executed_plan: str) -> list[str]:
     """FileScan nodes that read EVERY column of a >=5-column table —
     i.e. scans where Catalyst found nothing to prune. Narrow dims
     (region/nation/supplier-width) are exempt: reading all of a 2-4
     column table is usually the query's actual need and never the
-    I/O bottleneck."""
+    I/O bottleneck.
+
+    Width comes from `ReadSchema: struct<...>` — NOT the bracketed
+    attribute list, which Spark truncates to maxToStringFields with
+    '... N more fields' (a silent false negative on exactly the
+    wide-scan case this lint targets — ADVICE r8). The table name comes
+    from the Location path's last segment, so both single-file
+    `<table>.parquet` and directory layouts match. Any FileScan this
+    parser CANNOT account for is itself a finding: layout drift must
+    fail loudly, not bypass the lint."""
     import re
 
     widths = _table_widths()
     hits = []
-    for m in re.finditer(
-        r"FileScan parquet \[([^\]]*)\][^\n]*Location:[^\n]*?/(\w+)\.parquet",
-        executed_plan,
-    ):
-        cols = [c.split("#")[0] for c in m.group(1).split(",") if c.strip()]
-        table = m.group(2)
-        if table in widths and widths[table] >= 5 and len(cols) >= widths[table]:
-            hits.append(f"{table} ({len(cols)}/{widths[table]} columns)")
+    for line in executed_plan.splitlines():
+        if "FileScan parquet" not in line:
+            continue
+        mloc = re.search(r"Location: \w+\([^)]*\)\[([^\]]*)\]", line)
+        mschema = re.search(r"ReadSchema: struct<(.*)>\s*$", line)
+        if not mloc or not mschema:
+            hits.append(
+                "UNPARSEABLE FileScan (lint would be blind — raise "
+                "maxMetadataStringLength or fix the parser): "
+                + line.strip()[:200]
+            )
+            continue
+        body = mschema.group(1)
+        if "more fields" in body or body.endswith("..."):
+            hits.append(
+                "TRUNCATED ReadSchema (raise spark.sql.maxMetadataStringLength "
+                "before rendering the plan): " + line.strip()[:200]
+            )
+            continue
+        first_path = mloc.group(1).split(",")[0].strip()
+        table = first_path.rstrip("/").rsplit("/", 1)[-1].removesuffix(".parquet")
+        n_cols = _count_top_level_fields(body)
+        if table in widths and widths[table] >= 5 and n_cols >= widths[table]:
+            hits.append(f"{table} ({n_cols}/{widths[table]} columns)")
     return hits
 
 
@@ -261,6 +302,12 @@ def fragile_final_columns(df) -> list[str]:
 
 
 def lint_one(spark, name, build) -> list[str]:
+    # Plan-string fidelity: metadata strings (Location, ReadSchema)
+    # truncate at spark.sql.maxMetadataStringLength (default 100 chars —
+    # an 11-column ReadSchema doesn't fit) and attribute lists at
+    # maxToStringFields; both read at toString time, so set here.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
     findings: list[str] = []
     try:
         df = build(spark, SF_DIR)
