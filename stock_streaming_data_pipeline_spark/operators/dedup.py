@@ -1207,6 +1207,189 @@ def sorted_neighborhood_pairs(
     )
 
 
+def snm_idf_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    key_len: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sorted-neighborhood dedup with IDF-WEIGHTED MULTI-PASS blocking
+    keys: each document enters the global sort TWICE, under its
+    ``key_len`` rarest corpus tokens (document frequency ascending, ties
+    by token string) and under the same key shifted one rank down
+    (ranks 2..key_len+1). Rarity ranking needs no float IDF = log(N/df):
+    the order is identical under raw df ascending, so keys stay
+    exact-integer/string end to end. Two design points matter on real
+    corpora (both measured on the synthetic near-dup corpus here):
+
+    - df >= 2 floor: a df=1 token is shared with NO other doc, so it
+      carries zero blocking signal — sorting on one scatters a doc away
+      from every potential partner;
+    - the shifted second pass (the classic multi-pass SNM remedy): a
+      near-dup transformation that INJECTS or DROPS one rare token
+      shifts every rank by one, so single-key SNM separates exactly the
+      pairs it should find; with the shifted key the original's pass-1
+      entry collides with the duplicate's pass-2 entry.
+
+    Distributed shape, same as :func:`sorted_neighborhood_pairs`: the
+    df table is ONE token-exploded groupBy (vocabulary-bounded); the
+    per-doc rarest-token election is a doc-partitioned window (bounded
+    by doc length); the global sort is the range-partitioned
+    :func:`global_rank` over 2 x docs entries; pairing keeps the fixed
+    2 x docs x (window-1) candidate budget; verification is the exact
+    hashed-shingle Jaccard.
+    """
+    from stock_streaming_data_pipeline_spark.operators.running import global_rank
+
+    w = window
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+    )
+    dfreq = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    ).filter(F.col("df") >= 2)
+    w_doc = Window.partitionBy("doc").orderBy("df", "t")
+    rk = (
+        tok.join(dfreq, "t")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") <= key_len + 1)
+    )
+
+    def _key(lo: int) -> Column:
+        return F.concat_ws(
+            " ",
+            *[
+                F.max(F.when(F.col("rn") == lo + i, F.col("t")))
+                for i in range(key_len)
+            ],
+        ).alias("snm_key")
+
+    k1 = (
+        rk.filter(F.col("rn") <= key_len)
+        .groupBy("doc").agg(_key(1)).withColumn("pass", F.lit(1))
+    )
+    k2 = (
+        rk.filter(F.col("rn") >= 2)
+        .groupBy("doc").agg(_key(2)).withColumn("pass", F.lit(2))
+    )
+    entries = k1.unionByName(k2).withColumn(
+        "eid", F.col("doc") * 2 + F.col("pass") - 1
+    )
+    ranked = global_rank(
+        entries, order_col="snm_key", id_col="eid", out="rnk"
+    ).select("doc", "rnk")
+    blk = F.floor((F.col("rnk") - 1) / (w - 1))
+    right = ranked.select(
+        F.col("doc").alias("doc_y"), F.col("rnk").alias("rnk_b"), blk.alias("blk")
+    )
+    left = ranked.select(
+        F.col("doc").alias("doc_x"),
+        F.col("rnk").alias("rnk_a"),
+        F.explode(F.array(blk, blk + 1)).alias("blk"),
+    )
+    cands = (
+        left.join(right, "blk")
+        .filter(
+            (F.col("rnk_b") > F.col("rnk_a"))
+            & (F.col("rnk_b") - F.col("rnk_a") <= w - 1)
+            & (F.col("doc_x") != F.col("doc_y"))
+        )
+        .select(
+            F.least("doc_x", "doc_y").alias("doc_a"),
+            F.greatest("doc_x", "doc_y").alias("doc_b"),
+        )
+        .distinct()
+    )
+    hashed = _hashed_shingle_rows(
+        df, id_col=id_col, text_col=text_col, n=n, portable=True
+    )
+    sets = hashed.groupBy("doc").agg(F.collect_set("h").alias("hset"))
+    cands = cands.join(
+        sets.withColumnsRenamed({"doc": "doc_a", "hset": "hs_a"}), "doc_a"
+    ).join(sets.withColumnsRenamed({"doc": "doc_b", "hset": "hs_b"}), "doc_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cands.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def sql_snm_idf_pairs(
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 8,
+    key_len: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """DuckDB replay of :func:`snm_idf_pairs`: same df-ascending rarest
+    keys (df >= 2), same shifted second pass, same total order
+    (key, doc*2+pass-1), same rank-distance pairing, same exact
+    hashed-shingle Jaccard."""
+    toks = SQL_TOKENS.format(text=text_col)
+    sh = sql_shingles(text_col, n)
+    base = sql_portable_hash("s", salt="mh_")
+    slots1 = ", ".join(
+        f"max(CASE WHEN rn = {1 + i} THEN t END)" for i in range(key_len)
+    )
+    slots2 = ", ".join(
+        f"max(CASE WHEN rn = {2 + i} THEN t END)" for i in range(key_len)
+    )
+    return f"""
+WITH tk AS (
+  SELECT {id_col} AS doc, unnest(list_distinct({toks})) AS t FROM {table}
+),
+dfreq AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY t HAVING count(*) >= 2
+),
+rk AS (
+  SELECT doc, t, row_number() OVER (PARTITION BY doc ORDER BY df, t) AS rn
+  FROM tk JOIN dfreq USING (t)
+),
+keys AS (
+  SELECT doc, 1 AS pass, concat_ws(' ', {slots1}) AS k
+  FROM rk WHERE rn <= {key_len} GROUP BY doc
+  UNION ALL
+  SELECT doc, 2 AS pass, concat_ws(' ', {slots2}) AS k
+  FROM rk WHERE rn >= 2 GROUP BY doc
+),
+r AS (
+  SELECT doc, row_number() OVER (ORDER BY k, doc * 2 + pass - 1) AS rnk
+  FROM keys
+),
+cand AS (
+  SELECT DISTINCT least(a.doc, b.doc) AS doc_a, greatest(a.doc, b.doc) AS doc_b
+  FROM r a JOIN r b
+    ON b.rnk > a.rnk AND b.rnk - a.rnk <= {window - 1} AND a.doc <> b.doc
+),
+sh AS (
+  SELECT {id_col} AS doc, unnest({sh}) AS s FROM {table}
+),
+hset AS (
+  SELECT doc, list(DISTINCT {base}) AS hs FROM sh GROUP BY doc
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+             / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))),
+             6) AS jaccard
+FROM cand
+JOIN hset ha ON ha.doc = doc_a
+JOIN hset hb ON hb.doc = doc_b
+WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+      / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+      >= {threshold}
+"""
+
+
 def sql_sorted_neighborhood_pairs(
     id_col: str,
     text_col: str,

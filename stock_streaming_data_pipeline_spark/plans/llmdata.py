@@ -2909,6 +2909,30 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_snm_idf_keys",
+    tags=("LLM-dedup", "O1"),
+    oracle=dedup.sql_snm_idf_pairs(
+        "doc_id", "text", window=8, n=3, threshold=0.5
+    ),
+)
+def dedup_snm_idf_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates under IDF-weighted
+    multi-pass blocking keys (each doc's 4 rarest shared tokens,
+    df-ascending with a df>=2 floor, plus the rank-shifted second pass
+    that survives one injected/dropped rare token) — the
+    discriminative-key variant of dedup_sorted_neighborhood: rare shared
+    vocabulary pulls true near-dups adjacent where the smallest-token
+    key drowns in stopwords. Fixed 2 x docs x (window-1) candidate
+    budget, range-partitioned global sort, exact hashed-shingle Jaccard
+    verification; the df table adds one vocabulary-bounded aggregate and
+    a doc-partitioned rarest-token election window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.snm_idf_pairs(
+        docs, id_col="doc_id", text_col="text", window=8, n=3, threshold=0.5
+    )
+
+
+@register(
     "linkage_fellegi_sunter",
     tags=("LLM-dedup",),
     oracle=f"""

@@ -155,6 +155,9 @@ UNPARTITIONED_WINDOW_ALLOW = {
                                     # pinned in tests/test_plan_shapes.py.
     "dedup_sorted_neighborhood",    # same global_rank offsets window (n_part rows);
                                     # the corpus-sized sort is range-partitioned.
+    "dedup_snm_idf_keys",           # same global_rank offsets window (n_part rows);
+                                    # the rarest-token election window is
+                                    # doc-partitioned, the sort range-partitioned.
     "classifier_auc_roc",           # cumulative ROC window over the fixed 1024-bin
                                     # score histogram (SF-independent bound)
     "kruskal_wallis_values",        # global rank window over the distinct-value
