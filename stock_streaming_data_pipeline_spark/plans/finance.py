@@ -832,6 +832,182 @@ def ts_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k-medoids inputs: per-type daily EVENT-COUNT profiles, PAA-compressed
+# 3 days -> 1 position. The day bucket is the TZ-free integer epoch-day
+# (epoch micros DIV 86.4e9) so bucket membership cannot shift under a
+# foreign session timezone; counts are exact integers, so the whole
+# DTW + medoid algebra is integer min/plus end to end.
+_KMED_PROFILES_SQL = """
+  WITH dc AS (
+    SELECT event_type AS key, epoch_us(ts) // 86400000000 AS day,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+  ),
+  positioned AS (
+    SELECT key, x,
+           (row_number() OVER (PARTITION BY key ORDER BY day) - 1) // 3 + 1
+             AS pos
+    FROM dc
+  )
+  SELECT key, pos, CAST(sum(x) AS BIGINT) AS v
+  FROM positioned GROUP BY 1, 2
+"""
+
+
+@register(
+    "ts_kmedoids_dtw",
+    tags=("LLM-sim", "ML-stats", "W2"),
+    oracle=f"""
+WITH dists AS (
+{subseq.sql_dtw_pairwise(profiles_sql=_KMED_PROFILES_SQL, band=3, max_len=10)}
+),
+keys AS (SELECT DISTINCT event_type AS key FROM events),
+nk AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keys),
+sym AS (
+  SELECT key_a AS x, key_b AS y, dtw FROM dists
+  UNION ALL SELECT key_b, key_a, dtw FROM dists
+  UNION ALL SELECT key, key, 0 FROM keys
+),
+mp AS (SELECT a.key AS m1, b.key AS m2 FROM keys a JOIN keys b ON a.key < b.key),
+asg AS (
+  SELECT mp.m1, mp.m2, k.key,
+         least(d1.dtw, d2.dtw) AS dist,
+         CASE WHEN d1.dtw < d2.dtw THEN mp.m1
+              WHEN d2.dtw < d1.dtw THEN mp.m2
+              ELSE least(mp.m1, mp.m2) END AS medoid
+  FROM mp CROSS JOIN keys k
+  JOIN sym d1 ON d1.x = mp.m1 AND d1.y = k.key
+  JOIN sym d2 ON d2.x = mp.m2 AND d2.y = k.key
+),
+cost AS (
+  SELECT m1, m2, CAST(sum(dist) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_assigned
+  FROM asg GROUP BY 1, 2
+),
+eligible AS (SELECT c.* FROM cost c, nk WHERE c.n_assigned = nk.n),
+best AS (
+  SELECT min({{'c': total, 'm1': m1, 'm2': m2}}) AS b FROM eligible
+)
+SELECT a.key AS event_type, a.medoid,
+       CAST(a.dist AS BIGINT) AS dtw_dist,
+       e.total AS total_cost
+FROM asg a
+JOIN eligible e ON e.m1 = a.m1 AND e.m2 = a.m2
+JOIN best ON a.m1 = best.b.m1 AND a.m2 = best.b.m2
+""",
+)
+def ts_kmedoids_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-medoids (k=2) clustering of the event types under the DTW
+    metric over their PAA-compressed daily-count profiles — the
+    prototype-based clustering that works where k-means cannot (DTW
+    violates the triangle inequality and has no meaningful centroid, so
+    the cluster representative must be an actual SERIES). With a
+    bounded key domain the medoid election is exhaustive and exact:
+    every candidate medoid pair is scored by the summed DTW of each key
+    to its nearer medoid (integer min/plus throughout — no rounding
+    rule anywhere), only pairs that cover every key are eligible
+    (unreachable DTW cells drop out of the banded DP), and the winner
+    is a deterministic min(struct) election with (cost, m1, m2)
+    tie-breaks. Reports each type's assigned medoid and distance plus
+    the winning total cost. Scale shape: profiles are aggregates
+    (keys x <=10 positions); the DTW all-pairs touches keys^2 sketches
+    inside one Catalyst expression (operators/subseq.py); everything
+    downstream is keys^3-bounded relational algebra on integers."""
+    from stock_streaming_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dc = ev.groupBy(
+        F.col("event_type").alias("key"),
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    wpos = Window.partitionBy("key").orderBy("day")
+    prof = (
+        dc.withColumn(
+            "pos", ((F.row_number().over(wpos) - 1) / 3).cast("int") + 1
+        )
+        .groupBy("key", "pos")
+        .agg(F.sum("x").cast("long").alias("v"))
+    )
+    d = subseq.dtw_pairwise(
+        prof, key_col="key", pos_col="pos", val_col="v", band=3, max_len=10
+    ).localCheckpoint(eager=False)
+    keys = ev.select(F.col("event_type").alias("key")).distinct()
+    nk = keys.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sym = (
+        d.select(F.col("key_a").alias("x"), F.col("key_b").alias("y"), "dtw")
+        .unionByName(
+            d.select(F.col("key_b").alias("x"), F.col("key_a").alias("y"), "dtw")
+        )
+        .unionByName(
+            keys.select(
+                F.col("key").alias("x"),
+                F.col("key").alias("y"),
+                F.lit(0).cast("long").alias("dtw"),
+            )
+        )
+    )
+    mp = (
+        keys.select(F.col("key").alias("m1"))
+        .join(
+            F.broadcast(keys.select(F.col("key").alias("m2"))),
+            F.col("m1") < F.col("m2"),
+        )
+    )
+    d1 = sym.select(
+        F.col("x").alias("m1"), F.col("y").alias("key"), F.col("dtw").alias("dtw1")
+    )
+    d2 = sym.select(
+        F.col("x").alias("m2"), F.col("y").alias("key"), F.col("dtw").alias("dtw2")
+    )
+    asg = (
+        mp.join(F.broadcast(keys), F.lit(True))
+        .join(d1, ["m1", "key"])
+        .join(d2, ["m2", "key"])
+        .select(
+            "m1",
+            "m2",
+            "key",
+            F.least("dtw1", "dtw2").alias("dist"),
+            F.when(F.col("dtw1") < F.col("dtw2"), F.col("m1"))
+            .when(F.col("dtw2") < F.col("dtw1"), F.col("m2"))
+            .otherwise(F.least("m1", "m2"))
+            .alias("medoid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cost = asg.groupBy("m1", "m2").agg(
+        F.sum("dist").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+    )
+    eligible = cost.crossJoin(F.broadcast(nk)).filter(
+        F.col("n_assigned") == F.col("n")
+    )
+    best = eligible.agg(
+        F.min(
+            F.struct(
+                F.col("total").alias("c"),
+                F.col("m1").alias("m1"),
+                F.col("m2").alias("m2"),
+            )
+        ).alias("b")
+    )
+    return (
+        asg.join(
+            F.broadcast(eligible.select("m1", "m2", "total")), ["m1", "m2"]
+        )
+        .join(F.broadcast(best), F.lit(True))
+        .filter(
+            (F.col("m1") == F.col("b.m1")) & (F.col("m2") == F.col("b.m2"))
+        )
+        .select(
+            F.col("key").alias("event_type"),
+            "medoid",
+            F.col("dist").cast("long").alias("dtw_dist"),
+            F.col("total").alias("total_cost"),
+        )
+    )
+
+
 @register(
     "holt_linear_trend",
     tags=("W1", "A1", "T11"),
