@@ -1997,6 +1997,135 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Goertzel harmonic sweep: diurnal band-power shares at fixed target periods
+# ---------------------------------------------------------------------------
+
+# The Goertzel idea — evaluate spectral power at a HANDFUL of target
+# frequencies instead of a full FFT — relationally: the recurrence form is
+# order-dependent, but its output equals the direct projection onto
+# cos/sin at the target frequency, which is a plain SUM (commutative,
+# exact with frozen integer trig). Target set: the diurnal harmonics.
+_GZ_PERIODS = (24, 12, 8, 6)
+_GZ_TABLE = [
+    (
+        P,
+        p,
+        int(_math.floor(_math.cos(2 * _math.pi * p / P) * 1e6 + 0.5)),
+        int(_math.floor(_math.sin(2 * _math.pi * p / P) * 1e6 + 0.5)),
+    )
+    for P in _GZ_PERIODS
+    for p in range(P)
+]
+_GZ_VALUES = ", ".join(f"({P}, {p}, {c}, {s})" for P, p, c, s in _GZ_TABLE)
+# mean-removed projection power as ONE double expression over exact ints
+_GZ_POW = (
+    "(CAST(nn * sxc - sx * csum AS DOUBLE) * CAST(nn * sxc - sx * csum AS DOUBLE)"
+    " + CAST(nn * sxs - sx * ssum AS DOUBLE) * CAST(nn * sxs - sx * ssum AS DOUBLE))"
+)
+
+
+@register(
+    "ts_goertzel_harmonics",
+    tags=("ML-stats", "A1"),
+    oracle=f"""
+WITH trades AS ({SQL_TRADES}),
+ht AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(sum({_CENTS}) AS BIGINT) AS x
+  FROM trades WHERE value IS NOT NULL GROUP BY 1, 2
+),
+tbl(period, phase, cq, sq) AS (VALUES {_GZ_VALUES}),
+j AS (
+  SELECT event_type, period, x, cq, sq
+  FROM ht JOIN tbl ON tbl.phase = ht.h % tbl.period
+),
+s AS (
+  SELECT event_type, period,
+         CAST(count(*) AS HUGEINT) AS nn,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * cq) AS HUGEINT) AS sxc,
+         CAST(sum(CAST(x AS HUGEINT) * sq) AS HUGEINT) AS sxs,
+         CAST(sum(CAST(cq AS HUGEINT)) AS HUGEINT) AS csum,
+         CAST(sum(CAST(sq AS HUGEINT)) AS HUGEINT) AS ssum
+  FROM j GROUP BY 1, 2
+),
+p AS (SELECT event_type, period, {_GZ_POW} AS pw FROM s),
+wide AS (
+  SELECT event_type,
+         max(CASE WHEN period = 24 THEN pw END) AS p24,
+         max(CASE WHEN period = 12 THEN pw END) AS p12,
+         max(CASE WHEN period = 8 THEN pw END) AS p8,
+         max(CASE WHEN period = 6 THEN pw END) AS p6
+  FROM p GROUP BY 1
+)
+SELECT event_type,
+       CAST(floor(p24 / (((p24 + p12) + p8) + p6) * 1000000 + 0.5) AS BIGINT)
+         AS share24_micro,
+       CAST(floor(p12 / (((p24 + p12) + p8) + p6) * 1000000 + 0.5) AS BIGINT)
+         AS share12_micro,
+       CAST(floor(p8 / (((p24 + p12) + p8) + p6) * 1000000 + 0.5) AS BIGINT)
+         AS share8_micro,
+       CAST(floor(p6 / (((p24 + p12) + p8) + p6) * 1000000 + 0.5) AS BIGINT)
+         AS share6_micro
+FROM wide
+WHERE ((p24 + p12) + p8) + p6 > 0
+""",
+)
+def ts_goertzel_harmonics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goertzel-style harmonic sweep per event type: mean-removed
+    spectral power of the hourly traded-value (cents) series at the
+    four diurnal harmonics (24/12/8/6 h), reported as band-power SHARES
+    — where ts_dominant_period hunts the argmax over all periods, this
+    is the targeted few-frequency evaluation Goertzel exists for (a
+    seasonality fingerprint: how much of the periodic energy sits at
+    the daily cycle vs its harmonics). The order-dependent Goertzel
+    recurrence is replaced by its mathematical equal, the direct
+    projection onto frozen integer cos/sin tables (a commutative SUM);
+    accumulators are exact integers and the 4-term share denominator is
+    ONE fixed-association double expression, so both engines compute
+    the identical IEEE tree. Scale shape: one hourly groupBy, a 54-row
+    broadcast phase-table theta-join (bounded 4-rows-per-hour fan-out),
+    one aggregate to |event_types| x 4, and a 4-way pivot."""
+    ev = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())
+    ht = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("h"),
+    ).agg(F.sum(finance.to_scaled_long("value", 2)).cast("long").alias("x"))
+    tbl = spark.createDataFrame(
+        _GZ_TABLE, schema="period INT, phase INT, cq BIGINT, sq BIGINT"
+    )
+    j = ht.join(
+        F.broadcast(tbl),
+        F.pmod(F.col("h"), F.col("period")) == F.col("phase"),
+    ).select("event_type", "period", "x", "cq", "sq")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = j.groupBy("event_type", "period").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nn"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("x")) * dec(F.col("cq"))).alias("sxc"),
+        F.sum(dec(F.col("x")) * dec(F.col("sq"))).alias("sxs"),
+        F.sum(dec(F.col("cq"))).alias("csum"),
+        F.sum(dec(F.col("sq"))).alias("ssum"),
+    )
+    p = s.selectExpr("event_type", "period", f"{_GZ_POW} AS pw")
+    wide = p.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("period") == P, F.col("pw"))).alias(f"p{P}")
+            for P in _GZ_PERIODS
+        ]
+    )
+    tot = "(((p24 + p12) + p8) + p6)"
+    return wide.filter(F.expr(f"{tot} > 0")).selectExpr(
+        "event_type",
+        *[
+            f"CAST(floor(p{P} / {tot} * 1000000 + 0.5) AS BIGINT)"
+            f" AS share{P}_micro"
+            for P in _GZ_PERIODS
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
 # TWAP: time-weighted average price per key and day
 # ---------------------------------------------------------------------------
 
