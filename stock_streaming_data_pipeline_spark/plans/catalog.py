@@ -142,6 +142,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_snm_idf_keys",
     "ts_kmedoids_dtw",
     "ts_goertzel_harmonics",
+    "boosted_stumps_round2",
     # --- padding to the 50-name boundary: round-8 driver-green names
     # (CORRECTNESS_r08 50/50) — re-sampling them is harmless; they hold
     # the line so approx_quantile_sketch (permanently rows-only:

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_streaming_data_pipeline_spark.operators import running
+from stock_streaming_data_pipeline_spark.operators.lrquality import half_up_div_sql
 from stock_streaming_data_pipeline_spark.plans.catalog import register
 from stock_streaming_data_pipeline_spark.tables import load_table
 
@@ -3234,6 +3235,249 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("threshold") == F.col("b.threshold"))
         )
         .select("feature", "threshold", "gain_micro", "acc_micro", "nl", "nr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boosting round 2: AdaBoost-reweighted second stump, exact integer weights
+# ---------------------------------------------------------------------------
+
+# Shared SQL fragments rendered into both engines. The AdaBoost update
+# w_i *= sqrt((1-eps)/eps) on misses (and its inverse on hits) is
+# irrational, but only the RATIO matters for the next weak learner:
+# scaling by n gives miss-weight = c (round-1 correct count) and
+# hit-weight = m (round-1 miss count) — the exact integer weighting
+# under which misses and hits carry equal total mass, which IS the
+# AdaBoost round-2 distribution. greatest(m, 1) guards the perfect-stump
+# degenerate case.
+_B2_PARAM_EXPRS = (
+    "feature AS f1",
+    "threshold AS t1",
+    "n",
+    "CASE WHEN 2 * posl > nl THEN 1 ELSE 0 END AS lp1",
+    "CASE WHEN 2 * posr > nr THEN 1 ELSE 0 END AS rp1",
+    "(CASE WHEN 2 * posl > nl THEN posl ELSE nl - posl END"
+    " + CASE WHEN 2 * posr > nr THEN posr ELSE nr - posr END) AS c_r1",
+)
+_B2_PARAMS = ", ".join(_B2_PARAM_EXPRS)
+_B2_WEIGHT = (
+    "CASE WHEN (CASE WHEN f1 = 'quantity' "
+    "THEN (CASE WHEN vq <= t1 THEN lp1 ELSE rp1 END) "
+    "ELSE (CASE WHEN vd <= t1 THEN lp1 ELSE rp1 END) END) <> y "
+    "THEN c_r1 ELSE greatest(n - c_r1, 1) END"
+)
+_B2_WERR = (
+    "(least(posl, nl - posl) + least(posr, nr - posr)) AS werr"
+)
+
+
+@register(
+    "boosted_stumps_round2",
+    tags=("ML-stats",),
+    oracle=f"""
+WITH base AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS vq,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS vd
+  FROM lineitem
+),
+xm1 AS (
+  SELECT y, 'quantity' AS feature, vq AS v FROM base
+  UNION ALL SELECT y, 'discount', vd FROM base
+),
+cells1 AS (
+  SELECT feature, v, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM xm1 GROUP BY 1, 2
+),
+cum1 AS (
+  SELECT feature, v,
+         CAST(sum(cnt) OVER w AS BIGINT) AS nl,
+         CAST(sum(pos) OVER w AS BIGINT) AS posl
+  FROM cells1 WINDOW w AS (PARTITION BY feature ORDER BY v)
+),
+tot1 AS (
+  SELECT feature, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS pos
+  FROM cells1 GROUP BY 1
+),
+cand1 AS (
+  SELECT c.feature, c.v AS threshold, t.n, t.pos,
+         c.nl, c.posl, t.n - c.nl AS nr, t.pos - c.posl AS posr
+  FROM cum1 c JOIN tot1 t ON t.feature = c.feature
+  WHERE c.nl < t.n
+),
+scored1 AS (SELECT *, {_STUMP_GAIN} FROM cand1),
+best1 AS (
+  SELECT (min({{'ng': -gain_micro, 'feature': feature,
+                'threshold': threshold}})) AS b
+  FROM scored1
+),
+b1 AS (
+  SELECT s.* FROM scored1 s, best1
+  WHERE s.feature = best1.b.feature AND s.threshold = best1.b.threshold
+),
+params AS (SELECT {_B2_PARAMS} FROM b1),
+rows2 AS (
+  SELECT base.y, base.vq, base.vd, {_B2_WEIGHT} AS w
+  FROM base CROSS JOIN params
+),
+xm2 AS (
+  SELECT y, w, 'quantity' AS feature, vq AS v FROM rows2
+  UNION ALL SELECT y, w, 'discount', vd FROM rows2
+),
+cells2 AS (
+  SELECT feature, v, CAST(sum(w) AS BIGINT) AS cnt,
+         CAST(sum(w * y) AS BIGINT) AS pos
+  FROM xm2 GROUP BY 1, 2
+),
+cum2 AS (
+  SELECT feature, v,
+         CAST(sum(cnt) OVER w AS BIGINT) AS nl,
+         CAST(sum(pos) OVER w AS BIGINT) AS posl
+  FROM cells2 WINDOW w AS (PARTITION BY feature ORDER BY v)
+),
+tot2 AS (
+  SELECT feature, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS pos
+  FROM cells2 GROUP BY 1
+),
+cand2 AS (
+  SELECT c.feature, c.v AS threshold, t.n AS wtot,
+         c.nl, c.posl, t.n - c.nl AS nr, t.pos - c.posl AS posr
+  FROM cum2 c JOIN tot2 t ON t.feature = c.feature
+  WHERE c.nl < t.n
+),
+scored2 AS (SELECT feature, threshold, wtot, {_B2_WERR} FROM cand2),
+best2 AS (
+  SELECT (min({{'werr': werr, 'feature': feature,
+                'threshold': threshold}})) AS b
+  FROM scored2
+),
+b2 AS (
+  SELECT s.* FROM scored2 s, best2
+  WHERE s.feature = best2.b.feature AND s.threshold = best2.b.threshold
+)
+SELECT p.f1 AS feature_r1, p.t1 AS threshold_r1,
+       p.n - p.c_r1 AS n_misclassified_r1,
+       b2.feature AS feature_r2, b2.threshold AS threshold_r2,
+       {half_up_div_sql("b2.werr", 1_000_000, "b2.wtot", spark=False)}
+         AS werr_r2_micro
+FROM params p CROSS JOIN b2
+""",
+)
+def boosted_stumps_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosting round 2: the AdaBoost-reweighted second decision stump.
+    Round 1 elects the same Gini-best stump as decision_stump_train;
+    its per-row hits/misses then reweight the data with EXACT integer
+    weights (miss -> c, hit -> m, the n-scaled AdaBoost distribution
+    under which misses and hits carry equal total mass — the sqrt ratio
+    in the textbook update only ever matters as a ratio, so the
+    irrational never enters), and round 2 elects the stump minimizing
+    WEIGHTED error over the same candidate thresholds, with
+    deterministic (werr, feature, threshold) tie-breaks. Reports both
+    stumps and round 2's weighted error rate as a half-up micro int —
+    every value exact (weighted counts stay under int64 up to ~3e9
+    rows; swap the accumulators to DECIMAL(38,0) beyond). Scale shape:
+    two unpivoted map-combined fact aggregations (round 2's weight is a
+    broadcast 1-row params join, no materialized intermediate), bounded
+    <=61-cell cumulative windows per feature, two min(struct)
+    elections."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+    base = li.select(
+        y.alias("y"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("vq"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("vd"),
+    )
+
+    def unpivot(rows: DataFrame, with_w: bool) -> DataFrame:
+        w = [F.col("w")] if with_w else [F.lit(1).cast("long").alias("w")]
+        q = rows.select("y", *w, F.lit("quantity").alias("feature"),
+                        F.col("vq").alias("v"))
+        d = rows.select("y", *w, F.lit("discount").alias("feature"),
+                        F.col("vd").alias("v"))
+        return q.unionByName(d)
+
+    def stump_cand(xm: DataFrame) -> DataFrame:
+        cells = xm.groupBy("feature", "v").agg(
+            F.sum("w").cast("long").alias("cnt"),
+            F.sum(F.col("w") * F.col("y")).cast("long").alias("pos"),
+        )
+        w_ = Window.partitionBy("feature").orderBy("v")
+        cum = cells.select(
+            "feature", "v",
+            F.sum("cnt").over(w_).cast("long").alias("nl"),
+            F.sum("pos").over(w_).cast("long").alias("posl"),
+        )
+        tot = cells.groupBy("feature").agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("pos"),
+        )
+        return (
+            cum.join(F.broadcast(tot), "feature")
+            .filter(F.col("nl") < F.col("n"))
+            .select(
+                "feature", F.col("v").alias("threshold"), "n", "pos",
+                "nl", "posl",
+                (F.col("n") - F.col("nl")).alias("nr"),
+                (F.col("pos") - F.col("posl")).alias("posr"),
+            )
+        )
+
+    scored1 = stump_cand(unpivot(base, with_w=False)).selectExpr(
+        "*", _STUMP_GAIN
+    )
+    best1 = scored1.agg(
+        F.min(
+            F.struct(
+                (-F.col("gain_micro")).alias("ng"),
+                F.col("feature").alias("feature"),
+                F.col("threshold").alias("threshold"),
+            )
+        ).alias("b")
+    )
+    b1 = (
+        scored1.crossJoin(F.broadcast(best1))
+        .filter(
+            (F.col("feature") == F.col("b.feature"))
+            & (F.col("threshold") == F.col("b.threshold"))
+        )
+        .drop("b")
+    )
+    params = b1.selectExpr(*_B2_PARAM_EXPRS)
+    rows2 = base.crossJoin(F.broadcast(params)).selectExpr(
+        "y", "vq", "vd", f"{_B2_WEIGHT} AS w"
+    )
+    cand2 = stump_cand(unpivot(rows2, with_w=True)).withColumnsRenamed(
+        {"n": "wtot"}
+    )
+    scored2 = cand2.selectExpr("feature", "threshold", "wtot", _B2_WERR)
+    best2 = scored2.agg(
+        F.min(
+            F.struct(
+                F.col("werr").alias("werr"),
+                F.col("feature").alias("feature"),
+                F.col("threshold").alias("threshold"),
+            )
+        ).alias("b")
+    )
+    b2 = (
+        scored2.crossJoin(F.broadcast(best2))
+        .filter(
+            (F.col("feature") == F.col("b.feature"))
+            & (F.col("threshold") == F.col("b.threshold"))
+        )
+        .drop("b")
+    )
+    return params.crossJoin(F.broadcast(b2)).selectExpr(
+        "f1 AS feature_r1",
+        "t1 AS threshold_r1",
+        "n - c_r1 AS n_misclassified_r1",
+        "feature AS feature_r2",
+        "threshold AS threshold_r2",
+        half_up_div_sql("werr", 1_000_000, "wtot", spark=True)
+        + " AS werr_r2_micro",
     )
 
 
