@@ -1548,6 +1548,10 @@ _LRQ_LABELS_SQL = (
 @register(
     "quality_lr_classifier",
     tags=("LLM-text", "LLM-mix"),
+    # bench=True (round 9, r8 verdict #4): the ML tier's heaviest
+    # iterative query gets round-over-round wall-clock visibility in the
+    # bench's non-frozen slot (like_for_like stays the r2 core).
+    bench=True,
     oracle=_lrq.sql_train_score(label_sql=_LRQ_LABELS_SQL, iters=8, lr=0.1),
 )
 def quality_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
