@@ -4,9 +4,12 @@ tools/fuzz_differential.py generates random exact-typed SQL (BIGINT/
 string arithmetic, filters, joins, aggregates — the subset where
 cross-engine bit-equality is the contract) and runs it through Spark AND
 DuckDB over the same tables. Deep runs happen per-round from the CLI
-(round 8: 700 seeds across sf0.001/sf0.01, zero divergences); this test
-pins a fixed seed range so grammar or session regressions can't land
-silently.
+(round 9, extended grammar — outer/NULLIF-key joins, grouping sets,
+near-int64 boundary terms: 1,100 seeds across sf0.001/sf0.01, zero true
+divergences; the extension's first sweep FOUND the Spark-vs-standard
+empty-input grand-total landmine now documented in the module
+docstring); this test pins a fixed seed range so grammar or session
+regressions can't land silently.
 """
 
 from __future__ import annotations

@@ -9,18 +9,36 @@ engine-semantics landmine worth excluding from the oracle grammar (and
 documenting) or a real bug in how this repo's sessions configure Spark.
 
 Grammar is deliberately EXACT-ONLY (BIGINT/INT arithmetic, strings,
-count/count-distinct/min/max/sum aggregates, inner/left equi-joins,
-filters, CASE, IN, DISTINCT) — the repo's parity rules exist precisely
-because float aggregation order diverges across engines; the fuzzer
-explores the space where bit-equality is the contract. Known dialect
-rules encoded here (probed before building):
+count/count-distinct/min/max/sum aggregates, inner/left/right/full
+equi-joins with optional NULLIF-nulled keys, GROUP BY incl.
+ROLLUP/CUBE/GROUPING SETS, filters, CASE, IN, DISTINCT) — the repo's
+parity rules exist precisely because float aggregation order diverges
+across engines; the fuzzer explores the space where bit-equality is the
+contract. Round-9 grammar extensions (r8 verdict #5 — unexplored, not
+landmines): outer joins with NULL-key semantics (a NULLIF-wrapped key
+never matches in either engine, and outer-side NULLs flow through every
+scalar op), grouping sets (identical NULL-marker semantics probed; the
+``grouping()`` function itself stays out, and rollup keys are data
+columns that are never NULL so the marker is unambiguous), and
+near-int64 boundary terms (``(x % 100003) * 91000000009`` ≈ 9.2e15,
+within a factor ~1000 of int64 max yet safe under the grammar's bounded
+±7 multiplier stacking — sum() still excludes them, see bounded=True).
+Known dialect rules encoded here (probed before building):
 
 - integer division truncates toward zero in BOTH (`7 DIV 2`/`7 // 2`,
   `-7 DIV 2 == -3`), remainder takes the dividend's sign in both;
 - `||`, upper/lower/substr (1-based)/length match;
 - CAST(double AS BIGINT) is NOT in the grammar: Spark truncates,
   DuckDB rounds — a real landmine the catalog's money() discipline
-  already avoids (floor()/DECIMAL casts).
+  already avoids (floor()/DECIMAL casts);
+- the GRAND-TOTAL grouping set `()` is NOT in the grammar (the round-9
+  extension FOUND this landmine, seed 192 of the first sweep): over an
+  EMPTY input ROLLUP/CUBE/GROUPING SETS including () yield the standard
+  one all-NULL grand-total row in DuckDB but ZERO rows in Spark, whose
+  Expand-based grouping implementation has no rows to expand (a plain
+  global aggregate over empty input correctly returns one row in both —
+  the divergence is specific to grouping-set expansion). Grouping-set
+  queries here therefore use explicit GROUPING SETS without ().
 
 Usage:
     python tools/fuzz_differential.py --seeds 200            # sf0.001
@@ -119,7 +137,7 @@ class Gen:
 
     # -- scalar expressions over a column pool ---------------------------
     def ts_int(
-        self, cols: list[tuple[str, str]], calendar_only: bool = False
+        self, cols: list[tuple[str, str]], bounded: bool = False
     ) -> str | None:
         """A ts column surfaced as an exact integer: calendar fields
         (identical in both engines, probed) or epoch micros via the
@@ -127,7 +145,7 @@ class Gen:
         catalog-wide timestamp discipline). date_trunc is deliberately
         absent: DuckDB returns DATE where Spark returns TIMESTAMP.
 
-        calendar_only excludes epoch: sum() over ~1.7e15-microsecond
+        bounded=True excludes epoch: sum() over ~1.7e15-microsecond
         epochs exceeds int64 at larger row counts, where Spark's ANSI
         mode throws but DuckDB widens sum(BIGINT) to HUGEINT — a
         false-positive 'divergence' on the engine-config axis the fuzzer
@@ -136,7 +154,7 @@ class Gen:
         if not tss:
             return None
         c = self.rng.choice(tss)
-        fns = ["year", "month", "day", "hour"] + ([] if calendar_only else ["epoch"])
+        fns = ["year", "month", "day", "hour"] + ([] if bounded else ["epoch"])
         fn = self.rng.choice(fns)
         return f"{{epoch}}({c})" if fn == "epoch" else f"{fn}({c})"
 
@@ -144,21 +162,34 @@ class Gen:
         self,
         cols: list[tuple[str, str]],
         depth: int = 0,
-        calendar_only: bool = False,
+        bounded: bool = False,
     ) -> str:
+        """bounded=True keeps the term's magnitude sum-safe: no epoch
+        micros and no near-int64 boundary terms (aggregation multiplies
+        the worst case by the row count)."""
         ints = [c for c, k in cols if k == "int"]
         r = self.rng
         if r.random() < 0.12:
-            t = self.ts_int(cols, calendar_only=calendar_only)
+            t = self.ts_int(cols, bounded=bounded)
             if t is not None:
                 return t
         if depth >= 2 or not ints or r.random() < 0.35:
             return r.choice(ints) if ints and r.random() < 0.8 else str(r.randint(-9, 99))
-        a = self.int_expr(cols, depth + 1, calendar_only=calendar_only)
-        b = self.int_expr(cols, depth + 1, calendar_only=calendar_only)
-        op = r.choice(["+", "-", "*", "INTDIV", "%", "abs", "gl"])
+        a = self.int_expr(cols, depth + 1, bounded=bounded)
+        b = self.int_expr(cols, depth + 1, bounded=bounded)
+        ops = ["+", "-", "*", "INTDIV", "%", "abs", "gl"]
+        if not bounded:
+            ops.append("bigmul")
+        op = r.choice(ops)
         if op == "*":
             return f"({a} * {r.randint(-5, 7)})"  # bounded multiplier: no overflow
+        if op == "bigmul":
+            # near-int64 boundary probe: |(a % 100003) * 91000000009| is
+            # <= ~9.1e15, a factor ~1000 under int64 max — large enough
+            # that a wrong promotion/overflow rule would surface, small
+            # enough that the grammar's +/- and stacked *7 multipliers
+            # (worst case x49) cannot cross 9.2e18.
+            return f"(({a} % 100003) * 91000000009)"
         if op in ("INTDIV", "%"):
             lit = r.choice([2, 3, 5, 7, 11, -3])
             return f"({a} {{intdiv}} {lit})" if op == "INTDIV" else f"({a} % {lit})"
@@ -275,10 +306,10 @@ class Gen:
                     f"OVER ({part}{order}) AS w{i}"
                 )
             else:
-                # calendar_only for the same reason as aggregate sum: an
+                # bounded for the same reason as aggregate sum: an
                 # UNBOUNDED PRECEDING running sum of epoch micros
                 # overflows int64 once partitions grow past ~5k rows
-                e = self.int_expr(cols, calendar_only=True)
+                e = self.int_expr(cols, bounded=True)
                 frame = r.choice([
                     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
                     f"ROWS BETWEEN {r.randint(1, 4)} PRECEDING AND CURRENT ROW",
@@ -306,8 +337,22 @@ class Gen:
             return f"{self._typed_select(table, sig)} {op} {self._typed_select(table, sig)}"
         if r.random() < 0.4:
             base, other, lk, rk = r.choice(JOINS)
-            how = r.choice(["JOIN", "LEFT JOIN"])
-            frm = f"{base} {how} {other} ON {base}.{lk} = {other}.{rk}"
+            how = r.choice(["JOIN", "JOIN", "LEFT JOIN", "LEFT JOIN",
+                            "RIGHT JOIN", "FULL JOIN"])
+            lhs, rhs = f"{base}.{lk}", f"{other}.{rk}"
+            # NULL-key semantics probe: NULLIF one side's key against a
+            # literal sometimes present in the data — those rows' keys
+            # become NULL and must match NOTHING (inner) / surface as
+            # outer-side NULL rows, identically in both engines. The
+            # nulled value removes matches, never adds them, so the
+            # join's cardinality stays bounded by the natural edge.
+            if r.random() < 0.35:
+                lit = r.randint(1, 500)
+                if r.random() < 0.5:
+                    lhs = f"nullif({lhs}, {lit})"
+                else:
+                    rhs = f"nullif({rhs}, {lit})"
+            frm = f"{base} {how} {other} ON {lhs} = {rhs}"
             cols = TABLES[base] + TABLES[other]
             pred_table = None  # IN-subquery keys could be ambiguous here
         else:
@@ -336,16 +381,33 @@ class Gen:
                     c, _ = r.choice(cols)
                     aggs.append(f"count(DISTINCT {c}) AS a{i}")
                 elif a == "sum":
-                    # calendar_only: an unfiltered sum over epoch micros
-                    # overflows int64 (Spark ANSI throws, DuckDB widens)
+                    # bounded: an unfiltered sum over epoch micros or a
+                    # boundary term overflows int64 (Spark ANSI throws,
+                    # DuckDB widens)
                     aggs.append(
-                        f"sum({self.int_expr(cols, calendar_only=True)}) AS a{i}"
+                        f"sum({self.int_expr(cols, bounded=True)}) AS a{i}"
                     )
                 else:
                     c, k = r.choice(cols)
                     aggs.append(f"{a}({c}) AS a{i}")
             sel = ", ".join(key_sql + aggs)
             group = f"GROUP BY {', '.join(key_sql)}" if key_sql else ""
+            # grouping-sets probe (r9): explicit GROUPING SETS over the
+            # plain column keys — NULL grouping markers are unambiguous
+            # because no key column in TABLES contains data NULLs, and
+            # both engines emit identical marker rows. The grand-total
+            # () set is excluded (documented empty-input landmine, see
+            # module docstring), so these are ROLLUP/CUBE minus the
+            # grand total; the grouping() disambiguator also stays out
+            # (it is the remedy for nullable keys, not a semantics
+            # probe).
+            if len(key_sql) == 2 and r.random() < 0.4:
+                k1, k2 = key_sql
+                group = "GROUP BY " + r.choice([
+                    f"GROUPING SETS (({k1}, {k2}), ({k1}))",           # rollup - ()
+                    f"GROUPING SETS (({k1}, {k2}), ({k1}), ({k2}))",   # cube - ()
+                    f"GROUPING SETS (({k1}), ({k2}))",
+                ])
             having = ""
             if key_sql and r.random() < 0.3:
                 having = f"HAVING count(*) > {r.randint(0, 3)}"
@@ -368,6 +430,14 @@ def render(template: str, dialect: str) -> str:
     )
 
 
+def _row_key(row: tuple) -> tuple:
+    """None-safe multiset sort key: outer joins and grouping sets emit
+    NULL cells, and plain tuple sorting raises TypeError on None < int.
+    (None sorts first within a column; same-column non-None values share
+    a type by construction.)"""
+    return tuple((v is not None, v) for v in row)
+
+
 def run_one(spark, con, seed: int, show: bool = False) -> str | None:
     """Returns an error description on mismatch, else None."""
     template = Gen(seed).build()
@@ -376,11 +446,13 @@ def run_one(spark, con, seed: int, show: bool = False) -> str | None:
     if show:
         print(f"-- seed {seed}\n{spark_sql}")
     try:
-        got = sorted(tuple(r) for r in spark.sql(spark_sql).collect())
+        got = sorted((tuple(r) for r in spark.sql(spark_sql).collect()), key=_row_key)
     except Exception as e:
         return f"seed {seed}: SPARK ERROR {type(e).__name__}: {str(e)[:200]}\n{spark_sql}"
     try:
-        want = sorted(tuple(r) for r in con.execute(duck_sql).fetchall())
+        want = sorted(
+            (tuple(r) for r in con.execute(duck_sql).fetchall()), key=_row_key
+        )
     except Exception as e:
         return f"seed {seed}: DUCKDB ERROR {type(e).__name__}: {str(e)[:200]}\n{duck_sql}"
     if got != want:

@@ -72,6 +72,13 @@ QUERIES = [
     # whose final schema was hardened this round (one shuffle on
     # user_id; the r7 skew probe covers its zipfian behavior).
     "attribution_linear",
+    # round-9 additions: the new IDF-keyed multi-pass SNM (string-heavy
+    # range-partitioned global sort + fixed candidate budget — the sort
+    # should scale ~linearly, the pairing stays budget-bounded) and the
+    # two-round boosted stump (two unpivoted fact aggregations; the
+    # windows/elections are <=61-cell bounded, so near the scan line).
+    "dedup_snm_idf_keys",
+    "boosted_stumps_round2",
 ]
 
 
