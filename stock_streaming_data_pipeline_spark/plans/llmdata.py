@@ -2912,6 +2912,116 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# chi2 from the four exact contingency cells as ONE fixed-association
+# double expression (the integer products overflow int64 past ~3e9
+# doc-token pairs, so the squared term goes through DOUBLE; inputs stay
+# exact BIGINTs and the expression tree is identical in both engines).
+_CHI2 = (
+    "CAST(floor("
+    "CAST(a + b + c + d AS DOUBLE)"
+    " * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+    "    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+    " * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+    "    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+    " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)"
+    "    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))"
+    " * 1000000 + 0.5) AS BIGINT) AS chi2_micro"
+)
+
+
+@register(
+    "token_chi2_by_source",
+    tags=("LLM-text", "LLM-mix", "O2"),
+    oracle=f"""
+WITH td AS (
+  SELECT doc_id AS doc, source = 'src0' AS is_code,
+         unnest(list_distinct({dedup.SQL_TOKENS.format(text="text")})) AS t
+  FROM documents
+),
+totals AS (
+  SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_code,
+         CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_other
+  FROM documents
+),
+cells AS (
+  SELECT t,
+         CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN is_code THEN 0 ELSE 1 END) AS BIGINT) AS cc
+  FROM td GROUP BY t
+),
+cont AS (
+  SELECT t, a, n_code - a AS b, cc AS c, n_other - cc AS d
+  FROM cells CROSS JOIN totals
+  WHERE a + cc >= 5 AND (n_code - a) + (n_other - cc) > 0
+    AND n_code > 0 AND n_other > 0
+),
+scored AS (SELECT t, a, c, {_CHI2} FROM cont)
+SELECT t AS token, chi2_micro, a AS n_class_docs, c AS n_other_docs
+FROM scored
+ORDER BY chi2_micro DESC, token ASC
+LIMIT 20
+""",
+)
+def token_chi2_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square token feature selection against the 'src0' source class —
+    the classic supervised vocabulary filter a training-data pipeline
+    runs to find the tokens most associated with a domain class before
+    building domain classifiers or mixing weights. One doc-distinct
+    token explode + ONE vocabulary-bounded aggregate produce the four
+    exact contingency cells per token (class totals ride a broadcast
+    1-row stats frame); the chi2 statistic is one fixed-association
+    double expression over those exact integers, half-up micro-rounded;
+    the report is a TakeOrderedAndProject top-20 with deterministic
+    (chi2 desc, token asc) tie-breaks. Low-support tokens (df < 5) and
+    corpus-universal tokens are excluded in both engines. Scale shape:
+    nothing after the vocabulary groupBy exceeds |vocab| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    td = docs.select(
+        (F.col("source") == "src0").alias("is_code"),
+        F.explode(F.array_distinct(dedup.tokens(F.col("text")))).alias("t"),
+    )
+    totals = docs.agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long").alias("n_code"),
+        F.sum(F.when(F.col("source") == "src0", 0).otherwise(1))
+        .cast("long").alias("n_other"),
+    )
+    cells = td.groupBy("t").agg(
+        F.sum(F.when(F.col("is_code"), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("is_code"), 0).otherwise(1)).cast("long").alias("cc"),
+    )
+    cont = (
+        cells.crossJoin(F.broadcast(totals))
+        .filter(
+            (F.col("a") + F.col("cc") >= 5)
+            & ((F.col("n_code") - F.col("a"))
+               + (F.col("n_other") - F.col("cc")) > 0)
+            # class-presence guard: chi2 is undefined (and ANSI division
+            # throws) when either class is empty at a tier
+            & (F.col("n_code") > 0) & (F.col("n_other") > 0)
+        )
+        .select(
+            "t", "a",
+            (F.col("n_code") - F.col("a")).alias("b"),
+            F.col("cc").alias("c"),
+            (F.col("n_other") - F.col("cc")).alias("d"),
+        )
+    )
+    scored = cont.selectExpr("t", "a", "c", _CHI2)
+    return (
+        scored.orderBy(F.desc("chi2_micro"), F.asc("t"))
+        .limit(20)
+        .select(
+            F.col("t").alias("token"),
+            "chi2_micro",
+            F.col("a").alias("n_class_docs"),
+            F.col("c").alias("n_other_docs"),
+        )
+    )
+
+
 @register(
     "dedup_snm_idf_keys",
     tags=("LLM-dedup", "O1"),
