@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_streaming_data_pipeline_spark.operators import running
-from stock_streaming_data_pipeline_spark.operators.lrquality import half_up_div_sql
 from stock_streaming_data_pipeline_spark.plans.catalog import register
 from stock_streaming_data_pipeline_spark.tables import load_table
 
@@ -3361,8 +3360,8 @@ b2 AS (
 SELECT p.f1 AS feature_r1, p.t1 AS threshold_r1,
        p.n - p.c_r1 AS n_misclassified_r1,
        b2.feature AS feature_r2, b2.threshold AS threshold_r2,
-       {half_up_div_sql("b2.werr", 1_000_000, "b2.wtot", spark=False)}
-         AS werr_r2_micro
+       CAST((CAST(b2.werr AS HUGEINT) * 2000000 + b2.wtot)
+            // (CAST(b2.wtot AS HUGEINT) * 2) AS BIGINT) AS werr_r2_micro
 FROM params p CROSS JOIN b2
 """,
 )
@@ -3377,8 +3376,10 @@ def boosted_stumps_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
     WEIGHTED error over the same candidate thresholds, with
     deterministic (werr, feature, threshold) tie-breaks. Reports both
     stumps and round 2's weighted error rate as a half-up micro int —
-    every value exact (weighted counts stay under int64 up to ~3e9
-    rows; swap the accumulators to DECIMAL(38,0) beyond). Scale shape:
+    every value exact (weighted-count ACCUMULATORS stay under int64 up
+    to ~3e9 rows; the final micro scaling runs in DECIMAL(38,0)/HUGEINT
+    because 2*werr*1e6 crosses int64 already at the sf1 tier — caught
+    by the round-9 sf1 sweep). Scale shape:
     two unpivoted map-combined fact aggregations (round 2's weight is a
     broadcast 1-row params join, no materialized intermediate), bounded
     <=61-cell cumulative windows per feature, two min(struct)
@@ -3470,14 +3471,19 @@ def boosted_stumps_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("b")
     )
+    # half-up micro in WIDE arithmetic: werr is non-negative and can
+    # reach wtot/2 ~ 1.8e13 at sf1, so the half_up_div_sql BIGINT form
+    # (2*werr*1e6 ~ 1.8e19) overflows int64 — the sf1 sweep caught
+    # exactly this. DECIMAL(38)/HUGEINT keep both engines exact; DIV on
+    # decimals truncates like // on HUGEINT (probed).
     return params.crossJoin(F.broadcast(b2)).selectExpr(
         "f1 AS feature_r1",
         "t1 AS threshold_r1",
         "n - c_r1 AS n_misclassified_r1",
         "feature AS feature_r2",
         "threshold AS threshold_r2",
-        half_up_div_sql("werr", 1_000_000, "wtot", spark=True)
-        + " AS werr_r2_micro",
+        "CAST((CAST(werr AS DECIMAL(38,0)) * 2000000 + CAST(wtot AS DECIMAL(38,0)))"
+        " DIV (CAST(wtot AS DECIMAL(38,0)) * 2) AS BIGINT) AS werr_r2_micro",
     )
 
 
