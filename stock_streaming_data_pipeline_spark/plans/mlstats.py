@@ -3238,6 +3238,102 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Theil-Sen robust trend: exact median of pairwise day-grid slopes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_theilsen_trend",
+    tags=("ML-stats", "W1"),
+    oracle=f"""
+WITH dg AS (
+  SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pr AS (
+  SELECT a.event_type,
+         b.y - a.y AS dy, b.day - a.day AS dx
+  FROM dg a JOIN dg b
+    ON a.event_type = b.event_type AND b.day > a.day
+),
+sl AS (
+  SELECT event_type,
+         (CASE WHEN dy < 0
+               THEN -((abs(dy) * 2 * 1000000 + dx) // (2 * dx))
+               ELSE ((abs(dy) * 2 * 1000000 + dx) // (2 * dx)) END)
+           AS slope_micro
+  FROM pr
+),
+rk AS (
+  SELECT event_type, slope_micro,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope_micro)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM sl
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       slope_micro AS theilsen_slope_micro
+FROM rk WHERE rn = (n + 1) // 2
+""",
+)
+def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the median of all pairwise
+    slopes of the daily-count series — the estimator that shrugs off up
+    to ~29% outliers where OLS breaks. Exactness: days are TZ-free
+    epoch-day integers, each pairwise slope is a signed half-up micro
+    integer ((|dy|*2e6 + dx) DIV (2*dx), dx > 0 by construction), and
+    the median is the LOWER median by rank over the integer slopes —
+    selection by rank over a value-only order is value-deterministic
+    under ties, so both engines elect the identical BIGINT. Scale
+    shape: the fact table collapses to the |types| x |days| grid in one
+    map-combined groupBy; the pairwise self-join and the median window
+    run over that bounded grid (days^2 pairs per type, SF-independent —
+    at an unbounded day span, switch to the repo's two-scan exact
+    median over the slope relation)."""
+    ev = load_table(spark, sf_dir, "events")
+    dg = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(_US_PER_DAY)).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    a = dg.select(
+        "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
+    )
+    b = dg.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("db"),
+        F.col("y").alias("yb"),
+    )
+    pr = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("db") > F.col("da"))
+    ).select(
+        "event_type",
+        (F.col("yb") - F.col("ya")).alias("dy"),
+        (F.col("db") - F.col("da")).alias("dx"),
+    )
+    sl = pr.selectExpr(
+        "event_type",
+        "(CASE WHEN dy < 0"
+        " THEN -((abs(dy) * 2 * 1000000 + dx) DIV (2 * dx))"
+        " ELSE ((abs(dy) * 2 * 1000000 + dx) DIV (2 * dx)) END)"
+        " AS slope_micro",
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("slope_micro")
+    w_all = Window.partitionBy("event_type")
+    rk = sl.select(
+        "event_type",
+        "slope_micro",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    return rk.filter(F.expr("rn = (n + 1) DIV 2")).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("slope_micro").alias("theilsen_slope_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Boosting round 2: AdaBoost-reweighted second stump, exact integer weights
 # ---------------------------------------------------------------------------
 
