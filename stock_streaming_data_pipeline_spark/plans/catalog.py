@@ -145,6 +145,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "boosted_stumps_round2",
     "token_chi2_by_source",
     "ts_theilsen_trend",
+    "corpus_split_manifest",
     # --- padding to the 50-name boundary: round-8 driver-green names
     # (CORRECTNESS_r08 50/50) — re-sampling them is harmless; they hold
     # the line so approx_quantile_sketch (permanently rows-only:

@@ -2912,6 +2912,67 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_split_manifest",
+    tags=("LLM-mix", "A4"),
+    oracle=f"""
+WITH b AS (
+  SELECT source, n_chars,
+         {dedup.sql_portable_hash("CAST(doc_id AS VARCHAR)", salt="split_")} % 100
+           AS bucket
+  FROM documents
+),
+s AS (
+  SELECT source,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'validation'
+              ELSE 'test' END AS split,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM b GROUP BY 1, 2
+),
+t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS tot FROM s GROUP BY 1)
+SELECT s.source, s.split, s.n_docs, s.sum_chars,
+       (s.n_docs * 2 * 1000000 + t.tot) // (2 * t.tot) AS share_micro
+FROM s JOIN t ON t.source = s.source
+""",
+)
+def corpus_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/validation/test split manifest per
+    source — the reproducibility artifact every training-data pipeline
+    publishes with a corpus release. Membership is a pure function of
+    the document id (portable md5 bucket, salt-isolated from every
+    other hash family in the repo), so the split is stable across runs,
+    engines, partitionings and appends — no RNG, no order dependence;
+    re-running on a grown corpus never reassigns an existing doc. The
+    manifest reports per (source, split) doc counts, char mass and the
+    half-up micro share within the source. Scale shape: one
+    map-combined groupBy to the |sources| x 3 grid; the share join runs
+    on the bounded grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        dedup.portable_hash(F.col("doc_id").cast("string"), salt="split_"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    s = docs.groupBy("source", split.alias("split")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    t = s.groupBy("source").agg(F.sum("n_docs").cast("long").alias("tot"))
+    return s.join(F.broadcast(t), "source").selectExpr(
+        "source",
+        "split",
+        "n_docs",
+        "sum_chars",
+        "(n_docs * 2 * 1000000 + tot) DIV (2 * tot) AS share_micro",
+    )
+
+
 # chi2 from the four exact contingency cells as ONE fixed-association
 # double expression (the integer products overflow int64 past ~3e9
 # doc-token pairs, so the squared term goes through DOUBLE; inputs stay
