@@ -188,6 +188,10 @@ def ngram_jaccard_pairs(
                 sizes.withColumnsRenamed({"doc": "doc_a", "n_sh": "n_a"}), "doc_a"
             )
             .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_sh": "n_b"}), "doc_b")
+            .filter(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+                >= threshold
+            )
             .withColumn(
                 "jaccard",
                 F.round(
@@ -195,7 +199,6 @@ def ngram_jaccard_pairs(
                     6,
                 ),
             )
-            .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard")
         )
 
@@ -233,6 +236,11 @@ def ngram_jaccard_pairs(
         cands.join(
             base.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a"
         ).join(base.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= threshold
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -241,7 +249,6 @@ def ngram_jaccard_pairs(
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
     return verified
@@ -460,8 +467,11 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size("hs_a") + F.size("hs_b") - inter
     return (
-        cands.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
+        # Filter on the RAW ratio (matching every SQL oracle's WHERE);
+        # rounding happens only for the output column — a rounded-first
+        # filter would admit pairs in [threshold - 5e-7, threshold).
+        cands.filter(inter / union >= threshold)
+        .withColumn("jaccard", F.round(inter / union, 6))
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -547,8 +557,11 @@ def minhash_lsh_pairs_cross(
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size("hs_a") + F.size("hs_b") - inter
     return (
-        cands.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
+        # Filter on the RAW ratio (matching every SQL oracle's WHERE);
+        # rounding happens only for the output column — a rounded-first
+        # filter would admit pairs in [threshold - 5e-7, threshold).
+        cands.filter(inter / union >= threshold)
+        .withColumn("jaccard", F.round(inter / union, 6))
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -1201,8 +1214,11 @@ def sorted_neighborhood_pairs(
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size("hs_a") + F.size("hs_b") - inter
     return (
-        cands.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
+        # Filter on the RAW ratio (matching every SQL oracle's WHERE);
+        # rounding happens only for the output column — a rounded-first
+        # filter would admit pairs in [threshold - 5e-7, threshold).
+        cands.filter(inter / union >= threshold)
+        .withColumn("jaccard", F.round(inter / union, 6))
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -1315,8 +1331,11 @@ def snm_idf_pairs(
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size("hs_a") + F.size("hs_b") - inter
     return (
-        cands.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
+        # Filter on the RAW ratio (matching every SQL oracle's WHERE);
+        # rounding happens only for the output column — a rounded-first
+        # filter would admit pairs in [threshold - 5e-7, threshold).
+        cands.filter(inter / union >= threshold)
+        .withColumn("jaccard", F.round(inter / union, 6))
         .select("doc_a", "doc_b", "jaccard")
     )
 

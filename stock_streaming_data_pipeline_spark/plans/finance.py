@@ -1770,7 +1770,10 @@ WITH ht AS (
 tbl(period, phase, cq, sq) AS (VALUES {_PG_VALUES}),
 j AS (
   SELECT event_type, period, x, cq, sq
-  FROM ht JOIN tbl ON tbl.phase = ht.h % tbl.period
+  -- euclidean-mod to mirror Spark's F.pmod: DuckDB's % takes the sign of
+  -- the dividend, which would silently drop pre-1970 (negative epoch-hour)
+  -- rows on the oracle side only
+  FROM ht JOIN tbl ON tbl.phase = ((ht.h % tbl.period) + tbl.period) % tbl.period
 ),
 s AS (
   SELECT event_type, period,
@@ -1890,7 +1893,10 @@ WITH ht AS (
 tbl(period, phase, cq, sq) AS (VALUES {_DP_VALUES}),
 j AS (
   SELECT event_type, period, x, cq, sq
-  FROM ht JOIN tbl ON tbl.phase = ht.h % tbl.period
+  -- euclidean-mod to mirror Spark's F.pmod: DuckDB's % takes the sign of
+  -- the dividend, which would silently drop pre-1970 (negative epoch-hour)
+  -- rows on the oracle side only
+  FROM ht JOIN tbl ON tbl.phase = ((ht.h % tbl.period) + tbl.period) % tbl.period
 ),
 s AS (
   SELECT event_type, period,
@@ -2037,7 +2043,10 @@ ht AS (
 tbl(period, phase, cq, sq) AS (VALUES {_GZ_VALUES}),
 j AS (
   SELECT event_type, period, x, cq, sq
-  FROM ht JOIN tbl ON tbl.phase = ht.h % tbl.period
+  -- euclidean-mod to mirror Spark's F.pmod: DuckDB's % takes the sign of
+  -- the dividend, which would silently drop pre-1970 (negative epoch-hour)
+  -- rows on the oracle side only
+  FROM ht JOIN tbl ON tbl.phase = ((ht.h % tbl.period) + tbl.period) % tbl.period
 ),
 s AS (
   SELECT event_type, period,
@@ -2083,7 +2092,8 @@ def ts_goertzel_harmonics(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection onto frozen integer cos/sin tables (a commutative SUM);
     accumulators are exact integers and the 4-term share denominator is
     ONE fixed-association double expression, so both engines compute
-    the identical IEEE tree. Scale shape: one hourly groupBy, a 54-row
+    the identical IEEE tree. Scale shape: one hourly groupBy, a 50-row
+    (24+12+8+6 phases)
     broadcast phase-table theta-join (bounded 4-rows-per-hour fan-out),
     one aggregate to |event_types| x 4, and a 4-way pivot."""
     ev = trades_view(spark, sf_dir).filter(F.col("value").isNotNull())

@@ -28,3 +28,41 @@ def test_catalog_plans_are_lint_clean(spark):
         findings += plan_lint.lint_one(spark, name, q.build)
     assert n > 130
     assert findings == []
+
+
+def test_nondet_shuffle_key_rule_detects_and_passes(spark):
+    """The round-10 rule (VERDICT r9 #2): a shuffle join keyed by a salt
+    derived from monotonically_increasing_id is flagged; the same join
+    salted by a content hash (what salted_join now requires) is clean."""
+    import plan_lint
+    from pyspark.sql import functions as F
+
+    fact = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.range(7).select(
+        F.col("id").alias("dk"),
+        F.explode(F.array(*[F.lit(s) for s in range(4)])).alias("_salt"),
+    )
+
+    def plan_of(salted_fact):
+        j = salted_fact.join(
+            dim,
+            (salted_fact["k"] == dim["dk"])
+            & (salted_fact["_salt"] == dim["_salt"]),
+        ).drop("_salt")
+        # force a sort-merge shuffle join so hashpartitioning carries _salt
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            return j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    bad = fact.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(4))
+    )
+    good = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64("k", "payload"), F.lit(4))
+    )
+    assert plan_lint.nondet_shuffle_keys(plan_of(bad)) != []
+    assert plan_lint.nondet_shuffle_keys(plan_of(good)) == []

@@ -24,9 +24,10 @@ def test_salted_join_equals_plain_join(spark):
         F.col("id").alias("dk"), F.concat(F.lit("name_"), F.col("id")).alias("name")
     )
     plain = fact.join(dim, fact.k == dim.dk, "inner").select("k", "payload", "name")
-    salted = salted_join(fact, dim, fact_key="k", dim_key="dk", salts=8).select(
-        "k", "payload", "name"
-    )
+    salted = salted_join(
+        fact, dim, fact_key="k", dim_key="dk", salts=8,
+        salt_cols=("k", "payload"),
+    ).select("k", "payload", "name")
     assert plain.count() == salted.count()
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
@@ -48,7 +49,8 @@ def test_salted_join_left_variants_match_plain(spark):
     ]:
         plain = fact.join(dim, fact.k == dim.dk, how).select(*cols)
         salted = salted_join(
-            fact, dim, fact_key="k", dim_key="dk", salts=4, how=how
+            fact, dim, fact_key="k", dim_key="dk", salts=4, how=how,
+            salt_cols=("k", "payload"),
         ).select(*cols)
         assert plain.exceptAll(salted).count() == 0, how
         assert salted.exceptAll(plain).count() == 0, how
@@ -99,7 +101,26 @@ def test_salted_join_rejects_outer_on_dim(spark):
     dim = spark.range(10).select(F.col("id").alias("dk"))
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="unsupported how"):
-            salted_join(fact, dim, fact_key="k", dim_key="dk", how=how)
+            salted_join(
+                fact, dim, fact_key="k", dim_key="dk", how=how,
+                salt_cols=("k",),
+            )
+
+
+def test_salted_join_requires_real_salt_cols(spark):
+    """Round-10 hardening (VERDICT r9 #2): the nondeterministic
+    monotonically_increasing_id fallback is gone — salt_cols is required,
+    and a key-only salt (every hot-key row in ONE bucket) is rejected."""
+    import pytest
+
+    fact = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    dim = spark.range(10).select(F.col("id").alias("dk"))
+    with pytest.raises(TypeError):
+        salted_join(fact, dim, fact_key="k", dim_key="dk")
+    with pytest.raises(ValueError, match="salt_cols is required"):
+        salted_join(fact, dim, fact_key="k", dim_key="dk", salt_cols=())
+    with pytest.raises(ValueError, match="key-only salt"):
+        salted_join(fact, dim, fact_key="k", dim_key="dk", salt_cols=("k",))
 
 
 def test_upsert_compaction_preserves_state(spark, tmp_path):

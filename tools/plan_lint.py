@@ -21,7 +21,12 @@ kill 100 TB runs, so a new query can't regress the discipline silently:
   paths (ArrowEvalPython, MapInPandas/FlatMapGroupsInPandas) are fine;
 - unpruned full-width parquet scans of wide (>=5-column) tables —
   column pruning must reach the ReadSchema (allowlisted where the
-  query genuinely consumes the whole row).
+  query genuinely consumes the whole row);
+- shuffle-partitioning / hash-join keys fed by a nondeterministic
+  expression (monotonically_increasing_id / rand / uuid) — the
+  SPARK-23207 retry-hazard class: recomputed tasks re-evaluate the
+  expression differently and join rows duplicate or vanish (round 10,
+  closing VERDICT r9's salted_join item as a machine-enforced rule).
 
 Usage:
     python tools/plan_lint.py            # lint all batch queries @ sf0.001
@@ -294,6 +299,110 @@ def full_width_scans(executed_plan: str) -> list[str]:
     return hits
 
 
+# Nondeterministic value expressions. `rand`/`randn` with a seed are
+# still retry-hazardous: the draw depends on partition id + row order
+# within the partition, both of which change when an upstream stage is
+# recomputed after a shuffle-fetch failure. (`shuffle` is the array
+# permutation function; `uuid` is per-row random.)
+_NONDET_RE = None
+
+
+def _nondet_re():
+    global _NONDET_RE
+    if _NONDET_RE is None:
+        import re
+
+        _NONDET_RE = re.compile(
+            r"\b(monotonically_increasing_id|rand|randn|uuid|shuffle)\("
+        )
+    return _NONDET_RE
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a plan-node field list on commas at bracket depth 0."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def nondet_shuffle_keys(executed_plan: str) -> list[str]:
+    """Shuffle-partitioning args or hash-join keys that derive from a
+    nondeterministic expression (monotonically_increasing_id / rand /
+    uuid / array shuffle) — the SPARK-23207 retry-hazard class: when a
+    task is recomputed after a shuffle-fetch failure the expression
+    re-evaluates differently, so the same logical row lands in a
+    DIFFERENT shuffle partition than its first attempt and join rows
+    duplicate or vanish. Routine at 100 TB where fetch failures are
+    expected; undetectable at test scale (retries don't happen on a
+    healthy local[32]) — hence a static plan rule, not a test.
+
+    Detection: taint every attribute aliased from a nondeterministic
+    expression in any Project/Aggregate field (`... rand(42) ... AS
+    x#12L`), propagate taint through re-aliasing, then flag any
+    `Exchange hashpartitioning(...)` arg list or SortMergeJoin /
+    ShuffledHashJoin / BroadcastHashJoin key list containing either a
+    tainted attribute or a nondeterministic call directly. Round-robin
+    `Exchange roundrobinpartitioning` is exempt: Spark already guards it
+    with a local sort for retry determinism (SPARK-23207's own fix)."""
+    import re
+
+    nondet = _nondet_re()
+    alias_re = re.compile(r" AS (\w+#\d+L?)\b")
+    lines = executed_plan.splitlines()
+
+    # Pass 1+fixpoint: collect tainted attribute ids from alias sites.
+    tainted: set[str] = set()
+    node_re = re.compile(r"(?:Project|HashAggregate|Aggregate|Expand|Generate|Window)\b.*?\[(.*)\]")
+    field_lists: list[list[str]] = []
+    for line in lines:
+        m = node_re.search(line)
+        if m:
+            field_lists.append(_split_top_level(m.group(1)))
+    changed = True
+    while changed:
+        changed = False
+        for fields in field_lists:
+            for fld in fields:
+                am = alias_re.search(fld)
+                if not am or am.group(1) in tainted:
+                    continue
+                expr = fld[: am.start()]
+                if nondet.search(expr) or any(t in expr for t in tainted):
+                    tainted.add(am.group(1))
+                    changed = True
+
+    hits: list[str] = []
+    key_sites = (
+        ("Exchange hashpartitioning", re.compile(r"hashpartitioning\((.*)\)")),
+        ("SortMergeJoin", re.compile(r"SortMergeJoin(?:\(\w+\))? \[([^\]]*)\], \[([^\]]*)\]")),
+        ("ShuffledHashJoin", re.compile(r"ShuffledHashJoin \[([^\]]*)\], \[([^\]]*)\]")),
+        ("BroadcastHashJoin", re.compile(r"BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\]")),
+    )
+    for line in lines:
+        for label, rx in key_sites:
+            if label not in line:
+                continue
+            m = rx.search(line)
+            if not m:
+                continue
+            keys = ", ".join(g for g in m.groups() if g)
+            if nondet.search(keys) or any(t in keys for t in tainted):
+                hits.append(f"{label} keyed by nondeterministic expression: "
+                            f"{line.strip()[:160]}")
+    return hits
+
+
 def fragile_final_columns(df) -> list[str]:
     from pyspark.sql import types as T
 
@@ -339,6 +448,8 @@ def lint_one(spark, name, build) -> list[str]:
             )
     if "BatchEvalPython" in plan:
         findings.append(f"{name}: row-at-a-time Python UDF (BatchEvalPython)")
+    for hit in nondet_shuffle_keys(plan):
+        findings.append(f"{name}: {hit}")
     if (
         "Window" in plan
         and "Window [" in plan
