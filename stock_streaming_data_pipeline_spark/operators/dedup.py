@@ -1455,3 +1455,141 @@ WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
       / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
       >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) fingerprints
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunk_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    gram: int = 8,
+    mask: int = 64,
+) -> DataFrame:
+    """Content-defined chunk fingerprints per document: ``(doc, fp)``.
+
+    The storage-dedup / incremental-ingest primitive (Muthitacharoen et
+    al., LBFS, SOSP'01): chunk boundaries are declared wherever the hash
+    of the trailing ``gram``-char window satisfies ``hash % mask == 0``
+    (expected chunk length = ``mask``), plus a forced boundary at
+    end-of-text. Because boundaries depend only on LOCAL content, an
+    insertion near the front shifts every byte offset but the chunking
+    RESYNCS at the next content boundary — the property fixed-size
+    framing lacks, and the reason CDC survives header-prefixed
+    re-ingests. Documents shorter than ``gram`` produce no chunks (they
+    cannot anchor a window; exact dedup owns that regime).
+
+    Plan shape: one map-side position explode (O(total chars) rows that
+    immediately collapse to ~len/mask boundary rows inside the same
+    stage — the text column never travels with the exploded rows), a
+    doc-partitioned lag window over the boundary rows, one join back to
+    the doc relation for chunk extraction. Hashes are the portable md5
+    family, so the whole construction replays exactly in DuckDB
+    (sql_cdc_chunk_fingerprints)."""
+    docs = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("txt"))
+    bounds = (
+        docs.select(
+            "doc",
+            F.length("txt").alias("len"),
+            F.explode(F.sequence(F.lit(gram), F.length("txt"))).alias("pos"),
+            F.col("txt"),
+        )
+        .filter(
+            (
+                F.pmod(
+                    portable_hash(
+                        F.expr(f"substring(txt, pos - {gram - 1}, {gram})"),
+                        salt="cdc_",
+                    ),
+                    F.lit(mask),
+                )
+                == 0
+            )
+            | (F.col("pos") == F.col("len"))
+        )
+        .select("doc", "pos")
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    chunks = bounds.select(
+        "doc",
+        (F.coalesce(F.lag("pos").over(w), F.lit(0)) + 1).alias("start"),
+        F.col("pos").alias("end"),
+    )
+    return (
+        chunks.join(docs, "doc")
+        .select(
+            "doc",
+            portable_hash(
+                F.expr("substring(txt, start, end - start + 1)"), salt="cdcfp_"
+            ).alias("fp"),
+        )
+    )
+
+
+def cdc_shared_chunk_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    gram: int = 8,
+    mask: int = 64,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by shared CDC chunk fingerprints:
+    ``(doc_a, doc_b, n_shared)`` with ``n_shared >= min_shared``. The
+    fingerprint equi-join is the posting-list shape of exact dedup: a
+    hot fingerprint means true mass duplication (same failure mode and
+    remedy as exact dedup), not hash skew."""
+    fps = cdc_chunk_fingerprints(
+        df, id_col=id_col, text_col=text_col, gram=gram, mask=mask
+    )
+    a = fps.select(F.col("doc").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def sql_cdc_shared_chunk_pairs(
+    *,
+    corpus_select: str,
+    gram: int = 8,
+    mask: int = 64,
+    min_shared: int = 2,
+) -> str:
+    """DuckDB replay of :func:`cdc_shared_chunk_pairs`. ``corpus_select``
+    must yield columns ``(doc, txt)``."""
+    gh = sql_portable_hash(f"substr(txt, p.pos - {gram - 1}, {gram})", salt="cdc_")
+    fph = sql_portable_hash("substr(txt, start, end_ - start + 1)", salt="cdcfp_")
+    return f"""
+WITH corpus AS ({corpus_select}),
+b AS (
+  SELECT doc, p.pos AS pos
+  FROM corpus, unnest(range({gram}, length(txt) + 1)) AS p(pos)
+  WHERE {gh} % {mask} = 0 OR p.pos = length(txt)
+),
+ch AS (
+  SELECT doc,
+         coalesce(lag(pos) OVER (PARTITION BY doc ORDER BY pos), 0) + 1
+           AS start,
+         pos AS end_
+  FROM b
+),
+fp AS (
+  SELECT c.doc, {fph} AS fp
+  FROM ch c JOIN corpus USING (doc)
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc < b.doc
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""

@@ -5696,3 +5696,121 @@ def stylometry_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("delta_micro"), F.asc("src_a"), F.asc("src_b"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-pattern dictionary matching (Aho-Corasick class)
+# ---------------------------------------------------------------------------
+
+# Bounded pattern dictionary: single tokens AND multi-word phrases, so
+# the matching is genuine substring search over the raw text, not a
+# token-set lookup.
+_MP_PATTERNS = (
+    "spark",
+    "hash value",
+    "fast merge",
+    "row scan",
+    "table",
+    "batch part",
+    "agg",
+    "slow fast",
+    "value table",
+    "key agg",
+)
+_MP_VALUES = ", ".join(f"('{p}')" for p in _MP_PATTERNS)
+# non-overlapping left-to-right occurrence count via replace-and-measure:
+# identical semantics in Spark and DuckDB, exact integer division (the
+# length delta is a multiple of the pattern length by construction)
+_MP_OCC = "(length({t}) - length(replace({t}, {p}, ''))) {div} length({p})"
+
+
+@register(
+    "text_multipattern_match",
+    tags=("LLM-text", "A4"),
+    oracle=f"""
+WITH pats(pattern) AS (VALUES {_MP_VALUES}),
+occ AS (
+  SELECT p.pattern, d.source,
+         {_MP_OCC.format(t="d.text", p="p.pattern", div="//")} AS occ
+  FROM documents d CROSS JOIN pats p
+)
+SELECT pattern, source,
+       CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(sum(occ) AS BIGINT) AS total_occ
+FROM occ GROUP BY 1, 2
+""",
+)
+def text_multipattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern dictionary matching over the corpus — the
+    blocklist / keyword-tagging primitive of a training-data pipeline
+    (Aho & Corasick 1975's problem: count occurrences of EVERY pattern
+    of a fixed dictionary in every document in one pass). Spark-first
+    realization for a BOUNDED dictionary: the patterns ride a per-row
+    array explode and a native replace-and-measure occurrence count —
+    whole-stage codegen, zero joins, zero Python; the fact table
+    shuffles once, already reduced to the |patterns| x |sources| grid.
+    Occurrences are the non-overlapping left-to-right count (replace
+    semantics, identical in both engines), exact integers throughout.
+    Scale shape: map-side |patterns|-fold fan-out (bounded constant) ->
+    one map-combined groupBy; for dictionaries large enough that the
+    fan-out beats a single-pass automaton, the escape hatch is an
+    Aho-Corasick automaton built driver-side and applied per Arrow
+    batch via mapInPandas — same output contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "source",
+        "text",
+        F.explode(F.array(*[F.lit(p) for p in _MP_PATTERNS])).alias("pattern"),
+    )
+    occ = exploded.selectExpr(
+        "pattern",
+        "source",
+        _MP_OCC.format(t="text", p="pattern", div="DIV") + " AS occ",
+    )
+    return occ.groupBy("pattern", "source").agg(
+        F.sum(F.when(F.col("occ") > 0, 1).otherwise(0)).cast("long").alias("n_docs"),
+        F.sum("occ").cast("long").alias("total_occ"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (shift-robust near-dup detection)
+# ---------------------------------------------------------------------------
+
+_CDC_CORPUS_SQL = """
+  SELECT doc_id AS doc, text AS txt FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc, 'INGEST-HEADER: ' || text AS txt
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@register(
+    "dedup_cdc_chunks",
+    tags=("LLM-dedup",),
+    oracle=dedup.sql_cdc_shared_chunk_pairs(
+        corpus_select=_CDC_CORPUS_SQL, gram=8, mask=64, min_shared=2
+    ),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup over a corpus with PLANTED
+    header-prefixed re-ingests (every 5th doc re-appears under a new id
+    with a 15-char header prepended — the at-least-once ingest that
+    defeats fixed-size framing, because the insertion shifts every byte
+    offset). CDC boundaries depend only on local content, so the
+    chunking resyncs after the header and the original/re-ingest pair
+    still shares nearly all chunks — the mechanism is orthogonal to
+    shingle-Jaccard (set overlap) and MinHash (sketched overlap):
+    chunk-level identity localizes WHERE documents agree, which is what
+    storage dedup and incremental corpus refresh bill by. Emits
+    (doc_a, doc_b, n_shared) for pairs sharing >= 2 chunk
+    fingerprints."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("INGEST-HEADER: "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    return dedup.cdc_shared_chunk_pairs(
+        corpus, id_col="doc_id", text_col="text", gram=8, mask=64, min_shared=2
+    )

@@ -5561,3 +5561,240 @@ def kruskal_wallis_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tt")
     )
     return s.crossJoin(F.broadcast(t)).selectExpr("k", "nn AS n_rows", _KW_H)
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch (mergeable BY CONSTRUCTION)
+# ---------------------------------------------------------------------------
+
+# Designed contrast to approx_quantile_sketch (Greenwald-Khanna, whose
+# compress step is partitioning-dependent and therefore permanently
+# rows-only): an HDR histogram's merge is plain bucket-count ADDITION —
+# commutative and associative — so the sketch is partitioning-,
+# engine- and order-independent, and the full result oracles exactly.
+# t-digest was considered and rejected for the same reason GK is
+# rows-only: its centroid merge depends on merge order.
+#
+# Bucketing is pure integer bit math (no float log whose libm rounding
+# could flip a boundary case across engines): for cents v > 0 with
+# exponent e = length(bin(v)) - 1, the bucket is the top (1 + _HDR_M)
+# significand bits, i.e. v >> max(e - _HDR_M, 0); the bucket's lower
+# bound shifts back. Relative error <= 2^-_HDR_M per bucket.
+_HDR_M = 5
+_HDR_CENTS = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+# exponent / shift / bucket lower bound, shared textual form (Spark needs
+# shiftright/shiftleft spellings; DuckDB uses >> <<)
+_HDR_SPARK = f"""
+SELECT o_orderpriority AS priority,
+       shiftleft(shiftright(v, s), s) AS lo
+FROM (
+  SELECT o_orderpriority,
+         v,
+         greatest(length(bin(v)) - 1 - {_HDR_M}, 0) AS s
+  FROM (SELECT o_orderpriority, {_HDR_CENTS} AS v FROM {{orders}})
+  WHERE v > 0
+)
+"""
+_HDR_DUCK = f"""
+SELECT o_orderpriority AS priority,
+       (v >> s) << s AS lo
+FROM (
+  SELECT o_orderpriority,
+         v,
+         greatest(length(bin(v)) - 1 - {_HDR_M}, 0) AS s
+  FROM (SELECT o_orderpriority, {_HDR_CENTS} AS v FROM orders)
+  WHERE v > 0
+)
+"""
+# quantile ranks: ceil(n * pct / 100) in exact integers
+_HDR_RANK = "(n * {pct} + 99) // 100"
+_HDR_RANK_SPARK = "(n * {pct} + 99) DIV 100"
+
+
+@register(
+    "approx_quantile_hdr",
+    tags=("ML-stats", "A1"),
+    oracle=f"""
+WITH b AS ({_HDR_DUCK}),
+cnt AS (
+  SELECT priority, lo, CAST(count(*) AS BIGINT) AS c
+  FROM b GROUP BY 1, 2
+),
+tot AS (SELECT priority, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+cum AS (
+  SELECT c.priority, c.lo, t.n,
+         sum(c.c) OVER (PARTITION BY c.priority ORDER BY c.lo) AS cum
+  FROM cnt c JOIN tot t ON t.priority = c.priority
+)
+SELECT priority, min(n) AS n_orders,
+       min(CASE WHEN cum >= {_HDR_RANK.format(pct=50)} THEN lo END)
+         AS p50_cents_lo,
+       min(CASE WHEN cum >= {_HDR_RANK.format(pct=90)} THEN lo END)
+         AS p90_cents_lo,
+       min(CASE WHEN cum >= {_HDR_RANK.format(pct=99)} THEN lo END)
+         AS p99_cents_lo
+FROM cum GROUP BY 1
+""",
+)
+def approx_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate order-value quantiles per priority class via an
+    HDR (high-dynamic-range) histogram sketch: exponent + top-5
+    significand bits bucketing (pure integer shifts — no float log),
+    bounded relative error 2^-5 ~ 3%, and a merge that is bucket-count
+    ADDITION — commutative/associative, hence partitioning-independent
+    and exactly oracle-able, the designed contrast to the
+    Greenwald-Khanna sketch (approx_quantile_sketch), which stays
+    rows-only forever because its compression is merge-order-dependent.
+    Reported quantile = lower bound of the first bucket whose
+    cumulative count reaches ceil(n*q). Scale shape: one map-combined
+    groupBy onto <= |priorities| x (59 x 2^5) buckets; the cumulative
+    window runs over that bounded bucket relation only."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_hdr_orders")
+    b = spark.sql(_HDR_SPARK.format(orders="_hdr_orders"))
+    cnt = b.groupBy("priority", "lo").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("priority").agg(F.sum("c").cast("long").alias("n"))
+    w = Window.partitionBy("priority").orderBy("lo")
+    cum = (
+        cnt.join(F.broadcast(tot), "priority")
+        .withColumn("cum", F.sum("c").over(w))
+    )
+    return cum.groupBy("priority").agg(
+        F.min("n").alias("n_orders"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(_HDR_RANK_SPARK.format(pct=pct)),
+                    F.col("lo"),
+                )
+            ).alias(f"p{pct}_cents_lo")
+            for pct in (50, 90, 99)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch point estimates
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4     # depth: independent hash rows
+_CMS_W = 256   # width: counters per row
+_CMS_CAND = 20  # bounded candidate set: user_id < 20
+
+
+def _cms_cell_sql(expr: str, d: int) -> str:
+    from stock_streaming_data_pipeline_spark.operators.dedup import (
+        sql_portable_hash,
+    )
+
+    return f"{sql_portable_hash(expr, salt=f'cms{d}_')} % {_CMS_W}"
+
+
+@register(
+    "approx_topk_countmin",
+    tags=("ML-stats", "A4"),
+    oracle=f"""
+WITH cells AS (
+  {" UNION ALL ".join(
+      f"SELECT {d} AS d, "
+      + _cms_cell_sql("CAST(user_id AS VARCHAR)", d)
+      + " AS cell FROM events"
+      for d in range(_CMS_D)
+  )}
+),
+counters AS (
+  SELECT d, cell, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY 1, 2
+),
+cand AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+  FROM events WHERE user_id < {_CMS_CAND} GROUP BY 1
+),
+cand_cells AS (
+  {" UNION ALL ".join(
+      f"SELECT user_id, exact_n, {d} AS d, "
+      + _cms_cell_sql("CAST(user_id AS VARCHAR)", d)
+      + " AS cell FROM cand"
+      for d in range(_CMS_D)
+  )}
+)
+SELECT cc.user_id, min(cc.exact_n) AS exact_n,
+       min(co.c) AS cms_est,
+       min(co.c) - min(cc.exact_n) AS overestimate
+FROM cand_cells cc JOIN counters co ON co.d = cc.d AND co.cell = cc.cell
+GROUP BY 1
+""",
+)
+def approx_topk_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimation over the event stream: a 4 x 256 counter grid
+    (independent salted hash rows), point estimate = min over rows —
+    never an underestimate, overestimate bounded by collisions. The
+    sketch is mergeable BY CONSTRUCTION (counter addition is
+    commutative/associative), so it is partitioning-independent and
+    exactly oracle-able — same design argument as approx_quantile_hdr,
+    and the reason this sketch CAN carry a full oracle while GK cannot.
+    Verified against exact counts for a bounded candidate set (the
+    overestimate column is the measured collision error). Hashes are
+    the portable md5 family (salt-isolated per row), identical in both
+    engines. Scale shape: map-side depth-fold fan-out -> one
+    map-combined groupBy onto the fixed 1024-cell grid; estimates join
+    the bounded candidate set against the broadcast counter table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid"), "user_id"
+    )
+    from stock_streaming_data_pipeline_spark.operators.dedup import portable_hash
+
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            portable_hash(F.col("uid"), salt=f"cms{d}_"),
+                            F.lit(_CMS_W),
+                        ).alias("cell"),
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("dc")
+    ).select("dc.d", "dc.cell")
+    counters = cells.groupBy("d", "cell").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cand = (
+        ev.filter(F.col("user_id") < _CMS_CAND)
+        .groupBy("user_id", "uid")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    cand_cells = cand.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            portable_hash(F.col("uid"), salt=f"cms{d}_"),
+                            F.lit(_CMS_W),
+                        ).alias("cell"),
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("dc"),
+    ).select("user_id", "exact_n", "dc.d", "dc.cell")
+    return (
+        cand_cells.join(F.broadcast(counters), ["d", "cell"])
+        .groupBy("user_id")
+        .agg(
+            F.min("exact_n").alias("exact_n"),
+            F.min("c").alias("cms_est"),
+            (F.min("c") - F.min("exact_n")).alias("overestimate"),
+        )
+    )
