@@ -743,7 +743,7 @@ def sql_minhash_lsh_pairs_xxh64_expected(
       (functions/xxh64_ref.py, pinned bit-equal to ``F.xxhash64``);
     - the permutation family / banding / hashed-set verification in
       numpy, replicating Spark's semantics exactly (pmod arithmetic,
-      round-THEN-filter at the threshold, BigDecimal-style half-up
+      raw-ratio filter at the threshold, BigDecimal-style half-up
       rounding on the shortest decimal repr).
 
     Cost is bounded by the corpus the DRIVER checks at (sf0.01: 500
@@ -809,10 +809,13 @@ def sql_minhash_lsh_pairs_xxh64_expected(
         inter = len(hsets[a] & hsets[b])
         union = len(hsets[a]) + len(hsets[b]) - inter
         j = inter / union
+        # filter on the RAW ratio (round-10 parity fix: Spark and every
+        # SQL oracle filter unrounded, rounding only the output column)
+        if j < threshold:
+            continue
         # Spark F.round(double, 6): HALF_UP on the shortest decimal repr
         j6 = float(Decimal(repr(j)).quantize(q6, rounding=ROUND_HALF_UP))
-        if j6 >= threshold:
-            out.append((a, b, repr(j6)))
+        out.append((a, b, repr(j6)))
 
     if not out:
         return (

@@ -5814,3 +5814,139 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cdc_shared_chunk_pairs(
         corpus, id_col="doc_id", text_col="text", gram=8, mask=64, min_shared=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-reachability density clustering (HDBSCAN family)
+# ---------------------------------------------------------------------------
+
+_MRC_PLANES = (1, 8, 16, 24)  # 1-indexed dims whose sign bits form the cell
+_MRC_K = 4                    # core distance = k-th nearest in-cell neighbor
+_MRC_EPS = 1_550_000          # squared-L2 micro cut on mutual reachability
+
+_MRC_SQD = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(1, len({a}) + 1), "
+    "i -> (({a})[i]::DOUBLE - ({b})[i]::DOUBLE)"
+    " * (({a})[i]::DOUBLE - ({b})[i]::DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+_MRC_CELL_SQL = " + ".join(
+    f"(CASE WHEN embedding[{d}] > 0 THEN {1 << (len(_MRC_PLANES) - 1 - i)} "
+    "ELSE 0 END)"
+    for i, d in enumerate(_MRC_PLANES)
+)
+
+
+@register(
+    "embedding_mutual_reach_clusters",
+    tags=("LLM-sim", "ML-stats"),
+    oracle=f"""
+WITH RECURSIVE c AS (
+  SELECT vec_id, embedding, {_MRC_CELL_SQL} AS cell FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(floor({_MRC_SQD.format(a="a.embedding", b="b.embedding")}
+              * 1000000 + 0.5) AS BIGINT) AS d2m
+  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+),
+core AS (
+  SELECT ia AS v, d2m AS core FROM (
+    SELECT ia, d2m,
+           row_number() OVER (PARTITION BY ia ORDER BY d2m, ib) AS rn
+    FROM p
+  ) WHERE rn = {_MRC_K}
+),
+ed AS (
+  SELECT p.ia, p.ib
+  FROM p
+  JOIN core ca ON ca.v = p.ia
+  JOIN core cb ON cb.v = p.ib
+  WHERE p.ia < p.ib AND greatest(ca.core, cb.core, p.d2m) <= {_MRC_EPS}
+),
+edges AS (SELECT ia AS a, ib AS b FROM ed UNION SELECT ib, ia FROM ed),
+reach AS (
+  SELECT a, a AS b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS v, min(b) AS component FROM reach GROUP BY a),
+cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM comp GROUP BY 1)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_vecs
+FROM cs GROUP BY 1
+""",
+)
+def embedding_mutual_reach_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDBSCAN-family density clustering over the embedding space via
+    MUTUAL-REACHABILITY distance (Campello/Moulavi/Sander 2013):
+    mr(a,b) = max(core_k(a), core_k(b), d(a,b)) with core_k = distance
+    to the k-th nearest neighbor — the smoothing that keeps sparse-
+    region points from chaining dense clusters together, which plain
+    single-linkage at the same cut suffers. Pipeline: (1) blocked
+    all-pairs inside sign-bit cells (4 fixed axis-aligned hyperplanes ->
+    16 cells; production scales the plane count with N so per-cell
+    population stays bounded — the cell is the parallel unit and the
+    approximation boundary, as in every blocked/partitioned HDBSCAN);
+    (2) exact squared-L2 on the micro lattice (order-fixed left fold,
+    IEEE-identical in both engines); (3) core_k via a vec-partitioned
+    rank window; (4) edges where mr <= eps; (5) min-label-propagation
+    connected components (operators/dedup.py, localCheckpoint-bounded
+    lineage); (6) cluster-size histogram. Points with fewer than k
+    in-cell neighbors or no edge are noise by definition (HDBSCAN's
+    own convention) and absent from the histogram."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cell = None
+    for i, d in enumerate(_MRC_PLANES):
+        bit = F.when(
+            F.element_at(F.col("embedding"), d) > 0,
+            F.lit(1 << (len(_MRC_PLANES) - 1 - i)),
+        ).otherwise(F.lit(0))
+        cell = bit if cell is None else cell + bit
+    c = emb.select("vec_id", "embedding", cell.alias("cell"))
+    a = c.select(
+        F.col("cell"), F.col("vec_id").alias("ia"),
+        similarity.as_double(F.col("embedding")).alias("ea"),
+    )
+    b = c.select(
+        F.col("cell"), F.col("vec_id").alias("ib"),
+        similarity.as_double(F.col("embedding")).alias("eb"),
+    )
+    sqd = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia", "ib",
+            F.floor(sqd * 1_000_000 + F.lit(0.5)).cast("long").alias("d2m"),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(F.asc("d2m"), F.asc("ib"))
+    core = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _MRC_K)
+        .select(F.col("ia").alias("v"), F.col("d2m").alias("core"))
+    )
+    ed = (
+        pairs.filter(F.col("ia") < F.col("ib"))
+        .join(core.withColumnsRenamed({"v": "ia", "core": "core_a"}), "ia")
+        .join(core.withColumnsRenamed({"v": "ib", "core": "core_b"}), "ib")
+        .filter(
+            F.greatest("core_a", "core_b", "d2m") <= F.lit(_MRC_EPS)
+        )
+        .select("ia", "ib")
+    )
+    comp = dedup.connected_components(ed, src="ia", dst="ib")
+    cs = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return cs.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_vecs"),
+    )
