@@ -106,15 +106,20 @@ def _load_all() -> None:
 # row — r6 lesson); both pinned by tests/test_catalog_order.py and
 # tests/test_schema_gate.py.
 _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # --- round-9 rotation. The driver differential-checks the FIRST 50
-    # names of queries() each round. After round 8 the driver-green union
-    # is 300/322; exactly 21 oracled names have never been sampled green:
-    # the 20 leftovers behind the r8 boundary plus approx_distinct_profile
-    # (its bit-exact HLL++ replica oracle landed after the r8 prefix was
-    # frozen). All 21 were pre-verified in round 8 (hostile sf0.01 twice +
-    # strict sf0.1) and spot-checked by the judge (5/5) — this rotation is
-    # the pure reorder VERDICT r8 asked for; a green round makes the
-    # driver-witnessed union complete at 321/322.
+    # --- round-10 NEW queries (growth rides the driver sample in the
+    # round it lands — r9 verdict #1): six new operator classes, each
+    # pre-verified hostile sf0.01 x2 + strict sf0.1 before fronting.
+    "text_multipattern_match",
+    "approx_quantile_hdr",
+    "approx_topk_countmin",
+    "dedup_cdc_chunks",
+    "embedding_mutual_reach_clusters",
+    "schedule_weighted_intervals",
+    # --- padding to the 50-name boundary: all driver-green in r9 or
+    # earlier (re-sampling is harmless); the union of driver-witnessed
+    # greens is complete at 328/329, so everything below the six new
+    # names only holds the line. Every name above the boundary marker
+    # carries a real oracle (pinned by tests/test_catalog_order.py).
     "drawdown_duration",
     "capture_recapture_users",
     "corpus_chao1_richness",
@@ -136,9 +141,6 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "stylometry_burrows_delta",
     "priority_mix_by_quarter",
     "approx_distinct_profile",
-    # --- round-9 NEW queries (growth resumed inside the prefix, r8
-    # verdict #2): each landed with oracle + hostile/strict pre-verify in
-    # the same round it rides the sample.
     "dedup_snm_idf_keys",
     "ts_kmedoids_dtw",
     "ts_goertzel_harmonics",
@@ -146,11 +148,6 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "token_chi2_by_source",
     "ts_theilsen_trend",
     "corpus_split_manifest",
-    # --- padding to the 50-name boundary: round-8 driver-green names
-    # (CORRECTNESS_r08 50/50) — re-sampling them is harmless; they hold
-    # the line so approx_quantile_sketch (permanently rows-only:
-    # Greenwald-Khanna merge is order-dependent, a sampled no_oracle
-    # query grades as a red err row) stays behind the boundary.
     "markov_stationary_events",
     "retrieval_ndcg_eval",
     "decision_stump_train",
@@ -167,6 +164,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "multimodal_phash_hamming_pairs",
     "corr_matrix_lineitem",
     "text_readability",
+    # ---- 50-query driver-sample boundary ----
     "customer_reorder_intervals",
     "lr_gains_deciles",
     "supplier_hhi_by_nation",
@@ -180,7 +178,6 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "rsi_hourly",
     "pca_second_component",
     "text_zipf_fit",
-    # ---- 50-query driver-sample boundary ----
     "multimodal_consistency_audit",
     "stratified_treatment_effect",
     "corpus_hapax_ratio",

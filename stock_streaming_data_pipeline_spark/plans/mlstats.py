@@ -5798,3 +5798,115 @@ def approx_topk_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.min("exact_n")).alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted interval scheduling over order lifetimes
+# ---------------------------------------------------------------------------
+
+_WIS_CENTS = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+_WIS_TOP = 20
+
+
+def _sql_wis_expected(sf_dir: str) -> str:
+    """Literal-VALUES oracle for schedule_weighted_intervals: the same
+    DP (operators/scheduling.py — shared implementation, so the
+    differential verifies the DISTRIBUTED plumbing: grouping, Arrow
+    round-trip, ordering) over rows DuckDB reads from the same parquet.
+    Bounded by the driver's check tier (sf0.01: 15k orders)."""
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.operators.scheduling import (
+        weighted_interval_best,
+    )
+    from stock_streaming_data_pipeline_spark.tables import duck_glob
+
+    rows = duckdb.sql(
+        f"""
+        SELECT o_custkey,
+               epoch_us(o_orderdate) AS s,
+               epoch_us(o_orderdate)
+                 + ((o_orderkey % 30) + 1) * {_US_PER_DAY} AS e,
+               {_WIS_CENTS} AS w
+        FROM read_parquet('{duck_glob(sf_dir, "orders")}')
+        """
+    ).fetchall()
+    groups: dict[int, list[tuple[int, int, int]]] = {}
+    for ck, s, e, w in rows:
+        groups.setdefault(int(ck), []).append((int(s), int(e), int(w)))
+    scored = []
+    for ck, items in groups.items():
+        best, n_sel = weighted_interval_best(items)
+        scored.append((ck, len(items), n_sel, best))
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    top = scored[:_WIS_TOP]
+    values = ",\n".join(f"({ck}, {ni}, {ns}, {bv})" for ck, ni, ns, bv in top)
+    return (
+        "SELECT CAST(o_custkey AS BIGINT) AS o_custkey,\n"
+        "       CAST(n_intervals AS BIGINT) AS n_intervals,\n"
+        "       CAST(n_selected AS BIGINT) AS n_selected,\n"
+        "       CAST(best_value_cents AS BIGINT) AS best_value_cents\n"
+        f"FROM (VALUES\n{values}\n"
+        ") AS t(o_custkey, n_intervals, n_selected, best_value_cents)"
+    )
+
+
+@register(
+    "schedule_weighted_intervals",
+    tags=("ML-stats", "UD1"),
+    oracle_fn=_sql_wis_expected,
+)
+def schedule_weighted_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted interval scheduling per customer: each order is an
+    interval [orderdate, orderdate + (orderkey % 30 + 1) days] weighted
+    by its price in exact cents; the query reports the top customers by
+    the max total value of a NON-OVERLAPPING order subset — the classic
+    capacity-planning / booking-optimization DP (Kleinberg & Tardos
+    §6.1). The recurrence OPT(j) = max(OPT(j-1), w_j + OPT(p(j))) is
+    genuinely sequential per key — not a window composition — so this
+    is the catalog's reference instance of the category-(b) custom
+    operator path: applyInPandas over the grouping key, plain-Python DP
+    over Arrow batches (operators/scheduling.py), group size bounded by
+    orders-per-customer. Everything before and after the grouped map is
+    native: cents/epoch projection, then one TakeOrderedAndProject for
+    the top-20 report. The oracle imports the SAME DP and replays it on
+    DuckDB-read rows, so the differential checks the distributed
+    plumbing (grouping, Arrow round-trip, global ordering)."""
+    import pandas as pd
+
+    from stock_streaming_data_pipeline_spark.operators.scheduling import (
+        weighted_interval_best,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.selectExpr(
+        "o_custkey",
+        "unix_micros(o_orderdate) AS s",
+        f"unix_micros(o_orderdate) + ((o_orderkey % 30) + 1) * {_US_PER_DAY} AS e",
+        f"{_WIS_CENTS} AS w",
+    )
+
+    def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
+        best, n_sel = weighted_interval_best(
+            (int(s), int(e), int(w))
+            for s, e, w in zip(pdf["s"], pdf["e"], pdf["w"])
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": [int(pdf["o_custkey"].iloc[0])],
+                "n_intervals": [len(pdf)],
+                "n_selected": [n_sel],
+                "best_value_cents": [best],
+            }
+        )
+
+    sched = iv.groupBy("o_custkey").applyInPandas(
+        _grp,
+        schema=(
+            "o_custkey long, n_intervals long, n_selected long, "
+            "best_value_cents long"
+        ),
+    )
+    return sched.orderBy(
+        F.desc("best_value_cents"), F.asc("o_custkey")
+    ).limit(_WIS_TOP)
