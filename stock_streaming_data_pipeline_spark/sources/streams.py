@@ -79,9 +79,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reader(_events_schema(T.TimestampType()))
 
 
-def stream_trades(spark: SparkSession, trades_dir: str) -> DataFrame:
-    """Streaming view of a synthetic trades directory (sources/trades.py)."""
-    return spark.readStream.schema(TRADES_SCHEMA).parquet(trades_dir)
+def stream_trades(
+    spark: SparkSession,
+    trades_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming view of a synthetic trades directory (sources/trades.py).
+
+    ``max_files_per_trigger`` paces the replay into real micro-batches
+    (availableNow honors it as maxFilesPerTrigger) — without it the file
+    source drains everything in one batch, which hides per-batch latency
+    tails and makes mid-stream fault injection impossible."""
+    r = spark.readStream.schema(TRADES_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.parquet(trades_dir)
 
 
 def events_as_trades(events: DataFrame) -> DataFrame:

