@@ -3634,6 +3634,10 @@ def phash_from_docs(spark: SparkSession, docs: DataFrame) -> DataFrame:
 @register(
     "multimodal_phash_neardup",
     tags=("LLM-multimodal", "LLM-dedup"),
+    # non-frozen bench slot since round 10 (r9 verdict #6): the
+    # multimodal tier's wall-clock representative — real zlib PNG decode
+    # through Arrow mapInPandas plus the relational DCT/pHash pipeline.
+    bench=True,
     oracle=f"""
 WITH {_PHASH_CTES}
 SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,

@@ -39,3 +39,24 @@ def test_fuzz_seeds_0_to_39_match_duckdb(spark):
     errors = [e for e in (fz.run_one(spark, con, s) for s in range(40)) if e]
     con.close()
     assert errors == [], "\n".join(errors)
+
+
+def test_float_tier_seeds_0_to_29_within_tolerance(spark):
+    """Round-10 tier (r9 verdict #5): double aggregates (sum/avg/min/
+    max/stddev over a non-negative-closed float grammar) compared under
+    the documented relative tolerances — generative coverage for the
+    engine's float paths, which the exact tier excludes by design."""
+    import fuzz_differential as fz
+
+    from stock_streaming_data_pipeline_spark.tables import duck_glob, load_table
+
+    sf_dir = SF_FUZZ
+    con = duckdb.connect()
+    for t in fz.TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{duck_glob(sf_dir, t)}')"
+        )
+    errors = [e for e in (fz.run_one_float(spark, con, s) for s in range(30)) if e]
+    con.close()
+    assert errors == [], "\n".join(errors)

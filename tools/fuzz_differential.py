@@ -423,6 +423,130 @@ class Gen:
         return f"SELECT {distinct}{', '.join(projs)} FROM {frm} {where}"
 
 
+# ---------------------------------------------------------------------------
+# Float-tolerance tier (round 10, r9 verdict #5)
+# ---------------------------------------------------------------------------
+
+# DOUBLE columns per table. All are >= 0 in the data (probed: discounts/
+# taxes in [0, 0.1], prices/quantities/values positive) — and the float
+# grammar below is deliberately CLOSED OVER NON-NEGATIVES (+, *, and
+# (1 - l_discount) with discount <= 0.1): a sum of same-sign doubles has
+# condition number 1, so the engines' different accumulation ORDERS can
+# only diverge by ~n*2^-53 relative — which is what makes a tight
+# relative tolerance sound. Subtraction stays OUT of the grammar:
+# catastrophic cancellation would make the attainable error unbounded
+# relative to the RESULT (the repo's catalog handles those cases with
+# exact DECIMAL/integer paths instead).
+FLOAT_COLS: dict[str, list[str]] = {
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "orders": ["o_totalprice"],
+    "events": ["value"],
+}
+
+# Tolerances (documented contract of the tier):
+# - sum/avg: |a-b| <= 1e-9 * max(|a|,|b|) + 1e-12 — same-sign terms bound
+#   the true accumulation-order divergence near n*eps (~6.6e-12 rel at
+#   60k rows); 1e-9 leaves three orders of headroom without masking any
+#   genuine semantics bug (those diverge at whole-value scale).
+# - stddev/var (sample, both engines): rel 1e-6 — both use numerically
+#   stable central-moment updates, but merge trees differ and the final
+#   sqrt amplifies near-constant groups.
+_FLOAT_REL = {"sum": 1e-9, "avg": 1e-9, "min": 0.0, "max": 0.0,
+              "stddev": 1e-6, "var_samp": 1e-6}
+
+
+class FloatGen(Gen):
+    """Float-tier query: exact-typed GROUP BY keys + double aggregates.
+    The exact keys are what rows are MATCHED on across engines; only the
+    aggregate cells get tolerance."""
+
+    def float_expr(self, table: str, depth: int = 0) -> str:
+        r = self.rng
+        cols = FLOAT_COLS[table]
+        c = r.choice(cols)
+        if depth >= 2 or r.random() < 0.45:
+            return c
+        a = self.float_expr(table, depth + 1)
+        b = self.float_expr(table, depth + 1)
+        kind = r.choice(["mul", "add", "lit", "rev"])
+        if kind == "mul":
+            return f"({a} * {b})"
+        if kind == "add":
+            return f"({a} + {b})"
+        if kind == "rev" and table == "lineitem":
+            # the TPC-H revenue idiom; (1 - l_discount) >= 0.9 > 0
+            return f"({a} * (1 - l_discount))"
+        return f"({a} * {r.choice(['0.5', '1.5', '2.0', '0.25'])})"
+
+    def build_float(self) -> tuple[str, int]:
+        """Returns (sql_template, n_key_cols); the first n_key_cols output
+        columns are exact-typed keys, the rest double aggregates."""
+        r = self.rng
+        table = r.choice(list(FLOAT_COLS))
+        cols = TABLES[table]
+        n_keys = r.randint(0, 2)
+        keys = [c for c, _ in r.sample(cols, min(n_keys, len(cols)))]
+        aggs = []
+        for i in range(r.randint(1, 3)):
+            fn = r.choice(["sum", "sum", "avg", "min", "max", "stddev"])
+            e = self.float_expr(table)
+            aggs.append((fn, f"{fn}({e}) AS f{i}"))
+        where = (
+            f"WHERE {self.predicate(cols, table)}" if r.random() < 0.7 else ""
+        )
+        group = f"GROUP BY {', '.join(keys)}" if keys else ""
+        sel = ", ".join(keys + [a for _, a in aggs])
+        self.float_fns = [fn for fn, _ in aggs]
+        return f"SELECT {sel} FROM {table} {where} {group}", len(keys)
+
+
+def run_one_float(spark, con, seed: int, show: bool = False) -> str | None:
+    """Float-tier comparison: rows keyed by the exact GROUP BY columns,
+    double aggregates compared under the documented tolerances."""
+    g = FloatGen(seed)
+    template, n_keys = g.build_float()
+    spark_sql = render(template, "spark")
+    duck_sql = render(template, "duck")
+    if show:
+        print(f"-- seed {seed} (float tier)\n{spark_sql}")
+    try:
+        got = {tuple(r[:n_keys]): r[n_keys:] for r in spark.sql(spark_sql).collect()}
+    except Exception as e:
+        return f"seed {seed}: SPARK ERROR {type(e).__name__}: {str(e)[:200]}\n{spark_sql}"
+    try:
+        want = {
+            tuple(r[:n_keys]): r[n_keys:]
+            for r in con.execute(duck_sql).fetchall()
+        }
+    except Exception as e:
+        return f"seed {seed}: DUCKDB ERROR {type(e).__name__}: {str(e)[:200]}\n{duck_sql}"
+    if set(got) != set(want):
+        only_s = list(set(got) - set(want))[:3]
+        only_d = list(set(want) - set(got))[:3]
+        return (
+            f"seed {seed}: KEY MISMATCH spark={len(got)} duck={len(want)}\n"
+            f"  spark-only: {only_s}\n  duck-only: {only_d}\n  {spark_sql}"
+        )
+    for k in got:
+        for fn, a, b in zip(g.float_fns, got[k], want[k]):
+            if a is None and b is None:
+                continue
+            if (a is None) != (b is None):
+                return (
+                    f"seed {seed}: NULL MISMATCH key={k} {fn}: "
+                    f"spark={a} duck={b}\n  {spark_sql}"
+                )
+            rel = _FLOAT_REL[fn]
+            tol = rel * max(abs(a), abs(b)) + 1e-12
+            if abs(a - b) > tol:
+                return (
+                    f"seed {seed}: VALUE MISMATCH key={k} {fn}: spark={a!r} "
+                    f"duck={b!r} |diff|={abs(a - b):.3e} tol={tol:.3e}\n"
+                    f"  {spark_sql}"
+                )
+    return None
+
+
 def render(template: str, dialect: str) -> str:
     spark = dialect == "spark"
     return template.replace("{intdiv}", "DIV" if spark else "//").replace(
@@ -472,6 +596,13 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--seed", type=int, default=None, help="run one seed")
     ap.add_argument("--sf", default="0.001")
     ap.add_argument("--show", action="store_true")
+    ap.add_argument(
+        "--tier",
+        choices=("exact", "float"),
+        default="exact",
+        help="exact = bit-equality grammar; float = double aggregates "
+        "under the documented relative tolerances",
+    )
     args = ap.parse_args(argv)
     sf_dir = f"/root/testdata/sf{args.sf}"
 
@@ -489,14 +620,15 @@ def main(argv: list[str]) -> int:
         )
 
     seeds = [args.seed] if args.seed is not None else range(args.start, args.start + args.seeds)
+    runner = run_one_float if args.tier == "float" else run_one
     bad = 0
     for s in seeds:
-        err = run_one(spark, con, s, show=args.show)
+        err = runner(spark, con, s, show=args.show)
         if err:
             bad += 1
             print("FUZZ", err)
     n = 1 if args.seed is not None else args.seeds
-    print(f"fuzzed {n} queries at sf{args.sf}: {bad} divergences")
+    print(f"fuzzed {n} {args.tier}-tier queries at sf{args.sf}: {bad} divergences")
     spark.stop()
     return 1 if bad else 0
 

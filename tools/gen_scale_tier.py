@@ -32,6 +32,7 @@ Deterministic (pure column arithmetic over the fixed sf0.1 input; no
 RNG). Output: .scaletier/sf1/*.parquet (gitignored).
 
 Usage: python tools/gen_scale_tier.py [--out .scaletier/sf1]
+       python tools/gen_scale_tier.py --out .scaletier/sf10 --copies 100
 """
 
 from __future__ import annotations
@@ -71,10 +72,18 @@ ROW_GROUP = {
 
 
 def main() -> int:
-    out = ".scaletier/sf1"
-    args = sys.argv[1:]
-    if args and args[0] == "--out":
-        out = args[1]
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=".scaletier/sf1")
+    ap.add_argument(
+        "--copies",
+        type=int,
+        default=COPIES,
+        help="key-shifted copies of sf0.1 (10 = sf1 tier, 100 = sf10)",
+    )
+    args = ap.parse_args()
+    out, copies = args.out, args.copies
     os.makedirs(out, exist_ok=True)
 
     import duckdb
@@ -96,18 +105,28 @@ def main() -> int:
         ]
         tdir = f"{out}/{t}.parquet"
         os.makedirs(tdir, exist_ok=True)
-        for i in range(COPIES):
+        for i in range(copies):
             exprs = []
             for c in cols:
                 if c in shifts:
                     exprs.append(f"{c} + {i * shifts[c]} AS {c}")
                 elif t == "documents" and c == "text":
-                    # per-copy bijective letter rotation: length-preserving,
-                    # no cross-copy near-duplicates, in-copy structure exact
+                    # per-copy bijective AFFINE letter cipher k -> (a*k+b)
+                    # mod 26: length-preserving, no cross-copy
+                    # near-duplicates, in-copy structure exact. For
+                    # i < 26 this is a = 1 (the plain rotation the sf1
+                    # tier has always used — bit-identical regeneration);
+                    # copies past 26 step the multiplier through the
+                    # units of Z/26 so a 100-copy sf10 tier still has
+                    # 100 DISTINCT bijections (a repeated rotation would
+                    # make copy i and copy i+26 exact clones and blow up
+                    # dedup pair structure quadratically by construction).
+                    affine_a = (1, 3, 5, 7, 9, 11, 15, 17)[i // 26]
+                    b = i % 26
                     lo = "abcdefghijklmnopqrstuvwxyz"
                     up = lo.upper()
-                    rl = lo[i:] + lo[:i]
-                    ru = up[i:] + up[:i]
+                    rl = "".join(lo[(affine_a * k + b) % 26] for k in range(26))
+                    ru = rl.upper()
                     exprs.append(
                         f"translate(text, '{lo}{up}', '{rl}{ru}') AS text"
                     )
@@ -116,13 +135,13 @@ def main() -> int:
             con.execute(
                 f"COPY (SELECT {', '.join(exprs)} "
                 f"FROM read_parquet('{SRC}/{t}.parquet')) "
-                f"TO '{tdir}/part-{i:02d}.parquet' "
+                f"TO '{tdir}/part-{i:03d}.parquet' "
                 f"(FORMAT parquet, ROW_GROUP_SIZE {ROW_GROUP[t]})"
             )
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{tdir}/*.parquet')"
         ).fetchone()[0]
-        print(t, n, "rows", COPIES, "files")
+        print(t, n, "rows", copies, "files")
     return 0
 
 

@@ -82,17 +82,52 @@ QUERIES = [
 ]
 
 
+# The sf10 decade (round 10, r9 verdict #3): 100 key-shifted copies of
+# sf0.1 (~60M lineitem rows). A fourth decade exists to catch memory
+# cliffs and integer-overflow ceilings the 3-decade probe tops out
+# before; it runs only for the HEAVY set below (min-of-2 — a 4th decade
+# run costs minutes per query).
+SF10_DIR = ".scaletier/sf10"
+SF10_QUERIES = [
+    "q1_pricing_summary",       # scan-agg baseline for the decade
+    "text_unigram_train",
+    "pca_top_component",
+    "retrieval_rrf_fusion",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh_xxh64",
+    "quality_lr_classifier",
+    "dedup_snm_idf_keys",
+]
+
+
 def main() -> int:
-    out_path = None
-    args = sys.argv[1:]
-    if args and args[0] == "--out":
-        out_path = args[1]
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--sf10",
+        action="store_true",
+        help="run the heavy set one decade further (.scaletier/sf10, "
+        "generated on demand)",
+    )
+    ap.add_argument("--queries", default=None, help="comma-separated subset")
+    args_ns = ap.parse_args()
+    out_path = args_ns.out
 
     if not os.path.isdir(SF1_DIR):
         import subprocess
 
         subprocess.run(
             [sys.executable, "tools/gen_scale_tier.py", "--out", SF1_DIR],
+            check=True,
+        )
+    if args_ns.sf10 and not os.path.isdir(SF10_DIR):
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, "tools/gen_scale_tier.py", "--out", SF10_DIR,
+             "--copies", "100"],
             check=True,
         )
 
@@ -102,19 +137,31 @@ def main() -> int:
     spark = get_spark("scale-probe")
     cat = catalog.catalog()
 
+    queries = QUERIES
+    tiers, tier_sfs = list(TIERS), list(TIER_SFS)
+    if args_ns.queries:
+        queries = [q.strip() for q in args_ns.queries.split(",") if q.strip()]
+    elif args_ns.sf10:
+        queries = SF10_QUERIES
+    if args_ns.sf10:
+        tiers.append(SF10_DIR)
+        tier_sfs.append(10.0)
+
     def run(name, sf_dir):
         t = time.monotonic()
         cat[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.monotonic() - t
 
-    for name in QUERIES:  # warm-up: JIT + codegen at the smallest tier
-        run(name, TIERS[0])
+    for name in queries:  # warm-up: JIT + codegen at the smallest tier
+        run(name, tiers[0])
 
     report = {}
-    for name in QUERIES:
-        # min-of-3: this VM sees bursty host-level CPU steal; the minimum
-        # of three spaced runs estimates engine throughput, not the host.
-        walls = [min(run(name, d) for _ in range(3)) for d in TIERS]
+    reps = 2 if args_ns.sf10 else 3
+    for name in queries:
+        # min-of-N: this VM sees bursty host-level CPU steal; the minimum
+        # of spaced runs estimates engine throughput, not the host.
+        # (min-of-2 on sf10 runs: the decade costs minutes per repeat.)
+        walls = [min(run(name, d) for _ in range(reps)) for d in tiers]
         steps = [
             round(math.log10(max(walls[i + 1], 1e-3) / max(walls[i], 1e-3)), 3)
             for i in range(len(walls) - 1)
@@ -125,7 +172,7 @@ def main() -> int:
         }
         print(name, report[name])
 
-    line = {"metric": "scale_probe", "tiers": TIER_SFS, "queries": report}
+    line = {"metric": "scale_probe", "tiers": tier_sfs, "queries": report}
     print(json.dumps(line))
     if out_path:
         with open(out_path, "w") as fh:
