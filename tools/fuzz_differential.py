@@ -40,9 +40,19 @@ Known dialect rules encoded here (probed before building):
   the divergence is specific to grouping-set expansion). Grouping-set
   queries here therefore use explicit GROUPING SETS without ().
 
+Round-10 addition (r9 verdict #5): a FLOAT-TOLERANCE tier (--tier float)
+— the exact grammar excludes doubles by design, so the engine's float
+paths had no generative coverage. The float tier generates GROUP BY
+queries whose keys are exact-typed (rows are MATCHED on them) and whose
+double aggregates are compared under documented tolerances; its grammar
+is closed over NON-NEGATIVES so accumulation-order divergence is bounded
+near n*eps and a tight relative tolerance is sound (see FLOAT_COLS /
+_FLOAT_REL below). 1,200 seeds green at round 10 (sf0.001 + sf0.01).
+
 Usage:
     python tools/fuzz_differential.py --seeds 200            # sf0.001
     python tools/fuzz_differential.py --seeds 50 --sf 0.01
+    python tools/fuzz_differential.py --seeds 500 --tier float
     python tools/fuzz_differential.py --seed 1234 --show     # one repro
 
 Exit code 1 on any mismatch; each mismatch prints the seed and the SQL
