@@ -5954,3 +5954,54 @@ def embedding_mutual_reach_clusters(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum("cluster_size").cast("long").alias("n_vecs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Aho-Corasick automaton twin of text_multipattern_match
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_multipattern_automaton",
+    tags=("LLM-text", "UD1"),
+    # SAME oracle as text_multipattern_match: the differential proves the
+    # single-pass automaton and the relational replace-count plan agree
+    # match-for-match.
+    oracle=f"""
+WITH pats(pattern) AS (VALUES {_MP_VALUES}),
+occ AS (
+  SELECT p.pattern, d.source,
+         {_MP_OCC.format(t="d.text", p="p.pattern", div="//")} AS occ
+  FROM documents d CROSS JOIN pats p
+)
+SELECT pattern, source,
+       CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(sum(occ) AS BIGINT) AS total_occ
+FROM occ GROUP BY 1, 2
+""",
+)
+def text_multipattern_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-DICTIONARY path of multi-pattern matching: a real
+    Aho-Corasick goto/fail/output automaton (CACM 1975) built once
+    driver-side and applied per Arrow batch via mapInPandas — one pass
+    over each document regardless of |patterns|, where the relational
+    twin (text_multipattern_match) pays a |patterns|-fold row fan-out.
+    Registered against the SAME oracle as the twin, so the catalog
+    differential proves both paths agree match-for-match (the
+    non-overlapping count contract; operators/multipattern.py asserts
+    no pattern is self-bordered, where the two semantics would split).
+    Scale shape: the dictionary is broadcast state (it rides the
+    function closure), matching is map-side single-pass, and the only
+    shuffle is the final bounded |patterns| x |sources| groupBy."""
+    from stock_streaming_data_pipeline_spark.operators.multipattern import (
+        match_counts_map_in_pandas,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = match_counts_map_in_pandas(
+        docs, _MP_PATTERNS, text_col="text", group_col="source"
+    )
+    return occ.groupBy("pattern", "source").agg(
+        F.sum(F.when(F.col("occ") > 0, 1).otherwise(0)).cast("long").alias("n_docs"),
+        F.sum("occ").cast("long").alias("total_occ"),
+    )

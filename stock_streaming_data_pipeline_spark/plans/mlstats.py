@@ -5910,3 +5910,99 @@ def schedule_weighted_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sched.orderBy(
         F.desc("best_value_cents"), F.asc("o_custkey")
     ).limit(_WIS_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (PAVA) calibration of purchase rate vs value bin
+# ---------------------------------------------------------------------------
+
+# equal-width value bins: floor(value/16) capped at 31 — float division
+# then floor is the same IEEE op in both engines; NULL values excluded
+_ISO_BIN = "least(CAST(floor(value / 16) AS BIGINT), 31)"
+_ISO_Y = "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+
+
+def _sql_isotonic_expected(sf_dir: str) -> str:
+    """Literal-VALUES oracle for calibration_isotonic: the SAME PAVA
+    (operators/isotonic.py) over the binned relation DuckDB computes
+    from the same parquet — the differential verifies binning, grouping
+    and the Arrow round-trip, which is the Spark-owned part."""
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.operators.isotonic import (
+        pava_rates_micro,
+    )
+    from stock_streaming_data_pipeline_spark.tables import duck_glob
+
+    rows = duckdb.sql(
+        f"""
+        SELECT {_ISO_BIN} AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum({_ISO_Y}) AS BIGINT) AS s
+        FROM read_parquet('{duck_glob(sf_dir, "events")}')
+        WHERE value IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    fitted = pava_rates_micro([(int(b), int(n), int(s)) for b, n, s in rows])
+    values = ",\n".join(f"({b}, {n}, {r})" for b, n, r in fitted)
+    return (
+        "SELECT CAST(bin AS BIGINT) AS bin,\n"
+        "       CAST(n_events AS BIGINT) AS n_events,\n"
+        "       CAST(rate_micro AS BIGINT) AS rate_micro\n"
+        f"FROM (VALUES\n{values}\n) AS t(bin, n_events, rate_micro)"
+    )
+
+
+@register(
+    "calibration_isotonic",
+    tags=("ML-stats", "UD1"),
+    oracle_fn=_sql_isotonic_expected,
+)
+def calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (pool-adjacent-violators) of the purchase
+    rate against the event-value bin — the monotone-fit primitive every
+    classifier-calibration stage runs (Zadrozny-Elkan): pool adjacent
+    bins that violate monotonicity, report each bin's pooled half-up
+    micro rate. PAVA's left-to-right pooling fold is genuinely
+    sequential, but it only ever touches the BOUNDED binned relation:
+    the fact table collapses to <= 32 (bin, count, successes) rows in
+    one map-combined groupBy, and the fold runs per Arrow group via
+    applyInPandas (operators/isotonic.py — imported unchanged by the
+    VALUES oracle, so the differential checks the distributed plumbing).
+    Pooling comparisons are exact integer cross-multiplications; only
+    the reported rate is micro-quantized."""
+    import pandas as pd
+
+    from stock_streaming_data_pipeline_spark.operators.isotonic import (
+        pava_rates_micro,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    grid = (
+        ev.selectExpr(f"{_ISO_BIN} AS bin", f"{_ISO_Y} AS y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("s"),
+        )
+    )
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin")
+        fitted = pava_rates_micro(
+            [(int(b), int(n), int(s)) for b, n, s in
+             zip(pdf["bin"], pdf["n"], pdf["s"])]
+        )
+        return pd.DataFrame(
+            {
+                "bin": [b for b, _, _ in fitted],
+                "n_events": [n for _, n, _ in fitted],
+                "rate_micro": [r for _, _, r in fitted],
+            }
+        )
+
+    return (
+        grid.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(_fit, schema="bin long, n_events long, rate_micro long")
+    )
