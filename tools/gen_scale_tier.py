@@ -8,9 +8,11 @@ and per-key cardinality) is preserved exactly — customer k copies join
 the orders whose o_custkey was shifted by the same offset, etc.
 region/nation are fixed-size by the TPC-H spec and are copied as-is.
 
-documents.text goes through a per-copy BIJECTIVE letter rotation
-(translate by i positions) so the copies are NOT near-duplicates of
-each other: shingle/minhash/jaccard pair structure then scales linearly
+documents.text goes through a per-copy BIJECTIVE letter substitution
+(an affine cipher k -> (a*k + b) mod 26; plain rotation for the first
+26 copies, multiplier steps beyond — see the inline comment) so the
+copies are NOT near-duplicates of each other at ANY copy count:
+shingle/minhash/jaccard pair structure then scales linearly
 (each copy contributes exactly its own in-copy duplicate structure —
 the rotation is a bijection, so within-copy overlaps are preserved
 verbatim), instead of every doc gaining 9 artificial clones — which
