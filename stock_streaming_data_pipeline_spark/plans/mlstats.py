@@ -5655,10 +5655,14 @@ def approx_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = b.groupBy("priority", "lo").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    tot = cnt.groupBy("priority").agg(F.sum("c").cast("long").alias("n"))
+    # group totals via an unordered partition window over the BOUNDED
+    # bucket relation — a separate aggregate would re-scan the fact
+    # table (Spark does not reuse the un-persisted subtree; the
+    # plan-shape test pins the single-scan property)
+    wn = Window.partitionBy("priority")
     w = Window.partitionBy("priority").orderBy("lo")
     cum = (
-        cnt.join(F.broadcast(tot), "priority")
+        cnt.withColumn("n", F.sum("c").over(wn).cast("long"))
         .withColumn("cum", F.sum("c").over(w))
     )
     return cum.groupBy("priority").agg(

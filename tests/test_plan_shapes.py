@@ -363,3 +363,62 @@ def test_bloom_filter_sits_below_the_semi_join(spark):
     join_at = opt.index("LeftSemi")
     filt_at = opt.index("element_at")
     assert join_at < filt_at  # filter is inside the join's fact subtree
+
+
+def test_multipattern_match_no_join_single_shuffle(spark):
+    """The relational multi-pattern matcher must stay join-free: the
+    bounded dictionary rides a per-row explode, so the only exchange in
+    the plan is the final bounded |patterns| x |sources| aggregation."""
+    plan = plan_of(spark, "text_multipattern_match")
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in plan, bad
+    assert "Generate explode" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_multipattern_automaton_arrow_path(spark):
+    """The AC-automaton twin runs the dictionary as broadcast closure
+    state through Arrow mapInPandas — never a row-at-a-time Python UDF,
+    never a join."""
+    plan = plan_of(spark, "text_multipattern_automaton")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_countmin_counters_broadcast_to_candidates(spark):
+    """CMS estimates join the bounded candidate set against the fixed
+    1024-cell counter table — the counter side must be broadcast (it is
+    aggregate-bounded), never a shuffle join."""
+    plan = plan_of(spark, "approx_topk_countmin")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hdr_quantiles_window_over_bounded_buckets(spark):
+    """The cumulative window runs over the bucket relation (two
+    HashAggregates collapse the fact scan first), partitioned by the
+    group key — never an unpartitioned whole-table window."""
+    plan = plan_of(spark, "approx_quantile_hdr")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+    # the fact table collapses before the window: exactly one scan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_weighted_intervals_grouped_arrow_dp(spark):
+    """The WIS DP is the category-(b) custom-operator path: grouped-map
+    Arrow (FlatMapGroupsInPandas) + TakeOrderedAndProject for the
+    top-20 report; no row-at-a-time Python."""
+    plan = plan_of(spark, "schedule_weighted_intervals")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mutual_reach_pairs_are_cell_equi_join(spark):
+    """Blocked all-pairs must be an equi-join on the cell id — never a
+    cartesian product over the corpus."""
+    plan = plan_of(spark, "embedding_mutual_reach_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
