@@ -1547,9 +1547,13 @@ def cdc_shared_chunk_pairs(
     fingerprint equi-join is the posting-list shape of exact dedup: a
     hot fingerprint means true mass duplication (same failure mode and
     remedy as exact dedup), not hash skew."""
+    # Persist the fingerprint relation (tiny: ~len/mask rows per doc):
+    # without it the self-join recomputes the whole chunking pipeline —
+    # and therefore re-scans the corpus — once per join side (8 file
+    # scans measured at round 10; 2 corpus passes after the persist).
     fps = cdc_chunk_fingerprints(
         df, id_col=id_col, text_col=text_col, gram=gram, mask=mask
-    )
+    ).persist()
     a = fps.select(F.col("doc").alias("doc_a"), "fp")
     b = fps.select(F.col("doc").alias("doc_b"), "fp")
     return (

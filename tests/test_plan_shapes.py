@@ -422,3 +422,11 @@ def test_mutual_reach_pairs_are_cell_equi_join(spark):
     plan = plan_of(spark, "embedding_mutual_reach_clusters")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cdc_chunks_fingerprints_cached_for_self_join(spark):
+    """The CDC fingerprint relation must be persisted: without the cache
+    the self-join recomputes the whole chunking pipeline per side (8
+    corpus file scans measured in round 10)."""
+    plan = plan_of(spark, "dedup_cdc_chunks")
+    assert plan.count("InMemoryTableScan") >= 2
