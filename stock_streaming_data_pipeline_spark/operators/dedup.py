@@ -1600,3 +1600,93 @@ FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc < b.doc
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance record linkage (SNM blocking + native levenshtein verify)
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    key_len: int = 12,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs under EDIT DISTANCE: ``(doc_a, doc_b, dist)``
+    with ``levenshtein <= max_dist`` — the typo/OCR-noise linkage family,
+    orthogonal to every set-overlap verifier here (jaccard/minhash/
+    containment measure shared VOCABULARY; edit distance measures
+    character-level corruption, catching the single-substitution /
+    transposition dups whose shingle sets barely move).
+
+    Candidate generation is the sorted-neighborhood discipline (fixed
+    docs x (window-1) budget, hot-key-immune): one range-partitioned
+    global sort on the first ``key_len`` characters, rank-block
+    pairing, then the JVM-native ``levenshtein`` verifies candidates
+    only — never all pairs. Both engines implement the classic
+    unit-cost Wagner-Fischer distance (probed identical), so the SQL
+    replay is exact."""
+    from stock_streaming_data_pipeline_spark.operators.running import global_rank
+
+    w = window
+    keyed = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("txt"),
+        F.substring(F.col(text_col), 1, key_len).alias("ed_key"),
+    )
+    ranked = global_rank(
+        keyed, order_col="ed_key", id_col="doc", out="rnk"
+    ).select("doc", "txt", "rnk")
+    blk = F.floor((F.col("rnk") - 1) / (w - 1))
+    right = ranked.select(
+        F.col("doc").alias("doc_b"), F.col("txt").alias("txt_b"),
+        F.col("rnk").alias("rnk_b"), blk.alias("blk"),
+    )
+    left = ranked.select(
+        F.col("doc").alias("doc_a"), F.col("txt").alias("txt_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.explode(F.array(blk, blk + 1)).alias("blk"),
+    )
+    return (
+        left.join(right, "blk")
+        .filter(
+            (F.col("rnk_b") > F.col("rnk_a"))
+            & (F.col("rnk_b") - F.col("rnk_a") <= w - 1)
+        )
+        .withColumn("dist", F.levenshtein("txt_a", "txt_b").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
+def sql_edit_distance_pairs(
+    *,
+    corpus_select: str,
+    window: int = 8,
+    key_len: int = 12,
+    max_dist: int = 3,
+) -> str:
+    """DuckDB replay of :func:`edit_distance_pairs`: same blocking key,
+    same total order (the oracle may use the single-task window the
+    engine avoids), same rank-distance pairing, same native levenshtein.
+    ``corpus_select`` must yield ``(doc, txt)``."""
+    return f"""
+WITH corpus AS ({corpus_select}),
+r AS (
+  SELECT doc, txt,
+         row_number() OVER (ORDER BY substr(txt, 1, {key_len}), doc) AS rnk
+  FROM corpus
+),
+cand AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         levenshtein(a.txt, b.txt) AS dist
+  FROM r a JOIN r b
+    ON b.rnk > a.rnk AND b.rnk - a.rnk <= {window - 1}
+)
+SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist
+FROM cand WHERE dist <= {max_dist}
+"""

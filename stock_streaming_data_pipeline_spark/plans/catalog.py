@@ -109,7 +109,7 @@ def _load_all() -> None:
 # tests/test_schema_gate.py.
 _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- round-10 NEW queries (growth rides the driver sample in the
-    # round it lands — r9 verdict #1): eight new operator classes, each
+    # round it lands — r9 verdict #1): nine new operator classes, each
     # pre-verified hostile sf0.01 x2 + strict sf0.1 before fronting.
     "text_multipattern_match",
     "approx_quantile_hdr",
@@ -119,6 +119,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "schedule_weighted_intervals",
     "text_multipattern_automaton",
     "calibration_isotonic",
+    "linkage_edit_distance",
     # --- padding to the 50-name boundary: all driver-green in r9 or
     # earlier (re-sampling is harmless); the union of driver-witnessed
     # greens is complete at 328/329, so everything below the six new
@@ -165,8 +166,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ann_recall_eval",
     "multimodal_wav_silence_runs",
     "multimodal_png_equalize",
-    "multimodal_phash_hamming_pairs",
     # ---- 50-query driver-sample boundary ----
+    "multimodal_phash_hamming_pairs",
     "corr_matrix_lineitem",
     "text_readability",
     "customer_reorder_intervals",

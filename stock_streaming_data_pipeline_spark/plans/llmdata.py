@@ -6005,3 +6005,51 @@ def text_multipattern_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("occ") > 0, 1).otherwise(0)).cast("long").alias("n_docs"),
         F.sum("occ").cast("long").alias("total_occ"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance linkage over a typo-planted corpus
+# ---------------------------------------------------------------------------
+
+_ED_CORPUS_SQL = """
+  SELECT doc_id AS doc, text AS txt FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc,
+         substr(text, 1, 19) || 'Q' || substr(text, 21) AS txt
+  FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 21
+"""
+
+
+@register(
+    "linkage_edit_distance",
+    tags=("LLM-dedup",),
+    oracle=dedup.sql_edit_distance_pairs(
+        corpus_select=_ED_CORPUS_SQL, window=8, key_len=12, max_dist=3
+    ),
+)
+def linkage_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance record linkage over a corpus with PLANTED
+    single-character typos (every 7th doc re-ingested with position 20
+    substituted — the OCR/keystroke corruption that moves a shingle set
+    by at most a few n-grams but is trivially caught at levenshtein
+    distance 1). Sorted-neighborhood blocking on the 12-char prefix
+    (untouched by the planted edit, so true pairs sort adjacent) keeps
+    the candidate budget at docs x (window-1); the JVM-native
+    levenshtein verifies candidates only. Complements the set-overlap
+    dedup families: character-level corruption vs shared vocabulary."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    typos = (
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.length("text") >= 21))
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 19), F.lit("Q"),
+                F.expr("substring(text, 21)"),
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(typos)
+    return dedup.edit_distance_pairs(
+        corpus, id_col="doc_id", text_col="text",
+        window=8, key_len=12, max_dist=3,
+    )

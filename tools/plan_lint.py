@@ -163,6 +163,10 @@ UNPARTITIONED_WINDOW_ALLOW = {
     "dedup_snm_idf_keys",           # same global_rank offsets window (n_part rows);
                                     # the rarest-token election window is
                                     # doc-partitioned, the sort range-partitioned.
+    "linkage_edit_distance",        # same global_rank offsets window (n_part rows,
+                                    # SF-independent); the prefix-key sort is
+                                    # range-partitioned, pairing is the bounded
+                                    # SNM rank-block equi-join.
     "classifier_auc_roc",           # cumulative ROC window over the fixed 1024-bin
                                     # score histogram (SF-independent bound)
     "kruskal_wallis_values",        # global rank window over the distinct-value
