@@ -18,6 +18,7 @@ driver collection) after a warm-up of the session on a trivial action.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -157,8 +158,9 @@ def _streaming_block(spark) -> dict:
                 "wall_s": paced["wall_s"],
                 "batches": len(bm),
                 "p50_batch_ms": bm[len(bm) // 2] if bm else None,
-                # nearest-rank p95 over per-batch trigger durations
-                "p95_batch_ms": bm[int(0.95 * (len(bm) - 1))] if bm else None,
+                # nearest-rank p95 over per-batch trigger durations:
+                # ceil(0.95*n)-1 (for 48 batches: rank 46, index 45)
+                "p95_batch_ms": bm[math.ceil(0.95 * len(bm)) - 1] if bm else None,
             },
         }
     finally:

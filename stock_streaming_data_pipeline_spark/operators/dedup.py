@@ -1493,7 +1493,14 @@ def cdc_chunk_fingerprints(
     the doc relation for chunk extraction. Hashes are the portable md5
     family, so the whole construction replays exactly in DuckDB
     (sql_cdc_chunk_fingerprints)."""
-    docs = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("txt"))
+    # Enforce the documented short-doc contract BEFORE the explode:
+    # Spark's sequence(start, stop) steps -1 when start > stop, so a doc
+    # shorter than ``gram`` would otherwise get a DESCENDING position
+    # list (a forced pos==len boundary plus out-of-range window hashes)
+    # and emit chunks, while DuckDB's range(gram, len+1) is empty.
+    docs = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("txt")).filter(
+        F.length("txt") >= gram
+    )
     bounds = (
         docs.select(
             "doc",
@@ -1551,6 +1558,14 @@ def cdc_shared_chunk_pairs(
     # without it the self-join recomputes the whole chunking pipeline —
     # and therefore re-scans the corpus — once per join side (8 file
     # scans measured at round 10; 2 corpus passes after the persist).
+    # The entry is deliberately NOT unpersisted here (the result is
+    # lazy; the cache must outlive this builder). That is bounded, not
+    # a leak-per-build: Spark's CacheManager keys entries by the
+    # canonicalized plan, so repeated builds of the same query (bench
+    # loops, sweeps) REUSE one entry rather than stacking new ones —
+    # at most one tiny (~corpus_chars/mask-row) MEMORY_AND_DISK entry
+    # per distinct (sf_dir, params) plan per session, evictable under
+    # memory pressure.
     fps = cdc_chunk_fingerprints(
         df, id_col=id_col, text_col=text_col, gram=gram, mask=mask
     ).persist()

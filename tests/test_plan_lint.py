@@ -66,3 +66,21 @@ def test_nondet_shuffle_key_rule_detects_and_passes(spark):
     )
     assert plan_lint.nondet_shuffle_keys(plan_of(bad)) != []
     assert plan_lint.nondet_shuffle_keys(plan_of(good)) == []
+
+
+def test_nondet_taint_is_boundary_aware():
+    """Tainted attribute x#1 must not match x#12/x#102 (ADVICE r10:
+    substring containment spuriously fails the lint once attribute ids
+    collide as prefixes)."""
+    from tools.plan_lint import nondet_shuffle_keys
+
+    plan = (
+        "Project [rand(42) AS x#1]\n"
+        "Exchange hashpartitioning(x#12, x#102, 32)\n"
+    )
+    assert nondet_shuffle_keys(plan) == []
+    plan_hit = (
+        "Project [rand(42) AS x#1]\n"
+        "Exchange hashpartitioning(x#1, 32)\n"
+    )
+    assert len(nondet_shuffle_keys(plan_hit)) == 1

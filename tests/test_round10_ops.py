@@ -75,3 +75,100 @@ def test_pava_identity_on_already_monotone_input():
     bins = [(0, 10, 1), (1, 10, 3), (2, 10, 3), (3, 10, 9)]
     out = pava_rates_micro(bins)
     assert [r for _, _, r in out] == [100000, 300000, 300000, 900000]
+
+
+# ---------------------------------------------------------------------------
+# Independent witness for the shared-implementation WIS oracle (r10 verdict
+# "What's wrong #1"): the DuckDB oracle imports the SAME DP, so the
+# cross-engine differential verifies plumbing only. This pins the DP itself
+# against exhaustive 2^n subset enumeration — a subtle bug in the p(j)
+# bisection or the skip-on-ties reconstruction would survive the
+# differential forever but cannot survive this.
+# ---------------------------------------------------------------------------
+
+
+def _feasible(subset):
+    """Non-overlap under the documented compat rule end <= start."""
+    rows = sorted(subset, key=lambda r: (r[0], r[1]))
+    for a, b in zip(rows, rows[1:]):
+        if a[1] > b[0]:
+            return False
+    return True
+
+
+def _brute_force_wis(rows):
+    """(best_total, n_selected) by 2^n enumeration, with n_selected taken
+    from the optimal subset that is lexicographically minimal reading the
+    membership indicator from the LAST DP-sort index down (absent <
+    present) — the independent statement of the DP's skip-on-ties rule:
+    at each j descending, the reconstruction takes j only when no optimal
+    completion exists without it."""
+    rows = sorted(rows, key=lambda r: (r[1], r[0], r[2]))
+    n = len(rows)
+    best_total = 0
+    best_key = tuple([0] * n)
+    for m in range(1 << n):
+        subset = [rows[j] for j in range(n) if m >> j & 1]
+        if not _feasible(subset):
+            continue
+        total = sum(r[2] for r in subset)
+        key = tuple((m >> j) & 1 for j in range(n - 1, -1, -1))
+        if total > best_total or (total == best_total and key < best_key):
+            best_total, best_key = total, key
+    return best_total, sum(best_key)
+
+
+def test_wis_dp_vs_exhaustive_enumeration():
+    from stock_streaming_data_pipeline_spark.operators.scheduling import (
+        weighted_interval_best,
+    )
+
+    rng = random.Random(1105)
+    for trial in range(120):
+        n = rng.randint(1, 12)
+        seen = set()
+        while len(seen) < n:
+            s = rng.randint(0, 20)
+            seen.add((s, s + rng.randint(1, 10), rng.randint(1, 8)))
+        rows = sorted(seen)  # distinct triples: DP sort order unambiguous
+        assert weighted_interval_best(rows) == _brute_force_wis(rows), rows
+
+
+def test_wis_dp_handcrafted_tie_cases():
+    from stock_streaming_data_pipeline_spark.operators.scheduling import (
+        weighted_interval_best,
+    )
+
+    # exact-tie between one big interval and two touching small ones:
+    # skip-on-ties prefers dropping the LATER-sorted interval, so the
+    # two-interval solution (indices 1 and 2 skipped ... ) — verify via
+    # the same independent enumeration rather than asserting by hand
+    cases = [
+        [(0, 10, 6), (0, 5, 3), (5, 10, 3)],          # 6 == 3+3 tie
+        [(0, 2, 4), (2, 4, 4), (0, 4, 8)],            # tie, touching chain
+        [(0, 1, 1)],                                  # singleton
+        [(0, 3, 5), (1, 2, 5)],                       # nested, equal weight
+        [(0, 2, 3), (2, 4, 3), (4, 6, 3), (0, 6, 9)], # 3-chain vs spanning
+    ]
+    for rows in cases:
+        assert weighted_interval_best(rows) == _brute_force_wis(rows), rows
+
+
+def test_cdc_short_doc_contract(spark):
+    """Docs shorter than ``gram`` must emit NO chunks (ADVICE r10:
+    Spark's sequence(start, stop) steps -1 when start > stop, so an
+    unguarded explode gives short docs a descending position list and
+    spurious chunks while the DuckDB oracle's range() is empty)."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import (
+        cdc_chunk_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [("short", "abc"), ("edge7", "abcdefg"), ("edge8", "abcdefgh"),
+         ("long", "the quick brown fox jumps over the lazy dog " * 4)],
+        "doc_id string, text string",
+    )
+    out = cdc_chunk_fingerprints(df, id_col="doc_id", text_col="text", gram=8)
+    docs = {r["doc"] for r in out.collect()}
+    assert "short" not in docs and "edge7" not in docs
+    assert "edge8" in docs and "long" in docs

@@ -365,6 +365,14 @@ def nondet_shuffle_keys(executed_plan: str) -> list[str]:
     alias_re = re.compile(r" AS (\w+#\d+L?)\b")
     lines = executed_plan.splitlines()
 
+    def _contains_attr(text: str, ids: set[str]) -> bool:
+        # Boundary-aware: tainted `x#1` must NOT match `x#12` / `x#102`
+        # (substring containment spuriously fails the lint once
+        # attribute ids collide as prefixes).
+        return any(
+            re.search(re.escape(t) + r"(?![0-9A-Za-z])", text) for t in ids
+        )
+
     # Pass 1+fixpoint: collect tainted attribute ids from alias sites.
     tainted: set[str] = set()
     node_re = re.compile(r"(?:Project|HashAggregate|Aggregate|Expand|Generate|Window)\b.*?\[(.*)\]")
@@ -382,7 +390,7 @@ def nondet_shuffle_keys(executed_plan: str) -> list[str]:
                 if not am or am.group(1) in tainted:
                     continue
                 expr = fld[: am.start()]
-                if nondet.search(expr) or any(t in expr for t in tainted):
+                if nondet.search(expr) or _contains_attr(expr, tainted):
                     tainted.add(am.group(1))
                     changed = True
 
@@ -401,7 +409,7 @@ def nondet_shuffle_keys(executed_plan: str) -> list[str]:
             if not m:
                 continue
             keys = ", ".join(g for g in m.groups() if g)
-            if nondet.search(keys) or any(t in keys for t in tainted):
+            if nondet.search(keys) or _contains_attr(keys, tainted):
                 hits.append(f"{label} keyed by nondeterministic expression: "
                             f"{line.strip()[:160]}")
     return hits
