@@ -496,3 +496,120 @@ FROM bt JOIN lam USING (b)
 WHERE NOT bt.is_target
 GROUP BY bt.doc
 """
+
+
+# ---------------------------------------------------------------------------
+# Probability-proportional-to-size Poisson sampling + Horvitz-Thompson
+# estimation — the survey-sampling estimator family (Horvitz & Thompson,
+# JASA 1952): unequal inclusion probabilities pi_i = min(1, n*s_i/S),
+# unbiased total estimate sum(y_i / pi_i) over the sample.
+# ---------------------------------------------------------------------------
+
+
+def sample_pps_ht(
+    df: DataFrame,
+    *,
+    id_col: str,
+    size_col: str,
+    cents_col: str,
+    group_col: str,
+    n_target: int,
+) -> DataFrame:
+    """PPS Poisson sample + per-group Horvitz-Thompson total estimate.
+
+    Inclusion is the exact integer test ``(hash % M) * S < n * s_i * M``
+    (i.e. U_i < pi_i with U_i = hash/M), so the sample — like every
+    sampler in this module — is a pure function of row content: identical
+    across engines, retries, and partitionings, and the DuckDB oracle
+    recomputes it independently. The HT contribution ``y_i / pi_i`` is
+    kept exact as ``(y*S*100) DIV (n*s)`` in DECIMAL(38,0) (HUGEINT on
+    the DuckDB side — probed to truncate identically), summed exactly,
+    and scaled back to cents at the end; certainty units (n*s >= S)
+    contribute ``y`` itself.
+
+    Scale shape: one map-combined aggregate for the per-group totals
+    (tiny result, broadcast back), then a map-only inclusion filter +
+    one aggregate onto |groups| rows — two fact scans total, no fact
+    shuffle beyond the final small agg. Overflow ceiling: the DECIMAL
+    product y*S*100 stays under 1e38 through S ~ 1e20 total size units —
+    ten decades past the sf1000 tier.
+    """
+    g = df.groupBy(group_col).agg(
+        F.sum(F.col(size_col)).cast("long").alias("_grp_s"),
+        F.sum(F.col(cents_col)).cast("long").alias("_grp_y"),
+    )
+    g = g.select(
+        "*", F.sum("_grp_s").over(Window.partitionBy()).alias("_S")
+    )  # window over the bounded |groups|-row agg output, never the fact
+    h = F.pmod(portable_hash(F.col(id_col).cast("string"), salt="pps_"), F.lit(_M))
+    kept = df.join(F.broadcast(g), group_col).filter(
+        h * F.col("_S") < F.lit(n_target) * F.col(size_col).cast("long") * F.lit(_M)
+    )
+    certain = F.lit(n_target) * F.col(size_col).cast("long") >= F.col("_S")
+    contrib = F.when(
+        certain, F.col(cents_col).cast("decimal(38,0)") * 100
+    ).otherwise(
+        F.expr(
+            f"CAST({cents_col} AS DECIMAL(38,0)) * CAST(_S AS DECIMAL(38,0)) * 100 "
+            f"DIV (CAST({n_target} AS DECIMAL(38,0)) * CAST({size_col} AS DECIMAL(38,0)))"
+        ).cast("decimal(38,0)")
+    )
+    return (
+        kept.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum(contrib).alias("_ht_centi"),
+            F.max("_grp_y").alias("exact_total_cents"),
+        )
+        .select(
+            group_col,
+            "n_sampled",
+            F.expr("_ht_centi DIV 100").cast("long").alias("ht_total_cents"),
+            F.col("exact_total_cents").cast("long"),
+        )
+    )
+
+
+def sql_sample_pps_ht(
+    *,
+    id_expr: str,
+    size_expr: str,
+    cents_expr: str,
+    group_col: str,
+    n_target: int,
+    table: str,
+) -> str:
+    """DuckDB mirror: identical hash, identical exact-integer inclusion
+    test and HUGEINT-truncating HT arithmetic."""
+    h = sql_portable_hash("b.id::VARCHAR", "pps_")
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS id, t.{group_col} AS grp,
+         CAST({size_expr} AS BIGINT) AS s,
+         CAST({cents_expr} AS BIGINT) AS y
+  FROM {table} t
+),
+g AS (
+  SELECT grp, sum(s)::BIGINT AS grp_s, sum(y)::BIGINT AS grp_y FROM base GROUP BY grp
+),
+tot AS (SELECT sum(grp_s)::BIGINT AS tot_s FROM g),
+kept AS (
+  SELECT b.*, g.grp_y, tot.tot_s FROM base b JOIN g ON b.grp = g.grp CROSS JOIN tot
+  WHERE (({h}) % {_M}) * tot.tot_s
+        < {n_target}::BIGINT * b.s * {_M}
+),
+ht AS (
+  SELECT grp,
+         count(*)::BIGINT AS n_sampled,
+         sum(CASE WHEN {n_target}::BIGINT * s >= tot_s
+                  THEN y::HUGEINT * 100
+                  ELSE (y::HUGEINT * tot_s::HUGEINT * 100)
+                       // ({n_target}::HUGEINT * s::HUGEINT) END) AS ht_centi,
+         max(grp_y) AS exact_total_cents
+  FROM kept GROUP BY grp
+)
+SELECT grp AS {group_col}, n_sampled,
+       CAST(ht_centi // 100 AS BIGINT) AS ht_total_cents,
+       CAST(exact_total_cents AS BIGINT) AS exact_total_cents
+FROM ht
+"""

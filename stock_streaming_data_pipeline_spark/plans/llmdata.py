@@ -6053,3 +6053,53 @@ def linkage_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, id_col="doc_id", text_col="text",
         window=8, key_len=12, max_dist=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: survey-sampling estimator — PPS Poisson + Horvitz-Thompson
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_pps_horvitz_thompson",
+    tags=("LLM-mix", "A4"),
+    oracle=sampling.sql_sample_pps_ht(
+        id_expr=(
+            "t.l_orderkey::VARCHAR || '_' || t.l_linenumber::VARCHAR || '_' "
+            "|| t.l_partkey::VARCHAR || '_' || t.l_suppkey::VARCHAR"
+        ),
+        size_expr="round(t.l_quantity)",
+        cents_expr="round(t.l_extendedprice * 100, 0)",
+        group_col="l_returnflag",
+        n_target=2000,
+        table="lineitem",
+    ),
+)
+def sample_pps_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size Poisson sampling with the
+    Horvitz-Thompson total estimator (Horvitz & Thompson, JASA 1952):
+    each lineitem is included with pi_i = min(1, n*qty_i/sum(qty)) via an
+    exact integer hash test, and the per-returnflag revenue total is
+    estimated as sum(y_i/pi_i) over the ~n sampled rows — the
+    design-based answer to "estimate a 100 TB total from a fixed-size
+    sample, rows weighted by size". All arithmetic is exact (BIGINT
+    inclusion test, DECIMAL(38,0)/HUGEINT division for the HT weights),
+    so the estimate is bit-identical across engines and partitionings.
+    Two fact scans (group totals, then map-only inclusion + one small
+    agg); no fact-table shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat_ws(
+            "_", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+        ).alias("pps_id"),
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y_cents"),
+        "l_returnflag",
+    )
+    return sampling.sample_pps_ht(
+        li,
+        id_col="pps_id",
+        size_col="qty",
+        cents_col="y_cents",
+        group_col="l_returnflag",
+        n_target=2000,
+    )
