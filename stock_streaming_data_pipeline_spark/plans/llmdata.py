@@ -22,6 +22,7 @@ from stock_streaming_data_pipeline_spark.operators import (
     semdedup,
     similarity,
     sq_quant,
+    substring,
     text,
     unigram,
 )
@@ -6102,4 +6103,73 @@ def sample_pps_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_col="y_cents",
         group_col="l_returnflag",
         n_target=2000,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: longest-shared-substring dedup (contiguous plagiarism)
+# ---------------------------------------------------------------------------
+
+_LSS_MIN_LEN = 64
+
+
+def _lss_corpus_duck(sf_dir: str) -> str:
+    """DuckDB mirror of the planted corpus: docs with doc_id % 11 == 0
+    get a verbatim passage whose content is keyed by doc_id DIV 110, so
+    blocks of ~10 planted docs share a >=100-char run (pair count grows
+    LINEARLY with corpus size — a block never spans more than 10 planted
+    docs at any sf) while different blocks share nothing 64 chars long."""
+    from stock_streaming_data_pipeline_spark.tables import duck_glob
+
+    return (
+        "SELECT doc_id AS doc, "
+        "CASE WHEN doc_id % 11 = 0 THEN text || ' ' || "
+        "repeat('blk' || (doc_id // 110)::VARCHAR || ' ', 20) "
+        "ELSE text END AS txt "
+        f"FROM read_parquet('{duck_glob(sf_dir, 'documents')}')"
+    )
+
+
+@register(
+    "dedup_longest_shared_substring",
+    tags=("LLM-dedup",),
+    oracle_fn=lambda sf_dir: substring.sql_longest_shared_substring_expected(
+        sf_dir,
+        corpus_select_duck=_lss_corpus_duck(sf_dir),
+        min_len=_LSS_MIN_LEN,
+    ),
+)
+def dedup_longest_shared_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-plagiarism dedup: pairs sharing a verbatim substring of
+    >= 64 chars, with the EXACT longest-common-substring length. The
+    candidate stage (shared 64-gram posting-list equi-join) IS the
+    predicate, not a heuristic; the per-pair length comes from a suffix
+    automaton (Blumer et al. 1985) streamed Arrow-batched over the
+    bounded candidate relation. Orthogonal to the set-overlap families:
+    one long shared paragraph in otherwise-different docs has near-zero
+    Jaccard but is found here exactly. The oracle recomputes every length
+    with an independent algorithm (binary search over exact gram-set
+    intersections), so each driver run cross-checks the automaton."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.repeat(
+                    F.concat(
+                        F.lit("blk"),
+                        F.expr("doc_id DIV 110").cast("string"),
+                        F.lit(" "),
+                    ),
+                    20,
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("txt"),
+    )
+    return substring.longest_shared_substring_pairs(
+        docs, id_col="doc_id", text_col="txt", min_len=_LSS_MIN_LEN
     )

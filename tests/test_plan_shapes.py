@@ -430,3 +430,15 @@ def test_cdc_chunks_fingerprints_cached_for_self_join(spark):
     corpus file scans measured in round 10)."""
     plan = plan_of(spark, "dedup_cdc_chunks")
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_lss_fingerprints_cached_and_no_cartesian(spark):
+    """Longest-shared-substring: the fingerprint relation must be
+    persisted for the posting-list self-join (the CDC lesson), candidates
+    must join as an equi-join on the gram hash, and the verify must be
+    Arrow-batched (MapInPandas), never row-at-a-time Python."""
+    plan = plan_of(spark, "dedup_longest_shared_substring")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
