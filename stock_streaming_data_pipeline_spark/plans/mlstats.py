@@ -6010,3 +6010,140 @@ def calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.groupBy(F.lit(1).alias("_g"))
         .applyInPandas(_fit, schema="bin long, n_events long, rate_micro long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: mergeable t-digest quantiles (third quantile-sketch contrast)
+# ---------------------------------------------------------------------------
+
+_TDG_DELTA = 100
+_TDG_SHARDS = 32
+_TDG_PERMILLES = (10, 250, 500, 750, 990, 999)
+_TDG_ID = (
+    "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR || '_' "
+    "|| l_partkey::VARCHAR || '_' || l_suppkey::VARCHAR"
+)
+
+
+def _sql_tdigest_expected(sf_dir: str) -> str:
+    """Literal-VALUES oracle for approx_quantile_tdigest: the same
+    two-level digest (operators/tdigest.py — shared implementation; the
+    estimator itself is pinned by an independent rank-error property
+    test, per the standing rule) replayed over DuckDB-read rows with the
+    identical content-hash sharding."""
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.operators import tdigest
+    from stock_streaming_data_pipeline_spark.operators.dedup import (
+        sql_portable_hash,
+    )
+    from stock_streaming_data_pipeline_spark.tables import duck_glob
+
+    h = sql_portable_hash(_TDG_ID, salt="tdg_")
+    rows = duckdb.sql(
+        f"""
+        SELECT ({h}) % {_TDG_SHARDS} AS shard,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM read_parquet('{duck_glob(sf_dir, "lineitem")}')
+        """
+    ).fetchall()
+    shards: dict[int, list[int]] = {}
+    v_min = None
+    v_max = None
+    for sh, c in rows:
+        shards.setdefault(int(sh), []).append(int(c))
+        v_min = c if v_min is None or c < v_min else v_min
+        v_max = c if v_max is None or c > v_max else v_max
+    merged: list[tuple[int, int]] = []
+    for vals in shards.values():
+        merged.extend(tdigest.digest_values(vals, delta=_TDG_DELTA))
+    final = tdigest.compress(merged, delta=_TDG_DELTA)
+    out = []
+    for pm in _TDG_PERMILLES:
+        est = tdigest.quantile(
+            final, q=pm / 1000.0, v_min=int(v_min), v_max=int(v_max)
+        )
+        out.append((pm, tdigest.round_half_up(est)))
+    values = ",\n".join(f"({pm}, {est})" for pm, est in out)
+    return (
+        "SELECT CAST(q_permille AS BIGINT) AS q_permille,\n"
+        "       CAST(est_cents AS BIGINT) AS est_cents\n"
+        f"FROM (VALUES\n{values}\n) AS t(q_permille, est_cents)"
+    )
+
+
+@register(
+    "approx_quantile_tdigest",
+    tags=("ML-stats", "UD1"),
+    oracle_fn=_sql_tdigest_expected,
+)
+def approx_quantile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest quantiles (Dunning & Ertl) over lineitem price
+    cents — the catalog's third quantile-sketch design point: GK stays
+    rows-only (merge-order-dependent), HDR is exactly oracle-able but
+    needs a value-range commitment, the t-digest is range-free with
+    tail-concentrated accuracy, and determinism is RESTORED by sharding
+    on a content hash: partition contents become a pure function of the
+    data, so the two-level digest (per-shard sketch, one deterministic
+    merge of the bounded centroid relation) is bit-identical on any
+    cluster layout — the exact property the DuckDB replay checks. Scale
+    shape: one shuffle onto 32 shard keys, Arrow-grouped digest per
+    shard, second Arrow pass over the ~32 x 2 delta centroid rows."""
+    import pandas as pd
+
+    from stock_streaming_data_pipeline_spark.operators import tdigest
+    from stock_streaming_data_pipeline_spark.operators.dedup import portable_hash
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.pmod(
+            portable_hash(
+                F.concat_ws(
+                    "_", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+                ),
+                salt="tdg_",
+            ),
+            F.lit(_TDG_SHARDS),
+        ).alias("shard"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+
+    def _shard_digest(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = [int(v) for v in pdf["cents"]]
+        cents = tdigest.digest_values(vals, delta=_TDG_DELTA)
+        return pd.DataFrame(
+            {
+                "c_sum": [s for s, _ in cents],
+                "c_weight": [w for _, w in cents],
+                "v_min": [min(vals)] * len(cents),
+                "v_max": [max(vals)] * len(cents),
+            }
+        )
+
+    cents = li.groupBy("shard").applyInPandas(
+        _shard_digest, schema="c_sum long, c_weight long, v_min long, v_max long"
+    )
+
+    def _final(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = [
+            (int(s), int(w)) for s, w in zip(pdf["c_sum"], pdf["c_weight"])
+        ]
+        final = tdigest.compress(merged, delta=_TDG_DELTA)
+        v_min = int(pdf["v_min"].min())
+        v_max = int(pdf["v_max"].max())
+        ests = [
+            tdigest.round_half_up(
+                tdigest.quantile(final, q=pm / 1000.0, v_min=v_min, v_max=v_max)
+            )
+            for pm in _TDG_PERMILLES
+        ]
+        return pd.DataFrame(
+            {"q_permille": list(_TDG_PERMILLES), "est_cents": ests}
+        )
+
+    return (
+        cents.withColumn("_one", F.lit(1))
+        .groupBy("_one")
+        .applyInPandas(
+            lambda pdf: _final(pdf), schema="q_permille long, est_cents long"
+        )
+    )

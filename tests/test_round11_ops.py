@@ -48,3 +48,72 @@ def test_suffix_automaton_lcs_edges():
     # planted-filler shape: periodic strings, different periods
     assert lcs_length("blk4 " * 20, "blk45 " * 20) >= 4
     assert lcs_length("blk4 " * 20, "blk4 " * 20) == 100
+
+
+# ---------------------------------------------------------------------------
+# t-digest: independent witnesses (the catalog oracle shares the
+# implementation, so these pin the estimator itself)
+# ---------------------------------------------------------------------------
+
+
+def _tdigest_two_level(vals, *, shards, delta):
+    from stock_streaming_data_pipeline_spark.operators import tdigest
+
+    groups = {}
+    for i, v in enumerate(vals):
+        groups.setdefault(i % shards, []).append(v)
+    merged = []
+    for g in groups.values():
+        merged.extend(tdigest.digest_values(g, delta=delta))
+    return tdigest.compress(merged, delta=delta)
+
+
+def test_tdigest_mass_preservation_and_rank_error():
+    from stock_streaming_data_pipeline_spark.operators import tdigest
+
+    rng = random.Random(1106)
+    datasets = [
+        [rng.randint(0, 10_000) for _ in range(5000)],          # uniform
+        [int(1000 / (rng.random() + 0.01)) for _ in range(5000)],  # heavy tail
+        [7] * 3000 + [rng.randint(0, 100) for _ in range(2000)],  # massive tie
+        [rng.randint(0, 5) for _ in range(97)],                  # tiny
+    ]
+    delta = 100
+    for vals in datasets:
+        n = len(vals)
+        sv = sorted(vals)
+        for shards in (1, 4, 32):
+            d = _tdigest_two_level(vals, shards=shards, delta=delta)
+            # exact mass preservation: integer sums/weights
+            assert sum(w for _, w in d) == n
+            assert sum(s for s, _ in d) == sum(vals)
+            for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+                est = tdigest.quantile(d, q=q, v_min=sv[0], v_max=sv[-1])
+                # with ties the rank of est is an INTERVAL; error is the
+                # distance from q*n to that interval
+                import bisect
+                lo = bisect.bisect_left(sv, est)
+                hi = bisect.bisect_right(sv, est)
+                err = 0.0 if lo <= q * n <= hi else min(
+                    abs(q * n - lo), abs(q * n - hi)
+                )
+                assert err <= 6 * n / delta + 4, (q, shards, lo, hi, q * n)
+
+
+def test_tdigest_input_order_independence():
+    from stock_streaming_data_pipeline_spark.operators import tdigest
+
+    rng = random.Random(1107)
+    vals = [rng.randint(0, 1000) for _ in range(2000)]
+    groups = {}
+    for i, v in enumerate(vals):
+        groups.setdefault(i % 8, []).append(v)
+    def final(order):
+        merged = []
+        for k in order:
+            merged.extend(tdigest.digest_values(groups[k], delta=100))
+        return tdigest.compress(merged, delta=100)
+    base = final(sorted(groups))
+    assert final(list(reversed(sorted(groups)))) == base
+    ks = sorted(groups); rng.shuffle(ks)
+    assert final(ks) == base
