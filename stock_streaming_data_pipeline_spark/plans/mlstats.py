@@ -6147,3 +6147,124 @@ def approx_quantile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda pdf: _final(pdf), schema="q_permille long, est_cents long"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: Huber robust regression (exact-integer IRLS)
+# ---------------------------------------------------------------------------
+
+_HUB_DELTA_MICRO = 1_000_000 * 1_000_000   # $10,000 in micro-cents
+_HUB_ITERS = 6
+_HUB_MICRO = 1_000_000
+# gross planted outliers: ~1/997 of rows get 50x price
+_HUB_Y = (
+    "CAST(CASE WHEN l_orderkey % 997 = 0 THEN 50 ELSE 1 END"
+    " * round(l_extendedprice * 100, 0) AS BIGINT)"
+)
+_HUB_X = "CAST(round(l_quantity) AS BIGINT)"
+
+
+def _sql_huber_expected(sf_dir: str) -> str:
+    """Literal-VALUES oracle for robust_regression_huber: the reference
+    replay (operators/robust.py — shared arithmetic by design; the
+    estimator itself is pinned by independent property tests: exact-OLS
+    equality on clean data, bounded slope shift under gross outliers,
+    IRLS fixed-point stationarity) over DuckDB-read integer pairs."""
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.operators import robust
+    from stock_streaming_data_pipeline_spark.tables import duck_glob
+
+    rows = duckdb.sql(
+        f"""
+        SELECT {_HUB_X} AS x, {_HUB_Y} AS y
+        FROM read_parquet('{duck_glob(sf_dir, "lineitem")}')
+        """
+    ).fetchall()
+    xy = [(int(x), int(y)) for x, y in rows]
+    n = len(xy)
+    sw = n * _HUB_MICRO
+    swx = sum(x for x, _ in xy) * _HUB_MICRO
+    swy = sum(y for _, y in xy) * _HUB_MICRO
+    swxx = sum(x * x for x, _ in xy) * _HUB_MICRO
+    swxy = sum(x * y for x, y in xy) * _HUB_MICRO
+    _, ols_b = robust.solve_wls(sw, swx, swy, swxx, swxy)
+    a, b, n_rows, n_down = robust.huber_irls(
+        xy, delta_micro=_HUB_DELTA_MICRO, iters=_HUB_ITERS
+    )
+    return (
+        "SELECT CAST(n_rows AS BIGINT) AS n_rows,\n"
+        "       CAST(ols_slope_micro AS BIGINT) AS ols_slope_micro,\n"
+        "       CAST(huber_slope_micro AS BIGINT) AS huber_slope_micro,\n"
+        "       CAST(huber_intercept_micro AS BIGINT) AS huber_intercept_micro,\n"
+        "       CAST(n_downweighted AS BIGINT) AS n_downweighted\n"
+        f"FROM (VALUES ({n_rows}, {ols_b}, {b}, {a}, {n_down}))\n"
+        " AS t(n_rows, ols_slope_micro, huber_slope_micro,"
+        " huber_intercept_micro, n_downweighted)"
+    )
+
+
+@register(
+    "robust_regression_huber",
+    tags=("ML-stats", "A4"),
+    oracle_fn=_sql_huber_expected,
+)
+def robust_regression_huber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimation of price-per-quantity by IRLS with an
+    EXACT-INTEGER inner loop (operators/robust.py): residuals, weights
+    (min(1, delta/|r|) as integer division) and the five weighted sums
+    are all integers (sums in DECIMAL(38,0)), the 2x2 solve runs
+    driver-side in exact rationals, and the state re-enters the next
+    pass as micro-cent literals — bit-reproducible at any parallelism,
+    which is what lets the DuckDB replay match exactly. ~1/997 of rows
+    carry planted 50x price outliers: the output contrasts the OLS slope
+    (dragged by them) with the Huber slope (they are downweighted to
+    delta/|r|). Scale shape: OLS init + 6 reweighted passes, each one
+    map-combined aggregate onto a single row over the localCheckpointed
+    2-integer projection (cache ~16 B/row vs re-scanning parquet per
+    pass — flip if memory-poor)."""
+    from stock_streaming_data_pipeline_spark.operators import robust
+
+    li = load_table(spark, sf_dir, "lineitem")
+    xy = li.selectExpr(f"{_HUB_X} AS x", f"{_HUB_Y} AS y").localCheckpoint(
+        eager=False
+    )
+    dec = "decimal(38,0)"
+    m = F.lit(_HUB_MICRO).cast("long")
+
+    def sums(w):
+        return [
+            F.sum(w.cast(dec)).alias("sw"),
+            F.sum((w * F.col("x")).cast(dec)).alias("swx"),
+            F.sum((w * F.col("y")).cast(dec)).alias("swy"),
+            F.sum((w * F.col("x") * F.col("x")).cast(dec)).alias("swxx"),
+            F.sum((w * F.col("x") * F.col("y")).cast(dec)).alias("swxy"),
+        ]
+
+    row = xy.agg(*sums(m)).first()
+    s = [int(row[k]) for k in ("sw", "swx", "swy", "swxx", "swxy")]
+    a, b = robust.solve_wls(*s)
+    ols_b = b
+    for _ in range(_HUB_ITERS):
+        r = F.col("y") * m - F.lit(a) - F.lit(b) * F.col("x")
+        w = F.when(F.abs(r) <= F.lit(_HUB_DELTA_MICRO), m).otherwise(
+            F.expr(
+                f"CAST({_HUB_DELTA_MICRO} * {_HUB_MICRO} AS BIGINT)"
+                f" DIV abs(y * {_HUB_MICRO} - ({a}) - ({b}) * x)"
+            )
+        )
+        row = xy.agg(*sums(w)).first()
+        s = [int(row[k]) for k in ("sw", "swx", "swy", "swxx", "swxy")]
+        a, b = robust.solve_wls(*s)
+    r = F.col("y") * m - F.lit(a) - F.lit(b) * F.col("x")
+    return xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(ols_b).cast("long").alias("ols_slope_micro"),
+        F.lit(b).cast("long").alias("huber_slope_micro"),
+        F.lit(a).cast("long").alias("huber_intercept_micro"),
+        F.sum(
+            F.when(F.abs(r) > F.lit(_HUB_DELTA_MICRO), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_downweighted"),
+    )

@@ -117,3 +117,88 @@ def test_tdigest_input_order_independence():
     assert final(list(reversed(sorted(groups)))) == base
     ks = sorted(groups); rng.shuffle(ks)
     assert final(ks) == base
+
+
+# ---------------------------------------------------------------------------
+# Huber IRLS: independent witnesses
+# ---------------------------------------------------------------------------
+
+
+def test_huber_equals_ols_on_clean_data():
+    """With every residual inside delta the Huber weights are all 1, so
+    IRLS must reproduce the OLS solution EXACTLY (integer-for-integer)."""
+    from stock_streaming_data_pipeline_spark.operators.robust import (
+        MICRO, huber_irls, solve_wls,
+    )
+
+    rng = random.Random(1108)
+    xy = [(x, 300 * x + 50 + rng.randint(-20, 20)) for x in
+          [rng.randint(1, 50) for _ in range(500)]]
+    n = len(xy)
+    ols = solve_wls(
+        n * MICRO,
+        sum(x for x, _ in xy) * MICRO,
+        sum(y for _, y in xy) * MICRO,
+        sum(x * x for x, _ in xy) * MICRO,
+        sum(x * y for x, y in xy) * MICRO,
+    )
+    a, b, n_rows, n_down = huber_irls(
+        xy, delta_micro=10_000 * MICRO, iters=6
+    )
+    assert (a, b) == ols and n_down == 0 and n_rows == n
+
+
+def test_huber_resists_gross_outliers():
+    """Planted 100x outliers drag OLS far more than Huber; the Huber
+    slope must stay within 5% of the clean-data slope while OLS moves
+    by much more."""
+    from stock_streaming_data_pipeline_spark.operators.robust import (
+        MICRO, huber_irls, solve_wls,
+    )
+
+    rng = random.Random(1109)
+    clean = [(x, 300 * x + rng.randint(-30, 30)) for x in
+             [rng.randint(1, 50) for _ in range(2000)]]
+    dirty = [
+        (x, y * 100 if i % 97 == 0 else y) for i, (x, y) in enumerate(clean)
+    ]
+    def ols_slope(xy):
+        n = len(xy)
+        return solve_wls(
+            n * MICRO,
+            sum(x for x, _ in xy) * MICRO,
+            sum(y for _, y in xy) * MICRO,
+            sum(x * x for x, _ in xy) * MICRO,
+            sum(x * y for x, y in xy) * MICRO,
+        )[1]
+    b_clean = ols_slope(clean)
+    b_ols_dirty = ols_slope(dirty)
+    _, b_hub, _, n_down = huber_irls(dirty, delta_micro=100 * MICRO, iters=6)
+    assert n_down > 0
+    assert abs(b_hub - b_clean) < 0.05 * abs(b_clean)
+    assert abs(b_ols_dirty - b_clean) > 4 * abs(b_hub - b_clean)
+
+
+def test_huber_irls_fixed_point_stationarity():
+    """At the returned state, one MORE reweighted pass must (near-)fix
+    the estimate: the weighted normal equations recomputed AT (a, b)
+    return (a, b) again within 1 micro — the M-estimator stationarity
+    check, independent of the iteration count chosen."""
+    from stock_streaming_data_pipeline_spark.operators.robust import (
+        MICRO, huber_irls, solve_wls, weight_micro,
+    )
+
+    rng = random.Random(1110)
+    xy = [
+        (x, 250 * x + rng.randint(-500, 500) * (10 if x % 13 == 0 else 1))
+        for x in [rng.randint(1, 50) for _ in range(3000)]
+    ]
+    delta = 800 * MICRO
+    a, b, _, _ = huber_irls(xy, delta_micro=delta, iters=40)
+    sw = swx = swy = swxx = swxy = 0
+    for x, y in xy:
+        w = weight_micro(y * MICRO - a - b * x, delta)
+        sw += w; swx += w * x; swy += w * y
+        swxx += w * x * x; swxy += w * x * y
+    a2, b2 = solve_wls(sw, swx, swy, swxx, swxy)
+    assert abs(a2 - a) <= 1 and abs(b2 - b) <= 1, (a, b, a2, b2)
