@@ -6268,3 +6268,154 @@ def robust_regression_huber(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_downweighted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: per-nation min-cost assignment (Hungarian vs brute force)
+# ---------------------------------------------------------------------------
+
+_ASG_K = 6
+_ASG_SUP_CENTS = "CAST(round(s_acctbal * 100, 0) AS BIGINT)"
+_ASG_PART_CENTS = "CAST(round(p_retailprice * 100, 0) AS BIGINT)"
+
+
+def _asg_rows_duck(sf_dir: str):
+    """Top-K suppliers per nation and parts per partkey-residue class,
+    ranked exactly as the Spark windows rank them."""
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.tables import duck_glob
+
+    sup = duckdb.sql(
+        f"""
+        SELECT s_nationkey, cents FROM (
+          SELECT s_nationkey, {_ASG_SUP_CENTS} AS cents,
+                 row_number() OVER (PARTITION BY s_nationkey
+                                    ORDER BY {_ASG_SUP_CENTS} DESC, s_suppkey)
+                   AS rk
+          FROM read_parquet('{duck_glob(sf_dir, "supplier")}')
+        ) WHERE rk <= {_ASG_K}
+        """
+    ).fetchall()
+    parts = duckdb.sql(
+        f"""
+        SELECT residue, cents FROM (
+          SELECT p_partkey % 25 AS residue, {_ASG_PART_CENTS} AS cents,
+                 row_number() OVER (PARTITION BY p_partkey % 25
+                                    ORDER BY {_ASG_PART_CENTS} DESC, p_partkey)
+                   AS rk
+          FROM read_parquet('{duck_glob(sf_dir, "part")}')
+        ) WHERE rk <= {_ASG_K}
+        """
+    ).fetchall()
+    return sup, parts
+
+
+def _sql_assignment_expected(sf_dir: str) -> str:
+    """Literal-VALUES oracle for assignment_min_cost: EXHAUSTIVE
+    permutation enumeration (operators/assignment.py brute force) — a
+    fully INDEPENDENT algorithm from the Hungarian the Spark side runs,
+    so every driver run cross-checks optimality itself."""
+    from stock_streaming_data_pipeline_spark.operators.assignment import (
+        brute_force_assignment,
+    )
+
+    sup_rows, part_rows = _asg_rows_duck(sf_dir)
+    sup: dict[int, list[int]] = {}
+    for nk, c in sup_rows:
+        sup.setdefault(int(nk), []).append(int(c))
+    parts: dict[int, list[int]] = {}
+    for res, c in part_rows:
+        parts.setdefault(int(res), []).append(int(c))
+    out = []
+    for nk in sorted(set(sup) & set(parts)):
+        a, b = sup[nk], parts[nk]
+        rows, cols = (a, b) if len(a) <= len(b) else (b, a)
+        cost = [[abs(r - c) for c in cols] for r in rows]
+        out.append((nk, len(rows), brute_force_assignment(cost)))
+    values = ",\n".join(f"({nk}, {k}, {t})" for nk, k, t in out)
+    return (
+        "SELECT CAST(nationkey AS BIGINT) AS nationkey,\n"
+        "       CAST(n_assigned AS BIGINT) AS n_assigned,\n"
+        "       CAST(min_total_cost_cents AS BIGINT) AS min_total_cost_cents\n"
+        f"FROM (VALUES\n{values}\n"
+        ") AS t(nationkey, n_assigned, min_total_cost_cents)"
+    )
+
+
+@register(
+    "assignment_min_cost",
+    tags=("ML-stats", "UD1"),
+    oracle_fn=_sql_assignment_expected,
+)
+def assignment_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation min-cost bipartite assignment: the top-6 suppliers (by
+    account balance) matched one-to-one to the top-6 parts of the
+    nation's partkey-residue class, minimizing total |acctbal -
+    retailprice| in exact cents — the bounded-group combinatorial-
+    optimization class (auction/assignment problems), solved with the
+    Hungarian potentials algorithm (Kuhn 1955) inside ``applyInPandas``.
+    Everything around the 36-cell groups is native: two ranked windows,
+    one equi-join on the nation key. The oracle brute-forces all <= 720
+    injective assignments per group — a fully independent optimality
+    witness on every driver run. Scale shape: group size is FIXED (6x6)
+    regardless of sf; the window top-k prunes the fact tables before any
+    join."""
+    import pandas as pd
+
+    from stock_streaming_data_pipeline_spark.operators.assignment import (
+        min_cost_assignment,
+    )
+
+    sup = load_table(spark, sf_dir, "supplier").selectExpr(
+        "s_nationkey", f"{_ASG_SUP_CENTS} AS s_cents", "s_suppkey"
+    )
+    ws = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_cents"), F.asc("s_suppkey")
+    )
+    top_sup = (
+        sup.withColumn("s_rk", F.row_number().over(ws))
+        .filter(F.col("s_rk") <= _ASG_K)
+        .select(
+            F.col("s_nationkey").cast("long").alias("nationkey"),
+            "s_cents",
+            "s_rk",
+        )
+    )
+    part = load_table(spark, sf_dir, "part").selectExpr(
+        "p_partkey % 25 AS residue", f"{_ASG_PART_CENTS} AS p_cents", "p_partkey"
+    )
+    wp = Window.partitionBy("residue").orderBy(
+        F.desc("p_cents"), F.asc("p_partkey")
+    )
+    top_part = (
+        part.withColumn("p_rk", F.row_number().over(wp))
+        .filter(F.col("p_rk") <= _ASG_K)
+        .select(
+            F.col("residue").cast("long").alias("nationkey"),
+            "p_cents",
+            "p_rk",
+        )
+    )
+    grid = top_sup.join(top_part, "nationkey")
+
+    def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the join grid repeats each supplier row per part row; recover
+        # each side as a value MULTISET via its rank column (duplicate
+        # balances must NOT collapse)
+        a = [int(v) for v in pdf.drop_duplicates(["s_rk"])["s_cents"]]
+        b = [int(v) for v in pdf.drop_duplicates(["p_rk"])["p_cents"]]
+        rows, cols = (a, b) if len(a) <= len(b) else (b, a)
+        cost = [[abs(r - c) for c in cols] for r in rows]
+        return pd.DataFrame(
+            {
+                "nationkey": [int(pdf["nationkey"].iloc[0])],
+                "n_assigned": [len(rows)],
+                "min_total_cost_cents": [min_cost_assignment(cost)],
+            }
+        )
+
+    return grid.groupBy("nationkey").applyInPandas(
+        _grp,
+        schema="nationkey long, n_assigned long, min_total_cost_cents long",
+    )

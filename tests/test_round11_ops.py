@@ -202,3 +202,27 @@ def test_huber_irls_fixed_point_stationarity():
         swxx += w * x * x; swxy += w * x * y
     a2, b2 = solve_wls(sw, swx, swy, swxx, swxy)
     assert abs(a2 - a) <= 1 and abs(b2 - b) <= 1, (a, b, a2, b2)
+
+
+# ---------------------------------------------------------------------------
+# Hungarian assignment: exhaustive witness
+# ---------------------------------------------------------------------------
+
+
+def test_hungarian_vs_brute_force_random_matrices():
+    from stock_streaming_data_pipeline_spark.operators.assignment import (
+        brute_force_assignment,
+        min_cost_assignment,
+    )
+
+    rng = random.Random(1112)
+    for _ in range(200):
+        n = rng.randint(1, 6)
+        m = rng.randint(n, 8)
+        cost = [[rng.randint(0, 50) for _ in range(m)] for _ in range(n)]
+        assert min_cost_assignment(cost) == brute_force_assignment(cost), cost
+    # degenerate: empty, single cell, all-equal costs (maximal ties)
+    assert min_cost_assignment([]) == 0
+    assert min_cost_assignment([[7]]) == 7
+    tie = [[5] * 4 for _ in range(4)]
+    assert min_cost_assignment(tie) == 20
