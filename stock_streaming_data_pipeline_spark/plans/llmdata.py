@@ -6173,3 +6173,99 @@ def dedup_longest_shared_substring(spark: SparkSession, sf_dir: str) -> DataFram
     return substring.longest_shared_substring_pairs(
         docs, id_col="doc_id", text_col="txt", min_len=_LSS_MIN_LEN
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: rendezvous (HRW) consistent shard assignment + rebalance delta
+# ---------------------------------------------------------------------------
+
+_HRW_N = 8  # shards before the scale-out; the rebalance adds shard 8
+
+
+def _hrw_sql_exprs(n_shards: int, *, spark: bool) -> tuple[str, str]:
+    """(hash column exprs, argmax CASE) for rendezvous assignment: doc
+    goes to argmax_s md5_hash(doc_id || '#' || s). Ties (md5-improbable)
+    break to the smallest shard id via CASE evaluation order — the same
+    rule in both engines by construction."""
+    from stock_streaming_data_pipeline_spark.operators.dedup import (
+        sql_portable_hash,
+    )
+
+    def h(s: int) -> str:
+        if spark:
+            # Spark dialect of the portable md5-top-60-bit hash
+            return (
+                "CAST(conv(substring(md5(concat('hrw_', "
+                f"CAST(doc_id AS STRING), '#{s}')), 1, 15), 16, 10) AS BIGINT)"
+            )
+        return sql_portable_hash(f"doc_id::VARCHAR || '#{s}'", salt="hrw_")
+
+    cols = ", ".join(f"{h(s)} AS h{s}" for s in range(n_shards))
+    m = "greatest(" + ", ".join(f"h{s}" for s in range(n_shards)) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN h{s} = {m} THEN {s}" for s in range(n_shards))
+        + " END"
+    )
+    return cols, case
+
+
+def _hrw_oracle() -> str:
+    cols9, case_old = _hrw_sql_exprs(_HRW_N, spark=False)
+    cols_full, case_new = _hrw_sql_exprs(_HRW_N + 1, spark=False)
+    return f"""
+WITH h AS (SELECT {cols_full} FROM documents),
+asg AS (
+  SELECT CAST({case_old} AS BIGINT) AS shard_old,
+         CAST({case_new} AS BIGINT) AS shard_new
+  FROM h
+)
+SELECT shard_old, shard_new, CAST(count(*) AS BIGINT) AS n_docs
+FROM asg GROUP BY 1, 2
+"""
+
+
+@register(
+    "shard_rendezvous_rebalance",
+    tags=("LLM-mix", "K4"),
+    oracle=_hrw_oracle(),
+)
+def shard_rendezvous_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    1998) and its scale-out delta: every doc goes to argmax_s
+    hash(doc, s) over 8 shards, then over 9; the (old, new) transition
+    matrix PROVES the HRW minimal-movement property — a doc either stays
+    put or moves to the NEW shard (no old->old churn), expected moved
+    fraction 1/9. This is the shard-assignment operator a 100 TB
+    pipeline needs when the writer fleet grows: map-only (the argmax is a
+    per-row expression — no shuffle until the tiny transition-matrix
+    agg), deterministic, engine-portable."""
+    cols_full, case_new = _hrw_sql_exprs(_HRW_N + 1, spark=True)
+    _, case_old = _hrw_sql_exprs(_HRW_N, spark=True)
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.selectExpr(*_split_select_list(cols_full))
+    asg = h.selectExpr(
+        f"CAST({case_old} AS BIGINT) AS shard_old",
+        f"CAST({case_new} AS BIGINT) AS shard_new",
+    )
+    return asg.groupBy("shard_old", "shard_new").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def _split_select_list(cols: str) -> list[str]:
+    """Split a 'expr AS a, expr AS b' list at top-level commas."""
+    out, depth, cur = [], 0, []
+    for ch in cols:
+        if ch in "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
