@@ -1258,3 +1258,103 @@ def streaming_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("bit_count(ba & bb)")).cast("long").alias("n_both")
         )
     )
+
+
+@register(
+    "streaming_asof_join",
+    tags=("J1", "T1", "T2", "T5", "S1"),
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT * FROM events WHERE event_type = 'view'),
+     wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM v))
+                   - INTERVAL 1 HOUR - INTERVAL 6 HOUR AS cut),
+j AS (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         p.ts AS p_ts, v.ts AS v_ts, v.event_id AS view_id,
+         v.value AS view_value,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY v.ts DESC, v.event_id DESC, v.value DESC
+         ) AS rk,
+         count(*) OVER (PARTITION BY p.event_id) AS n_views
+  FROM p JOIN v
+    ON p.user_id = v.user_id
+   AND v.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts
+)
+SELECT purchase_id, user_id,
+       epoch_us(p_ts) AS purchase_ts_us,
+       epoch_us(v_ts) AS asof_view_ts_us,
+       view_id AS asof_view_id,
+       round(view_value, 6) AS asof_view_value,
+       CAST(n_views AS BIGINT) AS n_views
+FROM j
+WHERE rk = 1
+  AND date_trunc('day', p_ts) + INTERVAL 1 DAY <= (SELECT cut FROM wm)
+""",
+)
+def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AS-OF join via CHAINED stateful operators: a
+    stream-stream interval join (each purchase against the user's views
+    in the preceding 6 hours) feeding a second stateful operator — an
+    append-mode windowed aggregation that reduces the matches to the
+    single LATEST view per purchase (max over (v_ts, view_id, value)
+    structs — deterministic tie-break) plus the in-range view count.
+    This is J1's as-of semantics executed end-to-end in Structured
+    Streaming, exercising multi-stateful-operator watermark propagation:
+    the join delays the purchase-time output watermark by the 6-hour
+    join range, so the day window [d, d+1) flushes only once
+    min(max p_ts, max v_ts) - 1h - 6h passes d+1 — the oracle reproduces
+    exactly that cutoff, checking the real emission semantics, not just
+    the join algebra. State on both sides is watermark-bounded; the agg
+    keys on (day window, purchase) so its state is bounded by in-flight
+    days."""
+    ev1 = stream_events(spark, sf_dir)
+    ev2 = stream_events(spark, sf_dir)
+    p = (
+        ev1.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    v = (
+        ev2.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    # p_ts must leave the grouping (two event-time columns — window +
+    # raw — are rejected by the multi-stateful watermark propagation);
+    # it is constant per purchase_id, so max() recovers it exactly.
+    agg = joined.groupBy(
+        F.window("p_ts", "1 day").alias("w"),
+        "purchase_id",
+        "user_id",
+    ).agg(
+        F.max("p_ts").alias("p_ts_out"),
+        F.max(F.struct("v_ts", "view_id", "view_value")).alias("best"),
+        F.count(F.lit(1)).cast("long").alias("n_views"),
+    )
+    settled = settle(agg, "append")
+    return settled.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("p_ts_out").alias("purchase_ts_us"),
+        F.unix_micros("best.v_ts").alias("asof_view_ts_us"),
+        F.col("best.view_id").alias("asof_view_id"),
+        round6(F.col("best.view_value")).alias("asof_view_value"),
+        "n_views",
+    )
