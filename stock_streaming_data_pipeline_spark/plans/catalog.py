@@ -108,9 +108,17 @@ def _load_all() -> None:
 # row — r6 lesson); both pinned by tests/test_catalog_order.py and
 # tests/test_schema_gate.py.
 _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # --- round-10 NEW queries (growth rides the driver sample in the
-    # round it lands — r9 verdict #1): nine new operator classes, each
+    # --- round-11 NEW queries: seven new operator classes, each
     # pre-verified hostile sf0.01 x2 + strict sf0.1 before fronting.
+    "sample_pps_horvitz_thompson",
+    "dedup_longest_shared_substring",
+    "approx_quantile_tdigest",
+    "robust_regression_huber",
+    "assignment_min_cost",
+    "shard_rendezvous_rebalance",
+    "streaming_asof_join",
+    # --- round-10 queries (all driver-green in r10): nine operator
+    # classes, each pre-verified hostile sf0.01 x2 + strict sf0.1.
     "text_multipattern_match",
     "approx_quantile_hdr",
     "approx_topk_countmin",
@@ -159,6 +167,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "event_trigram_mining",
     "corpus_token_entropy",
     "ts_ccf_click_purchase",
+    # ---- 50-query driver-sample boundary ----
     "corpus_vocab_overlap",
     "orders_backlog_weekly",
     "mann_whitney_u_drift",
@@ -166,7 +175,6 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ann_recall_eval",
     "multimodal_wav_silence_runs",
     "multimodal_png_equalize",
-    # ---- 50-query driver-sample boundary ----
     "multimodal_phash_hamming_pairs",
     "corr_matrix_lineitem",
     "text_readability",
