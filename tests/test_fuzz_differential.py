@@ -60,3 +60,31 @@ def test_float_tier_seeds_0_to_29_within_tolerance(spark):
     errors = [e for e in (fz.run_one_float(spark, con, s) for s in range(30)) if e]
     con.close()
     assert errors == [], "\n".join(errors)
+
+
+def test_float_tier_join_window_seeds_within_tolerance(spark):
+    """Round-11 extension (r10 verdict #6): the float tier now also
+    generates equi-/left-join aggregates over doubles from both sides
+    and window functions (running/sliding sums+avgs, lag/lead, framed
+    min/max) ordered by verified-unique keys — the reordering-sensitive
+    float paths (join build sides, window frames) the agg shape cannot
+    reach. 1,200 fresh seeds (10000-11199) ran green at round 11; this
+    pins the first 30 of that range."""
+    import fuzz_differential as fz
+
+    from stock_streaming_data_pipeline_spark.tables import duck_glob, load_table
+
+    sf_dir = SF_FUZZ
+    con = duckdb.connect()
+    for t in fz.TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{duck_glob(sf_dir, t)}')"
+        )
+    errors = [
+        e
+        for e in (fz.run_one_float(spark, con, s) for s in range(10000, 10030))
+        if e
+    ]
+    con.close()
+    assert errors == [], "\n".join(errors)

@@ -462,7 +462,28 @@ FLOAT_COLS: dict[str, list[str]] = {
 #   stable central-moment updates, but merge trees differ and the final
 #   sqrt amplifies near-constant groups.
 _FLOAT_REL = {"sum": 1e-9, "avg": 1e-9, "min": 0.0, "max": 0.0,
-              "stddev": 1e-6, "var_samp": 1e-6}
+              "stddev": 1e-6, "var_samp": 1e-6,
+              # window/join additions (round 11, r10 verdict #6):
+              # lag/lead move stored doubles untouched — bit-exact;
+              # running/sliding window sums accumulate the SAME prefix in
+              # the SAME frame order in both engines, so divergence is
+              # bounded like the same-sign aggregate case
+              "lag": 0.0, "lead": 0.0}
+
+# Join edges where at least one side carries doubles (the float-tier
+# join shape): (left, right, lkey, rkey). LEFT JOIN variants add a
+# selective ON-condition so the null-extended side actually exercises
+# null handling in the double aggregates.
+FLOAT_JOINS: list[tuple[str, str, str, str]] = [
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+]
+
+# Window-shape tables need a VERIFIED-unique total order (same rule as
+# the exact tier: frame contents must not depend on tie-breaking) AND a
+# double column. lineitem is excluded — its synthetic generator
+# duplicates (l_orderkey, l_linenumber).
+FLOAT_WINDOW_TABLES = ["orders", "events"]
 
 
 class FloatGen(Gen):
@@ -471,27 +492,130 @@ class FloatGen(Gen):
     aggregate cells get tolerance."""
 
     def float_expr(self, table: str, depth: int = 0) -> str:
+        return self.float_expr_cols(FLOAT_COLS[table], depth)
+
+    def float_expr_cols(self, cols: list[str], depth: int = 0) -> str:
         r = self.rng
-        cols = FLOAT_COLS[table]
         c = r.choice(cols)
         if depth >= 2 or r.random() < 0.45:
             return c
-        a = self.float_expr(table, depth + 1)
-        b = self.float_expr(table, depth + 1)
+        a = self.float_expr_cols(cols, depth + 1)
+        b = self.float_expr_cols(cols, depth + 1)
         kind = r.choice(["mul", "add", "lit", "rev"])
         if kind == "mul":
             return f"({a} * {b})"
         if kind == "add":
             return f"({a} + {b})"
-        if kind == "rev" and table == "lineitem":
+        if kind == "rev" and "l_discount" in cols:
             # the TPC-H revenue idiom; (1 - l_discount) >= 0.9 > 0
             return f"({a} * (1 - l_discount))"
         return f"({a} * {r.choice(['0.5', '1.5', '2.0', '0.25'])})"
+
+    def _build_float_join(self) -> tuple[str, int]:
+        """Inner/left equi-join with double aggregates drawn from BOTH
+        sides, grouped by exact keys — the reordering-sensitive float
+        path the plain agg shape cannot reach (join build/probe sides
+        and partitionings differ across engines)."""
+        r = self.rng
+        lt, rt, lk, rk = r.choice(FLOAT_JOINS)
+        fcols = FLOAT_COLS.get(lt, []) + FLOAT_COLS.get(rt, [])
+        exact = TABLES[lt] + TABLES[rt]
+        join_kind = r.choice(["JOIN", "JOIN", "LEFT JOIN"])
+        on = f"{lk} = {rk}"
+        if join_kind == "LEFT JOIN":
+            # selective ON predicate => real null-extended rows; keep it
+            # on the RIGHT side so left rows survive
+            on += f" AND {self.predicate(TABLES[rt], rt)}"
+            # aggregates over null-extended doubles need right-side cols
+            # to actually be nullable-interesting; keep fcols as-is (sum/
+            # avg/min/max all skip NULLs identically in both engines)
+        n_keys = r.randint(1, 2)
+        keys = [c for c, _ in r.sample(TABLES[lt], n_keys)]
+        aggs = []
+        for i in range(r.randint(1, 3)):
+            fn = r.choice(["sum", "sum", "avg", "min", "max"])
+            aggs.append((fn, f"{fn}({self.float_expr_cols(fcols)}) AS f{i}"))
+        where = (
+            f"WHERE {self.predicate(TABLES[lt], lt)}"
+            if r.random() < 0.5
+            else ""
+        )
+        sel = ", ".join(keys + [a for _, a in aggs])
+        self.float_fns = [fn for fn, _ in aggs]
+        return (
+            f"SELECT {sel} FROM {lt} {join_kind} {rt} ON {on} {where} "
+            f"GROUP BY {', '.join(keys)}",
+            len(keys),
+        )
+
+    def _build_float_window(self) -> tuple[str, int]:
+        """Window functions over doubles: running and sliding frame sums/
+        averages plus lag/lead — ordered by the table's verified-unique
+        key so frame CONTENTS are deterministic; the per-row accumulation
+        order is then identical in both engines and the same-sign
+        tolerance applies. Comparison keys = (partition value, row_number
+        over the same total order)."""
+        r = self.rng
+        table = r.choice(FLOAT_WINDOW_TABLES)
+        uk = ", ".join(UNIQUE_KEYS[table])
+        strs = [c for c, k in TABLES[table] if k == "str"]
+        part = r.choice(strs) if strs and r.random() < 0.7 else None
+        over_order = f"ORDER BY {uk}"
+        over = (
+            f"PARTITION BY {part} {over_order}" if part else over_order
+        )
+        fns = []
+        cells = []
+        for i in range(r.randint(1, 3)):
+            e = self.float_expr_cols(FLOAT_COLS[table])
+            kind = r.choice(["run", "run", "slide", "lag", "minmax"])
+            if kind == "run":
+                fn = r.choice(["sum", "avg"])
+                frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                cells.append(f"{fn}({e}) OVER ({over} {frame}) AS f{i}")
+                fns.append(fn)
+            elif kind == "slide":
+                fn = r.choice(["sum", "avg"])
+                k = r.randint(1, 20)
+                frame = f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW"
+                cells.append(f"{fn}({e}) OVER ({over} {frame}) AS f{i}")
+                fns.append(fn)
+            elif kind == "lag":
+                fn = r.choice(["lag", "lead"])
+                cells.append(f"{fn}({e}, {r.randint(1, 3)}) OVER ({over}) AS f{i}")
+                fns.append(fn)
+            else:
+                fn = r.choice(["min", "max"])
+                k = r.randint(1, 20)
+                frame = f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW"
+                cells.append(f"{fn}({e}) OVER ({over} {frame}) AS f{i}")
+                fns.append(fn)
+        where = (
+            f"WHERE {self.predicate(TABLES[table], table)}"
+            if r.random() < 0.5
+            else ""
+        )
+        keys = ([part] if part else []) + ["rn"]
+        sel = ", ".join(
+            ([part] if part else [])
+            + [f"row_number() OVER ({over}) AS rn"]
+            + cells
+        )
+        self.float_fns = fns
+        return (
+            f"SELECT {sel} FROM {table} {where}",
+            len(keys),
+        )
 
     def build_float(self) -> tuple[str, int]:
         """Returns (sql_template, n_key_cols); the first n_key_cols output
         columns are exact-typed keys, the rest double aggregates."""
         r = self.rng
+        shape = r.choice(["agg", "agg", "join", "window"])
+        if shape == "join":
+            return self._build_float_join()
+        if shape == "window":
+            return self._build_float_window()
         table = r.choice(list(FLOAT_COLS))
         cols = TABLES[table]
         n_keys = r.randint(0, 2)

@@ -97,6 +97,10 @@ SF10_QUERIES = [
     "dedup_minhash_lsh_xxh64",
     "quality_lr_classifier",
     "dedup_snm_idf_keys",
+    # round 11 (r10 verdict #3): the two new pair-generators whose growth
+    # curve the 4th decade exists to check
+    "dedup_cdc_chunks",
+    "embedding_mutual_reach_clusters",
 ]
 
 
