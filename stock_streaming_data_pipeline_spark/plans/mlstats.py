@@ -6419,3 +6419,105 @@ def assignment_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         _grp,
         schema="nationkey long, n_assigned long, min_total_cost_cents long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: association-rule mining (frequent part pairs, exact lift)
+# ---------------------------------------------------------------------------
+
+_ARM_TOP = 20
+_ARM_MINSUP = 2
+
+
+@register(
+    "itemset_pair_lift",
+    tags=("ML-stats", "A4", "O2"),
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+n AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM items),
+sup AS (SELECT pk, count(*)::BIGINT AS s FROM items GROUP BY pk),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, count(*)::BIGINT AS support_ab
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= {_ARM_MINSUP}
+)
+SELECT part_a, part_b, support_ab,
+       CAST((support_ab::HUGEINT * n.n_orders::HUGEINT * 1000000)
+            // (sa.s::HUGEINT * sb.s::HUGEINT) AS BIGINT) AS lift_micro,
+       CAST((support_ab::HUGEINT * 1000000) // sa.s::HUGEINT AS BIGINT)
+         AS conf_micro
+FROM pairs
+JOIN sup sa ON sa.pk = part_a
+JOIN sup sb ON sb.pk = part_b
+CROSS JOIN n
+ORDER BY support_ab DESC, part_a, part_b
+LIMIT {_ARM_TOP}
+""",
+)
+def itemset_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (Agrawal & Srikant,
+    VLDB 1994 family): the top co-occurring part pairs with exact
+    integer support, lift and confidence (micro-scaled DECIMAL(38,0)/
+    HUGEINT division — bit-identical across engines at any sf). Scale
+    shape: the pair generation is a posting-list self-join on the order
+    key with pairs-per-order bounded by basket size (<= C(7,2) = 21 in
+    TPC-H-shaped data), so pair volume grows LINEARLY with orders; the
+    per-item supports are a tiny broadcast; the report is one
+    TakeOrderedAndProject. A hot order (giant basket) is the same
+    failure mode as exact dedup's hot fingerprint — cap basket size
+    upstream."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # Persist the deduped basket relation: it feeds FOUR consumers (the
+    # two pair-join sides, per-item support, the order count) and each
+    # would otherwise re-scan lineitem (5 file scans measured; 1 after
+    # the persist). Same lifecycle rationale as cdc_shared_chunk_pairs
+    # (operators/dedup.py): CacheManager keys by canonicalized plan, so
+    # repeated builds reuse one 2-long-column MEMORY_AND_DISK entry.
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct().persist()
+    n_orders = items.agg(
+        F.count_distinct("ok").cast("long").alias("n_orders")
+    )
+    sup = items.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    a = items.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = items.select(F.col("ok"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support_ab"))
+        .filter(F.col("support_ab") >= _ARM_MINSUP)
+    )
+    dec = "decimal(38,0)"
+    enriched = (
+        pairs.join(
+            F.broadcast(sup.select(F.col("pk").alias("part_a"), F.col("s").alias("sa"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(sup.select(F.col("pk").alias("part_b"), F.col("s").alias("sb"))),
+            "part_b",
+        )
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support_ab",
+            F.expr(
+                f"CAST((CAST(support_ab AS {dec}) * CAST(n_orders AS {dec})"
+                f" * 1000000) DIV (CAST(sa AS {dec}) * CAST(sb AS {dec}))"
+                " AS BIGINT)"
+            ).alias("lift_micro"),
+            F.expr(
+                f"CAST((CAST(support_ab AS {dec}) * 1000000)"
+                f" DIV CAST(sa AS {dec}) AS BIGINT)"
+            ).alias("conf_micro"),
+        )
+    )
+    return enriched.orderBy(
+        F.desc("support_ab"), "part_a", "part_b"
+    ).limit(_ARM_TOP)

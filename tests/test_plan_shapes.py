@@ -432,6 +432,20 @@ def test_cdc_chunks_fingerprints_cached_for_self_join(spark):
     assert plan.count("InMemoryTableScan") >= 2
 
 
+def test_itemset_basket_relation_cached_and_supports_broadcast(spark):
+    """Association-rule mining: the deduped basket relation feeds four
+    consumers (two pair-join sides, per-item support, order count) and
+    must be persisted — otherwise each consumer re-scans lineitem (5
+    scans measured pre-fix). The support/count enrichment joins must be
+    broadcasts, and the report a TakeOrderedAndProject."""
+    plan = plan_of(spark, "itemset_pair_lift")
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_lss_fingerprints_cached_and_no_cartesian(spark):
     """Longest-shared-substring: the fingerprint relation must be
     persisted for the posting-list self-join (the CDC lesson), candidates
