@@ -108,8 +108,9 @@ def _load_all() -> None:
 # row — r6 lesson); both pinned by tests/test_catalog_order.py and
 # tests/test_schema_gate.py.
 _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # --- round-11 NEW queries: eight new operator classes, each
+    # --- round-11 NEW queries: nine new operator classes, each
     # pre-verified hostile sf0.01 x2 + strict sf0.1 before fronting.
+    "graph_mst_copurchase",
     "itemset_pair_lift",
     "sample_pps_horvitz_thompson",
     "dedup_longest_shared_substring",
@@ -166,8 +167,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "retrieval_ndcg_eval",
     "decision_stump_train",
     "event_trigram_mining",
-    "corpus_token_entropy",
     # ---- 50-query driver-sample boundary ----
+    "corpus_token_entropy",
     "ts_ccf_click_purchase",
     "corpus_vocab_overlap",
     "orders_backlog_weekly",

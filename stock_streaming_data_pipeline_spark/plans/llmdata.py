@@ -6269,3 +6269,82 @@ def _split_select_list(cols: str) -> list[str]:
     if cur:
         out.append("".join(cur).strip())
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 11: minimum spanning forest of the co-purchase graph (Borůvka)
+# ---------------------------------------------------------------------------
+
+from stock_streaming_data_pipeline_spark.operators import mst as _mst  # noqa: E402
+
+_MST_EDGES_CTE = """
+SELECT u, v, 1000000 // n AS w FROM (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+) prs
+"""
+
+
+@register(
+    "graph_mst_copurchase",
+    tags=("LLM-graph",),
+    oracle_fn=lambda sf_dir: _mst.sql_mst_components_expected(
+        sf_dir, _MST_EDGES_CTE, top=20
+    ),
+)
+def graph_mst_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the part co-purchase graph (edge
+    weight = inverse co-purchase support in micro units, so the forest
+    keeps the STRONGEST links) via distributed Borůvka
+    (operators/mst.py) — the backbone-extraction step under
+    single-linkage taxonomy induction. Top-20 components by size with
+    exact node/edge counts and total weight. The oracle re-derives the
+    forest with KRUSKAL (global sort + union-find — an independent
+    algorithm, not a replay); the unique (w, u, v) edge order makes the
+    MST unique, so both must agree bit-for-bit. Scale shape: per-basket
+    pair generation bounded by basket size; each Borůvka round is one
+    label join + one map-combined min aggregate and the component count
+    at least halves per round (O(log n) rounds); contraction
+    pointer-jumps on the component-sized relation only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(
+            "u", "v", F.expr("CAST(1000000 DIV n AS BIGINT)").alias("w")
+        )
+    )
+    forest, labels = _mst.boruvka_mst(edges, src="u", dst="v", weight="w")
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    lab_u = labels.select(
+        F.col("node").alias("u"), F.col("component").alias("component")
+    )
+    etot = (
+        forest.join(lab_u, "u")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum("w").cast("long").alias("total_weight"),
+        )
+    )
+    return (
+        sizes.join(etot, "component")
+        .select("component", "n_nodes", "n_edges", "total_weight")
+        .orderBy(F.desc("n_nodes"), F.desc("total_weight"), "component")
+        .limit(20)
+    )

@@ -226,3 +226,63 @@ def test_hungarian_vs_brute_force_random_matrices():
     assert min_cost_assignment([[7]]) == 7
     tie = [[5] * 4 for _ in range(4)]
     assert min_cost_assignment(tie) == 20
+
+
+# ---------------------------------------------------------------------------
+# Borůvka MST: three-algorithm witness (Spark Borůvka vs Kruskal vs Prim)
+# ---------------------------------------------------------------------------
+
+
+def test_boruvka_vs_kruskal_vs_prim_random_graphs(spark):
+    """The catalog oracle re-derives the forest with Kruskal; this pin
+    adds a THIRD algorithm (Prim) and runs the distributed Borůvka on
+    random graphs, so a bug shared by any two derivations still trips.
+    Weights are drawn unique-free (duplicates allowed) — the (w, u, v)
+    total order must still yield one agreed forest weight."""
+    from stock_streaming_data_pipeline_spark.operators.mst import (
+        boruvka_mst,
+        kruskal_components,
+        prim_total_weight,
+    )
+
+    rng = random.Random(1113)
+    for trial in range(6):
+        n = rng.randint(5, 24)
+        # random multigraph-free edge set, possibly disconnected
+        all_pairs = [(u, v) for u in range(n) for v in range(u + 1, n)]
+        m = rng.randint(n // 2, min(len(all_pairs), 3 * n))
+        pairs = rng.sample(all_pairs, m)
+        rows = [(u, v, rng.randint(1, 9)) for u, v in pairs]
+        expected = kruskal_components(rows)
+        exp_total = sum(tw for _, tw in expected.values())
+        assert prim_total_weight(rows) == exp_total, (trial, rows)
+
+        edges = spark.createDataFrame(rows, "u long, v long, w long")
+        forest, labels = boruvka_mst(edges)
+        got = {
+            (r["u"], r["v"]): r["w"] for r in forest.collect()
+        }
+        lab = {r["node"]: r["component"] for r in labels.collect()}
+        # forest totals per component must equal the Kruskal witness
+        got_comp: dict[int, list[int]] = {}
+        for (u, v), w in got.items():
+            assert lab[u] == lab[v], (trial, u, v)
+            got_comp.setdefault(lab[u], []).append(w)
+        got_summary = {
+            c: (sum(1 for x in lab.values() if x == c) , sum(ws))
+            for c, ws in got_comp.items()
+        }
+        # singleton components (no edges) appear in labels only
+        for c, (sz, tw) in expected.items():
+            if sz == 1:
+                assert lab[c] == c
+            else:
+                assert got_summary[c] == (sz, tw), (trial, c)
+        # total forest weight agrees with all three algorithms
+        assert sum(got.values()) == exp_total, (trial,)
+        # labels are exactly the min node id of each tree
+        comp_members: dict[int, list[int]] = {}
+        for node, c in lab.items():
+            comp_members.setdefault(c, []).append(node)
+        for c, members in comp_members.items():
+            assert c == min(members), (trial, c, members)
