@@ -108,9 +108,11 @@ def _load_all() -> None:
 # row — r6 lesson); both pinned by tests/test_catalog_order.py and
 # tests/test_schema_gate.py.
 _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # --- round-11 NEW queries: nine new operator classes, each
+    # --- round-11 NEW queries: eleven new operator classes, each
     # pre-verified hostile sf0.01 x2 + strict sf0.1 before fronting.
     "graph_mst_copurchase",
+    "skyline_pareto_parts",
+    "interval_union_coverage",
     "itemset_pair_lift",
     "sample_pps_horvitz_thompson",
     "dedup_longest_shared_substring",
@@ -165,9 +167,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "corpus_split_manifest",
     "markov_stationary_events",
     "retrieval_ndcg_eval",
+    # ---- 50-query driver-sample boundary ----
     "decision_stump_train",
     "event_trigram_mining",
-    # ---- 50-query driver-sample boundary ----
     "corpus_token_entropy",
     "ts_ccf_click_purchase",
     "corpus_vocab_overlap",

@@ -3230,3 +3230,190 @@ def priority_mix_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(CAST(n AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT)"
         " AS share_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: dominance analysis + temporal coverage
+# ---------------------------------------------------------------------------
+
+from stock_streaming_data_pipeline_spark.operators.skyline import skyline_2d  # noqa: E402
+
+
+@register(
+    "skyline_pareto_parts",
+    tags=("LLM-curation",),
+    oracle="""
+WITH pp AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         p_size
+  FROM part
+),
+lv AS (SELECT price_cents, max(p_size) AS msize FROM pp GROUP BY 1),
+lv2 AS (
+  SELECT price_cents, msize,
+         max(msize) OVER (ORDER BY price_cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev
+  FROM lv
+)
+SELECT p.p_partkey AS partkey, p.price_cents,
+       CAST(p.p_size AS BIGINT) AS size
+FROM pp p JOIN lv2 l USING (price_cents)
+WHERE p.p_size = l.msize AND (l.prev IS NULL OR l.prev < p.p_size)
+""",
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts under (minimize retail price, maximize
+    size) — the dominance question behind cheapest-for-quality source
+    selection. operators/skyline.py: collapse to price levels (map-side
+    combinable, output bounded by the cents domain), ONE window over
+    the level relation, join back — no quadratic dominance join, no
+    UDF; the frontier has at most |size domain| = 50 rows by
+    construction. Exact integer cents; both engines derive them with
+    the same floor(x*100+0.5). Unit-pinned against an O(n^2)
+    brute-force dominance witness on random point sets."""
+    pp = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        F.expr(
+            "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"
+        ).alias("price_cents"),
+        F.col("p_size"),
+    )
+    return (
+        skyline_2d(pp, min_col="price_cents", max_col="p_size")
+        .select(
+            "partkey",
+            "price_cents",
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .orderBy("price_cents", "partkey")
+    )
+
+
+@register(
+    "interval_union_coverage",
+    tags=("A1", "W1"),
+    oracle="""
+WITH fulfill AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(max(epoch_us(l_shipdate)) // 86400000000 AS BIGINT) AS e0
+  FROM lineitem GROUP BY 1
+),
+iv AS (
+  SELECT o.o_custkey AS custkey, o.o_orderkey,
+         CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS s,
+         greatest(f.e0,
+                  CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)) AS e
+  FROM orders o JOIN fulfill f USING (o_orderkey)
+),
+marked AS (
+  SELECT custkey, s, e, o_orderkey,
+         CASE WHEN max(e) OVER (PARTITION BY custkey
+                                ORDER BY s, e, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                   OR s > max(e) OVER (PARTITION BY custkey
+                                       ORDER BY s, e, o_orderkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new
+  FROM iv
+),
+isl AS (
+  SELECT custkey, s, e,
+         sum(is_new) OVER (PARTITION BY custkey ORDER BY s, e, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+  FROM marked
+),
+grp AS (
+  SELECT custkey, island, min(s) AS a, max(e) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM isl GROUP BY 1, 2
+)
+SELECT custkey,
+       CAST(sum(b - a + 1) AS BIGINT) AS covered_days,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(n) AS BIGINT) AS n_orders
+FROM grp GROUP BY 1
+ORDER BY covered_days DESC, custkey
+LIMIT 25
+""",
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval-union coverage: per customer, the number of
+    distinct days covered by the union of their order fulfillment
+    windows [order date, last line-item ship date] — overlapping orders
+    must not double-count, the classic sessionize-then-merge shape
+    (uptime from overlapping incident windows, coverage of crawl
+    snapshots). Pure window algebra: per-customer running max of
+    interval end marks island starts (prefix-sum island ids), islands
+    reduce to max(end)-min(start)+1, all exact integer epoch days —
+    no UDF, one shuffle on the customer key, window state O(1) per row.
+    Tie order is pinned (s, e, orderkey) so island numbering is
+    deterministic in both engines; equal-start rows can never split an
+    island because interval ends are >= starts. Top 25 by covered days
+    (ties broken by custkey). Unit-pinned against a brute-force day-set
+    union witness on random interval families."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    fulfill = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.expr(
+            "CAST(max(unix_micros(CAST(l_shipdate AS TIMESTAMP)))"
+            " DIV 86400000000 AS BIGINT)"
+        ).alias("e0")
+    )
+    s_day = F.expr(
+        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+        " DIV 86400000000 AS BIGINT)"
+    )
+    iv = (
+        o.join(fulfill, "o_orderkey")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey"),
+            s_day.alias("s"),
+            F.greatest(F.col("e0"), s_day).alias("e"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "e", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "e", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max = F.max("e").over(w_prev)
+    marked = iv.select(
+        "custkey",
+        "s",
+        "e",
+        "o_orderkey",
+        F.when(
+            prev_max.isNull() | (F.col("s") > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_new"),
+    )
+    isl = marked.select(
+        "custkey", "s", "e", F.sum("is_new").over(w_run).alias("island")
+    )
+    grp = isl.groupBy("custkey", "island").agg(
+        F.min("s").alias("a"),
+        F.max("e").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        grp.groupBy("custkey")
+        .agg(
+            F.sum(F.col("b") - F.col("a") + 1).cast("long").alias(
+                "covered_days"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum("n").cast("long").alias("n_orders"),
+        )
+        .orderBy(F.desc("covered_days"), "custkey")
+        .limit(25)
+    )

@@ -286,3 +286,83 @@ def test_boruvka_vs_kruskal_vs_prim_random_graphs(spark):
             comp_members.setdefault(c, []).append(node)
         for c, members in comp_members.items():
             assert c == min(members), (trial, c, members)
+
+
+# ---------------------------------------------------------------------------
+# Skyline: brute-force dominance witness
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_vs_brute_force(spark):
+    from stock_streaming_data_pipeline_spark.operators.skyline import (
+        brute_force_skyline,
+        skyline_2d,
+    )
+
+    rng = random.Random(1114)
+    for trial in range(5):
+        n = rng.randint(1, 60)
+        pts = [
+            (rng.randint(0, 20), rng.randint(0, 20)) for _ in range(n)
+        ]
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(pts)], "id long, x long, y long"
+        )
+        got = sorted(
+            (r["x"], r["y"])
+            for r in skyline_2d(df, min_col="x", max_col="y").collect()
+        )
+        exp = sorted(brute_force_skyline(pts))
+        assert got == exp, (trial, pts)
+
+
+# ---------------------------------------------------------------------------
+# Interval union: brute-force day-set witness for the island formulation
+# ---------------------------------------------------------------------------
+
+
+def test_interval_union_islands_vs_day_sets(spark):
+    """The catalog query's window-algebra island merge must equal a
+    literal day-set union on random interval families (inclusive
+    endpoints), including duplicate and nested intervals."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1115)
+    fams = []
+    for key in range(12):
+        n = rng.randint(1, 10)
+        for i in range(n):
+            s = rng.randint(0, 40)
+            e = s + rng.randint(0, 8)
+            fams.append((key, i, s, e))
+    df = spark.createDataFrame(fams, "k long, oid long, s long, e long")
+
+    w_prev = (
+        Window.partitionBy("k").orderBy("s", "e", "oid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("k").orderBy("s", "e", "oid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max = F.max("e").over(w_prev)
+    isl = df.select(
+        "k", "s", "e",
+        F.sum(
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+        ).over(w_run).alias("island"),
+    )
+    got = {
+        r["k"]: r["cov"]
+        for r in isl.groupBy("k", "island")
+        .agg(F.min("s").alias("a"), F.max("e").alias("b"))
+        .groupBy("k")
+        .agg(F.sum(F.col("b") - F.col("a") + 1).alias("cov"))
+        .collect()
+    }
+    exp: dict[int, set[int]] = {}
+    for k, _oid, s, e in fams:
+        exp.setdefault(k, set()).update(range(s, e + 1))
+    for k, days in exp.items():
+        assert got[k] == len(days), (k, sorted(days), got[k])

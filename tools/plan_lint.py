@@ -193,6 +193,11 @@ UNPARTITIONED_WINDOW_ALLOW = {
     "rfm_customer_segments",        # three global_rank offsets windows (n_part rows
                                     # each, SF-independent); the customer metrics and
                                     # all three rank sorts are range-partitioned.
+    "skyline_pareto_parts",         # level-sweep window over the price-LEVEL
+                                    # relation (bounded by the cents domain,
+                                    # SF-independent); the fact table ends at
+                                    # the groupBy(price) — operators/skyline.py
+                                    # documents the bounded-domain contract.
 }
 
 # Streaming queries run the full settle() harness — linting their final
