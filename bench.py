@@ -135,7 +135,10 @@ def _streaming_block(spark) -> dict:
         # round-over-round comparable rows/sec number (r5+ protocol).
         src = os.path.join(work, "src")
         trades.write_trades_dir(spark, src, files=8, n_rows=rows, cadence_ms=50)
+        d_steal0, d_total0 = _cpu_ticks()
+        d_spin = _spin_calibration()
         drain = replay(src, os.path.join(work, "out"), mfpt=None)
+        d_steal1, d_total1 = _cpu_ticks()
         # Block 2 — PACED latency: one source file per trigger, >=12
         # micro-batches per query (48 input batches across the fan-out)
         # so p95 is distinguishable from max (r9 verdict #8). Throughput
@@ -151,6 +154,23 @@ def _streaming_block(spark) -> dict:
             "rows": rows,
             "wall_s": drain["wall_s"],
             "rows_per_sec": round(rows / drain["wall_s"], 1),
+            # Probes sampled around the DRAIN window specifically. The
+            # round-11 interleaved adjudication (SCALE.md, tools/
+            # adjudicate_perf.py) found NO in-guest probe predicts the
+            # between-rounds drain level — same-session repeats are
+            # tight (±3%) while r9→r10→r11 swung 170.6k→108.6k→~149k
+            # at quiet steal/spin/throttle/page-cache every time — so
+            # these fields exist to CLASSIFY a drain delta as
+            # epoch-confounded (all probes quiet ⇒ don't chase it),
+            # not to explain it.
+            "drain_steal_pct": (
+                round(
+                    100.0 * (d_steal1 - d_steal0)
+                    / max(d_total1 - d_total0, 1),
+                    3,
+                )
+            ),
+            "drain_spin_sec": d_spin,
             "concurrent_queries": 4,
             "batches": len(drain["batch_ms"]),
             "paced": {
