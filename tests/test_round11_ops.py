@@ -366,3 +366,42 @@ def test_interval_union_islands_vs_day_sets(spark):
         exp.setdefault(k, set()).update(range(s, e + 1))
     for k, days in exp.items():
         assert got[k] == len(days), (k, sorted(days), got[k])
+
+
+# ---------------------------------------------------------------------------
+# truncate_lineage: correctness of the hard checkpoint
+# ---------------------------------------------------------------------------
+
+
+def test_truncate_lineage_preserves_rows_and_schema(spark):
+    """The bare-LogicalRDD re-wrap must preserve rows exactly (the raw
+    toRdd iterator reuses UnsafeRow buffers — a naive wrap aliases every
+    row in a partition to the last one; the helper routes through
+    Dataset.localCheckpoint's per-row copy), for both eager modes and
+    through a chain of self-joins."""
+    from pyspark.sql import functions as F
+
+    from stock_streaming_data_pipeline_spark.operators.checkpoint import (
+        truncate_lineage,
+    )
+
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") * 3 % 7).alias("k"), F.sha1(F.col("id").cast("string")).alias("s")
+    )
+    expect = sorted(tuple(r) for r in base.collect())
+    for eager in (True, False):
+        got = sorted(tuple(r) for r in truncate_lineage(base, eager=eager).collect())
+        assert got == expect, eager
+    # chain of self-joins over truncated frames stays correct
+    df = truncate_lineage(
+        spark.range(30).select(F.col("id").alias("comp"), (F.col("id") + 1).alias("lab"))
+    )
+    for _ in range(25):
+        hop = df.select(F.col("comp").alias("c2"), F.col("lab").alias("l2"))
+        df = truncate_lineage(
+            df.join(hop, df.lab == hop.c2, "left").select(
+                "comp", F.coalesce(F.col("l2"), F.col("lab")).alias("lab")
+            )
+        )
+    rows = {r["comp"]: r["lab"] for r in df.collect()}
+    assert len(rows) == 30 and all(v == 30 for v in rows.values()), rows
