@@ -6521,3 +6521,148 @@ def itemset_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.orderBy(
         F.desc("support_ab"), "part_a", "part_b"
     ).limit(_ARM_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Round 11: exact change-point detection on the bounded day grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "changepoint_daily_counts",
+    tags=("A1", "W1", "LLM-stats"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, day, c,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS t,
+         sum(c) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s1
+  FROM daily
+),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s
+  FROM daily GROUP BY 1
+),
+cand AS (
+  SELECT q.event_type, q.t, q.day, q.s1, t.n, t.s,
+         (q.s1 * q.s1 * (t.n - q.t) + (t.s - q.s1) * (t.s - q.s1) * q.t)
+           AS g_num,
+         q.t * (t.n - q.t) AS g_den
+  FROM seq q JOIN tot t USING (event_type)
+  WHERE q.t < t.n
+)
+SELECT a.event_type, a.t AS split_t, a.day AS split_day,
+       a.t AS n1, a.n - a.t AS n2,
+       CAST(a.s1 AS BIGINT) AS sum1, CAST(a.s - a.s1 AS BIGINT) AS sum2,
+       CAST(a.g_num AS BIGINT) AS g_num, a.g_den,
+       CAST(a.s1 * 1000000 // a.t AS BIGINT) AS mean1_micro,
+       CAST((a.s - a.s1) * 1000000 // (a.n - a.t) AS BIGINT) AS mean2_micro
+FROM cand a
+WHERE NOT EXISTS (
+  SELECT 1 FROM cand b
+  WHERE b.event_type = a.event_type
+    AND (b.g_num * a.g_den > a.g_num * b.g_den
+         OR (b.g_num * a.g_den = a.g_num * b.g_den AND b.t < a.t))
+)
+""",
+)
+def changepoint_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact single change-point detection per event type: the split of
+    the daily-count series minimizing total within-segment SSE —
+    equivalently (total sum-of-squares being split-invariant) maximizing
+    G(k) = s1^2/n1 + s2^2/n2, which needs only PREFIX SUMS, never
+    squares of the data. The argmax is EXACT RATIONAL: candidates carry
+    (g_num, g_den) and the winner is selected by a cross-multiplied
+    dominance anti-join on the bounded candidate set (<= days-1 rows
+    per key) — no floating point, no division, ties broken to the
+    earliest split in both engines by the same predicate. The offline
+    exact counterpart of the streaming CUSUM detector already in the
+    catalog. Scale shape: the fact table collapses to the (type x day)
+    grid first (map-side combinable; the grid is bounded by the
+    OBSERVATION SPAN, not SF), windows and the dominance join run on
+    the grid only. BIGINT headroom documented in the unit pin:
+    g_num*g_den' <= s^2*n^3/4 stays < 2^63 up to ~3.5e7 events/type
+    on a 31-day span (sf10 is ~4e6/type, 8x margin);
+    beyond that the same plan runs with DECIMAL(38,0) casts (the
+    itemset_pair_lift pattern). Unit-pinned against Fraction-exact SSE
+    brute force on random series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            " AS BIGINT)"
+        ).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.row_number().over(w_ord).cast("long").alias("t"),
+        F.sum("c")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("s1"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    cand = (
+        seq.join(F.broadcast(tot), "event_type")
+        .filter(F.col("t") < F.col("n"))
+        .select(
+            "event_type",
+            "t",
+            "day",
+            "s1",
+            "n",
+            "s",
+            (
+                F.col("s1") * F.col("s1") * (F.col("n") - F.col("t"))
+                + (F.col("s") - F.col("s1"))
+                * (F.col("s") - F.col("s1"))
+                * F.col("t")
+            ).alias("g_num"),
+            (F.col("t") * (F.col("n") - F.col("t"))).alias("g_den"),
+        )
+    )
+    beaten = cand.alias("a").join(
+        cand.alias("b"),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (
+            (F.col("b.g_num") * F.col("a.g_den")
+             > F.col("a.g_num") * F.col("b.g_den"))
+            | (
+                (F.col("b.g_num") * F.col("a.g_den")
+                 == F.col("a.g_num") * F.col("b.g_den"))
+                & (F.col("b.t") < F.col("a.t"))
+            )
+        ),
+        "left_semi",
+    )
+    winners = cand.join(
+        beaten.select("event_type", "t"), ["event_type", "t"], "left_anti"
+    )
+    return winners.select(
+        "event_type",
+        F.col("t").alias("split_t"),
+        F.col("day").alias("split_day"),
+        F.col("t").alias("n1"),
+        (F.col("n") - F.col("t")).alias("n2"),
+        F.col("s1").alias("sum1"),
+        (F.col("s") - F.col("s1")).alias("sum2"),
+        "g_num",
+        "g_den",
+        F.expr("s1 * 1000000 DIV t").alias("mean1_micro"),
+        F.expr("(s - s1) * 1000000 DIV (n - t)").alias("mean2_micro"),
+    )

@@ -405,3 +405,57 @@ def test_truncate_lineage_preserves_rows_and_schema(spark):
         )
     rows = {r["comp"]: r["lab"] for r in df.collect()}
     assert len(rows) == 30 and all(v == 30 for v in rows.values()), rows
+
+
+# ---------------------------------------------------------------------------
+# Change-point: Fraction-exact SSE brute force vs the rational-argmax rule
+# ---------------------------------------------------------------------------
+
+
+def test_changepoint_rational_argmax_vs_fraction_sse():
+    """argmax_k of G(k) = s1^2/n1 + s2^2/n2 under exact-rational compare
+    (cross-multiplied, ties to earliest k) must pick the same split as
+    Fraction-exact SSE minimization (ties to earliest k) on random
+    integer series — pins the algebra the catalog query relies on, plus
+    the BIGINT headroom bound for the cross products."""
+    from fractions import Fraction
+
+    rng = random.Random(1116)
+    for trial in range(300):
+        n = rng.randint(2, 31)
+        xs = [rng.randint(0, 1000) for _ in range(n)]
+        tot = sum(xs)
+        sumsq = sum(x * x for x in xs)
+        # Fraction-exact SSE argmin
+        best_sse, best_k_sse = None, None
+        for k in range(1, n):
+            s1 = sum(xs[:k])
+            sse = (
+                Fraction(sumsq)
+                - Fraction(s1 * s1, k)
+                - Fraction((tot - s1) * (tot - s1), n - k)
+            )
+            if best_sse is None or sse < best_sse:
+                best_sse, best_k_sse = sse, k
+        # rational-argmax of G via cross-multiplied dominance
+        cands = []
+        for k in range(1, n):
+            s1 = sum(xs[:k])
+            g_num = s1 * s1 * (n - k) + (tot - s1) * (tot - s1) * k
+            g_den = k * (n - k)
+            cands.append((k, g_num, g_den))
+        win = [
+            (k, gn, gd)
+            for k, gn, gd in cands
+            if not any(
+                gn2 * gd > gn * gd2 or (gn2 * gd == gn * gd2 and k2 < k)
+                for k2, gn2, gd2 in cands
+            )
+        ]
+        assert len(win) == 1, (trial, win)
+        assert win[0][0] == best_k_sse, (trial, xs, win, best_k_sse)
+        # headroom: the dominance cross-product is bounded by
+        # s^2 * n^3 / 4; on a 31-day span int64 holds up to s ~ 3.5e7
+        # events/type (sf10 is ~4e6/type, 8x margin)
+        s_cap, n_cap = 3 * 10**7, 31
+        assert (s_cap * s_cap * n_cap) * (n_cap * n_cap // 4) < 2**63
