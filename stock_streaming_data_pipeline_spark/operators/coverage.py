@@ -1,0 +1,89 @@
+"""Greedy maximum-coverage selection (submodular data curation).
+
+Pick k documents maximizing the UNION of covered tokens — the classic
+budgeted corpus-selection primitive (maximize vocabulary/domain
+coverage under a document budget). Greedy is the standard algorithm:
+submodular maximization is NP-hard and greedy carries the (1 - 1/e)
+guarantee (Nemhauser-Wolsey-Fisher 1978), so the greedy TRACE — not
+some optimum — is the deterministic, oracle-able spec, given a total
+tie order (max gain, then min doc id).
+
+Spark shape: the corpus collapses to a distinct (doc, token) relation
+once; each of the k rounds is one map-combined count aggregate, one
+TakeOrdered(1), and one token anti-join that SHRINKS the relation
+(covered tokens leave it, so later rounds scan less). Driver traffic is
+k single-row collects — parameter-bounded, the repo's documented
+exception to the no-collect rule. Lineage is cut per round with
+truncate_lineage (operators/checkpoint.py): the anti-join re-reads the
+previous round's relation, the self-referencing loop shape that trips
+Spark 4.1's checkpoint-stats rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.operators.checkpoint import truncate_lineage
+
+
+def greedy_max_coverage(
+    doc_tokens: DataFrame,
+    *,
+    id_col: str = "doc",
+    tok_col: str = "tok",
+    k: int = 8,
+) -> list[tuple[int, int, int]]:
+    """Greedy trace over a DISTINCT (doc, token) relation.
+
+    Returns ``[(round, doc_id, gain)]``: the doc picked each round and
+    the number of not-yet-covered tokens it contributed. Stops early
+    when no doc covers a new token. Ties: max gain, then min doc id.
+    """
+    remaining = truncate_lineage(
+        doc_tokens.select(
+            F.col(id_col).alias("doc"), F.col(tok_col).alias("tok")
+        ).distinct()
+    )
+    out: list[tuple[int, int, int]] = []
+    for rnd in range(1, k + 1):
+        top = (
+            remaining.groupBy("doc")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .orderBy(F.desc("gain"), "doc")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        doc, gain = int(top[0]["doc"]), int(top[0]["gain"])
+        out.append((rnd, doc, gain))
+        won = remaining.filter(F.col("doc") == doc).select("tok")
+        remaining = truncate_lineage(
+            remaining.join(won, "tok", "left_anti")
+        )
+    return out
+
+
+def greedy_max_coverage_py(
+    doc_tokens: dict[int, set[str]], k: int = 8
+) -> list[tuple[int, int, int]]:
+    """Independent pure-Python witness (used as the DuckDB-side oracle
+    and in unit pins): same spec, set arithmetic instead of joins."""
+    covered: set[str] = set()
+    out: list[tuple[int, int, int]] = []
+    chosen: set[int] = set()
+    for rnd in range(1, k + 1):
+        best_doc, best_gain = None, 0
+        for doc in sorted(doc_tokens):
+            if doc in chosen:
+                continue
+            gain = len(doc_tokens[doc] - covered)
+            if gain > best_gain:
+                best_doc, best_gain = doc, gain
+        if best_doc is None:
+            break
+        out.append((rnd, best_doc, best_gain))
+        covered |= doc_tokens[best_doc]
+        chosen.add(best_doc)
+    return out

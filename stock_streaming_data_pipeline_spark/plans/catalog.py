@@ -108,8 +108,9 @@ def _load_all() -> None:
 # row — r6 lesson); both pinned by tests/test_catalog_order.py and
 # tests/test_schema_gate.py.
 _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # --- round-11 NEW queries: twelve new operator classes, each
+    # --- round-11 NEW queries: thirteen new operator classes, each
     # pre-verified hostile sf0.01 x2 + strict sf0.1 before fronting.
+    "coverage_greedy_selection",
     "changepoint_daily_counts",
     "graph_mst_copurchase",
     "skyline_pareto_parts",
@@ -166,8 +167,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "token_chi2_by_source",
     "ts_theilsen_trend",
     "corpus_split_manifest",
-    "markov_stationary_events",
     # ---- 50-query driver-sample boundary ----
+    "markov_stationary_events",
     "retrieval_ndcg_eval",
     "decision_stump_train",
     "event_trigram_mining",

@@ -6348,3 +6348,79 @@ def graph_mst_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_nodes"), F.desc("total_weight"), "component")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: greedy max-coverage corpus selection
+# ---------------------------------------------------------------------------
+
+from stock_streaming_data_pipeline_spark.operators import coverage as _coverage  # noqa: E402
+
+
+def _coverage_oracle(sf_dir: str) -> str:
+    """VALUES-literal oracle: 3-gram shingle sets per doc via
+    DuckDB (the differentially trusted sub-plan — dedup.sql_shingles,
+    the same normalize/split/shingle contract the Spark side uses), greedy replayed by
+    the independent pure-Python implementation (set arithmetic vs the
+    engine's join algebra)."""
+    import duckdb
+
+    from stock_streaming_data_pipeline_spark.operators.dedup import sql_shingles
+    from stock_streaming_data_pipeline_spark.tables import duck_glob
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, unnest({sql_shingles('text', 3)}) AS tok FROM "
+        f"read_parquet('{duck_glob(sf_dir, 'documents')}')"
+    ).fetchall()
+    con.close()
+    sets: dict[int, set[str]] = {}
+    for doc, tok in rows:
+        sets.setdefault(int(doc), set()).add(tok)
+    trace = _coverage.greedy_max_coverage_py(sets, k=8)
+    cum = 0
+    vals = []
+    for rnd, doc, gain in trace:
+        cum += gain
+        vals.append(f"({rnd}, {doc}, {gain}, {cum})")
+    return (
+        "SELECT CAST(round AS BIGINT) AS round, CAST(doc_id AS BIGINT) AS"
+        " doc_id, CAST(gain AS BIGINT) AS gain, CAST(covered_total AS"
+        " BIGINT) AS covered_total FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(round, doc_id, gain, covered_total)"
+    )
+
+
+@register(
+    "coverage_greedy_selection",
+    tags=("LLM-curation",),
+    oracle_fn=_coverage_oracle,
+)
+def coverage_greedy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: greedily pick 8 documents maximizing
+    covered distinct 3-gram shingles (operators/coverage.py — submodular
+    max-coverage, the (1-1/e) greedy with a pinned total tie order).
+    The greedy TRACE is the deterministic spec: round, winning doc,
+    marginal gain, cumulative coverage. The oracle re-derives the trace
+    with pure-Python set arithmetic over DuckDB-read token sets — join
+    algebra vs set algebra, same spec. Scale shape: one distinct
+    (doc, token) relation; each of the 8 rounds is a map-combined count
+    + TakeOrdered(1) + a token anti-join that SHRINKS the relation;
+    driver traffic is 8 single-row collects (parameter-bounded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(dedup.shingles(F.col("text"), 3)).alias("tok"),
+    )
+    trace = _coverage.greedy_max_coverage(
+        toks, id_col="doc", tok_col="tok", k=8
+    )
+    cum = 0
+    out = []
+    for rnd, doc, gain in trace:
+        cum += gain
+        out.append((rnd, doc, gain, cum))
+    return spark.createDataFrame(
+        out, "round long, doc_id long, gain long, covered_total long"
+    )

@@ -459,3 +459,29 @@ def test_changepoint_rational_argmax_vs_fraction_sse():
         # events/type (sf10 is ~4e6/type, 8x margin)
         s_cap, n_cap = 3 * 10**7, 31
         assert (s_cap * s_cap * n_cap) * (n_cap * n_cap // 4) < 2**63
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage: Spark join-algebra trace vs pure-Python set trace
+# ---------------------------------------------------------------------------
+
+
+def test_greedy_max_coverage_spark_vs_python(spark):
+    from stock_streaming_data_pipeline_spark.operators.coverage import (
+        greedy_max_coverage,
+        greedy_max_coverage_py,
+    )
+
+    rng = random.Random(1117)
+    for trial in range(4):
+        n_docs = rng.randint(3, 15)
+        vocab = [f"w{i}" for i in range(rng.randint(4, 25))]
+        sets = {
+            d: set(rng.sample(vocab, rng.randint(1, len(vocab))))
+            for d in range(n_docs)
+        }
+        rows = [(d, t) for d, toks in sets.items() for t in toks]
+        df = spark.createDataFrame(rows, "doc long, tok string")
+        got = greedy_max_coverage(df, id_col="doc", tok_col="tok", k=5)
+        exp = greedy_max_coverage_py(sets, k=5)
+        assert got == exp, (trial, sets, got, exp)
