@@ -9,22 +9,18 @@ some optimum — is the deterministic, oracle-able spec, given a total
 tie order (max gain, then min doc id).
 
 Spark shape: the corpus collapses to a distinct (doc, token) relation
-once; each of the k rounds is one map-combined count aggregate, one
-TakeOrdered(1), and one token anti-join that SHRINKS the relation
-(covered tokens leave it, so later rounds scan less). Driver traffic is
-k single-row collects — parameter-bounded, the repo's documented
-exception to the no-collect rule. Lineage is cut per round with
-truncate_lineage (operators/checkpoint.py): the anti-join re-reads the
-previous round's relation, the self-referencing loop shape that trips
-Spark 4.1's checkpoint-stats rewrite.
+once (persisted for the loop's lifetime, unpersisted on exit); each of
+the k rounds is one map-only BROADCAST anti-join over the winners'
+token sets (bounded by k * max-tokens-per-doc — document-bounded, not
+SF-bounded) plus one map-combined count aggregate and TakeOrdered(1).
+Driver traffic is k single-row collects — parameter-bounded, the
+repo's documented exception to the no-collect rule.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from stock_streaming_data_pipeline_spark.operators.checkpoint import truncate_lineage
 
 
 def greedy_max_coverage(
@@ -40,28 +36,48 @@ def greedy_max_coverage(
     the number of not-yet-covered tokens it contributed. Stops early
     when no doc covers a new token. Ties: max gain, then min doc id.
     """
-    remaining = truncate_lineage(
+    # Optimization round 11: the loop previously localCheckpointed a new
+    # `remaining` relation every round and removed covered tokens with a
+    # SHUFFLE anti-join — k materializations + k shuffles of the token
+    # relation. Covered-token removal is equivalent to ONE anti-join
+    # against the union of the winners' token sets (a chain of anti-
+    # joins on the same key composes), and that set is bounded by
+    # k * max-tokens-per-doc — document-bounded, not SF-bounded — so it
+    # BROADCASTS (guide §3.1): every round is now a map-only filter over
+    # the persisted base relation plus one map-combined count aggregate;
+    # no checkpoint, no shuffle of the token relation, and the
+    # self-join-of-checkpoints shape that needed truncate_lineage is
+    # gone entirely. Trace-identical by construction (same candidate
+    # counts, same max-gain/min-doc tie order).
+    base = (
         doc_tokens.select(
             F.col(id_col).alias("doc"), F.col(tok_col).alias("tok")
-        ).distinct()
+        )
+        .distinct()
+        .persist()
     )
     out: list[tuple[int, int, int]] = []
-    for rnd in range(1, k + 1):
-        top = (
-            remaining.groupBy("doc")
-            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
-            .orderBy(F.desc("gain"), "doc")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        doc, gain = int(top[0]["doc"]), int(top[0]["gain"])
-        out.append((rnd, doc, gain))
-        won = remaining.filter(F.col("doc") == doc).select("tok")
-        remaining = truncate_lineage(
-            remaining.join(won, "tok", "left_anti")
-        )
+    chosen: list[int] = []
+    try:
+        for rnd in range(1, k + 1):
+            remaining = base
+            if chosen:
+                covered = base.filter(F.col("doc").isin(chosen)).select("tok")
+                remaining = base.join(F.broadcast(covered), "tok", "left_anti")
+            top = (
+                remaining.groupBy("doc")
+                .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+                .orderBy(F.desc("gain"), "doc")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            doc, gain = int(top[0]["doc"]), int(top[0]["gain"])
+            out.append((rnd, doc, gain))
+            chosen.append(doc)
+    finally:
+        base.unpersist()
     return out
 
 

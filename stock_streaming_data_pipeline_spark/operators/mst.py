@@ -101,15 +101,30 @@ def boruvka_mst(
         )
         # Per-component minimum outgoing edge under the (w, u, v) total
         # order; each edge may be selected by both endpoints' components,
-        # so the selected set is deduped on (u, v).
+        # so the selected set is deduped on (u, v). The two per-endpoint
+        # candidate rows come from ONE pass via explode(array(...)) —
+        # a union of two projections would recompute the label-join
+        # subtree twice per round (guide §2.4: duplicated subtrees).
         cand = cross.select(
-            F.col("cu").alias("comp"), "w", "u", "v", F.col("cv").alias("other")
-        ).unionByName(
-            cross.select(
-                F.col("cv").alias("comp"), "w", "u", "v",
-                F.col("cu").alias("other"),
-            )
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("cu").alias("comp"),
+                        F.col("w"),
+                        F.col("u"),
+                        F.col("v"),
+                        F.col("cv").alias("other"),
+                    ),
+                    F.struct(
+                        F.col("cv").alias("comp"),
+                        F.col("w"),
+                        F.col("u"),
+                        F.col("v"),
+                        F.col("cu").alias("other"),
+                    ),
+                )
+            ).alias("x")
+        ).select("x.comp", "x.w", "x.u", "x.v", "x.other")
         sel = truncate_lineage(
             cand.groupBy("comp")
             .agg(F.min(F.struct("w", "u", "v", "other")).alias("m"))

@@ -75,9 +75,30 @@ SELECT doc, {cols}, {case} AS pred_lang FROM scored
 """
 
 
+def quality_expr(text_col: Column) -> Column:
+    """The composite quality score as ONE per-row column expression —
+    the exact expression `quality_scores` emits in its `quality` column
+    (same rounding points), exposed so composed pipelines can filter on
+    it directly instead of semi-joining against a full score frame
+    (quality is per-row deterministic, so `df ⋉ scores.filter(q >= x)`
+    ≡ `df.filter(quality_expr >= x)`). Drift between the two is caught
+    by the composed pipelines' differential oracles."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("long")
+    distinct_ratio = F.round(F.size(F.array_distinct(toks)) / n_tok, 6)
+    stop_ratio = F.round(_overlap(toks, STOPWORDS["en"]) / n_tok, 6)
+    return F.round(
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + distinct_ratio * 0.4
+        + stop_ratio * 0.2,
+        6,
+    )
+
+
 def quality_scores(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality features: length, token stats, type-token ratio,
-    alpha ratio, English-stopword ratio, composite score."""
+    alpha ratio, English-stopword ratio, composite score (the `quality`
+    column must stay expression-identical to :func:`quality_expr`)."""
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks).cast("long")
     n_chars = F.length(text_col).cast("long")

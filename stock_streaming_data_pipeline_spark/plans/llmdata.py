@@ -1071,7 +1071,15 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = dedup.exact_duplicates(
         corpus, id_col="doc_id", text_col="text"
     ).select(F.col("keeper_id").alias("doc_id"))
-    kept = corpus.join(keepers, "doc_id", "left_semi")
+    # Persist the two reused stage outputs (optimization round 11):
+    # `kept` feeds both the contamination report and the anti-join left
+    # side; `clean` feeds the repetition scorer, the quality filter and
+    # the sampler — composed lazily, the exact-dedup + contamination
+    # subtree re-executed up to 4x per action (guide §5: cache only what
+    # is reused and expensive to recompute). CacheManager keys by
+    # canonicalized plan, so repeated builds reuse one MEMORY_AND_DISK
+    # entry — the itemset_pair_lift lifecycle pattern.
+    kept = corpus.join(keepers, "doc_id", "left_semi").persist()
 
     contaminated = dedup.contamination_report(
         kept,
@@ -1085,15 +1093,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc").distinct()
     clean = kept.join(
         contaminated, kept["doc_id"] == contaminated["doc"], "left_anti"
-    )
+    ).persist()
 
-    quality = text.quality_scores(clean, id_col="doc_id", text_col="text")
+    # quality is per-row deterministic, so the former
+    # `clean ⋉ quality_scores(clean).filter(q >= 0.40)` semi-join (two
+    # extra exchanges + a full recompute of `clean`) collapses to a
+    # direct filter on the shared expression (operators/text.quality_expr).
     rep = text.repetition_scores(clean, id_col="doc_id", text_col="text")
-    good = clean.join(
-        quality.filter(F.col("quality") >= 0.40).select("doc"),
-        clean["doc_id"] == F.col("doc"),
-        "left_semi",
-    ).join(
+    good = clean.filter(text.quality_expr(F.col("text")) >= 0.40).join(
         rep.filter(F.col("dup_3gram_frac") <= 0.01).select("doc"),
         F.col("doc_id") == F.col("doc"),
         "left_semi",
@@ -3588,48 +3595,56 @@ def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def phash_from_docs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """pHash pipeline over any (doc_id, text) frame — split out so tests
     can assert perceptual properties (e.g. brightness invariance) on
-    constructed inputs."""
+    constructed inputs.
+
+    Shape (optimization round 11): ONE decode pass and ONE exchange.
+    Each pixel row contributes to all 16 (u,v) DCT accumulators via
+    frozen-literal cosine array lookups (no join fan-out), a single
+    map-combined groupBy(media_id) produces the 16 coefficient sums
+    (16 BIGINTs per image cross the shuffle), and the mean-centering
+    term is recovered EXACTLY from the DC coefficient:
+    S_00 = sum(v * 1e6 * 1e6) = 1e12 * sum_px, so sp = S_00 DIV 1e12 —
+    which removes the previous second decode pass (px was scanned once
+    for px2 and once for sp; real zlib PNG decode ran twice per image).
+    All arithmetic is BIGINT — the previous DECIMAL(38,0) lattice is
+    unnecessary because the bounds are SF-INDEPENDENT (they depend only
+    on the 8x8 image and the frozen tables): |v*c*c2| <= 255*1e6*1e6 =
+    2.55e14, |S_uv| <= 64*2.55e14 = 1.632e16, |64*S_uv| <= 1.045e18 and
+    |sp*cc| <= 16320*(8e6)^2 = 1.044e18, so |dd| <= 2.09e18 < 2^63-1
+    with 4.4x headroom at ANY scale factor. Exact integers in, exact
+    integers out: the resulting phash values are bit-identical to the
+    decimal/join formulation (unit-pinned in tests)."""
     media = multimodal.documents_as_png_media(docs, width=8, height=8)
     px = multimodal.png_pixel_rows(media)
-    px2 = px.selectExpr("media_id", "i % 8 AS x", "i div 8 AS y", "v")
-    sp = px.groupBy("media_id").agg(F.sum("v").cast("long").alias("sp"))
-    ct = spark.createDataFrame(_DCT_TAB, schema="u INT, x INT, c BIGINT")
-    par = spark.createDataFrame(
-        _PHASH_PAR, schema="u INT, vv INT, bit INT, w BIGINT, cc BIGINT"
-    )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    s = (
-        px2.join(F.broadcast(ct), "x")
-        .join(
-            F.broadcast(
-                ct.withColumnsRenamed({"u": "vv", "x": "y", "c": "c2"})
-            ),
-            "y",
+    cos_u = {
+        u: F.array(
+            *[F.lit(c).cast("long") for uu, _x, c in _DCT_TAB if uu == u]
         )
-        .groupBy("media_id", "u", "vv")
-        .agg(
-            F.sum(dec(F.col("v")) * dec(F.col("c")) * dec(F.col("c2"))).alias(
-                "s_uv"
-            )
-        )
-    )
-    d = (
-        s.join(F.broadcast(par), ["u", "vv"])
-        .join(sp, "media_id")
-        .select(
-            "media_id",
-            "w",
-            (
-                F.lit(64).cast("decimal(38,0)") * F.col("s_uv")
-                - dec(F.col("sp")) * dec(F.col("cc"))
-            ).alias("dd"),
-        )
-    )
-    return d.groupBy("media_id").agg(
-        F.sum(F.when(F.col("dd") > 0, F.col("w")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("phash")
-    )
+        for u in range(4)
+    }
+    xi = (F.col("i") % 8).cast("int")
+    yi = F.expr("CAST(i DIV 8 AS INT)")
+    sums = [
+        F.sum(
+            F.col("v").cast("long")
+            * F.element_at(cos_u[u], xi + 1)
+            * F.element_at(cos_u[v], yi + 1)
+        ).alias(f"s_{u}_{v}")
+        for u in range(4)
+        for v in range(4)
+    ]
+    g = px.groupBy("media_id").agg(*sums)
+    sp = F.expr("s_0_0 DIV 1000000000000")  # exact: S_00 = 1e12 * sum_px
+    bits = [
+        F.when(
+            F.lit(64) * F.col(f"s_{u}_{v}") - sp * F.lit(cc) > 0, F.lit(w)
+        ).otherwise(F.lit(0))
+        for (u, v, _bit, w, cc) in _PHASH_PAR
+    ]
+    phash = bits[0]
+    for b in bits[1:]:
+        phash = phash + b
+    return g.select("media_id", phash.cast("long").alias("phash"))
 
 
 @register(
@@ -6310,7 +6325,19 @@ def graph_mst_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     at least halves per round (O(log n) rounds); contraction
     pointer-jumps on the component-sized relation only."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # Repartition by the join key FIRST (optimization round 11): hash
+    # partitioning on l_orderkey satisfies both the distinct's
+    # clustering requirement (subset rule) and the self-join's, so the
+    # basket relation is exchanged ONCE and the exchange is REUSED by
+    # both join sides — previously the plan carried a distinct exchange
+    # on (l_orderkey, l_partkey) plus two join exchanges on l_orderkey
+    # (guide §2.4: two operations keyed the same way share one
+    # exchange).
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .distinct()
+    )
     edges = (
         items.alias("a")
         .join(

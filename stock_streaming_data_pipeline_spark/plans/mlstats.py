@@ -6613,56 +6613,60 @@ def changepoint_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("s1"),
     )
-    tot = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("c").cast("long").alias("s"),
-    )
-    cand = (
-        seq.join(F.broadcast(tot), "event_type")
-        .filter(F.col("t") < F.col("n"))
+    # Exact-rational argmax as ONE fold over the bounded per-type grid
+    # (optimization round 11). The previous formulation materialized the
+    # candidate relation through a dominance self-join (left_semi) plus
+    # an anti-join — three full recomputations of the scan+agg+window
+    # lineage and two join exchanges. The candidate set per key is
+    # bounded by the OBSERVATION SPAN (<= days-1 rows), so the argmax
+    # runs as array_sort(collect_list(...)) + aggregate() on the grid
+    # relation the window already produced: same exact cross-multiplied
+    # BIGINT dominance predicate, same earliest-t tie-break (ascending
+    # fold replaces the accumulator only on STRICT improvement), same
+    # overflow envelope (g_num * g_den' <= s^2*n^3/4, documented above).
+    # Plan: 2 exchanges total, only the first touches fact-scale rows.
+    per = (
+        seq.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("t", "day", "s1"))).alias("arr"))
+        .filter(F.size("arr") >= 2)
         .select(
             "event_type",
-            "t",
-            "day",
-            "s1",
-            "n",
-            "s",
-            (
-                F.col("s1") * F.col("s1") * (F.col("n") - F.col("t"))
-                + (F.col("s") - F.col("s1"))
-                * (F.col("s") - F.col("s1"))
-                * F.col("t")
-            ).alias("g_num"),
-            (F.col("t") * (F.col("n") - F.col("t"))).alias("g_den"),
+            "arr",
+            F.size("arr").cast("long").alias("n"),
+            F.element_at("arr", -1)["s1"].alias("s"),
         )
     )
-    beaten = cand.alias("a").join(
-        cand.alias("b"),
-        (F.col("a.event_type") == F.col("b.event_type"))
-        & (
-            (F.col("b.g_num") * F.col("a.g_den")
-             > F.col("a.g_num") * F.col("b.g_den"))
-            | (
-                (F.col("b.g_num") * F.col("a.g_den")
-                 == F.col("a.g_num") * F.col("b.g_den"))
-                & (F.col("b.t") < F.col("a.t"))
-            )
-        ),
-        "left_semi",
+    g_num_x = (
+        "(x.s1 * x.s1 * (n - x.t) + (s - x.s1) * (s - x.s1) * x.t)"
     )
-    winners = cand.join(
-        beaten.select("event_type", "t"), ["event_type", "t"], "left_anti"
-    )
-    return winners.select(
+    best = per.select(
         "event_type",
-        F.col("t").alias("split_t"),
-        F.col("day").alias("split_day"),
-        F.col("t").alias("n1"),
-        (F.col("n") - F.col("t")).alias("n2"),
-        F.col("s1").alias("sum1"),
-        (F.col("s") - F.col("s1")).alias("sum2"),
-        "g_num",
-        "g_den",
-        F.expr("s1 * 1000000 DIV t").alias("mean1_micro"),
-        F.expr("(s - s1) * 1000000 DIV (n - t)").alias("mean2_micro"),
+        "n",
+        "s",
+        F.expr(
+            f"""aggregate(
+  slice(arr, 1, CAST(n - 1 AS INT)),
+  named_struct('t', CAST(0 AS BIGINT), 'day', CAST(0 AS BIGINT),
+               's1', CAST(0 AS BIGINT), 'g_num', CAST(-1 AS BIGINT),
+               'g_den', CAST(0 AS BIGINT)),
+  (acc, x) -> CASE WHEN {g_num_x} * acc.g_den
+                   > acc.g_num * (x.t * (n - x.t))
+              THEN named_struct('t', x.t, 'day', x.day, 's1', x.s1,
+                                'g_num', {g_num_x},
+                                'g_den', x.t * (n - x.t))
+              ELSE acc END)"""
+        ).alias("b"),
+    )
+    return best.select(
+        "event_type",
+        F.col("b.t").alias("split_t"),
+        F.col("b.day").alias("split_day"),
+        F.col("b.t").alias("n1"),
+        (F.col("n") - F.col("b.t")).alias("n2"),
+        F.col("b.s1").alias("sum1"),
+        (F.col("s") - F.col("b.s1")).alias("sum2"),
+        F.col("b.g_num").alias("g_num"),
+        F.col("b.g_den").alias("g_den"),
+        F.expr("b.s1 * 1000000 DIV b.t").alias("mean1_micro"),
+        F.expr("(s - b.s1) * 1000000 DIV (n - b.t)").alias("mean2_micro"),
     )
