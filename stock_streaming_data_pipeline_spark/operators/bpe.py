@@ -121,6 +121,46 @@ def bpe_train(df: DataFrame, *, text_col: str, k: int = 8) -> DataFrame:
     return out
 
 
+def _merge_fold(arr: Column, a: str, b: str) -> Column:
+    """One greedy left-to-right merge of adjacent pair (a, b) over a
+    per-word symbol array, as a single ``aggregate`` fold: the
+    accumulator carries (out, pend); a merge consumes pend+x and resets
+    pend, so overlapping matches in an a==b run keep exactly the even
+    offsets — the same kept set as :func:`_merge_round`'s
+    gaps-and-islands computation (pinned equal in tests)."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit("").alias("pend")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        return (
+            F.when(
+                acc["pend"] == "",
+                F.struct(acc["out"].alias("out"), x.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == a) & (x == b),
+                F.struct(
+                    F.array_append(acc["out"], F.lit(a + b)).alias("out"),
+                    F.lit("").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.array_append(acc["out"], acc["pend"]).alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def fin(acc: Column) -> Column:
+        return F.when(acc["pend"] == "", acc["out"]).otherwise(
+            F.array_append(acc["out"], acc["pend"])
+        )
+
+    return F.aggregate(arr, init, step, fin)
+
+
 def bpe_segment(
     df: DataFrame, merges: DataFrame, *, id_col: str, text_col: str
 ) -> DataFrame:
@@ -128,39 +168,25 @@ def bpe_segment(
     order over each distinct word, then count resulting tokens per doc —
     the inference side of the tokenizer. Merge rules are collected to the
     driver (k rows — the tokenizer artifact is intentionally tiny) and
-    applied as k relational rounds over the distinct-word relation."""
+    applied as k chained per-word array folds (:func:`_merge_fold`) in
+    ONE map pass over the distinct-word relation (optimization round 11
+    — previously k relational window rounds with 2 localCheckpoint
+    materializations each; training must stay relational because each
+    round's pair-count argmax is a global aggregate, but INFERENCE with
+    a frozen rule list needs no cross-word state at all, and the
+    per-word arrays are word-length-bounded)."""
     rules = [
         (r["left_sym"], r["right_sym"])
         for r in merges.orderBy("merge_round").collect()
     ]
     words = df.select(F.explode(tokens(F.col(text_col))).alias("w")).distinct()
-    syms = (
-        words.withColumn("wc", F.lit(1).cast("long"))
-        .select(
-            "w",
-            "wc",
-            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("pos"),
-        )
-        .withColumn("sym", F.expr("substring(w, pos, 1)"))
-        .unionByName(
-            words.select(
-                "w",
-                F.lit(1).cast("long").alias("wc"),
-                (F.length("w") + 1).alias("pos"),
-                F.lit(EOW).alias("sym"),
-            )
-        )
-        .localCheckpoint(eager=True)
+    arr: Column = F.concat(
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        F.array(F.lit(EOW)),
     )
-    wn = Window.partitionBy("w").orderBy("pos")
-    spark = df.sparkSession
     for a, b in rules:
-        p = syms.withColumn("nxt", F.lead("sym").over(wn)).withColumn(
-            "idx", F.row_number().over(wn)
-        )
-        rule = spark.createDataFrame([(a, b)], "a string, b string")
-        syms = _merge_round(p, rule).localCheckpoint(eager=True)
-    per_word = syms.groupBy("w").agg(F.count(F.lit(1)).alias("n_tokens"))
+        arr = _merge_fold(arr, a, b)
+    per_word = words.select("w", F.size(arr).cast("long").alias("n_tokens"))
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("w")
     )

@@ -58,29 +58,38 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # n is ONE scalar (parameter-bounded driver traffic, the documented
+    # exception) — as a literal it keeps every ranks rebuild a NARROW op
+    # over the hash(node)-partitioned nodes relation, where the previous
+    # crossJoin(broadcast(n_nodes)) hid the partitioning from the
+    # planner and re-shuffled ranks every iteration. float(n) == CAST(n
+    # AS DOUBLE) exactly for any feasible node count (< 2^53), so the
+    # arithmetic is bit-identical.
+    n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    base = _half_away(
-        F.lit((1.0 - damping) * SCALE) / F.col("n").cast("double")
+    base = _half_away(F.lit((1.0 - damping) * SCALE) / F.lit(float(n)))
+    init = _half_away(F.lit(float(SCALE)) / F.lit(float(n)))
+    ranks = nodes.select("node", init.alias("r")).localCheckpoint(eager=False)
+    # Degrees attach to edges ONCE, outside the loop (the per-iteration
+    # deg join re-aggregated the edge list every round); repartition by
+    # src so the checkpointed relation is co-partitioned with ranks
+    # (hash(node)) and each iteration's only exchange is the contribution
+    # groupBy — the irreducible PageRank shuffle (guide §2.4).
+    ed = (
+        e.join(deg, "src")
+        .select("src", "dst", "deg")
+        .repartition("src")
+        .localCheckpoint(eager=False)
     )
-    init = _half_away(F.lit(float(SCALE)) / F.col("n").cast("double"))
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", init.alias("r")
-    ).localCheckpoint(eager=False)
     for _ in range(iters):
-        contrib = (
-            ranks.join(e, ranks["node"] == e["src"])
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("r div deg").alias("c"),
-            )
+        contrib = ranks.join(ed, ranks["node"] == ed["src"]).select(
+            F.col("dst").alias("node"),
+            F.expr("r div deg").alias("c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (
             nodes.join(summed, "node", "left")
             .na.fill({"s": 0})
-            .crossJoin(F.broadcast(n_nodes))
             .select(
                 "node",
                 (

@@ -890,28 +890,41 @@ def _sub_rows(
 
 
 def _argmin_code(
-    rows: DataFrame, codebook: DataFrame, *, key_col: str
+    rows: DataFrame, codebook: DataFrame, *, key_col: str, carry_sub: bool = False
 ) -> DataFrame:
     """Assign each ``(key, m, sub)`` row the code of its nearest codebook
     entry (squared L2; deterministic tie-break on code asc). The codebook
     is broadcast; argmin is a ``min_by``-style partial-aggregated groupBy —
-    one shuffle keyed by (key, m), never a window over the joined rows."""
+    one shuffle keyed by (key, m), never a window over the joined rows.
+
+    With ``carry_sub=True`` the output additionally carries the row's own
+    subvector — every row of a (key, m) group holds the IDENTICAL ``sub``
+    bytes (the group is one input row fanned out over the broadcast
+    codebook), so riding it through the min-struct is deterministic: the
+    (d, code) prefix is unique per group and decides the min before
+    ``sub`` is ever compared. Callers that need ``sub`` next to the
+    assignment (Lloyd mean updates) then skip a corpus-scale join back
+    to ``rows`` (optimization round 11; guide §2.4)."""
     # round-6 before the argmin (the _nearest_centroid ulp-robustness
     # rule: codebook means are double aggregates whose summation order
     # differs across engines/partitionings; ties resolve on code asc —
     # mirrored by the SQL oracle).
+    fields = [
+        F.round(l2sq(F.col("sub"), F.col("cbvec")), 6).alias("d"),
+        F.col("code").alias("code"),
+    ]
+    if carry_sub:
+        fields.append(F.col("sub").alias("sub"))
     scored = rows.join(F.broadcast(codebook), "m").select(
-        key_col,
-        "m",
-        F.struct(
-            F.round(l2sq(F.col("sub"), F.col("cbvec")), 6).alias("d"),
-            F.col("code").alias("code"),
-        ).alias("dc"),
+        key_col, "m", F.struct(*fields).alias("dc")
     )
+    out_cols = [key_col, "m", F.col("best.code").alias("code")]
+    if carry_sub:
+        out_cols.append(F.col("best.sub").alias("sub"))
     return (
         scored.groupBy(key_col, "m")
         .agg(F.min("dc").alias("best"))
-        .select(key_col, "m", F.col("best.code").alias("code"))
+        .select(*out_cols)
     )
 
 
@@ -943,10 +956,12 @@ def pq_train(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        coded = _argmin_code(sub_rows, codebook, key_col=key_col)
+        # carry_sub rides each row's subvector through the argmin struct,
+        # so the mean update needs no corpus-scale join back to sub_rows
+        # (one shuffle per Lloyd iteration instead of three).
+        coded = _argmin_code(sub_rows, codebook, key_col=key_col, carry_sub=True)
         new_means = (
-            sub_rows.join(coded, [key_col, "m"])
-            .select("m", "code", F.posexplode("sub"))
+            coded.select("m", "code", F.posexplode("sub"))
             .groupBy("m", "code", "pos")
             .agg(F.avg("col").alias("cv"))
             .groupBy("m", "code")
@@ -1388,16 +1403,29 @@ def opq_train(
     R = np.eye(d)
     for _ in range(iters):
         y = _rotate_vecs(x, R, id_col="_k", vec_col="x", out="v")
-        sub = _sub_rows(y, key_col="_k", vec_alias="v", num_sub=num_sub, dsub=dsub)
+        # Persist the rotated subvector relation for the alternation's
+        # lifetime (optimization round 11): pq_train's seed window + its
+        # Lloyd assignments + the reconstruction each re-ran the rotation
+        # pandas UDF and the subspace explode (~4 full corpus passes per
+        # alternation); one MEMORY_AND_DISK materialization replaces them
+        # (guide §5: cache what is reused and expensive to recompute —
+        # here a per-row matmul crossing the Python boundary).
+        sub = _sub_rows(
+            y, key_col="_k", vec_alias="v", num_sub=num_sub, dsub=dsub
+        ).persist()
         cb = pq_train(sub, key_col="_k", num_sub=num_sub, ksub=ksub, iters=pq_iters)
         vhat = _pq_reconstruct(sub, cb, key_col="_k")
         M = _cross_products(x.join(vhat, "_k"), d)
+        sub.unpersist()  # M is collected; nothing lazy still needs sub
         U, _, Vt = np.linalg.svd(M)
         R = U @ Vt
     # Final codebook against the final rotation.
     y = _rotate_vecs(x, R, id_col="_k", vec_col="x", out="v")
-    sub = _sub_rows(y, key_col="_k", vec_alias="v", num_sub=num_sub, dsub=dsub)
+    sub = _sub_rows(
+        y, key_col="_k", vec_alias="v", num_sub=num_sub, dsub=dsub
+    ).persist()
     cb = pq_train(sub, key_col="_k", num_sub=num_sub, ksub=ksub, iters=pq_iters)
+    sub.unpersist()  # cb is localCheckpointed inside pq_train
     return R, cb
 
 

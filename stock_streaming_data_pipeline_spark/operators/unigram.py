@@ -118,33 +118,41 @@ def _viterbi_segment(words: DataFrame, vocab: DataFrame) -> DataFrame:
         frontier = frames[lo]
         for f in frames[lo + 1 : i]:
             frontier = frontier.unionByName(f)
+        # vocab is vocabulary-bounded → BROADCAST (guide §3.1), so the
+        # frontier is never shuffled for the join; the per-word argmax
+        # is a map-combined max-struct aggregate instead of a
+        # row_number window (optimization round 11): (w, pos) is unique
+        # in cand (the piece is determined by (w, pos, i)), so
+        # max(struct(sc2, -pos, ...)) reproduces the (sc2 desc, pos
+        # asc) tie order exactly and the trailing fields never decide.
         cand = (
             frontier.filter(F.length("w") >= i)
             .join(
-                vp,
+                F.broadcast(vp),
                 F.col("piece")
                 == F.expr(f"substring(w, pos + 1, {i} - pos)"),
             )
             .select(
                 "w",
                 "wc",
-                "pos",
-                (F.col("sc") + F.col("lp")).alias("sc2"),
-                F.when(F.col("seg") == "", F.col("piece"))
-                .otherwise(F.concat_ws(" ", "seg", "piece"))
-                .alias("seg2"),
+                F.struct(
+                    (F.col("sc") + F.col("lp")).alias("sc2"),
+                    (-F.col("pos")).alias("np"),
+                    F.when(F.col("seg") == "", F.col("piece"))
+                    .otherwise(F.concat_ws(" ", "seg", "piece"))
+                    .alias("seg2"),
+                ).alias("cand"),
             )
         )
-        wn = Window.partitionBy("w").orderBy(F.desc("sc2"), F.asc("pos"))
         frame_i = (
-            cand.withColumn("rn", F.row_number().over(wn))
-            .filter(F.col("rn") == 1)
+            cand.groupBy("w")
+            .agg(F.max("wc").alias("wc"), F.max("cand").alias("best"))
             .select(
                 "w",
                 "wc",
                 F.lit(i).alias("pos"),
-                F.col("sc2").alias("sc"),
-                F.col("seg2").alias("seg"),
+                F.col("best.sc2").alias("sc"),
+                F.col("best.seg2").alias("seg"),
             )
             .localCheckpoint(eager=True)
         )
