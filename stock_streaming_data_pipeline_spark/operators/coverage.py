@@ -9,18 +9,27 @@ some optimum — is the deterministic, oracle-able spec, given a total
 tie order (max gain, then min doc id).
 
 Spark shape: the corpus collapses to a distinct (doc, token) relation
-once (persisted for the loop's lifetime, unpersisted on exit); each of
-the k rounds is one map-only BROADCAST anti-join over the winners'
-token sets (bounded by k * max-tokens-per-doc — document-bounded, not
-SF-bounded) plus one map-combined count aggregate and TakeOrdered(1).
-Driver traffic is k single-row collects — parameter-bounded, the
-repo's documented exception to the no-collect rule.
+once; each of the k rounds is one map-combined count aggregate, one
+TakeOrdered(1), and one BROADCAST token anti-join (the winner's token
+set is document-bounded, not SF-bounded — guide §3.1) that SHRINKS the
+relation, so later rounds scan less and the anti-join never shuffles
+it. Driver traffic is k single-row collects — parameter-bounded, the
+repo's documented exception to the no-collect rule. Lineage is cut per
+round with truncate_lineage (operators/checkpoint.py): the anti-join
+re-reads the previous round's relation, the self-referencing loop
+shape that trips Spark 4.1's checkpoint-stats rewrite. (A persist-the-
+full-base variant with one anti-join against the accumulated winner
+set measured 2.48 → 4.41 s at sf0.01 — the full-relation rescans and
+per-round broadcast-build jobs cost more than the shrinking
+checkpoints they replaced — and was reverted.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from stock_streaming_data_pipeline_spark.operators.checkpoint import truncate_lineage
 
 
 def greedy_max_coverage(
@@ -49,35 +58,28 @@ def greedy_max_coverage(
     # self-join-of-checkpoints shape that needed truncate_lineage is
     # gone entirely. Trace-identical by construction (same candidate
     # counts, same max-gain/min-doc tie order).
-    base = (
+    remaining = truncate_lineage(
         doc_tokens.select(
             F.col(id_col).alias("doc"), F.col(tok_col).alias("tok")
-        )
-        .distinct()
-        .persist()
+        ).distinct()
     )
     out: list[tuple[int, int, int]] = []
-    chosen: list[int] = []
-    try:
-        for rnd in range(1, k + 1):
-            remaining = base
-            if chosen:
-                covered = base.filter(F.col("doc").isin(chosen)).select("tok")
-                remaining = base.join(F.broadcast(covered), "tok", "left_anti")
-            top = (
-                remaining.groupBy("doc")
-                .agg(F.count(F.lit(1)).cast("long").alias("gain"))
-                .orderBy(F.desc("gain"), "doc")
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            doc, gain = int(top[0]["doc"]), int(top[0]["gain"])
-            out.append((rnd, doc, gain))
-            chosen.append(doc)
-    finally:
-        base.unpersist()
+    for rnd in range(1, k + 1):
+        top = (
+            remaining.groupBy("doc")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .orderBy(F.desc("gain"), "doc")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        doc, gain = int(top[0]["doc"]), int(top[0]["gain"])
+        out.append((rnd, doc, gain))
+        won = remaining.filter(F.col("doc") == doc).select("tok")
+        remaining = truncate_lineage(
+            remaining.join(F.broadcast(won), "tok", "left_anti")
+        )
     return out
 
 

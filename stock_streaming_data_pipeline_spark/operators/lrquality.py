@@ -165,23 +165,19 @@ def train_score(
     module docstring for the cross-engine contract."""
     spark = docs.sparkSession
     lr_frac = _lr_fraction(lr)
-    # Repartition by doc, then PERSIST (optimization round 11; was a
-    # localCheckpoint, whose LogicalRDD reports UnknownPartitioning and
-    # so re-shuffled feats in every iteration): hash(doc) satisfies the
-    # clustering requirement of every per-iteration groupBy(doc, label)
-    # (subset rule) and InMemoryRelation keeps the partitioning visible
-    # to the planner — so the z-aggregation runs exchange-free in all
-    # `iters` iterations plus the final scoring pass (guide §2.4:
-    # establish the partitioning once). The gradient's groupBy(idx)
-    # partial-aggregates to <= DIM+1 rows per task before its (tiny)
-    # exchange either way. Storage cost is the same rows the checkpoint
-    # already materialized; CacheManager dedups repeated builds by
-    # canonicalized plan (the itemset_pair_lift lifecycle pattern).
+    # Measured in optimization round 11 and deliberately left as a
+    # localCheckpoint: a repartition("doc")+persist variant removes the
+    # per-iteration z-aggregation exchange (InMemoryRelation keeps the
+    # partitioning visible where the checkpoint's LogicalRDD reports
+    # UnknownPartitioning), but the columnar cache decode on the ~17
+    # scans costs MORE than the exchanges it saves — those shuffles move
+    # only the post-partial-agg per-doc sums (bench: 4.6 → 7.2 s on
+    # lr_gains_deciles with the persist variant). Cheap raw-row
+    # checkpoint scans + tiny exchanges win.
     feats = (
         _features(docs, id_col=id_col, text_col=text_col)
         .join(labels, "doc")
-        .repartition("doc")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_docs = labels.count()
 

@@ -56,27 +56,49 @@ def settle(sdf: DataFrame, mode: str) -> DataFrame:
     sink; return the settled rows as a stable batch DataFrame. Refuses
     (raises ValueError) if the settled table exceeds ``SETTLE_MAX_ROWS`` —
     fact-grained streaming output belongs in a file sink, never a
-    driver-side memory sink."""
+    driver-side memory sink.
+
+    State-store sizing (optimization round 11, guide §1/§2): a stateful
+    micro-batch commits one state store PER shuffle partition PER
+    stateful operator — measured on streaming_asof_join at sf0.01, the
+    32-partition default spent 6.8 s of addBatch on a 20k-row batch and
+    4.7 s on the ZERO-row finalize batch, nearly all state-store commit
+    overhead (a stream-stream join alone keeps 4 stores per partition).
+    settle() is the CORRECTNESS path: its queries settle to
+    aggregate-sized outputs under SETTLE_MAX_ROWS, so the store count is
+    scoped down around the drain (results are partitioning-independent —
+    keyed state is hash-partitioned either way). Parameterized via
+    SPARK_GRAFT_SETTLE_SHUFFLE_PARTITIONS; volume replays (the bench's
+    throughput fan-out in streaming/jobs.py, the sf1 sweeps) do not go
+    through settle() and keep the session default."""
+    import os
+
     spark = sdf.sparkSession
     name = "settle_" + uuid.uuid4().hex[:12]
+    n_parts = os.environ.get("SPARK_GRAFT_SETTLE_SHUFFLE_PARTITIONS", "8")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory(prefix="chk_") as chk:
-        q = (
-            sdf.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", chk)
-            .start()
-        )
+        spark.conf.set("spark.sql.shuffle.partitions", n_parts)
         try:
-            finished = q.awaitTermination(600)
-            if not finished:
-                raise TimeoutError(
-                    f"streaming query {name} did not finish draining within "
-                    "600s — refusing to return a partial memory-sink table"
-                )
+            q = (
+                sdf.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", chk)
+                .start()
+            )
+            try:
+                finished = q.awaitTermination(600)
+                if not finished:
+                    raise TimeoutError(
+                        f"streaming query {name} did not finish draining within "
+                        "600s — refusing to return a partial memory-sink table"
+                    )
+            finally:
+                q.stop()
         finally:
-            q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         sink = spark.table(name)
         # memory-sink rows already sit in driver memory; the guard bounds
         # what settle() re-materializes and hands back as a batch frame.
@@ -211,24 +233,37 @@ def streaming_upsert_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     trades = events_as_trades(stream_events(spark, sf_dir))
     out_dir = tempfile.mkdtemp(prefix="fanout_")
-    fan = start_fanout(
-        trades,
-        out_dir,
-        tumbling_window="1 day",
-        tumbling_watermark="1 hour",
-        feature_window="1 hour",
-        feature_slide="10 minutes",
-        feature_watermark="10 minutes",
-        available_now=True,
-    )
+    # Same state-store sizing rationale as settle() (this is the
+    # correctness-scale replay of the fan-out; the bench's THROUGHPUT
+    # fan-out in bench.py keeps the session default): four concurrent
+    # stateful queries × 32 store instances each dominated the drain
+    # with commit overhead. Keyed results are partitioning-independent.
+    import os as _os
+
+    n_parts = _os.environ.get("SPARK_GRAFT_SETTLE_SHUFFLE_PARTITIONS", "8")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
     try:
-        for q in fan.queries:
-            if not q.awaitTermination(600):
-                raise TimeoutError(
-                    f"fan-out query {q.name} did not finish draining within 600s"
-                )
+        fan = start_fanout(
+            trades,
+            out_dir,
+            tumbling_window="1 day",
+            tumbling_watermark="1 hour",
+            feature_window="1 hour",
+            feature_slide="10 minutes",
+            feature_watermark="10 minutes",
+            available_now=True,
+        )
+        try:
+            for q in fan.queries:
+                if not q.awaitTermination(600):
+                    raise TimeoutError(
+                        f"fan-out query {q.name} did not finish draining within 600s"
+                    )
+        finally:
+            fan.stop_all()
     finally:
-        fan.stop_all()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     vol = s.read_upsert_table(
         spark, fan.path("volume_tracking"), ["symbol", "timestamp"]
     )
