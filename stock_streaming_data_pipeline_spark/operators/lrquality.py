@@ -165,18 +165,21 @@ def train_score(
     module docstring for the cross-engine contract."""
     spark = docs.sparkSession
     lr_frac = _lr_fraction(lr)
-    # Measured in optimization round 11 and deliberately left as a
-    # localCheckpoint: a repartition("doc")+persist variant removes the
-    # per-iteration z-aggregation exchange (InMemoryRelation keeps the
-    # partitioning visible where the checkpoint's LogicalRDD reports
-    # UnknownPartitioning), but the columnar cache decode on the ~17
-    # scans costs MORE than the exchanges it saves — those shuffles move
-    # only the post-partial-agg per-doc sums (bench: 4.6 → 7.2 s on
-    # lr_gains_deciles with the persist variant). Cheap raw-row
-    # checkpoint scans + tiny exchanges win.
+    # Cluster by doc BEFORE the checkpoint (optimization round 11): the
+    # checkpoint's LogicalRDD reports UnknownPartitioning, so the
+    # planner keeps an exchange before every per-iteration
+    # groupBy(doc, label) either way — but with doc-clustered input the
+    # partial aggregate collapses to exactly ONE row per doc per task
+    # instead of one row per (doc, task) pair, shrinking each of the
+    # ~17 z/grad shuffles by up to the task count (guide §2.3:
+    # aggregate before you shuffle). A repartition+PERSIST variant that
+    # eliminates the exchanges entirely was measured SLOWER (columnar
+    # cache decode on 17 scans > the post-partial-agg shuffles;
+    # lr_gains_deciles 4.6 → 7.2 s) — raw-row checkpoint scans win.
     feats = (
         _features(docs, id_col=id_col, text_col=text_col)
         .join(labels, "doc")
+        .repartition("doc")
         .localCheckpoint(eager=True)
     )
     n_docs = labels.count()

@@ -61,8 +61,15 @@ def covariance_rows(df: DataFrame, *, id_col: str, vec_col: str) -> DataFrame:
     prods = xq.select(
         "xq", F.posexplode("xq").alias("i", "xi")
     ).select("i", "xi", F.posexplode("xq").alias("j", "xj"))
+    # Multiply in BIGINT, cast ONCE per row for the decimal SUM
+    # (optimization round 11): the per-row product is exactly
+    # representable in 64 bits (|xi*xj| <= 1e12 for micro-quantized
+    # unit-normed components) — only the cross-row SUM needs the
+    # 38-digit budget. A long multiply + one cast is far cheaper in the
+    # n*d^2-row hot loop than a BigDecimal multiply; the summed values
+    # are identical exact integers either way.
     gram = prods.groupBy("i", "j").agg(
-        F.sum(dec(F.col("xi")) * dec(F.col("xj"))).alias("sxx")
+        F.sum(dec(F.col("xi") * F.col("xj"))).alias("sxx")
     )
     sums = (
         xq.select(F.posexplode("xq").alias("i", "xi"))
