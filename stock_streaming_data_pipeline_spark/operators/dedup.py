@@ -1037,10 +1037,16 @@ def connected_components(
     with localCheckpoint to keep plans bounded. Driver-side work is one
     convergence counter per round — scale-safe.
     """
+    # Checkpoint the symmetrized edge relation ONCE (optimization round
+    # 11): it is re-read by every propagation round, and without the cut
+    # each round re-executed the ENTIRE upstream pair-generation subtree
+    # (shingle explode + LSH/Jaccard self-join — the expensive part of
+    # every caller) — O(rounds) recomputations of the heaviest stage.
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("node"))
@@ -1061,7 +1067,10 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # eager=False: the convergence count below is the first
+            # action over the round's labels, so materialization rides
+            # that job instead of paying a separate one per round.
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
