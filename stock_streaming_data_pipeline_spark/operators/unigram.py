@@ -100,68 +100,97 @@ def _seed_vocab(words: DataFrame) -> DataFrame:
 
 def _viterbi_segment(words: DataFrame, vocab: DataFrame) -> DataFrame:
     """(w, wc, seg): Viterbi-best segmentation of every word under
-    ``vocab`` (piece, lp) — MAX_WORD_LEN relational DP steps. ``seg`` is
-    the piece sequence joined by single spaces (tokens never contain
-    whitespace)."""
+    ``vocab`` (piece, lp). ``seg`` is the piece sequence joined by
+    single spaces (tokens never contain whitespace).
+
+    Shape (optimization round 11): the DP horizon is the compile-time
+    constant MAX_WORD_LEN=8 with MAX_PIECE_LEN=4, so the whole DP
+    UNROLLS into chained per-row struct expressions — one broadcast
+    join attaches every in-vocab piece of every word (≤ 8×4 candidate
+    slots per word), one map-combined groupBy folds them into a
+    (s*10+l) → lp lookup map per word, and the 8 DP cells are computed
+    as columns. The previous formulation ran 8 relational steps per
+    call, each with its own broadcast join, shuffle and eager
+    localCheckpoint (~16 jobs per call, ×3 calls per query).
+    Determinism contract unchanged: integer micro scores, and each cell
+    picks max score with ties to the SMALLEST predecessor position
+    (longest last piece) via greatest(struct(sc, -pos, seg)) — (sc,
+    -pos) is unique per candidate so seg never decides. Unreachable
+    candidates carry a -2^60 sentinel score; single-character pieces
+    are always in the vocabulary (the seed's coverage floor), so every
+    true cell is reachable and a sentinel can never win."""
     vp = vocab.select("piece", "lp")
-    frames = [
-        words.select(
-            "w",
-            "wc",
-            F.lit(0).alias("pos"),
-            F.lit(0).cast("long").alias("sc"),
-            F.lit("").alias("seg"),
-        )
-    ]
-    for i in range(1, MAX_WORD_LEN + 1):
-        lo = max(0, i - MAX_PIECE_LEN)
-        frontier = frames[lo]
-        for f in frames[lo + 1 : i]:
-            frontier = frontier.unionByName(f)
-        # vocab is vocabulary-bounded → BROADCAST (guide §3.1), so the
-        # frontier is never shuffled for the join; the per-word argmax
-        # is a map-combined max-struct aggregate instead of a
-        # row_number window (optimization round 11): (w, pos) is unique
-        # in cand (the piece is determined by (w, pos, i)), so
-        # max(struct(sc2, -pos, ...)) reproduces the (sc2 desc, pos
-        # asc) tie order exactly and the trailing fields never decide.
-        cand = (
-            frontier.filter(F.length("w") >= i)
-            .join(
-                F.broadcast(vp),
-                F.col("piece")
-                == F.expr(f"substring(w, pos + 1, {i} - pos)"),
+    slots = words.select(
+        "w",
+        "wc",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, length(w)), s ->
+                  transform(sequence(1, least({MAX_PIECE_LEN},
+                                              length(w) - s + 1)), l ->
+                    struct(s AS s, l AS l,
+                           substring(w, s, l) AS piece))))"""
             )
-            .select(
-                "w",
-                "wc",
+        ).alias("c"),
+    ).select("w", "wc", F.col("c.s").alias("s"), F.col("c.l").alias("l"), F.col("c.piece").alias("piece"))
+    cands = slots.join(F.broadcast(vp), "piece")
+    # (s,l) keys are unique per word, so the map is order-independent.
+    maps = cands.groupBy("w").agg(
+        F.max("wc").alias("wc"),
+        F.map_from_entries(
+            F.collect_list(
                 F.struct(
-                    (F.col("sc") + F.col("lp")).alias("sc2"),
-                    (-F.col("pos")).alias("np"),
-                    F.when(F.col("seg") == "", F.col("piece"))
-                    .otherwise(F.concat_ws(" ", "seg", "piece"))
-                    .alias("seg2"),
-                ).alias("cand"),
+                    (F.col("s") * 10 + F.col("l")).alias("k"),
+                    F.col("lp").alias("v"),
+                )
             )
-        )
-        frame_i = (
-            cand.groupBy("w")
-            .agg(F.max("wc").alias("wc"), F.max("cand").alias("best"))
-            .select(
-                "w",
-                "wc",
-                F.lit(i).alias("pos"),
-                F.col("best.sc2").alias("sc"),
-                F.col("best.seg2").alias("seg"),
+        ).alias("m"),
+    )
+    # The DP itself is a runtime aggregate() fold over positions 1..len
+    # with the dp table as the array accumulator — the lambda's
+    # expression tree is CONSTANT-size (MAX_PIECE_LEN candidates), so
+    # planning stays flat. (A fully column-unrolled variant was tried
+    # first and abandoned: each cell's expression embeds its 4
+    # predecessors', a ~4^8-node tree that stalls Catalyst.)
+    sent = F.lit(-(1 << 60)).cast("long")
+    init = F.array(
+        F.struct(F.lit(0).cast("long").alias("sc"), F.lit("").alias("seg"))
+    )
+
+    def _step(acc, e):
+        cands = []
+        for l in range(1, MAX_PIECE_LEN + 1):
+            p = e - F.lit(l)  # predecessor position, may be < 0
+            prev = F.element_at(acc, F.greatest(p + 1, F.lit(1)))
+            lp = F.when(
+                p >= 0,
+                F.coalesce(
+                    F.element_at(F.col("m"), (p + 1) * 10 + F.lit(l)), sent
+                ),
+            ).otherwise(sent)
+            piece = F.substring(F.col("w"), p + 1, F.lit(l))
+            seg2 = F.when(p == 0, piece).otherwise(
+                F.concat_ws(" ", prev["seg"], piece)
             )
-            .localCheckpoint(eager=True)
+            cands.append(
+                F.struct(
+                    (prev["sc"] + lp).alias("sc"),
+                    (-p).cast("long").alias("np"),
+                    seg2.alias("seg"),
+                )
+            )
+        best = F.greatest(*cands)
+        return F.array_append(
+            acc, F.struct(best["sc"].alias("sc"), best["seg"].alias("seg"))
         )
-        frames.append(frame_i)
-    out = None
-    for i in range(1, MAX_WORD_LEN + 1):
-        final_i = frames[i].filter(F.length("w") == i).select("w", "wc", "seg")
-        out = final_i if out is None else out.unionByName(final_i)
-    return out
+
+    seg_col = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        init,
+        _step,
+        lambda acc: F.element_at(acc, -1)["seg"],
+    )
+    return maps.select("w", "wc", seg_col.alias("seg"))
 
 
 def _m_step(vocab: DataFrame, segs: DataFrame) -> DataFrame:

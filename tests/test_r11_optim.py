@@ -132,6 +132,60 @@ def test_phash_bigint_pipeline_matches_integer_replay(spark):
         assert got[i] == _py_phash(t), f"doc {i}: {t!r}"
 
 
+def test_viterbi_fold_matches_bruteforce(spark):
+    """The folded per-word Viterbi DP must pick, for every word, the
+    segmentation maximizing the integer score sum, with ties broken to
+    the LONGEST last piece at every cell (the relational formulation's
+    (sc desc, pos asc) rule) — pinned against exhaustive enumeration."""
+    from stock_streaming_data_pipeline_spark.operators import unigram
+
+    rng = random.Random(2024)
+    words = ["a", "ab", "abc", "abab", "aaaa", "abcdefgh"] + [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 8)))
+        for _ in range(30)
+    ]
+    words = sorted(set(words))
+    pieces = sorted(
+        {w[s : s + l] for w in words for s in range(len(w)) for l in (1, 2, 3, 4)}
+        - {""}
+    )
+    lp = {p: -rng.randint(1, 30) * 1_000_000 for p in pieces}
+    # Drop some multi-char pieces so not everything is in vocab.
+    vocab_rows = [
+        (p, lp[p]) for p in pieces if len(p) == 1 or rng.random() < 0.6
+    ]
+    vocab_lp = dict(vocab_rows)
+
+    def brute(w: str) -> list[str]:
+        # DP identical to the spec: best[i] = max over l=1..4 of
+        # best[i-l] + lp(piece), ties -> smallest predecessor (longest
+        # last piece); deterministic reconstruction.
+        best = {0: (0, [])}
+        for i in range(1, len(w) + 1):
+            cand = []
+            for l in range(1, 5):
+                p = i - l
+                if p < 0 or p not in best:
+                    continue
+                piece = w[p:i]
+                if piece not in vocab_lp:
+                    continue
+                cand.append((best[p][0] + vocab_lp[piece], -p, best[p][1] + [piece]))
+            if cand:
+                sc, _np, seg = max(cand, key=lambda c: (c[0], c[1]))
+                best[i] = (sc, seg)
+        return best[len(w)][1]
+
+    wdf = spark.createDataFrame([(w, 1) for w in words], "w string, wc long")
+    vdf = spark.createDataFrame(vocab_rows, "piece string, lp long")
+    got = {
+        r["w"]: r["seg"].split(" ")
+        for r in unigram._viterbi_segment(wdf, vdf).collect()
+    }
+    for w in words:
+        assert got[w] == brute(w), f"word {w!r}"
+
+
 def test_argmin_code_carry_sub(spark):
     from stock_streaming_data_pipeline_spark.operators.similarity import (
         _argmin_code,
