@@ -935,6 +935,7 @@ def pq_train(
     num_sub: int,
     ksub: int = 16,
     iters: int = 2,
+    complete_keys: bool = False,
 ) -> DataFrame:
     """Per-subspace product-quantization codebooks: ``ksub`` centroids per
     subspace from a few Lloyd iterations over ``(key, m, sub)`` rows —
@@ -948,9 +949,24 @@ def pq_train(
     coverage, not convergence (same contract as :func:`ivf_train`).
     Returns ``(m, code, cbvec)``.
     """
+    # Seed selection (optimization round 11): when every key contributes
+    # a row to EVERY subspace (complete_keys=True — the _sub_rows
+    # callers: pq/opq/ivf-pq), the ksub*num_sub lowest rows under the
+    # total (key, m) order are exactly the ksub lowest-key subvectors of
+    # every subspace, so the seeds come from a TakeOrderedAndProject
+    # (the ivf_train pattern) and the rank window runs over ksub*num_sub
+    # rows only. The previous formulation — kept for callers whose keys
+    # appear under a SINGLE m (ivf2's per-cell reuse, where "m" is the
+    # level-1 cell id) — sorted the entire subvector relation through
+    # num_sub window tasks just to keep ksub rows each.
     w_seed = Window.partitionBy("m").orderBy(F.asc(key_col))
+    seeds = (
+        sub_rows.orderBy(F.asc(key_col), F.asc("m")).limit(ksub * num_sub)
+        if complete_keys
+        else sub_rows
+    )
     codebook = (
-        sub_rows.withColumn("_rn", F.row_number().over(w_seed))
+        seeds.withColumn("_rn", F.row_number().over(w_seed))
         .filter(F.col("_rn") <= ksub)
         .select("m", (F.col("_rn") - 1).alias("code"), F.col("sub").alias("cbvec"))
         .localCheckpoint(eager=True)
@@ -1051,7 +1067,8 @@ def ivf_pq_topk(
         dsub=dsub,
     )
     codebook = pq_train(
-        c_sub, key_col="neighbor_id", num_sub=num_sub, ksub=ksub, iters=iters
+        c_sub, key_col="neighbor_id", num_sub=num_sub, ksub=ksub, iters=iters,
+        complete_keys=True,
     )
     codes = _argmin_code(c_sub, codebook, key_col="neighbor_id").join(
         c_res.select("neighbor_id", "cluster_id"), "neighbor_id"
@@ -1413,7 +1430,10 @@ def opq_train(
         sub = _sub_rows(
             y, key_col="_k", vec_alias="v", num_sub=num_sub, dsub=dsub
         ).persist()
-        cb = pq_train(sub, key_col="_k", num_sub=num_sub, ksub=ksub, iters=pq_iters)
+        cb = pq_train(
+        sub, key_col="_k", num_sub=num_sub, ksub=ksub, iters=pq_iters,
+        complete_keys=True,
+    )
         vhat = _pq_reconstruct(sub, cb, key_col="_k")
         M = _cross_products(x.join(vhat, "_k"), d)
         sub.unpersist()  # M is collected; nothing lazy still needs sub
@@ -1424,7 +1444,10 @@ def opq_train(
     sub = _sub_rows(
         y, key_col="_k", vec_alias="v", num_sub=num_sub, dsub=dsub
     ).persist()
-    cb = pq_train(sub, key_col="_k", num_sub=num_sub, ksub=ksub, iters=pq_iters)
+    cb = pq_train(
+        sub, key_col="_k", num_sub=num_sub, ksub=ksub, iters=pq_iters,
+        complete_keys=True,
+    )
     sub.unpersist()  # cb is localCheckpointed inside pq_train
     return R, cb
 
