@@ -2521,12 +2521,10 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", k=8, iters=2, threshold=0.35
     ).select(F.col("vec_id").alias("doc_id"))
     kept = docs.join(drops, "doc_id", "left_anti")
-    quality = text.quality_scores(kept, id_col="doc_id", text_col="text")
-    good = kept.join(
-        quality.filter(F.col("quality") >= 0.40).select(F.col("doc").alias("doc_id")),
-        "doc_id",
-        "left_semi",
-    )
+    # quality is per-row deterministic → direct filter on the shared
+    # expression instead of a self-semi-join (same collapse as
+    # curation_pipeline; optimization round 11).
+    good = kept.filter(text.quality_expr(F.col("text")) >= 0.40)
     sp = sampling.split_train_eval(good, id_col="doc_id", holdout_pct=10)
     return sp.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -4959,14 +4957,16 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed join tree, aggregated to |sources| rows."""
     docs = load_table(spark, sf_dir, "documents")
     ph = _phash_frame(spark, sf_dir)
-    p2 = ph.withColumnsRenamed({"media_id": "m2", "phash": "ph2"})
+    # "has a smaller doc in my collision bucket" needs no self-join
+    # (optimization round 11): one min-over-bucket window replaces the
+    # equi-self-join + distinct — the decode/DCT subtree runs once and
+    # nothing is re-keyed (guide §2.4; collision buckets are the same
+    # groups the join built, so the kept set is identical).
+    w_ph = Window.partitionBy("phash")
     dupdrop = (
-        ph.join(
-            p2,
-            (F.col("ph2") == F.col("phash")) & (F.col("m2") < F.col("media_id")),
-        )
+        ph.withColumn("mn", F.min("media_id").over(w_ph))
+        .filter(F.col("media_id") > F.col("mn"))
         .select(F.col("media_id").alias("doc_id"))
-        .distinct()
         .withColumn("is_dup", F.lit(True))
     )
     m = docs.select(
