@@ -66,6 +66,13 @@ def pagerank(
     # AS DOUBLE) exactly for any feasible node count (< 2^53), so the
     # arithmetic is bit-identical.
     n = nodes.count()
+    if n == 0:
+        # Empty graph: the literal base/init terms below would divide by
+        # zero at constant folding (ANSI); the old broadcast-column form
+        # never evaluated them because there were no rows.
+        return edges.sparkSession.createDataFrame(
+            [], "node long, rank_micro long, rank double"
+        )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     base = _half_away(F.lit((1.0 - damping) * SCALE) / F.lit(float(n)))
     init = _half_away(F.lit(float(SCALE)) / F.lit(float(n)))
