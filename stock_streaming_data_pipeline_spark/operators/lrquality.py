@@ -6,12 +6,21 @@ lexical features, here distilled from the rule-based C4/Gopher filter's
 keep decision): hashing-trick bag-of-words features, full-batch gradient
 ascent on the log-likelihood, scoring — all as DataFrame ops.
 
-Scale shape per iteration: features live as a (doc, idx, cnt) relation
-built once and localCheckpointed; weights are a D+1-row table broadcast
-into the feature join; z/p are one partial-aggregated groupBy(doc);
-the gradient is one groupBy(idx). Nothing about the corpus ever sits on
-the driver — at 10^9 docs each iteration is two shuffles of bounded
-width (D+1 weight rows, one score row per doc).
+Scale shape per iteration (optimization round 12): features live as ONE
+dense row per doc — ``(doc, label, c0..c{DIM})``, the D+1 hashed bucket
+counts as BIGINT columns — built once and localCheckpointed; weights are
+a 1-row array DataFrame broadcast into a nest-loop join. Each iteration
+is then a SINGLE codegen pass over the dense relation: the logit is a
+65-term integer dot product, the sigmoid the frozen-table expression,
+and the gradient ONE global aggregate (65 partial sums collapse to one
+row per task, so the per-iteration shuffle carries ~tasks×65 BIGINTs —
+independent of corpus size). The round-11 shape (sparse (doc, idx, cnt)
+rows, weights broadcast-joined on idx, z one groupBy(doc), gradient a
+second full pass joining a **broadcast of the per-doc probabilities**)
+did 2 corpus scans + 2 corpus-keyed hash aggregates per iteration and —
+the scale bug — shipped one probability row PER DOC through the driver
+per iteration; the dense form does 1 scan, no join keyed on corpus
+columns, and nothing corpus-bound ever reaches the driver.
 
 Determinism / cross-engine contract (round 8, replacing the round-6
 float lattice): EVERY model quantity is an exact integer in micro units
@@ -121,7 +130,9 @@ def half_up_div_sql(x: str, num, den, *, spark: bool) -> str:
 
 def _features(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """(doc, idx, cnt): hashed token counts + a bias feature (idx=DIM,
-    cnt=1) per doc."""
+    cnt=1) per doc. Kept as the sparse reference shape (tests pin the
+    dense pivot against it); the training path uses :func:`_dense_features`.
+    """
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
@@ -139,6 +150,64 @@ def _features(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
         F.lit(1).cast("long").alias("cnt"),
     )
     return counts.unionByName(bias)
+
+
+def _dense_features(
+    docs: DataFrame, labels: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """One row per labeled doc: ``(doc, label, c0..c{DIM})`` where ``ci``
+    is the BIGINT count of tokens hashing to bucket i and ``c{DIM}`` is
+    the bias count (always 1). Equivalent to the sparse
+    ``_features(docs) ⋈ labels`` relation with absent buckets densified
+    to 0: every per-doc/per-bucket integer the training loop consumes is
+    recoverable as an order-free sum, so downstream arithmetic is
+    bit-identical. ``portable_hash`` is the top 60 bits of md5 — always
+    non-negative — so ``idx`` lands in [0, DIM) and the dense columns
+    cover every sparse row. One shuffle total (the groupBy(doc)); the
+    round-11 sparse build paid a groupBy(doc, idx) exchange plus a
+    repartition(doc) exchange.
+
+    Assumes ``labels`` carries one row per doc (every caller derives it
+    from a per-doc filter decision; the DuckDB oracle joins the same
+    way)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    tokcnt = (
+        toks.select(
+            "doc", (portable_hash(F.col("tok"), _SALT) % DIM).alias("idx")
+        )
+        .groupBy("doc")
+        .agg(
+            *[
+                F.sum(F.when(F.col("idx") == i, F.lit(1)).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(f"c{i}")
+                for i in range(DIM)
+            ]
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc")).join(labels, "doc")
+    return base.join(tokcnt, "doc", "left").select(
+        "doc",
+        "label",
+        *[
+            F.coalesce(F.col(f"c{i}"), F.lit(0).cast("long")).alias(f"c{i}")
+            for i in range(DIM)
+        ],
+        F.lit(1).cast("long").alias(f"c{DIM}"),
+    )
+
+
+def half_up_py(x: int, num: int, den: int) -> int:
+    """Exact Python replica of :func:`half_up_div_sql` on in-envelope
+    BIGINTs (Python ints are unbounded, so the only divergence regime is
+    one where the SQL path would raise on int64 overflow). Used by the
+    driver-side weight update in :func:`train_score`; pinned against the
+    SQL rendering in tests."""
+    mag = (abs(x) * 2 * num + den) // (2 * den)
+    return -mag if x < 0 else mag
 
 
 def _lr_fraction(lr: float) -> Fraction:
@@ -163,73 +232,76 @@ def train_score(
     ``(doc, label, prob, pred)`` with prob an exact micro-lattice double
     (p_micro / 1e6). All internal state is integer micros — see the
     module docstring for the cross-engine contract."""
-    spark = docs.sparkSession
     lr_frac = _lr_fraction(lr)
-    # Cluster by doc BEFORE the checkpoint (optimization round 11): the
-    # checkpoint's LogicalRDD reports UnknownPartitioning, so the
-    # planner keeps an exchange before every per-iteration
-    # groupBy(doc, label) either way — but with doc-clustered input the
-    # partial aggregate collapses to exactly ONE row per doc per task
-    # instead of one row per (doc, task) pair, shrinking each of the
-    # ~17 z/grad shuffles by up to the task count (guide §2.3:
-    # aggregate before you shuffle). A repartition+PERSIST variant that
-    # eliminates the exchanges entirely was measured SLOWER (columnar
-    # cache decode on 17 scans > the post-partial-agg shuffles;
-    # lr_gains_deciles 4.6 → 7.2 s) — raw-row checkpoint scans win.
-    feats = (
-        _features(docs, id_col=id_col, text_col=text_col)
-        .join(labels, "doc")
-        .repartition("doc")
-        .localCheckpoint(eager=True)
-    )
+    # Dense layout, built once and checkpointed (optimization round 12;
+    # guide §2.3/§2.4): each iteration below is ONE whole-stage-codegen
+    # pass over this relation — a 65-term BIGINT dot product per row
+    # (weights embedded as plan literals) feeding one GLOBAL aggregate
+    # whose map-side partials collapse to a single 65-sum row per task —
+    # instead of the round-11 two corpus scans, two corpus-keyed hash
+    # aggregates, a weights broadcast-hash join and (the scale bug) a
+    # per-iteration driver broadcast of one probability row per doc.
+    # The labels relation is checkpointed too: it is consumed twice
+    # (dense build + n_docs) and every caller derives it from a full
+    # tokenizing filter pass over the corpus.
+    labels = labels.localCheckpoint(eager=True)
+    dense = _dense_features(
+        docs, labels, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
     n_docs = labels.count()
 
     sig = F.expr(sigmoid_micro_sql("z", spark=True))
-    weights = spark.range(DIM + 1).select(
-        F.col("id").alias("idx"), F.lit(0).cast("long").alias("w")
-    )
-    for _ in range(iters):
-        z = (
-            feats.join(F.broadcast(weights), "idx")
-            .groupBy("doc", "label")
-            .agg(F.sum(F.col("cnt") * F.col("w")).cast("long").alias("z"))
-        )
-        p = z.select("doc", "label", sig.alias("p"))
-        # gradient in micro units: s = sum((label - p) * cnt) exactly,
-        # then g = half_up(s / n), then the update half_up(g * lr).
-        grad = (
-            feats.select("doc", "idx", "cnt")
-            .join(F.broadcast(p), "doc")
-            .groupBy("idx")
-            .agg(
-                F.sum(
-                    (F.col("label") * F.lit(1_000_000) - F.col("p"))
-                    * F.col("cnt")
-                )
-                .cast("long")
-                .alias("s")
-            )
-            .select(
-                "idx",
-                F.expr(half_up_div_sql("s", 1, n_docs, spark=True)).alias("g"),
-            )
-        )
-        step = half_up_div_sql(
-            "coalesce(g, CAST(0 AS BIGINT))",
-            lr_frac.numerator,
-            lr_frac.denominator,
-            spark=True,
-        )
-        weights = (
-            weights.join(grad, "idx", "left")
-            .select("idx", F.expr(f"w + {step}").cast("long").alias("w"))
-            .localCheckpoint(eager=True)
+
+    def z_expr(w: list[int]) -> str:
+        # z = sum_i c_i * w_i: exact BIGINT, order-free — identical to
+        # the sparse sum(cnt * w) over present buckets (absent buckets
+        # multiply a zero count).
+        return " + ".join(
+            f"(c{i} * CAST({w[i]} AS BIGINT))" for i in range(DIM + 1)
         )
 
-    scored = (
-        feats.join(F.broadcast(weights), "idx")
-        .groupBy("doc", "label")
-        .agg(F.sum(F.col("cnt") * F.col("w")).cast("long").alias("z"))
+    # Gradient loop. Driver traffic per iteration is the 65-element
+    # gradient row — O(DIM) BIGINTs, parameter-bounded like pagerank's
+    # scalar n, NOT corpus-bound (the round-11 loop broadcast one
+    # probability row per doc through the driver per iteration). The
+    # weight update runs in exact Python integer arithmetic — the same
+    # half-up integer expressions the oracle evaluates.
+    w = [0] * (DIM + 1)
+    grad_arr = F.expr(
+        "array("
+        + ", ".join(
+            f"sum((label * CAST(1000000 AS BIGINT) - p) * c{i})"
+            for i in range(DIM + 1)
+        )
+        + ")"
+    )
+    if n_docs > 0:
+        for _ in range(iters):
+            zp = dense.select(
+                "label",
+                *[f"c{i}" for i in range(DIM + 1)],
+                F.expr(z_expr(w)).cast("long").alias("z"),
+            ).select(
+                *[f"c{i}" for i in range(DIM + 1)],
+                sig.alias("p"),
+                "label",
+            )
+            srow = zp.agg(grad_arr.alias("sarr")).first()
+            sarr = srow["sarr"] if srow is not None else None
+            for i in range(DIM + 1):
+                # s_i = sum((label - p) * c_i) exactly (c_i = 0 where the
+                # sparse relation had no row, contributing 0 — the same
+                # sum); g = half_up(s / n); update by half_up(g * lr).
+                # A bucket no doc touches has s_i = 0, matching the
+                # round-11 left-join NULL -> step 0 path.
+                s = sarr[i] if sarr is not None and sarr[i] is not None else 0
+                g = half_up_py(s, 1, n_docs)
+                w[i] += half_up_py(
+                    g, lr_frac.numerator, lr_frac.denominator
+                )
+
+    scored = dense.select(
+        "doc", "label", F.expr(z_expr(w)).cast("long").alias("z")
     )
     return scored.select(
         "doc",
