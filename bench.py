@@ -290,6 +290,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Scaling legibility (round 12): echo the core count the
+                # harness actually ran with, so a low-core probe can
+                # verify the SPARK_GRAFT_CPUS knob took effect instead of
+                # inferring it from wall-clock ratios (at sf0.1 most
+                # bench queries are job-latency-bound, so 8-vs-32-core
+                # ratios sit near 1 even though the knob works).
+                "cpus": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
+                "shuffle_partitions": int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
                 "like_for_like": lfl,
                 "like_for_like_queries": sorted(
                     q for q in LIKE_FOR_LIKE if q in timings

@@ -47,12 +47,22 @@ _BASE_CONF: dict[str, str] = {
     ),
     "spark.streaming.stopGracefullyOnShutdown": "true",
     "spark.ui.enabled": "false",
-    "spark.sql.shuffle.partitions": "32",
 }
 
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def _shuffle_partitions() -> str:
+    """Initial shuffle partition count, sized to the advertised core count
+    (SPARK_GRAFT_CPUS). AQE coalescing owns the effective number at small
+    scale; at cluster scale raise SPARK_GRAFT_CPUS (or pass an explicit
+    ``shuffle_partitions``) so the initial number matches the executor
+    fleet. Round-12 fix: the driver-handed path (``configure_session``)
+    previously re-applied a hardcoded 32 from _BASE_CONF regardless of
+    SPARK_GRAFT_CPUS, diverging from ``get_spark``'s sizing."""
+    return str(default_parallelism())
 
 
 def get_spark(
@@ -82,7 +92,7 @@ def get_spark(
     return spark
 
 
-# Subset of _BASE_CONF that can be flipped on a live session.
+# Subset of the engine defaults that can be flipped on a live session.
 _RUNTIME_CONF = (
     "spark.sql.adaptive.enabled",
     "spark.sql.adaptive.coalescePartitions.enabled",
@@ -97,9 +107,11 @@ _RUNTIME_CONF = (
 
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally-built session."""
+    conf = dict(_BASE_CONF)
+    conf["spark.sql.shuffle.partitions"] = _shuffle_partitions()
     for key in _RUNTIME_CONF:
         try:
-            spark.conf.set(key, _BASE_CONF[key])
+            spark.conf.set(key, conf[key])
         except Exception:
             pass  # non-runtime-settable on this build; defaults are fine
     return spark

@@ -171,6 +171,26 @@ def test_half_up_py_matches_sql_rendering(x, num, den):
     assert lrq.half_up_py(x, num, den) == got
 
 
+def test_configure_session_honors_cpus_env(spark, monkeypatch):
+    """The driver-handed session path must size shuffle partitions from
+    SPARK_GRAFT_CPUS like get_spark does (round-11 verdict: _BASE_CONF
+    re-applied a hardcoded 32, making the driver's scaling probe distrust
+    the harness)."""
+    from stock_streaming_data_pipeline_spark import session as S
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "7")
+        S.configure_session(spark)
+        assert spark.conf.get(key) == "7"
+        monkeypatch.delenv("SPARK_GRAFT_CPUS")
+        S.configure_session(spark)
+        assert spark.conf.get(key) == str(S.default_parallelism())
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_train_score_empty_labels(spark):
     """n_docs == 0 skips the gradient loop entirely (the round-11 path
     evaluated a DIV-by-n expression on zero rows); output stays an empty
