@@ -380,8 +380,14 @@ def _minhash_aggs(num_perm: int) -> list[Column]:
     engine-portable arithmetic."""
     h31 = F.col("h").bitwiseAND(F.lit(0x7FFFFFFF))
     return [
+        # Plain % instead of pmod (round 12): the operand is provably
+        # non-negative (h31 < 2^31, k < num_perm ⇒ h31*(2k+1)+b_k <
+        # 2^31·129 + 2^36 < 2^39), where % == pmod value-for-value but
+        # costs one modulo instead of two — this runs num_perm times per
+        # shingle row in the hottest aggregate. The DuckDB oracle already
+        # renders the same arithmetic with %.
         F.min(
-            F.pmod(h31 * F.lit(2 * k + 1) + F.lit(k * 2654435761), F.lit(MERSENNE31))
+            (h31 * F.lit(2 * k + 1) + F.lit(k * 2654435761)) % F.lit(MERSENNE31)
         ).alias(f"mh_{k}")
         for k in range(num_perm)
     ]
@@ -400,7 +406,9 @@ def _band_bucket(mh_cols: list[Column]) -> Column:
     verification step either way."""
     acc: Column = F.lit(0).cast("long")
     for c in mh_cols:
-        acc = F.pmod(acc * F.lit(_BUCKET_P) + c, F.lit(MERSENNE31))
+        # % == pmod here (acc < 2^31 and mh >= 0 ⇒ operand in [0, 2^51)),
+        # one modulo cheaper per fold step; the oracle renders %.
+        acc = (acc * F.lit(_BUCKET_P) + c) % F.lit(MERSENNE31)
     return acc
 
 
@@ -453,12 +461,39 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+        # Materialized once (tiny: id pairs) so the candidate relation can
+        # prune the verification pass below without re-running the
+        # signature/banding subtree.
+        .localCheckpoint(eager=True)
+    )
+    # Verification-side pruning (round 12, guide §3.2): only docs that
+    # appear in a candidate pair ever reach the exact-Jaccard join, so the
+    # second shingle+hash+collect_set pass runs over the candidate docs
+    # only — verification cost scales with the near-dup candidate count,
+    # not the corpus (sf0.1: 521 of 5000 docs). The semi-join's right side
+    # is the checkpointed candidate ids; AQE sees its true (small) size
+    # and picks a broadcast semi-join, degrading gracefully to a shuffle
+    # if a pathological parameterization makes candidates huge. Results
+    # are unchanged: sets rows for non-candidate docs were dropped by the
+    # inner joins below anyway.
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc"))
+        .union(cands.select(F.col("doc_b")))
+        .distinct()
+        .withColumnRenamed("doc", id_col)
+    )
+    hashed_v = _hashed_shingle_rows(
+        df.join(cand_docs, id_col, "left_semi"),
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        portable=portable,
     )
     # Hashed sets in their own tiny aggregate (collect_set is a
     # TypedImperativeAggregate — kept away from the 64-min codegen agg).
     # No sort: array_intersect sizes are order-independent, and the
     # per-doc sort was measured ~10% of the whole query.
-    sets = hashed.groupBy("doc").agg(F.collect_set("h").alias("hset"))
+    sets = hashed_v.groupBy("doc").agg(F.collect_set("h").alias("hset"))
     cands = (
         cands.join(
             sets.withColumnsRenamed({"doc": "doc_a", "hset": "hs_a"}), "doc_a"
@@ -548,9 +583,25 @@ def minhash_lsh_pairs_cross(
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint(eager=True)
     )
-    sets_l = hashed_l.groupBy("doc").agg(F.collect_set("h").alias("hs_a"))
-    sets_r = hashed_r.groupBy("doc").agg(F.collect_set("h").alias("hs_b"))
+    # Same verification-side pruning as minhash_lsh_pairs (round 12,
+    # guide §3.2): each side's exact-verification pass re-shingles only
+    # its candidate docs, not its whole corpus.
+    def _cand_side(src: DataFrame, col: str) -> DataFrame:
+        ids = cands.select(F.col(col).alias(id_col)).distinct()
+        return src.join(ids, id_col, "left_semi")
+
+    hashed_vl = _hashed_shingle_rows(
+        _cand_side(left, "doc_a"),
+        id_col=id_col, text_col=text_col, n=n, portable=portable,
+    )
+    hashed_vr = _hashed_shingle_rows(
+        _cand_side(right, "doc_b"),
+        id_col=id_col, text_col=text_col, n=n, portable=portable,
+    )
+    sets_l = hashed_vl.groupBy("doc").agg(F.collect_set("h").alias("hs_a"))
+    sets_r = hashed_vr.groupBy("doc").agg(F.collect_set("h").alias("hs_b"))
     cands = cands.join(
         sets_l.withColumnRenamed("doc", "doc_a"), "doc_a"
     ).join(sets_r.withColumnRenamed("doc", "doc_b"), "doc_b")
