@@ -202,14 +202,17 @@ def ngram_jaccard_pairs(
             .select("doc_a", "doc_b", "jaccard")
         )
 
-    # Prefix-filtered path: persist the shingle scan — it feeds the index,
-    # the frequency ranking AND both verification sides.
+    # Prefix-filtered path: materialize the shingle scan — it feeds the
+    # index, the frequency ranking AND both verification sides. Eager
+    # localCheckpoint instead of persist (round 12 hygiene): the entry
+    # releases with the frame's GC instead of squatting in the
+    # CacheManager until someone calls clearCache.
     base = (
         df.select(
             F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("shingles")
         )
         .filter(F.size("shingles") > 0)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sh = base.select(
         "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
@@ -1614,21 +1617,21 @@ def cdc_shared_chunk_pairs(
     fingerprint equi-join is the posting-list shape of exact dedup: a
     hot fingerprint means true mass duplication (same failure mode and
     remedy as exact dedup), not hash skew."""
-    # Persist the fingerprint relation (tiny: ~len/mask rows per doc):
-    # without it the self-join recomputes the whole chunking pipeline —
-    # and therefore re-scans the corpus — once per join side (8 file
-    # scans measured at round 10; 2 corpus passes after the persist).
-    # The entry is deliberately NOT unpersisted here (the result is
-    # lazy; the cache must outlive this builder). That is bounded, not
-    # a leak-per-build: Spark's CacheManager keys entries by the
-    # canonicalized plan, so repeated builds of the same query (bench
-    # loops, sweeps) REUSE one entry rather than stacking new ones —
-    # at most one tiny (~corpus_chars/mask-row) MEMORY_AND_DISK entry
-    # per distinct (sf_dir, params) plan per session, evictable under
-    # memory pressure.
+    # Materialize the fingerprint relation (tiny: ~len/mask rows per
+    # doc): without it the self-join recomputes the whole chunking
+    # pipeline — and therefore re-scans the corpus — once per join side
+    # (8 file scans measured at round 10; 2 corpus passes after the
+    # materialization). Round 12 closed the documented round-11 cache
+    # lifecycle note by switching persist() → eager localCheckpoint: the
+    # stored rows are released by the ContextCleaner when the frame is
+    # garbage collected, so nothing squats in the CacheManager waiting
+    # for a clearCache that a long-lived driver session may never issue.
+    # eager=False: materialization rides the first action (the same
+    # one-job shape persist had — an eager checkpoint's separate
+    # copy-and-store job measured +0.3 s on this tiny relation).
     fps = cdc_chunk_fingerprints(
         df, id_col=id_col, text_col=text_col, gram=gram, mask=mask
-    ).persist()
+    ).localCheckpoint(eager=False)
     a = fps.select(F.col("doc").alias("doc_a"), "fp")
     b = fps.select(F.col("doc").alias("doc_b"), "fp")
     return (

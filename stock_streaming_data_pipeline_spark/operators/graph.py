@@ -69,10 +69,25 @@ def pagerank(
     if n == 0:
         # Empty graph: the literal base/init terms below would divide by
         # zero at constant folding (ANSI); the old broadcast-column form
-        # never evaluated them because there were no rows.
-        return edges.sparkSession.createDataFrame(
-            [], "node long, rank_micro long, rank double"
+        # never evaluated them because there were no rows. The node
+        # field's type is derived from the input edges schema so an
+        # empty graph returns the same schema a caller with non-long
+        # node ids would get from the non-empty path (round-11 advice).
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
         )
+
+        schema = StructType(
+            [
+                StructField("node", e.schema["src"].dataType, True),
+                StructField("rank_micro", LongType(), True),
+                StructField("rank", DoubleType(), True),
+            ]
+        )
+        return edges.sparkSession.createDataFrame([], schema)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     base = _half_away(F.lit((1.0 - damping) * SCALE) / F.lit(float(n)))
     init = _half_away(F.lit(float(SCALE)) / F.lit(float(n)))

@@ -1057,7 +1057,11 @@ def ivf_pq_topk(
             "cluster_id",
             F.zip_with("cv", "cvec", lambda x, y: x - y).alias("rv"),
         )
-        .persist()  # feeds codebook training AND encoding
+        # Eager localCheckpoint, not persist (round 12 hygiene): feeds
+        # codebook training AND encoding; the builder cannot unpersist
+        # (the encoding consumer is lazy), and a checkpoint RDD releases
+        # with the frame's GC instead of living in the CacheManager.
+        .localCheckpoint(eager=True)
     )
     c_sub = _sub_rows(
         c_res.select("neighbor_id", F.col("rv").alias("v")),

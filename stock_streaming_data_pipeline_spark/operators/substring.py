@@ -128,12 +128,13 @@ def longest_shared_substring_pairs(
     Candidate pairs (shared ``min_len``-gram — exactly the target
     predicate) come from one posting-list equi-join over the fingerprint
     relation; the suffix-automaton verify then touches candidates only.
-    The fingerprint relation is persisted for the self-join (the CDC
-    lesson: without it the corpus re-scans once per join side); the
-    CacheManager dedupes repeated builds by canonicalized plan."""
+    The fingerprint relation is materialized once for the self-join (the
+    CDC lesson: without it the corpus re-scans once per join side) via
+    eager localCheckpoint — released on the frame's GC, nothing left in
+    the CacheManager (round-12 hygiene)."""
     fps = lgram_fingerprints(
         df, id_col=id_col, text_col=text_col, gram=min_len
-    ).persist()
+    ).localCheckpoint(eager=True)
     a = fps.select(F.col("doc").alias("doc_a"), "fp")
     b = fps.select(F.col("doc").alias("doc_b"), "fp")
     pairs = (

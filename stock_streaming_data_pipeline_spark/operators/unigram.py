@@ -135,6 +135,11 @@ def _viterbi_segment(words: DataFrame, vocab: DataFrame) -> DataFrame:
     ).select("w", "wc", F.col("c.s").alias("s"), F.col("c.l").alias("l"), F.col("c.piece").alias("piece"))
     cands = slots.join(F.broadcast(vp), "piece")
     # (s,l) keys are unique per word, so the map is order-independent.
+    # The s*10+l key encoding needs l (and hence MAX_PIECE_LEN) to stay a
+    # single decimal digit, and `words` must be distinct per w — a raised
+    # constant or duplicated words would collide keys far from this code
+    # (ANSI duplicate-map-key error at best); fail loudly here instead.
+    assert MAX_PIECE_LEN < 10, "s*10+l map-key stride assumes MAX_PIECE_LEN < 10"
     maps = cands.groupBy("w").agg(
         F.max("wc").alias("wc"),
         F.map_from_entries(

@@ -1071,15 +1071,22 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = dedup.exact_duplicates(
         corpus, id_col="doc_id", text_col="text"
     ).select(F.col("keeper_id").alias("doc_id"))
-    # Persist the two reused stage outputs (optimization round 11):
-    # `kept` feeds both the contamination report and the anti-join left
-    # side; `clean` feeds the repetition scorer, the quality filter and
-    # the sampler — composed lazily, the exact-dedup + contamination
-    # subtree re-executed up to 4x per action (guide §5: cache only what
-    # is reused and expensive to recompute). CacheManager keys by
-    # canonicalized plan, so repeated builds reuse one MEMORY_AND_DISK
-    # entry — the itemset_pair_lift lifecycle pattern.
-    kept = corpus.join(keepers, "doc_id", "left_semi").persist()
+    # Materialize the two reused stage outputs (optimization round 11;
+    # round 12 switched persist() → eager localCheckpoint): `kept` feeds
+    # both the contamination report and the anti-join left side; `clean`
+    # feeds the repetition scorer, the quality filter and the sampler —
+    # composed lazily, the exact-dedup + contamination subtree
+    # re-executed up to 4x per action (guide §5: cache only what is
+    # reused and expensive to recompute). Unlike persist(), whose
+    # CacheManager entry lives until an explicit unpersist/clearCache
+    # (the round-11 leak finding — this builder cannot unpersist because
+    # the result is lazy), a localCheckpoint RDD is released by the
+    # ContextCleaner as soon as the frame is garbage collected, so a
+    # long-lived session that never calls clearCache cannot accumulate
+    # entries.
+    kept = corpus.join(keepers, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
 
     contaminated = dedup.contamination_report(
         kept,
@@ -1093,7 +1100,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc").distinct()
     clean = kept.join(
         contaminated, kept["doc_id"] == contaminated["doc"], "left_anti"
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     # quality is per-row deterministic, so the former
     # `clean ⋉ quality_scores(clean).filter(q >= 0.40)` semi-join (two

@@ -6470,15 +6470,16 @@ def itemset_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     failure mode as exact dedup's hot fingerprint — cap basket size
     upstream."""
     li = load_table(spark, sf_dir, "lineitem")
-    # Persist the deduped basket relation: it feeds FOUR consumers (the
-    # two pair-join sides, per-item support, the order count) and each
-    # would otherwise re-scan lineitem (5 file scans measured; 1 after
-    # the persist). Same lifecycle rationale as cdc_shared_chunk_pairs
-    # (operators/dedup.py): CacheManager keys by canonicalized plan, so
-    # repeated builds reuse one 2-long-column MEMORY_AND_DISK entry.
+    # Materialize the deduped basket relation: it feeds FOUR consumers
+    # (the two pair-join sides, per-item support, the order count) and
+    # each would otherwise re-scan lineitem (5 file scans measured; 1
+    # after the materialization). Eager localCheckpoint instead of
+    # persist (round-12 hygiene, same swap as cdc_shared_chunk_pairs):
+    # the stored rows release with the frame's GC instead of occupying
+    # the CacheManager until an explicit clearCache.
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=True)
     n_orders = items.agg(
         F.count_distinct("ok").cast("long").alias("n_orders")
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,6 +52,25 @@ def _settle_cap() -> int:
     return int(os.environ.get("SPARK_GRAFT_SETTLE_MAX_ROWS", SETTLE_MAX_ROWS))
 
 
+@contextmanager
+def _settle_shuffle_partitions(spark):
+    """Scope ``spark.sql.shuffle.partitions`` down around a settle-path
+    drain (state-store sizing — see settle()'s docstring), restoring the
+    session value afterwards. The conf is SESSION-GLOBAL: this relies on
+    the driver contract's single-threaded query execution (one query
+    settles at a time); concurrent callers on one session would race the
+    save/restore and must clone the session instead."""
+    import os
+
+    n_parts = os.environ.get("SPARK_GRAFT_SETTLE_SHUFFLE_PARTITIONS", "8")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 def settle(sdf: DataFrame, mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
     sink; return the settled rows as a stable batch DataFrame. Refuses
@@ -71,15 +91,10 @@ def settle(sdf: DataFrame, mode: str) -> DataFrame:
     SPARK_GRAFT_SETTLE_SHUFFLE_PARTITIONS; volume replays (the bench's
     throughput fan-out in streaming/jobs.py, the sf1 sweeps) do not go
     through settle() and keep the session default."""
-    import os
-
     spark = sdf.sparkSession
     name = "settle_" + uuid.uuid4().hex[:12]
-    n_parts = os.environ.get("SPARK_GRAFT_SETTLE_SHUFFLE_PARTITIONS", "8")
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory(prefix="chk_") as chk:
-        spark.conf.set("spark.sql.shuffle.partitions", n_parts)
-        try:
+        with _settle_shuffle_partitions(spark):
             q = (
                 sdf.writeStream.outputMode(mode)
                 .format("memory")
@@ -97,8 +112,6 @@ def settle(sdf: DataFrame, mode: str) -> DataFrame:
                     )
             finally:
                 q.stop()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         sink = spark.table(name)
         # memory-sink rows already sit in driver memory; the guard bounds
         # what settle() re-materializes and hands back as a batch frame.
@@ -238,12 +251,7 @@ def streaming_upsert_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan-out in bench.py keeps the session default): four concurrent
     # stateful queries × 32 store instances each dominated the drain
     # with commit overhead. Keyed results are partitioning-independent.
-    import os as _os
-
-    n_parts = _os.environ.get("SPARK_GRAFT_SETTLE_SHUFFLE_PARTITIONS", "8")
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
-    try:
+    with _settle_shuffle_partitions(spark):
         fan = start_fanout(
             trades,
             out_dir,
@@ -262,8 +270,6 @@ def streaming_upsert_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
         finally:
             fan.stop_all()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     vol = s.read_upsert_table(
         spark, fan.path("volume_tracking"), ["symbol", "timestamp"]
     )
