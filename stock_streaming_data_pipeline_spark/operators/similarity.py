@@ -969,8 +969,16 @@ def pq_train(
         seeds.withColumn("_rn", F.row_number().over(w_seed))
         .filter(F.col("_rn") <= ksub)
         .select("m", (F.col("_rn") - 1).alias("code"), F.col("sub").alias("cbvec"))
-        .localCheckpoint(eager=True)
     )
+    if not complete_keys:
+        # The full-window seed path sorts the entire subvector relation —
+        # checkpoint so iteration 1 doesn't run it twice (argmin broadcast
+        # + retention join). The complete-keys TakeOrdered seed is a
+        # ksub*num_sub-row top-k over the caller's already-materialized
+        # relation: re-executing it twice is cheaper than an eager
+        # checkpoint job (A/B round 12: 1.53 → 1.34 s per pq_train,
+        # bit-identical codebooks).
+        codebook = codebook.localCheckpoint(eager=True)
     for _ in range(iters):
         # carry_sub rides each row's subvector through the argmin struct,
         # so the mean update needs no corpus-scale join back to sub_rows
