@@ -87,19 +87,39 @@ def _merge_round(p: DataFrame, best: DataFrame) -> DataFrame:
 def bpe_train(df: DataFrame, *, text_col: str, k: int = 8) -> DataFrame:
     """Learn ``k`` BPE merge rules from the corpus. Returns the ordered
     merge table ``(merge_round, left_sym, right_sym, pair_count,
-    merged)`` — fewer than k rows only if the symbol space exhausts."""
-    syms = _word_symbols(df, text_col=text_col).localCheckpoint(eager=True)
-    wn = Window.partitionBy("w").orderBy("pos")
+    merged)`` — fewer than k rows only if the symbol space exhausts.
+
+    Round shape (optimization round 12): each word's symbol sequence
+    lives as ONE array row (vocabulary-bounded), so a round is (1) a
+    pair-count aggregate over adjacent array slots — zip_with on the
+    array replaces the lead/row_number windows, no per-word sort — and
+    (2) the merge as the per-word :func:`_merge_fold` against the
+    broadcast 1-row argmax — replacing the three-window
+    gaps-and-islands relational merge (pinned equal in tests). Two
+    checkpoints per round (argmax + merged symbols) instead of three,
+    and no window exchange anywhere in the loop."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    arr: Column = F.concat(
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        F.array(F.lit(EOW)),
+    )
+    syms = words.select("w", "wc", arr.alias("s")).localCheckpoint(eager=True)
+    pair = F.explode(
+        F.zip_with(
+            F.slice(F.col("s"), 1, F.greatest(F.size("s") - 1, F.lit(0))),
+            F.slice(F.col("s"), 2, F.greatest(F.size("s") - 1, F.lit(0))),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+    )
     bests: list[DataFrame] = []
     for r in range(k):
-        p = (
-            syms.withColumn("nxt", F.lead("sym").over(wn))
-            .withColumn("idx", F.row_number().over(wn))
-            .localCheckpoint(eager=True)
-        )
         best = (
-            p.filter(F.col("nxt").isNotNull())
-            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            syms.select("wc", pair.alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("wc").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(1)
@@ -114,20 +134,33 @@ def bpe_train(df: DataFrame, *, text_col: str, k: int = 8) -> DataFrame:
                 F.concat("a", "b").alias("merged"),
             )
         )
-        syms = _merge_round(p, best).localCheckpoint(eager=True)
+        syms = (
+            syms.crossJoin(F.broadcast(best.select("a", "b")))
+            .select(
+                "w",
+                "wc",
+                _merge_fold(F.col("s"), F.col("a"), F.col("b")).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
     return out
 
 
-def _merge_fold(arr: Column, a: str, b: str) -> Column:
+def _merge_fold(arr: Column, a: str | Column, b: str | Column) -> Column:
     """One greedy left-to-right merge of adjacent pair (a, b) over a
     per-word symbol array, as a single ``aggregate`` fold: the
     accumulator carries (out, pend); a merge consumes pend+x and resets
     pend, so overlapping matches in an a==b run keep exactly the even
     offsets — the same kept set as :func:`_merge_round`'s
-    gaps-and-islands computation (pinned equal in tests)."""
+    gaps-and-islands computation (pinned equal in tests). ``a``/``b``
+    may be literals (inference's frozen rule list) or row columns (the
+    training loop's broadcast argmax row)."""
+    a_col = F.lit(a) if isinstance(a, str) else a
+    b_col = F.lit(b) if isinstance(b, str) else b
+    ab = F.concat(a_col, b_col)
     init = F.struct(
         F.array().cast("array<string>").alias("out"), F.lit("").alias("pend")
     )
@@ -139,9 +172,9 @@ def _merge_fold(arr: Column, a: str, b: str) -> Column:
                 F.struct(acc["out"].alias("out"), x.alias("pend")),
             )
             .when(
-                (acc["pend"] == a) & (x == b),
+                (acc["pend"] == a_col) & (x == b_col),
                 F.struct(
-                    F.array_append(acc["out"], F.lit(a + b)).alias("out"),
+                    F.array_append(acc["out"], ab).alias("out"),
                     F.lit("").alias("pend"),
                 ),
             )
