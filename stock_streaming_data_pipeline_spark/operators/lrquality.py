@@ -251,22 +251,19 @@ def train_score(
     n_docs = labels.count()
 
     sig = F.expr(sigmoid_micro_sql("z", spark=True))
+    spark = docs.sparkSession
 
-    def z_expr(w: list[int]) -> str:
-        # z = sum_i c_i * w_i: exact BIGINT, order-free — identical to
-        # the sparse sum(cnt * w) over present buckets (absent buckets
-        # multiply a zero count).
-        return " + ".join(
-            f"(c{i} * CAST({w[i]} AS BIGINT))" for i in range(DIM + 1)
-        )
-
-    # Gradient loop. Driver traffic per iteration is the 65-element
-    # gradient row — O(DIM) BIGINTs, parameter-bounded like pagerank's
-    # scalar n, NOT corpus-bound (the round-11 loop broadcast one
-    # probability row per doc through the driver per iteration). The
-    # weight update runs in exact Python integer arithmetic — the same
-    # half-up integer expressions the oracle evaluates.
-    w = [0] * (DIM + 1)
+    # z = sum_i c_i * w_i: exact BIGINT, order-free — identical to the
+    # sparse sum(cnt * w) over present buckets (absent buckets multiply a
+    # zero count). The weights arrive as ONE broadcast array row rather
+    # than plan literals: the generated code is then IDENTICAL for every
+    # iteration and scale factor, so whole-stage codegen compiles ONCE
+    # per session instead of once per iteration per run (a literal-
+    # weights variant measured ~1 s of Janino/JIT per bench pass because
+    # each iteration's evolving literals produced a fresh class).
+    z_expr = " + ".join(
+        f"(c{i} * element_at(warr, {i + 1}))" for i in range(DIM + 1)
+    )
     grad_arr = F.expr(
         "array("
         + ", ".join(
@@ -275,12 +272,31 @@ def train_score(
         )
         + ")"
     )
+
+    def wrow(w: list[int]) -> DataFrame:
+        # range(1) + array-literal projection, not createDataFrame: no
+        # Python->JVM data path, and the folded CreateArray becomes a
+        # Literal(ArrayData) that codegen passes via `references`, so
+        # the generated source stays byte-identical across iterations.
+        arr = "array(" + ", ".join(
+            f"CAST({wi} AS BIGINT)" for wi in w
+        ) + ")"
+        return spark.range(1).select(F.expr(arr).alias("warr"))
+
+    # Gradient loop. Driver traffic per iteration is the 65-element
+    # gradient row down and the 65-element weight row up — O(DIM)
+    # BIGINTs, parameter-bounded like pagerank's scalar n, NOT
+    # corpus-bound (the round-11 loop broadcast one probability row per
+    # doc through the driver per iteration). The weight update runs in
+    # exact Python integer arithmetic — the same half-up integer
+    # expressions the oracle evaluates.
+    w = [0] * (DIM + 1)
     if n_docs > 0:
         for _ in range(iters):
-            zp = dense.select(
+            zp = dense.crossJoin(F.broadcast(wrow(w))).select(
                 "label",
                 *[f"c{i}" for i in range(DIM + 1)],
-                F.expr(z_expr(w)).cast("long").alias("z"),
+                F.expr(z_expr).cast("long").alias("z"),
             ).select(
                 *[f"c{i}" for i in range(DIM + 1)],
                 sig.alias("p"),
@@ -300,8 +316,8 @@ def train_score(
                     g, lr_frac.numerator, lr_frac.denominator
                 )
 
-    scored = dense.select(
-        "doc", "label", F.expr(z_expr(w)).cast("long").alias("z")
+    scored = dense.crossJoin(F.broadcast(wrow(w))).select(
+        "doc", "label", F.expr(z_expr).cast("long").alias("z")
     )
     return scored.select(
         "doc",
