@@ -62,7 +62,17 @@ def _settle_shuffle_partitions(spark):
     save/restore and must clone the session instead."""
     import os
 
-    n_parts = os.environ.get("SPARK_GRAFT_SETTLE_SHUFFLE_PARTITIONS", "8")
+    # Default 4 (round 12, re-measured warm A/B at sf0.01 AND sf0.1:
+    # 8 -> 4 cuts the three-query settle total ~16-18% — per-batch
+    # state-store commit count still dominates these aggregate-sized
+    # drains; 2 saved another ~10% but halves in-batch parallelism for
+    # no structural reason). Production replays with real keyed-state
+    # volume must raise this via the env knob — the SETTLE_MAX_ROWS cap
+    # is what keeps a small default safe on this path. A RocksDB state
+    # store was also measured (round 12) and is FLAT-to-slower here
+    # (tiny per-partition state; native store open/commit overhead
+    # without compaction benefit) — left on the default provider.
+    n_parts = os.environ.get("SPARK_GRAFT_SETTLE_SHUFFLE_PARTITIONS", "4")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n_parts)
     try:
