@@ -47,6 +47,16 @@ _BASE_CONF: dict[str, str] = {
     ),
     "spark.streaming.stopGracefullyOnShutdown": "true",
     "spark.ui.enabled": "false",
+    # The engine runs hundreds of distinct queries per session (catalog
+    # sweeps, the 17-query bench, the driver's 50-query sample); the
+    # default 100-entry generated-class cache thrashes between passes, so
+    # every pass of a wide-codegen query (the 65-column LR dense build,
+    # the 64-min minhash aggregate) pays Janino+JIT again — measured
+    # ~0.5-1.2 s per recompiled unit. 2000 entries keeps a full sweep's
+    # classes resident for a few hundred MB of metaspace at worst. Static
+    # conf: applies when the JVM session is built (configure_session
+    # cannot flip it on a live driver session; its try/except skips it).
+    "spark.sql.codegen.cache.maxEntries": "2000",
 }
 
 
