@@ -425,11 +425,16 @@ def test_mutual_reach_pairs_are_cell_equi_join(spark):
 
 
 def test_cdc_chunks_fingerprints_cached_for_self_join(spark):
-    """The CDC fingerprint relation must be persisted: without the cache
+    """The CDC fingerprint relation must be materialized once: without it
     the self-join recomputes the whole chunking pipeline per side (8
-    corpus file scans measured in round 10)."""
+    corpus file scans measured in round 10). Round 12 swapped the
+    persist for a (lazy) localCheckpoint — both join sides must read the
+    materialized RDD (Scan ExistingRDD), and nothing may sit in the
+    CacheManager (no InMemoryTableScan)."""
     plan = plan_of(spark, "dedup_cdc_chunks")
-    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "InMemoryTableScan" not in plan
+    assert "Scan parquet" not in plan  # the corpus is never re-scanned
 
 
 def test_itemset_basket_relation_cached_and_supports_broadcast(spark):
@@ -439,7 +444,11 @@ def test_itemset_basket_relation_cached_and_supports_broadcast(spark):
     scans measured pre-fix). The support/count enrichment joins must be
     broadcasts, and the report a TakeOrderedAndProject."""
     plan = plan_of(spark, "itemset_pair_lift")
-    assert plan.count("InMemoryTableScan") >= 3
+    # Round 12: eager localCheckpoint instead of persist — the consumers
+    # read the materialized RDD; the CacheManager stays empty.
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert "InMemoryTableScan" not in plan
+    assert "Scan parquet" not in plan  # lineitem is never re-scanned
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
@@ -448,11 +457,13 @@ def test_itemset_basket_relation_cached_and_supports_broadcast(spark):
 
 def test_lss_fingerprints_cached_and_no_cartesian(spark):
     """Longest-shared-substring: the fingerprint relation must be
-    persisted for the posting-list self-join (the CDC lesson), candidates
-    must join as an equi-join on the gram hash, and the verify must be
-    Arrow-batched (MapInPandas), never row-at-a-time Python."""
+    materialized once (round 12: eager localCheckpoint, not persist) for
+    the posting-list self-join (the CDC lesson), candidates must join as
+    an equi-join on the gram hash, and the verify must be Arrow-batched
+    (MapInPandas), never row-at-a-time Python."""
     plan = plan_of(spark, "dedup_longest_shared_substring")
-    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "InMemoryTableScan" not in plan
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
